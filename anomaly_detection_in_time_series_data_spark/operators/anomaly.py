@@ -1,0 +1,113 @@
+"""Anomaly-detection operators — the capability the reference's title names.
+
+The reference approaches anomaly detection only via Keras reconstruction
+models (VAE, ``Week#12_Assignment.ipynb:132-186``) and z-score normalization
+(``house_price.pdf`` normalization cell — ``(x - mean)/std``). The engine
+ships the statistical equivalents Spark supports natively (SURVEY.md §2.10):
+
+- rolling / grouped z-score over event time (this module)
+- KMeans distance-to-centroid and GaussianMixture log-likelihood
+  (``models.py``; MLlib)
+
+All batch scoring here is window/agg expression work — JVM-side, whole-stage
+codegen, no Python in the hot path. At 100 TB the window partitions by
+``event_type`` (low cardinality) — for very hot keys the grouped variant
+(`global_zscore`) is a two-pass agg+broadcast-join, which scales better than
+a sort-based window; both are provided.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# Guard against zero/degenerate dispersion (constant window) — mirrors the
+# oracle SQL exactly so boolean flags hash-match.
+_SIGMA_FLOOR = 1e-12
+
+
+def rolling_zscore(
+    df: DataFrame,
+    *,
+    partition_cols: list[str],
+    order_cols: list[str],
+    value_col: str = "value",
+    lookback: int = 20,
+    threshold: float = 3.0,
+) -> DataFrame:
+    """Rolling z-score over the previous ``lookback`` rows per partition.
+
+    Reproduces the reference's z-score normalization (house_price.pdf:
+    ``(x - mean)/std``) as a *trailing-window* statistic — the standard
+    streaming-friendly formulation (the stats at row i use rows i-k..i-1,
+    never the current row, so the score is causal and replayable).
+
+    Adds ``mu``, ``sigma``, ``zscore``, ``is_anomaly`` columns.
+    """
+    w = (
+        Window.partitionBy(*partition_cols)
+        .orderBy(*order_cols)
+        .rowsBetween(-lookback, -1)
+    )
+    mu = F.avg(value_col).over(w)
+    sigma = F.stddev_samp(value_col).over(w)
+    z = F.when(
+        sigma.isNotNull() & (sigma > _SIGMA_FLOOR),
+        (F.col(value_col) - mu) / sigma,
+    )
+    return (
+        df.withColumn("mu", mu)
+        .withColumn("sigma", sigma)
+        .withColumn("zscore", z)
+        .withColumn(
+            "is_anomaly",
+            F.coalesce(F.abs(F.col("zscore")) > F.lit(threshold), F.lit(False)),
+        )
+    )
+
+
+def global_zscore(
+    df: DataFrame,
+    *,
+    group_cols: list[str],
+    value_col: str = "value",
+    threshold: float = 3.0,
+) -> DataFrame:
+    """Two-pass grouped z-score: agg per group, broadcast join stats back.
+
+    Preferred at scale for low-cardinality groups: the per-group stats frame
+    is tiny (one row per group), so the join is a broadcast — no sort, no
+    window state, and the scan of ``df`` happens exactly twice with full
+    predicate/column pushdown.
+    """
+    stats = df.groupBy(*group_cols).agg(
+        F.avg(value_col).alias("mu"),
+        F.stddev_samp(value_col).alias("sigma"),
+    )
+    joined = df.join(F.broadcast(stats), on=group_cols, how="left")
+    z = F.when(
+        F.col("sigma").isNotNull() & (F.col("sigma") > _SIGMA_FLOOR),
+        (F.col(value_col) - F.col("mu")) / F.col("sigma"),
+    )
+    return joined.withColumn("zscore", z).withColumn(
+        "is_anomaly",
+        F.coalesce(F.abs(F.col("zscore")) > F.lit(threshold), F.lit(False)),
+    )
+
+
+def flag_event_anomalies(
+    events: DataFrame, *, lookback: int = 20, threshold: float = 3.0
+) -> DataFrame:
+    """Flagship query (SURVEY.md §7 Phase 1): windowed z-score over `events`.
+
+    Partition by ``event_type``, order by ``(ts, event_id)`` (event_id breaks
+    timestamp ties deterministically), trailing window of ``lookback`` rows.
+    """
+    return rolling_zscore(
+        events,
+        partition_cols=["event_type"],
+        order_cols=["ts", "event_id"],
+        value_col="value",
+        lookback=lookback,
+        threshold=threshold,
+    ).select("event_id", "event_type", "value", "is_anomaly")

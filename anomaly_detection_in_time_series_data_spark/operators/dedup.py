@@ -1,0 +1,212 @@
+"""Deduplication operators (training-data pipeline, first-class at 100 TB).
+
+- exact: md5-hash groupBy (one shuffle on the hash; map-side combine).
+- minhash + LSH: shingle -> minhash signature -> band buckets -> self-join
+  within buckets only. The band join is an equi-join on (band, bucket-hash),
+  so candidate generation never goes quadratic; at scale the bucket join is
+  a plain shuffled equi-join with AQE skew handling.
+- simhash: 64-bit simhash from token hashes; near-dup = hamming distance
+  <= k within simhash-prefix buckets.
+
+Hashing uses xxhash64/md5 built-ins — JVM-side, deterministic across runs
+and cluster sizes. MinHash permutations are the standard ``(a*h + b) mod p``
+universal-hash family with fixed seeds, computed with Spark ``transform``
+higher-order functions (no Python in the row path).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .text import tokens
+
+# 2^31 - 1 (Mersenne prime). Keeping hashes below 2^31 means the universal
+# hash `a*h + b mod p` never exceeds 2^62 — safe under ANSI-mode long
+# arithmetic (no overflow) while keeping minhash collision odds ~1/2^31.
+_MERSENNE_P = (1 << 31) - 1
+
+
+def with_content_hash(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact-dup key: md5 of whitespace-normalized lowercased text."""
+    return df.withColumn(
+        "content_hash",
+        F.md5(F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))),
+    )
+
+
+def exact_duplicates(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Groups of exact duplicates: (content_hash, keep_id, dup_count), count>1."""
+    return (
+        with_content_hash(df, text_col)
+        .groupBy("content_hash")
+        .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("dup_count"))
+        .filter(F.col("dup_count") > 1)
+    )
+
+
+def dedup_exact(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Keep the min-id row per content hash (deterministic survivor)."""
+    hashed = with_content_hash(df, text_col)
+    keep = hashed.groupBy("content_hash").agg(F.min(id_col).alias(id_col))
+    return hashed.join(keep, on=["content_hash", id_col], how="inner").drop("content_hash")
+
+
+def shingles(text_col: str, n: int = 3):
+    """Word n-gram shingle array from whitespace tokens (distinct)."""
+    toks = tokens(F.lower(F.col(text_col)))
+    k = F.size(toks) - (n - 1)
+    # sequence is empty when k <= 0
+    idx = F.sequence(F.lit(0), k - 1)
+    shingle_at = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(toks, i + j + 1) for j in range(n)]
+    )
+    return F.when(k <= 0, F.array().cast("array<string>")).otherwise(
+        F.array_distinct(F.transform(idx, shingle_at))
+    )
+
+
+def _hash_params(num_hashes: int) -> list[tuple[int, int]]:
+    """Fixed pseudo-random universal-hash parameters (deterministic; a != 0)."""
+    return [
+        (
+            (2 * i + 1) * 0x9E3779B97F4A7C15 % _MERSENNE_P or 1,
+            (i * 0xC2B2AE3D27D4EB4F + 1) % _MERSENNE_P,
+        )
+        for i in range(num_hashes)
+    ]
+
+
+def minhash_signature(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, signature: array<bigint>) — minhash over word shingles.
+
+    Shape chosen for scale: explode shingles -> one xxhash64 per shingle ->
+    ``num_hashes`` cheap modmuls per row -> groupBy(id).agg(min x N). The
+    per-shingle hash is computed exactly once (the naive
+    array+transform formulation recomputes the whole shingle array once per
+    permutation after projection collapse), and the groupBy gets full
+    map-side combine, so the shuffle carries one num_hashes-wide row per
+    document.
+
+    Documents with no shingles (fewer than ``shingle_n`` tokens) produce no
+    signature row — they can have no LSH candidates.
+    """
+    exploded = df.select(id_col, F.explode(shingles(text_col, shingle_n)).alias("_sh"))
+    hashed = exploded.select(
+        id_col, F.pmod(F.xxhash64("_sh"), F.lit(_MERSENNE_P)).alias("_h")
+    )
+    aggs = [
+        F.min(F.pmod(F.col("_h") * F.lit(a) + F.lit(b), F.lit(_MERSENNE_P))).alias(
+            f"_m{i}"
+        )
+        for i, (a, b) in enumerate(_hash_params(num_hashes))
+    ]
+    return (
+        hashed.groupBy(id_col)
+        .agg(*aggs)
+        .select(
+            id_col,
+            F.array(*[F.col(f"_m{i}") for i in range(num_hashes)]).alias("signature"),
+        )
+    )
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """MinHash-LSH candidate pairs: (id_a, id_b) with id_a < id_b.
+
+    Band i hashes signature[i*r:(i+1)*r] into a bucket key; docs sharing any
+    (band, bucket) are candidates. The self-join is an equi-join on the
+    bucket key — linear in bucket sizes, never all-pairs.
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signature(df, id_col, text_col, num_hashes, shingle_n)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws(",", *[
+                    F.col("signature")[b * rows_per_band + r].cast("string")
+                    for r in range(rows_per_band)
+                ])).alias("bucket"),
+            )
+            for b in range(bands)
+        ]
+    )
+    buckets = sig.select(id_col, F.explode(band_structs).alias("bb")).select(
+        id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    pairs = (
+        a.join(b, on=["band", "bucket"])
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+    return pairs
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Verify candidate pairs with exact shingle-set Jaccard similarity."""
+    sh = df.select(F.col(id_col), shingles(text_col, shingle_n).alias("sh"))
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    joined = pairs.join(a, "id_a").join(b, "id_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+    return (
+        joined.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash64(text_col: str = "text", shingle_n: int = 2) -> F.Column:
+    """64-bit SimHash over word shingles, as a single column expression.
+
+    For each of the 64 bits, sum +-1 weighted by shingle-hash bit; the final
+    bit is sign(sum). Implemented with aggregate() over the shingle array —
+    JVM-side, no UDF.
+    """
+    sh = shingles(text_col, shingle_n)
+    hashes = F.transform(sh, lambda s: F.xxhash64(s))
+    bit_cols = []
+    def _merge(mask: int):
+        return lambda acc, h: acc + F.when(
+            h.bitwiseAND(F.lit(mask).cast("long")) != 0, 1
+        ).otherwise(-1)
+
+    for bit in range(64):
+        # Java longs are signed: bit 63's mask is Long.MIN_VALUE.
+        mask = (1 << bit) if bit < 63 else -(1 << 63)
+        contrib = F.aggregate(hashes, F.lit(0).cast("long"), _merge(mask))
+        bit_cols.append(
+            F.when(contrib > 0, F.lit(mask).cast("long")).otherwise(F.lit(0).cast("long"))
+        )
+    total = bit_cols[0]
+    for c in bit_cols[1:]:
+        total = total.bitwiseOR(c)
+    return total

@@ -1,0 +1,151 @@
+"""Embedding similarity search (training-data pipeline).
+
+- ``cosine_topk``: brute-force cosine top-k — the correctness baseline.
+  Probe set broadcast against the corpus; per-row dot product via
+  ``F.aggregate``/``zip_with`` (JVM higher-order functions, no UDF);
+  top-k per probe via window row_number.
+- ``lsh_topk``: random-hyperplane LSH bucketing — the scale path. Probes
+  only compare against corpus vectors sharing a hash bucket (multi-probe
+  over ``num_tables`` independent tables), turning the O(N*M) scan into
+  bucket-local joins.
+
+At 100 TB the corpus side stays partitioned; only probes (small) broadcast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity of two array<double> columns (JVM-side)."""
+    denom = _norm(a) * _norm(b)
+    return F.when(denom > 0, _dot(a, b) / denom).otherwise(F.lit(0.0))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each probe vector.
+
+    Returns (probe_id, neighbor_id, cosine_sim). Excludes self-matches.
+    The probe side is broadcast (it is the small side by construction), so
+    the corpus is scanned exactly once with no shuffle before the per-probe
+    top-k window.
+    """
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("_cvec"),
+    )
+    p = probes.select(
+        F.col(id_col).alias("probe_id"),
+        F.col(vec_col).cast("array<double>").alias("_pvec"),
+    )
+    scored = (
+        c.join(F.broadcast(p), F.col("probe_id") != F.col("neighbor_id"))
+        .withColumn("cosine_sim", cosine(F.col("_pvec"), F.col("_cvec")))
+        .drop("_cvec", "_pvec")
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def _hyperplanes(dim: int, num_planes: int, table: int) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (no numpy RNG state, no seed
+    drift across cluster sizes): components from a splitmix-style integer
+    hash mapped to [-1, 1]."""
+    planes = []
+    for p in range(num_planes):
+        row = []
+        for d in range(dim):
+            x = (table * 1_000_003 + p * 10_007 + d) * 0x9E3779B97F4A7C15 % (1 << 64)
+            x ^= x >> 31
+            x = x * 0xBF58476D1CE4E5B9 % (1 << 64)
+            x ^= x >> 29
+            row.append((x / float(1 << 64)) * 2.0 - 1.0)
+        planes.append(row)
+    return planes
+
+
+def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-hash bucket id for one LSH table: bit i = sign(vec . plane_i)."""
+    bucket = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        d = _dot(vec, F.array(*[F.lit(float(w)) for w in plane]))
+        bucket = bucket + F.when(d > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0))
+    return bucket
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int = 5,
+    dim: int = 64,
+    num_planes: int = 8,
+    num_tables: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k via random-hyperplane LSH.
+
+    Each vector lands in one bucket per table; candidates are corpus rows
+    sharing any (table, bucket) with the probe. The candidate join is an
+    equi-join on (table, bucket) — bucket-local, never all-pairs. Recall
+    grows with num_tables; cost with bucket occupancy (2^num_planes buckets).
+    """
+    def bucketed(df: DataFrame, out_id: str) -> DataFrame:
+        vec = F.col(vec_col).cast("array<double>")
+        rows = []
+        for t in range(num_tables):
+            planes = _hyperplanes(dim, num_planes, t)
+            rows.append(
+                F.struct(F.lit(t).alias("table"), lsh_bucket(vec, planes).alias("bucket"))
+            )
+        return df.select(
+            F.col(id_col).alias(out_id),
+            vec.alias(f"_{out_id}_vec"),
+            F.explode(F.array(*rows)).alias("tb"),
+        ).select(out_id, f"_{out_id}_vec", "tb.table", "tb.bucket")
+
+    cb = bucketed(corpus, "neighbor_id")
+    pb = bucketed(probes, "probe_id")
+    cand = (
+        cb.join(pb, on=["table", "bucket"])
+        .filter(F.col("probe_id") != F.col("neighbor_id"))
+        .select("probe_id", "neighbor_id", "_probe_id_vec", "_neighbor_id_vec")
+        .dropDuplicates(["probe_id", "neighbor_id"])
+    )
+    scored = cand.withColumn(
+        "cosine_sim", cosine(F.col("_probe_id_vec"), F.col("_neighbor_id_vec"))
+    ).select("probe_id", "neighbor_id", "cosine_sim")
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )

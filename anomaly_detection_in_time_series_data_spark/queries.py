@@ -1,0 +1,904 @@
+"""Named query registry: every operator from SURVEY.md §2 exposed as a
+(spark callable, DuckDB oracle SQL) pair consumed by ``__spark_entry__.py``.
+
+Determinism rules (these make the driver's order-insensitive value-hash
+match bit-for-bit between Spark and DuckDB):
+
+- Money/quantity columns are 2-decimal doubles in the fixtures; we cast them
+  to ``decimal(18,2)`` *before* any arithmetic, keep sums/products in the
+  exact decimal domain, and cast the final result to double. Decimal
+  aggregation is order-insensitive; double summation is not.
+- Averages are computed as ``cast(sum_decimal as double) / count`` — never
+  engine-native ``avg`` (whose decimal/double promotion rules differ).
+- Statistical outputs (stddev, z-scores) surface as boolean flags, not raw
+  floats — both engines agree on the flag unless |z - threshold| < 1e-12.
+- Every integer output is cast to bigint on the Spark side (DuckDB's
+  count/length/year already return BIGINT).
+- Ranking always carries a unique tiebreaker column.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .operators import anomaly, dedup, relational, similarity, text
+from .tables import load_table
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE[name] = oracle
+        return fn
+
+    return deco
+
+
+def _dec(col: str) -> Column:
+    return F.col(col).cast("decimal(18,2)")
+
+
+def _dsum(col_expr: Column, alias: str) -> Column:
+    return F.sum(col_expr).cast("double").alias(alias)
+
+
+# ---------------------------------------------------------------------------
+# Flagship: windowed z-score anomaly detection (SURVEY §7 Phase 1; F10+A5)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "flagship_anomaly_zscore",
+    oracle="""
+    SELECT event_id, event_type, value,
+           CASE WHEN sigma IS NOT NULL AND sigma > 1e-12
+                     AND abs((value - mu) / sigma) > 3.0
+                THEN TRUE ELSE FALSE END AS is_anomaly
+    FROM (
+      SELECT event_id, event_type, value,
+             avg(value) OVER w AS mu,
+             stddev_samp(value) OVER w AS sigma
+      FROM events
+      WINDOW w AS (PARTITION BY event_type
+                   ORDER BY CAST(ts AS TIMESTAMP), event_id
+                   ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+    )
+    """,
+)
+def flagship_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return anomaly.flag_event_anomalies(events, lookback=20, threshold=3.0)
+
+
+# ---------------------------------------------------------------------------
+# Scans / projections / filters (S1-S2, P2, P4-P7)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "scan_filter_project",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+           l_quantity
+    FROM lineitem
+    WHERE l_shipdate < TIMESTAMP '1996-01-01' AND l_quantity > 25
+    """,
+)
+def scan_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter((F.col("l_shipdate") < "1996-01-01") & (F.col("l_quantity") > 25))
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            (_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount")))
+            .cast("double")
+            .alias("revenue"),
+            "l_quantity",
+        )
+    )
+
+
+@query(
+    "flatten_struct",
+    oracle="""
+    SELECT c_custkey,
+           c_name AS info_c_name,
+           c_mktsegment AS info_c_mktsegment,
+           c_acctbal AS info_c_acctbal
+    FROM customer
+    """,
+)
+def flatten_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1: build a nested struct then flatten it back with {parent}_{child}
+    naming (week7 PDF cell [3] semantics) — proves the flatten operator on
+    the driver fixtures, which have no nested tables."""
+    cust = load_table(spark, sf_dir, "customer")
+    nested = cust.select(
+        "c_custkey",
+        F.struct(
+            F.col("c_name"), F.col("c_mktsegment"), F.col("c_acctbal")
+        ).alias("info"),
+    )
+    return relational.flatten_structs(nested, ["info"])
+
+
+@query(
+    "composite_key",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_custkey AS VARCHAR) || '|' || o_orderstatus || '|' || o_orderpriority
+             AS composite_key
+    FROM orders
+    """,
+)
+def composite_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5: string-concat composite key (week7 src+dst+airline key)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.concat_ws(
+            "|",
+            F.col("o_custkey").cast("string"),
+            F.col("o_orderstatus"),
+            F.col("o_orderpriority"),
+        ).alias("composite_key"),
+    )
+
+
+@query(
+    "validation_flags",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN value >= 0 AND value <= 10000 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_value_ok,
+           CAST(sum(CASE WHEN regexp_matches(props, '"k":\\s*[0-9]+') THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_props_ok,
+           CAST(sum(CASE WHEN event_type IN ('click','view','purchase','signup','error')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_type_ok
+    FROM events GROUP BY event_type
+    """,
+)
+def validation_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V1: tolerant validation — flag, never drop (Assignment_3.ipynb:262-277
+    semantics minus its validate-wrong-record bug)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.sum(
+            F.when((F.col("value") >= 0) & (F.col("value") <= 10000), 1).otherwise(0)
+        ).cast("bigint").alias("n_value_ok"),
+        F.sum(
+            F.when(F.col("props").rlike(r'"k":\s*[0-9]+'), 1).otherwise(0)
+        ).cast("bigint").alias("n_props_ok"),
+        F.sum(
+            F.when(
+                F.col("event_type").isin("click", "view", "purchase", "signup", "error"),
+                1,
+            ).otherwise(0)
+        ).cast("bigint").alias("n_type_ok"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Aggregations (A1-A7, plus rollup/cube for the oracle workload)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+           CAST(count(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3/A5/A6 rolled into the classic pricing-summary shape (TPC-H Q1-like).
+    Partial aggregation (map-side combine) is automatic; the shuffle carries
+    one row per (flag,status) per partition."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dsum(_dec("l_quantity"), "sum_qty"),
+            _dsum(_dec("l_extendedprice"), "sum_base_price"),
+            _dsum(
+                _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount")),
+                "sum_disc_price",
+            ),
+            (
+                F.sum(_dec("l_quantity")).cast("double") / F.count("*")
+            ).alias("avg_qty"),
+            F.count("*").cast("bigint").alias("count_order"),
+        )
+    )
+
+
+@query(
+    "agg_distinct",
+    oracle="SELECT DISTINCT event_type, user_id FROM events",
+)
+def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select("event_type", "user_id").distinct()
+
+
+@query(
+    "agg_group_minmax",
+    oracle="""
+    SELECT c_mktsegment,
+           min(c_acctbal) AS min_bal, max(c_acctbal) AS max_bal,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(count(DISTINCT c_nationkey) AS BIGINT) AS n_nations
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def agg_group_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.groupBy("c_mktsegment").agg(
+        F.min("c_acctbal").alias("min_bal"),
+        F.max("c_acctbal").alias("max_bal"),
+        F.count("*").cast("bigint").alias("n_customers"),
+        F.countDistinct("c_nationkey").cast("bigint").alias("n_nations"),
+    )
+
+
+@query(
+    "argmin_per_group",
+    oracle="""
+    SELECT event_type, event_id, value FROM (
+      SELECT event_type, event_id, value,
+             row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def argmin_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4/O2: deterministic argmin (fixes the reference's first-record bug,
+    Assignment_3.ipynb:700-712) — unique tiebreaker event_id."""
+    ev = load_table(spark, sf_dir, "events")
+    return relational.argmin_by(
+        ev.select("event_type", "event_id", "value"),
+        group_cols=["event_type"],
+        order_cols=["value", "event_id"],
+    )
+
+
+@query(
+    "rollup_pricing",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def rollup_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        _dsum(_dec("l_quantity"), "sum_qty"),
+        F.count("*").cast("bigint").alias("n_rows"),
+    )
+
+
+@query(
+    "cube_order_status",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+           CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def cube_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        _dsum(_dec("o_totalprice"), "sum_price"),
+        F.count("*").cast("bigint").alias("n_orders"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins (J1-J3 + the standard equi-join family)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "join_star_revenue",
+    oracle="""
+    SELECT r_name, n_name,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name, n_name
+    """,
+)
+def join_star_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-hop star join: fact side stays shuffled on its key, dims are
+    broadcast (explicit hints on nation/region; AQE handles customer)."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            _dsum(_dec("o_totalprice"), "revenue"),
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.countDistinct("o_custkey").cast("bigint").alias("n_customers"),
+        )
+    )
+
+
+@query(
+    "join_semi",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 50000)
+    """,
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 50000)
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+@query(
+    "join_anti",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@query(
+    "join_left_outer_counts",
+    oracle="""
+    SELECT c_custkey,
+           CAST(count(o_orderkey) AS BIGINT) AS n_orders,
+           CAST(coalesce(sum(CAST(o_totalprice AS DECIMAL(18,2))), 0) AS DOUBLE) AS total_spent
+    FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+    GROUP BY c_custkey
+    """,
+)
+def join_left_outer_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").cast("bigint").alias("n_orders"),
+            F.coalesce(F.sum(_dec("o_totalprice")), F.lit(0).cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_spent"),
+        )
+    )
+
+
+@query(
+    "hash_bucket_counts",
+    oracle="""
+    SELECT substring(sha256(CAST(o_orderkey AS VARCHAR)), 1, 1) AS hash_key,
+           CAST(count(*) AS BIGINT) AS n
+    FROM orders GROUP BY 1
+    """,
+)
+def hash_bucket_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4: the reference's sha256-first-hex-char 16-way hash partition key
+    (week7 PDF cells [40-41]) — byte-identical via built-in sha2."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.select(relational.sha2_bucket("o_orderkey").alias("hash_key"))
+        .groupBy("hash_key")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+
+
+_ALPHA_RANGES = [
+    ("A", "B", "A-B"),
+    ("C", "D", "C-D"),
+    ("E", "F", "E-F"),
+    ("G", "H", "G-H"),
+    ("I", "J", "I-J"),
+    ("K", "L", "K-L"),
+    ("M", "N", "M-N"),
+    ("O", "P", "O-P"),
+    ("Q", "R", "Q-R"),
+    ("S", "T", "S-T"),
+    ("U", "V", "U-V"),
+    ("W", "X", "W-X"),
+    ("Y", "Z", "Y-Z"),
+]
+
+
+def _alpha_case_sql(col: str) -> str:
+    whens = "\n".join(
+        f"WHEN upper(substring({col},1,1)) BETWEEN '{lo}' AND '{hi}' THEN '{label}'"
+        for lo, hi, label in _ALPHA_RANGES
+    )
+    return f"CASE {whens} ELSE NULL END"
+
+
+@query(
+    "range_partition_label",
+    oracle=f"""
+    SELECT {_alpha_case_sql('p_name')} AS kv_key,
+           CAST(count(*) AS BIGINT) AS n
+    FROM part GROUP BY 1
+    """,
+)
+def range_partition_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1: the reference's 16-range alphabet partition key (`get_key`,
+    week7 PDF cells [4],[10]) as a folded CASE expression."""
+    part = load_table(spark, sf_dir, "part")
+    return (
+        part.select(
+            relational.alpha_range_label("p_name", _ALPHA_RANGES).alias("kv_key")
+        )
+        .groupBy("kv_key")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+
+
+_CENTERS = [
+    ("central", 41.1544433, -96.0422378),
+    ("west", 45.5945645, -121.1786823),
+    ("east", 39.08344, -77.6497145),
+]
+
+
+@query(
+    "nearest_center_label",
+    oracle=f"""
+    WITH pts AS (
+      SELECT c_custkey,
+             abs(c_acctbal) % 140 - 70 AS lat,
+             (CAST(c_custkey AS DOUBLE) * 7) % 360 - 180 AS lon
+      FROM customer
+    ), d AS (
+      SELECT c_custkey, lat, lon,
+             (lat - ({_CENTERS[0][1]})) * (lat - ({_CENTERS[0][1]}))
+               + (lon - ({_CENTERS[0][2]})) * (lon - ({_CENTERS[0][2]})) AS _d_central,
+             (lat - ({_CENTERS[1][1]})) * (lat - ({_CENTERS[1][1]}))
+               + (lon - ({_CENTERS[1][2]})) * (lon - ({_CENTERS[1][2]})) AS _d_west,
+             (lat - ({_CENTERS[2][1]})) * (lat - ({_CENTERS[2][1]}))
+               + (lon - ({_CENTERS[2][2]})) * (lon - ({_CENTERS[2][2]})) AS _d_east
+      FROM pts
+    )
+    SELECT location, CAST(count(*) AS BIGINT) AS n FROM (
+      SELECT CASE
+               WHEN _d_central = least(_d_central, _d_west, _d_east) THEN 'central'
+               WHEN _d_west = least(_d_central, _d_west, _d_east) THEN 'west'
+               ELSE 'east' END AS location
+      FROM d
+    ) GROUP BY location
+    """,
+)
+def nearest_center_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2: nearest-of-3-centers geo label (week7 cell [104]; the reference's
+    run crashed with KeyError — ours is a folded least() expression). The
+    fixtures have no lat/lon, so coordinates derive deterministically from
+    customer columns."""
+    cust = load_table(spark, sf_dir, "customer")
+    pts = cust.select(
+        "c_custkey",
+        (F.abs(F.col("c_acctbal")) % 140 - 70).alias("lat"),
+        ((F.col("c_custkey").cast("double") * 7) % 360 - 180).alias("lon"),
+    )
+    labeled = relational.nearest_center_label(pts, _CENTERS, "lat", "lon")
+    return labeled.groupBy("location").agg(F.count("*").cast("bigint").alias("n"))
+
+
+# ---------------------------------------------------------------------------
+# Sorts / top-k / windows (O1-O2 + window frames)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "topk_orders",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+)
+def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return relational.top_k(
+        orders.select("o_orderkey", "o_custkey", "o_totalprice"),
+        [F.col("o_totalprice").desc(), F.col("o_orderkey")],
+        10,
+    )
+
+
+@query(
+    "window_rank_orders",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS BIGINT) AS rn FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders
+    ) WHERE rn <= 3
+    """,
+)
+def window_rank_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        orders.select("o_custkey", "o_orderkey", "o_totalprice")
+        .withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@query(
+    "window_running_sum",
+    oracle="""
+    SELECT l_suppkey, l_orderkey, l_linenumber,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2)))
+                OVER (PARTITION BY l_suppkey
+                      ORDER BY l_shipdate, l_orderkey, l_linenumber
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS running_qty
+    FROM lineitem
+    """,
+)
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    w = (
+        Window.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return li.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.sum(_dec("l_quantity")).over(w).cast("double").alias("running_qty"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations (§2.6)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "set_except",
+    oracle="""
+    SELECT CAST(c_nationkey AS BIGINT) AS nationkey FROM customer
+    EXCEPT
+    SELECT CAST(s_nationkey AS BIGINT) FROM supplier
+    """,
+)
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    return customer.select(
+        F.col("c_nationkey").cast("bigint").alias("nationkey")
+    ).subtract(supplier.select(F.col("s_nationkey").cast("bigint").alias("nationkey")))
+
+
+@query(
+    "set_intersect",
+    oracle="""
+    SELECT CAST(c_nationkey AS BIGINT) AS nationkey FROM customer
+    INTERSECT
+    SELECT CAST(s_nationkey AS BIGINT) FROM supplier
+    """,
+)
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    return customer.select(
+        F.col("c_nationkey").cast("bigint").alias("nationkey")
+    ).intersect(supplier.select(F.col("s_nationkey").cast("bigint").alias("nationkey")))
+
+
+@query(
+    "set_union_distinct",
+    oracle="""
+    SELECT CAST(c_nationkey AS BIGINT) AS nationkey FROM customer
+    UNION
+    SELECT CAST(s_nationkey AS BIGINT) FROM supplier
+    """,
+)
+def set_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    return (
+        customer.select(F.col("c_nationkey").cast("bigint").alias("nationkey"))
+        .union(supplier.select(F.col("s_nationkey").cast("bigint").alias("nationkey")))
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scalar function families (F4 covered above; F12-F13, strings, dates)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "string_functions",
+    oracle="""
+    SELECT p_partkey,
+           upper(p_name) AS uname,
+           CAST(length(p_name) AS BIGINT) AS name_len,
+           string_split(p_name, ' ')[1] AS first_word,
+           replace(p_name, 'widget', 'gadget') AS renamed
+    FROM part
+    """,
+)
+def string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.upper("p_name").alias("uname"),
+        F.length("p_name").cast("bigint").alias("name_len"),
+        F.split(F.col("p_name"), " ").getItem(0).alias("first_word"),
+        F.regexp_replace("p_name", "widget", "gadget").alias("renamed"),
+    )
+
+
+@query(
+    "date_parts_agg",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS BIGINT) AS order_year,
+           CAST(month(o_orderdate) AS BIGINT) AS order_month,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+    FROM orders GROUP BY 1, 2
+    """,
+)
+def date_parts_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(
+            F.year("o_orderdate").cast("bigint").alias("order_year"),
+            F.month("o_orderdate").cast("bigint").alias("order_month"),
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            _dsum(_dec("o_totalprice"), "total_price"),
+        )
+    )
+
+
+@query(
+    "json_props_extract",
+    oracle="""
+    SELECT event_type,
+           CAST(sum(CAST(nullif(regexp_extract(props, '"k":\\s*([0-9]+)', 1), '')
+                         AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F12: JSON value extraction from the props column (regex-based so both
+    engines agree byte-for-byte; get_json_object is the Spark-native variant)."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.nullif(F.regexp_extract("props", r'"k":\s*([0-9]+)', 1), F.lit("")).cast(
+        "bigint"
+    )
+    return ev.groupBy("event_type").agg(
+        F.sum(k).cast("bigint").alias("sum_k"),
+        F.count("*").cast("bigint").alias("n"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis (training-data pipeline; A7/F7/F8 oracle twins)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_token_stats",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE CAST(length(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+           END AS n_tokens,
+           CAST(length(text) AS BIGINT) AS n_chars_computed
+    FROM documents
+    """,
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    d = text.with_token_stats(docs)
+    return d.select(
+        "doc_id",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.col("n_chars_computed").cast("bigint").alias("n_chars_computed"),
+    )
+
+
+@query(
+    "text_term_frequency",
+    oracle="""
+    SELECT term, CAST(count(*) AS BIGINT) AS term_count FROM (
+      SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+      FROM documents WHERE length(trim(text)) > 0
+    ) WHERE length(term) > 0
+    GROUP BY term ORDER BY term_count DESC, term LIMIT 100
+    """,
+)
+def text_term_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7: the CountVectorizer-fit aggregation (Assignment 4.py:501) as an
+    explode/groupBy — top-100 vocabulary by document frequency."""
+    docs = load_table(spark, sf_dir, "documents")
+    tf = text.term_frequencies(docs)
+    return relational.top_k(
+        tf.select("term", F.col("term_count").cast("bigint").alias("term_count")),
+        [F.col("term_count").desc(), F.col("term")],
+        100,
+    )
+
+
+@query(
+    "text_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fingerprint
+    FROM documents
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", text.fingerprint("text").alias("fingerprint"))
+
+
+@query(
+    "dedup_exact_groups",
+    oracle="""
+    SELECT content_hash, min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS dup_count
+    FROM (
+      SELECT doc_id,
+             md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS content_hash
+      FROM documents
+    ) GROUP BY content_hash
+    """,
+)
+def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on normalized content (one shuffle on the
+    16-byte hash; at 100 TB this is the cheapest possible full-corpus dedup)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        dedup.with_content_hash(docs)
+        .groupBy("content_hash")
+        .agg(
+            F.min("doc_id").alias("keep_id"),
+            F.count("*").cast("bigint").alias("dup_count"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Language ID (heuristic, SQL-mirrored)
+# ---------------------------------------------------------------------------
+
+
+def _lang_oracle_sql() -> str:
+    latin = {k: v for k, v in text._LANG_MARKERS.items() if k != "zh"}
+    score_exprs = []
+    for lang, markers in latin.items():
+        terms = " + ".join(
+            f"CASE WHEN list_contains(toks, '{m}') THEN 1 ELSE 0 END" for m in markers
+        )
+        score_exprs.append(f"({terms}) AS s_{lang}")
+    zh_terms = " + ".join(
+        f"CASE WHEN strpos(text, '{m}') > 0 THEN 1 ELSE 0 END"
+        for m in text._LANG_MARKERS["zh"]
+    )
+    score_exprs.append(f"({zh_terms}) AS s_zh")
+    order = list(text._LANG_MARKERS)
+    best = "greatest(" + ", ".join(f"s_{lang}" for lang in order) + ")"
+    whens = "\n".join(
+        f"WHEN s_{lang} = {best} AND {best} > 0 THEN '{lang}'" for lang in order
+    )
+    scores = ",\n".join(score_exprs)
+    return f"""
+    WITH toked AS (
+      SELECT doc_id, text,
+             CASE WHEN length(trim(text)) = 0 THEN []
+                  ELSE string_split_regex(trim(lower(text)), '\\s+') END AS toks
+      FROM documents
+    ), scored AS (
+      SELECT doc_id, text, {scores} FROM toked
+    )
+    SELECT doc_id, CASE {whens} ELSE 'und' END AS lang_pred FROM scored
+    """
+
+
+@query("lang_id", oracle=_lang_oracle_sql())
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic n-gram/stopword language ID over documents (JVM-side
+    marker-hit scoring; ties resolve en>es>fr>de>zh)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.with_lang_id(docs).select("doc_id", "lang_pred")
+
+
+# ---------------------------------------------------------------------------
+# Similarity search (embeddings)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "similarity_topk",
+    oracle="""
+    WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    p AS (SELECT vec_id, v FROM c WHERE vec_id < 20),
+    scored AS (
+      SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+             list_cosine_similarity(p.v, c.v) AS sim
+      FROM p JOIN c ON p.vec_id <> c.vec_id
+    ), ranked AS (
+      SELECT probe_id, neighbor_id, sim,
+             row_number() OVER (PARTITION BY probe_id
+                                ORDER BY sim DESC, neighbor_id) AS rn
+      FROM scored
+    )
+    SELECT probe_id, neighbor_id, round(sim, 4) AS cosine_sim
+    FROM ranked WHERE rn <= 5
+    """,
+)
+def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k (the exactness baseline; lsh_topk is the
+    scale path, verified in tests against this)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 20)
+    res = similarity.cosine_topk(emb, probes, k=5)
+    return res.select(
+        "probe_id", "neighbor_id", F.round("cosine_sim", 4).alias("cosine_sim")
+    )
+
+
+# Near-dup candidate pairs: deterministic but not SQL-expressible in DuckDB
+# (xxhash64-based minhash) -> rows-only driver check; exactness is covered by
+# tests/test_dedup.py against planted near-duplicates.
+@query("minhash_lsh_pairs")
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.lsh_candidate_pairs(docs, num_hashes=32, bands=8)
+    return dedup.jaccard_pairs(docs, pairs, threshold=0.5).select(
+        "id_a", "id_b", F.round("jaccard", 4).alias("jaccard")
+    )

@@ -1,0 +1,73 @@
+"""Benchmark harness (driver contract): run the headline queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and print ONE JSON line with per-query seconds.
+
+Each query is materialized with a count-style action that still evaluates
+every output column (``df.foreach`` would skip codegen paths; we collect the
+row count after a full evaluation via ``_force``).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from anomaly_detection_in_time_series_data_spark.session import get_spark
+from anomaly_detection_in_time_series_data_spark import queries as q
+
+HEADLINE = [
+    "flagship_anomaly_zscore",
+    "agg_pricing_summary",
+    "join_star_revenue",
+    "window_rank_orders",
+    "window_running_sum",
+    "topk_orders",
+    "dedup_exact_groups",
+    "text_term_frequency",
+    "similarity_topk",
+    "minhash_lsh_pairs",
+]
+
+
+def _force(df) -> None:
+    """Evaluate every column of every row. A bare count() would let
+    Catalyst prune the output projections we want to measure; the noop
+    writer evaluates the full plan without driver-side transfer."""
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    spark = get_spark("adts-bench")
+    # Warm the JVM/codegen once so per-query numbers measure the plan.
+    spark.range(1_000).selectExpr("sum(id)").collect()
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in HEADLINE:
+        fn = q.QUERIES[name]
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        _force(df)
+        dt = time.time() - t0
+        timings[name] = round(dt, 3)
+        total += dt
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,159 @@
+"""Unit tests for operator semantics on hand-built frames (reference
+known-answer style, SURVEY.md §5): flatten naming, argmin determinism,
+z-score math, dedup/LSH recall on planted duplicates, ANN vs brute force.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from anomaly_detection_in_time_series_data_spark.operators import (
+    anomaly,
+    dedup,
+    relational,
+    similarity,
+    text,
+)
+
+
+def test_flatten_structs_naming(spark):
+    df = spark.createDataFrame(
+        [Row(id=1, info=Row(a="x", b=2.0), other="y")]
+    )
+    out = relational.flatten_structs(df, ["info"])
+    assert out.columns == ["id", "info_a", "info_b", "other"]
+    row = out.collect()[0]
+    assert row.info_a == "x" and row.info_b == 2.0 and row.other == "y"
+
+
+def test_argmin_deterministic_on_ties(spark):
+    df = spark.createDataFrame(
+        [("g", 1.0, 10), ("g", 1.0, 3), ("g", 2.0, 1)], ["grp", "val", "id"]
+    )
+    out = relational.argmin_by(df, ["grp"], ["val", "id"]).collect()
+    assert len(out) == 1 and out[0].id == 3  # ties break by id, not plan order
+
+
+def test_rolling_zscore_math(spark):
+    # values: 10 stable points then a spike; lookback window 5
+    rows = [(i, float(10 + (i % 2)), "a") for i in range(10)] + [(10, 100.0, "a")]
+    df = spark.createDataFrame(rows, ["event_id", "value", "event_type"])
+    out = anomaly.rolling_zscore(
+        df,
+        partition_cols=["event_type"],
+        order_cols=["event_id"],
+        lookback=5,
+        threshold=3.0,
+    )
+    res = {r.event_id: r for r in out.collect()}
+    assert res[0].is_anomaly is False  # empty frame -> null sigma -> False
+    assert res[10].is_anomaly is True  # spike flagged
+    # Hand-check the spike's z-score: window = 5 alternating 10/11 values.
+    vals = [float(10 + (i % 2)) for i in range(5, 10)]
+    mu = sum(vals) / 5
+    sd = math.sqrt(sum((v - mu) ** 2 for v in vals) / 4)
+    assert abs(res[10].zscore - (100.0 - mu) / sd) < 1e-9
+
+
+def test_global_zscore_matches_definition(spark):
+    vals = [1.0, 2.0, 3.0, 4.0, 100.0]
+    df = spark.createDataFrame([(i, v, "g") for i, v in enumerate(vals)],
+                               ["id", "value", "grp"])
+    out = anomaly.global_zscore(df, group_cols=["grp"], threshold=2.0)
+    flagged = {r.id for r in out.collect() if r.is_anomaly}
+    mu = sum(vals) / len(vals)
+    sd = math.sqrt(sum((v - mu) ** 2 for v in vals) / (len(vals) - 1))
+    expect = {i for i, v in enumerate(vals) if abs((v - mu) / sd) > 2.0}
+    assert flagged == expect
+
+
+def test_exact_dedup_keeps_min_id(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello  world"), (2, "hello world"), (3, "different text")],
+        ["doc_id", "text"],
+    )
+    kept = sorted(r.doc_id for r in dedup.dedup_exact(df).collect())
+    assert kept == [1, 3]  # whitespace/case-normalized dup collapses to min id
+
+
+def test_minhash_lsh_finds_planted_near_dups(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again " * 5
+    near = base.replace("lazy", "sleepy")  # one-token change, high jaccard
+    far = "completely unrelated content about spark catalyst optimizer internals"
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, far)], ["doc_id", "text"]
+    )
+    pairs = dedup.lsh_candidate_pairs(df, num_hashes=32, bands=16)
+    verified = dedup.jaccard_pairs(df, pairs, threshold=0.5).collect()
+    assert {(r.id_a, r.id_b) for r in verified} == {(1, 2)}
+
+
+def test_simhash_close_for_near_dups(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta " * 4
+    near = base.replace("delta", "delt")
+    far = "one two three four five six seven eight nine ten"
+    df = spark.createDataFrame([(1, base), (2, near), (3, far)], ["doc_id", "text"])
+    out = {r.doc_id: r.sh for r in df.select("doc_id", dedup.simhash64().alias("sh")).collect()}
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    assert ham(out[1], out[2]) < ham(out[1], out[3])
+
+
+def test_lsh_topk_recall_against_bruteforce(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    probes = emb.filter(F.col("vec_id") < 5)
+    exact = similarity.cosine_topk(emb, probes, k=3).collect()
+    approx = similarity.lsh_topk(emb, probes, k=3, num_planes=4, num_tables=8).collect()
+    exact_pairs = {(r.probe_id, r.neighbor_id) for r in exact}
+    approx_pairs = {(r.probe_id, r.neighbor_id) for r in approx}
+    recall = len(exact_pairs & approx_pairs) / len(exact_pairs)
+    assert recall >= 0.5  # probabilistic, deterministic planes -> stable
+
+
+def test_lang_id_on_known_text(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog sat in the house with it"),
+            (2, "el perro y la casa de los gatos por una calle"),
+            (3, "xyzzy plugh"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r.lang_pred for r in text.with_lang_id(df).collect()}
+    assert out[1] == "en" and out[2] == "es" and out[3] == "und"
+
+
+def test_token_stats_empty_and_whitespace(spark):
+    df = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "one two  three")], ["doc_id", "text"]
+    )
+    out = {r.doc_id: r.n_tokens for r in text.with_token_stats(df).collect()}
+    assert out == {1: 0, 2: 0, 3: 3}
+
+
+def test_sha2_bucket_matches_hashlib(spark):
+    import hashlib
+
+    df = spark.createDataFrame([(42,)], ["k"])
+    got = df.select(relational.sha2_bucket("k").alias("b")).collect()[0].b
+    assert got == hashlib.sha256(b"42").hexdigest()[0]
+
+
+def test_nearest_center_label(spark):
+    df = spark.createDataFrame(
+        [(1, 41.0, -96.0), (2, 45.0, -121.0), (3, 39.0, -78.0)],
+        ["id", "lat", "lon"],
+    )
+    centers = [
+        ("central", 41.1544433, -96.0422378),
+        ("west", 45.5945645, -121.1786823),
+        ("east", 39.08344, -77.6497145),
+    ]
+    out = {r.id: r.location for r in
+           relational.nearest_center_label(df, centers, "lat", "lon").collect()}
+    assert out == {1: "central", 2: "west", 3: "east"}

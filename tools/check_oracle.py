@@ -1,0 +1,107 @@
+"""Local mimic of the driver's correctness gate: run every queries() entry
+on Spark and its oracle_sql() on DuckDB, compare row count, column names,
+and order-insensitive values. Reports per-query PASS/FAIL plus max float
+deltas so float-determinism risk is visible.
+
+Usage: python tools/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+import time
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, "/root/repo")
+
+from anomaly_detection_in_time_series_data_spark.session import get_spark
+from anomaly_detection_in_time_series_data_spark.tables import TABLE_NAMES
+
+import __spark_entry__ as entrymod
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    return df.sort_values(by=list(df.columns), ignore_index=True)
+
+
+def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> tuple[bool, str]:
+    if sorted(sdf.columns) != sorted(odf.columns):
+        return False, f"columns differ: {sorted(sdf.columns)} vs {sorted(odf.columns)}"
+    if len(sdf) != len(odf):
+        return False, f"row count differs: {len(sdf)} vs {len(odf)}"
+    a, b = canon(sdf), canon(odf)
+    max_delta = 0.0
+    for col in a.columns:
+        x, y = a[col], b[col]
+        if x.dtype.kind == "f" or y.dtype.kind == "f":
+            xa = x.astype(float).to_numpy()
+            ya = y.astype(float).to_numpy()
+            both_nan = pd.isna(xa) & pd.isna(ya)
+            diff = abs(xa - ya)
+            diff[both_nan] = 0.0
+            if (diff > 0).any():
+                max_delta = max(max_delta, float(diff.max()))
+                if float(diff.max()) > 0:
+                    return False, f"float col {col}: max|delta|={diff.max():.3e}"
+        else:
+            xs = x.astype(str).to_numpy()
+            ys = y.astype(str).to_numpy()
+            neq = xs != ys
+            if neq.any():
+                i = int(neq.argmax())
+                return (
+                    False,
+                    f"col {col} differs at canon row {i}: {xs[i]!r} vs {ys[i]!r}",
+                )
+    return True, f"ok (max float delta {max_delta:.1e})"
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    only = set(sys.argv[2:])
+    spark = get_spark("oracle-check")
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    n_pass = n_fail = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir).toPandas()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL {name}: spark error: {type(e).__name__}: {str(e)[:300]}")
+            n_fail += 1
+            continue
+        t1 = time.time()
+        if name not in oracles:
+            print(f"SKIP {name}: rows-only ({len(sdf)} rows, {t1-t0:.1f}s)")
+            continue
+        try:
+            odf = con.execute(oracles[name]).df()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL {name}: duckdb error: {type(e).__name__}: {str(e)[:300]}")
+            n_fail += 1
+            continue
+        ok, msg = compare(name, sdf, odf)
+        status = "PASS" if ok else "FAIL"
+        if ok:
+            n_pass += 1
+        else:
+            n_fail += 1
+        print(f"{status} {name}: {msg} ({len(sdf)} rows, spark {t1-t0:.1f}s)")
+    print(f"\n{n_pass} pass, {n_fail} fail")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
