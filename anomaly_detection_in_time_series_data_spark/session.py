@@ -8,8 +8,40 @@ multi-executor cluster — only ``master`` and memory sizing change there.
 from __future__ import annotations
 
 import os
+import tempfile
+import zipfile
 
 from pyspark.sql import SparkSession
+
+_SHIPPED: set[int] = set()
+
+
+def ensure_pyfiles(spark: SparkSession) -> None:
+    """Ship this package to Python workers via ``addPyFile``.
+
+    UDF closures reference module globals (geohash encode, email parse), so
+    cloudpickle needs the package importable on the worker side — true only
+    by accident when the driver's cwd is the repo root. Zipping the package
+    and distributing it makes every session (including the driver's own,
+    created outside ``get_spark``) work from any cwd.
+    """
+    sc = spark.sparkContext
+    key = id(sc)
+    if key in _SHIPPED:
+        return
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    pkg_name = os.path.basename(pkg_dir)
+    zpath = os.path.join(tempfile.gettempdir(), f"{pkg_name}_pyfiles.zip")
+    with zipfile.ZipFile(zpath, "w") as zf:
+        for dirpath, _dirnames, filenames in os.walk(pkg_dir):
+            for fn in filenames:
+                if not fn.endswith(".py"):
+                    continue
+                full = os.path.join(dirpath, fn)
+                arc = os.path.join(pkg_name, os.path.relpath(full, pkg_dir))
+                zf.write(full, arc)
+    sc.addPyFile(zpath)
+    _SHIPPED.add(key)
 
 
 def get_spark(
@@ -45,4 +77,5 @@ def get_spark(
             builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    ensure_pyfiles(spark)
     return spark

@@ -24,6 +24,9 @@ TABLE_NAMES = [
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from .session import ensure_pyfiles
+
+    ensure_pyfiles(spark)  # the driver's own session needs the package too
     if name == "events":
         # events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
         # reader rejects (PARQUET_TYPE_ILLEGAL). Read nanos as long and

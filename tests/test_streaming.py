@@ -1,0 +1,114 @@
+"""Streaming execution tests (SURVEY.md §5 item 3): replay the FIXTURES.md
+§B4-style t=-partitioned layout through the streaming scorers with a memory
+sink + processAllAvailable; watermark behavior with out-of-order batches."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from anomaly_detection_in_time_series_data_spark.streaming import (
+    anomaly_stream,
+    replay,
+)
+
+ROW = T.StructType(
+    [
+        T.StructField("ride_id", T.StringType()),
+        T.StructField("seq", T.IntegerType()),
+        T.StructField("speed", T.DoubleType()),
+    ]
+)
+
+# Reference's exact offsets, first 8 (Week#8_Assignment.ipynb:302-467)
+OFFSETS = [0.0, 4.5, 7.8, 10.6, 14.9, 17.9, 21.3, 26.1]
+
+
+@pytest.fixture(scope="module")
+def telemetry_dir(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("telemetry") / "locations"
+    for i, t in enumerate(OFFSETS):
+        speed = 100.0 if i == 6 else 10.0 + (i % 3)  # spike in batch 6
+        df = spark.createDataFrame(
+            [("r1", i, speed), ("r2", i, 20.0 + (i % 2))], ROW
+        )
+        df.coalesce(1).write.mode("overwrite").parquet(f"{root}/t={t:05.1f}")
+    return str(root)
+
+
+def test_list_time_partitions_sorted(spark, telemetry_dir):
+    got = replay.list_time_partitions(spark, telemetry_dir)
+    assert got == sorted(OFFSETS)  # explicit order (reference's O3 bug fixed)
+
+
+def test_replay_stream_zscore_flags_spike(spark, telemetry_dir, tmp_path):
+    stream = replay.read_replay_stream(spark, telemetry_dir, ROW, files_per_trigger=2)
+    scored = anomaly_stream.streaming_zscore(
+        stream, key_col="ride_id", value_col="speed", threshold=3.0, min_points=4
+    )
+    q = (
+        scored.writeStream.format("memory")
+        .queryName("zscores")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.sql("select * from zscores").collect()
+    assert len(rows) == len(OFFSETS) * 2
+    flagged = [(r.ride_id, r.value) for r in rows if r.is_anomaly]
+    assert ("r1", 100.0) in flagged  # the planted spike
+    assert all(v == 100.0 for _, v in flagged)  # and nothing else
+
+
+def test_windowed_stats_with_watermark(spark, tmp_path):
+    # Hand-crafted out-of-order micro-batches via a file stream.
+    src = tmp_path / "events"
+    schema = T.StructType(
+        [
+            T.StructField("event_ts", T.TimestampType()),
+            T.StructField("key", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def write_batch(name, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{src}/{name}")
+
+    write_batch("b0", [(base + dt.timedelta(seconds=s), "k", float(s)) for s in (1, 5, 9)])
+    # late-but-within-watermark event for the first window, plus later data
+    write_batch("b1", [(base + dt.timedelta(seconds=s), "k", float(s)) for s in (12, 3)])
+
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(
+        f"{src}/*"
+    )
+    stats = anomaly_stream.windowed_stats(
+        stream, key_col="key", window="10 seconds", watermark="30 seconds"
+    )
+    q = (
+        stats.writeStream.format("memory")
+        .queryName("winstats")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = {
+        (r.window_start.second, r.n): r for r in spark.sql("select * from winstats").collect()
+    }
+    # First window [0,10): events at 1,5,9 plus late 3 -> n=4
+    assert (0, 4) in out
+    # Second window [10,20): event at 12 -> n=1
+    assert (10, 1) in out

@@ -1,0 +1,102 @@
+"""Partitioned-write layout + prefix-pruned search + schema-on-read tests
+(SURVEY.md §2.1 W2/W3, §2.3 J3, §2.2 V1)."""
+
+from __future__ import annotations
+
+import glob
+import gzip
+import json
+import os
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from anomaly_detection_in_time_series_data_spark.functions import geohash as gh
+from anomaly_detection_in_time_series_data_spark.sources import readers, writers
+
+
+def _airports(spark):
+    rows = [
+        (1, "Omaha Eppley", 41.3032, -95.8941),
+        (2, "Lincoln", 40.8510, -96.7592),
+        (3, "Astrakhan", 46.2833, 48.0063),
+        (4, "Sydney", -33.9461, 151.1772),
+        (5, "NoCoords", None, None),
+    ]
+    return spark.createDataFrame(rows, ["airport_id", "name", "lat", "lon"])
+
+
+def test_geoindex_layout_and_pruned_search(spark, tmp_path):
+    path = str(tmp_path / "geoindex")
+    writers.write_geoindex(_airports(spark), path, "lat", "lon")
+
+    # Layout: 3-level Hive prefix tree g1=/g2=/g3=, gzip json leaves.
+    leaves = glob.glob(f"{path}/g1=*/g2=*/g3=*/*.json.gz")
+    assert leaves, "expected gzip json shards under g1=/g2=/g3= dirs"
+    rec = json.loads(gzip.open(leaves[0], "rt").readline())
+    assert len(rec["geohash"]) == 12
+
+    # Null-coordinate rows excluded; others present exactly once.
+    total = sum(
+        1 for f in leaves for _ in gzip.open(f, "rt")
+    )
+    assert total == 4
+
+    # Prefix-pruned nearest search: Omaha-area probe finds Eppley.
+    hit = writers.nearest_in_geoindex(spark, path, 41.1499988, -95.91779)
+    assert hit is not None and hit["name"] == "Omaha Eppley"
+    # Probe near Astrakhan (reference's second known-answer call).
+    hit2 = writers.nearest_in_geoindex(spark, path, 46.2832984924, 48.0063018799)
+    assert hit2 is not None and hit2["name"] == "Astrakhan"
+
+
+def test_partitioned_write_layout(spark, tmp_path):
+    df = spark.createDataFrame(
+        [("Alpha", 1), ("Charlie", 2), ("Mike", 3)], ["key", "v"]
+    )
+    keyed = writers.with_partition_keys(df, "key")
+    path = str(tmp_path / "bykv")
+    writers.write_partitioned(keyed, path, ["kv_key"])
+    dirs = {os.path.basename(p) for p in glob.glob(f"{path}/kv_key=*")}
+    assert dirs == {"kv_key=A-B", "kv_key=C-D", "kv_key=M-N"}
+
+    # hash_key is the sha256 first hex char — 16-way layout, F4 semantics.
+    hpath = str(tmp_path / "byhash")
+    writers.write_partitioned(keyed, hpath, ["hash_key"])
+    hdirs = glob.glob(f"{hpath}/hash_key=*")
+    assert 1 <= len(hdirs) <= 16
+
+    # Partition pruning is visible in the read plan.
+    read = spark.read.parquet(path).filter(F.col("kv_key") == "A-B")
+    plan = read._jdf.queryExecution().executedPlan().toString()
+    assert "kv_key" in plan
+    assert read.count() == 1
+
+
+def test_jsonl_read_with_validation(spark, tmp_path):
+    p = tmp_path / "data.jsonl"
+    p.write_text(
+        '{"name": "ok", "x": 1.5}\n'
+        '{"name": null, "x": 2.0}\n'
+        "this is not json\n"
+    )
+    schema = T.StructType(
+        [T.StructField("name", T.StringType()), T.StructField("x", T.DoubleType())]
+    )
+    df = readers.read_jsonl(spark, str(p), schema)
+    flagged = readers.with_validation_flags(df, required=["name"])
+    rows = flagged.collect()
+    assert len(rows) == 3  # tolerant: nothing dropped
+    assert sum(1 for r in rows if r.valid) == 1
+
+
+def test_file_corpus_scan_and_decode(spark, tmp_path):
+    (tmp_path / "alice").mkdir()
+    (tmp_path / "bob").mkdir()
+    (tmp_path / "alice" / "1.txt").write_bytes("hello utf8".encode())
+    (tmp_path / "bob" / "2.txt").write_bytes("caf\xe9 latin1".encode("latin-1"))
+    df = readers.read_file_corpus(spark, str(tmp_path))
+    decoded = readers.decode_text(df)
+    rows = {r.username: r.original_msg for r in decoded.collect()}
+    assert rows["alice"] == "hello utf8"
+    assert "caf" in rows["bob"]  # latin-1 fallback decoded, never threw
