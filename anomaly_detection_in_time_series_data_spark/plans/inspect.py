@@ -1,0 +1,71 @@
+"""Plan predicates over the executed (post-AQE) physical plan string."""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+
+
+def executed_plan(df: DataFrame) -> str:
+    spark = df.sparkSession
+    # Lift the metadata truncation so PushedFilters/ReadSchema are complete.
+    before = spark.conf.get("spark.sql.maxMetadataStringLength", "100")
+    spark.conf.set("spark.sql.maxMetadataStringLength", "10000")
+    try:
+        return df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.maxMetadataStringLength", before)
+
+
+def formatted_plan(df: DataFrame) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def has_pushed_filter(df: DataFrame, fragment: str) -> bool:
+    """True if a data filter containing ``fragment`` reached the scan
+    (`PushedFilters: [...]` in the FileScan node)."""
+    plan = executed_plan(df)
+    for m in re.finditer(r"PushedFilters: \[([^\]]*)\]", plan):
+        if fragment in m.group(1):
+            return True
+    return False
+
+
+def has_partition_filter(df: DataFrame, fragment: str) -> bool:
+    plan = executed_plan(df)
+    for m in re.finditer(r"PartitionFilters: \[([^\]]*)\]", plan):
+        if fragment in m.group(1):
+            return True
+    return False
+
+
+def read_columns(df: DataFrame) -> list[str]:
+    """Columns actually read from parquet (ReadSchema of each FileScan)."""
+    plan = executed_plan(df)
+    cols: list[str] = []
+    for m in re.finditer(r"ReadSchema: struct<([^>]*)>", plan):
+        for part in m.group(1).split(","):
+            name = part.split(":", 1)[0].strip()
+            if name:
+                cols.append(name)
+    return cols
+
+
+def has_broadcast_join(df: DataFrame) -> bool:
+    return "BroadcastHashJoin" in executed_plan(df) or "BroadcastNestedLoopJoin" in executed_plan(df)
+
+
+def has_take_ordered(df: DataFrame) -> bool:
+    return "TakeOrderedAndProject" in executed_plan(df)
+
+
+def whole_stage_codegen_spans(df: DataFrame) -> int:
+    """Number of WholeStageCodegen spans (fewer = wider fused pipelines).
+    The executed-plan string marks codegen'd operators ``*(n)``."""
+    plan = executed_plan(df)
+    ids = set(re.findall(r"\*\((\d+)\)", plan))
+    ids.update(re.findall(r"WholeStageCodegen \((\d+)\)", plan))
+    return len(ids)

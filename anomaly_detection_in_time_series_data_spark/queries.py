@@ -902,3 +902,244 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.jaccard_pairs(docs, pairs, threshold=0.5).select(
         "id_a", "id_b", F.round("jaccard", 4).alias("jaccard")
     )
+
+
+# ---------------------------------------------------------------------------
+# Subqueries / having / pivot / more window functions
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "subquery_small_orders",
+    oracle="""
+    WITH pa AS (
+      SELECT l_partkey,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT l_partkey,
+           CAST(count(*) AS BIGINT) AS n_small,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS small_revenue
+    FROM lineitem JOIN pa USING (l_partkey)
+    WHERE l_quantity < 0.5 * avg_qty
+    GROUP BY l_partkey
+    """,
+)
+def subquery_small_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17-shaped correlated-aggregate filter, decorrelated into an
+    aggregate + self-join (what Catalyst does to the subquery form anyway;
+    writing it decorrelated keeps the oracle byte-aligned)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pa = li.groupBy("l_partkey").agg(
+        (F.sum(_dec("l_quantity")).cast("double") / F.count("*")).alias("avg_qty")
+    )
+    return (
+        li.join(pa, "l_partkey")
+        .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
+        .groupBy("l_partkey")
+        .agg(
+            F.count("*").cast("bigint").alias("n_small"),
+            _dsum(_dec("l_extendedprice"), "small_revenue"),
+        )
+    )
+
+
+@query(
+    "having_active_customers",
+    oracle="""
+    SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders GROUP BY o_custkey HAVING count(*) >= 12
+    """,
+)
+def having_active_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_custkey")
+        .agg(F.count("*").cast("bigint").alias("n_orders"))
+        .filter(F.col("n_orders") >= 12)
+    )
+
+
+@query(
+    "pivot_priority_status",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(coalesce(sum(CASE WHEN o_orderstatus = 'F' THEN 1 END), 0) AS BIGINT) AS F,
+           CAST(coalesce(sum(CASE WHEN o_orderstatus = 'O' THEN 1 END), 0) AS BIGINT) AS O,
+           CAST(coalesce(sum(CASE WHEN o_orderstatus = 'P' THEN 1 END), 0) AS BIGINT) AS P
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def pivot_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    pivoted = (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+    return pivoted.select(
+        "o_orderpriority",
+        *[F.coalesce(F.col(c), F.lit(0)).cast("bigint").alias(c) for c in ("F", "O", "P")],
+    )
+
+
+@query(
+    "window_lag_delta",
+    oracle="""
+    SELECT event_id, user_id, value,
+           value - lag(value) OVER (PARTITION BY user_id
+                                    ORDER BY CAST(ts AS TIMESTAMP), event_id)
+             AS delta
+    FROM events
+    """,
+)
+def window_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        "value",
+        (F.col("value") - F.lag("value").over(w)).alias("delta"),
+    )
+
+
+@query(
+    "ntile_price_quartiles",
+    oracle="""
+    SELECT q, CAST(count(*) AS BIGINT) AS n,
+           min(o_totalprice) AS min_price, max(o_totalprice) AS max_price
+    FROM (
+      SELECT o_totalprice,
+             CAST(ntile(4) OVER (ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS q
+      FROM orders
+    ) GROUP BY q
+    """,
+)
+def ntile_price_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return (
+        orders.select(
+            "o_totalprice", F.ntile(4).over(w).cast("bigint").alias("q")
+        )
+        .groupBy("q")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+        )
+    )
+
+
+@query(
+    "regex_token_count",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[0-9A-Za-z_]+')) AS BIGINT) AS n_word_tokens,
+           CAST(len(regexp_extract_all(text, '[^0-9A-Za-z_ \\t\\n]')) AS BIGINT) AS n_punct_tokens
+    FROM documents
+    """,
+)
+def regex_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish tokenization accounting: word-piece candidates vs punctuation
+    singles via regexp_count (JVM-side; identical char-class semantics in
+    DuckDB's RE2)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.regexp_count("text", F.lit(r"[0-9A-Za-z_]+")).cast("bigint").alias(
+            "n_word_tokens"
+        ),
+        F.regexp_count("text", F.lit(r"[^0-9A-Za-z_ \t\n]")).cast("bigint").alias(
+            "n_punct_tokens"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Non-SQL-expressible operators -> rows-only driver checks (each has unit
+# tests asserting exact semantics; see tests/).
+# ---------------------------------------------------------------------------
+
+
+@query("simhash_docs")
+def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash per document (xxhash64 has no DuckDB equivalent)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", dedup.simhash64().alias("simhash"))
+
+
+@query("lsh_ann_topk")
+def lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate NN via random-hyperplane LSH (scale path of
+    similarity_topk; recall vs brute force asserted in tests)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 20)
+    res = similarity.lsh_topk(emb, probes, k=5, num_planes=4, num_tables=8)
+    return res.select(
+        "probe_id", "neighbor_id", F.round("cosine_sim", 4).alias("cosine_sim")
+    )
+
+
+@query("kmeans_anomaly_scores")
+def kmeans_anomaly_scores_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import models
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = models.kmeans_anomaly_scores(emb, k=4, quantile=0.95)
+    return out.select("vec_id", F.round("anomaly_score", 4).alias("anomaly_score"), "is_anomaly")
+
+
+@query("gmm_anomaly_scores")
+def gmm_anomaly_scores_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import models
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = models.gmm_anomaly_scores(emb, k=4, quantile=0.05)
+    return out.select("vec_id", F.round("log_likelihood", 4).alias("log_likelihood"), "is_anomaly")
+
+
+@query("geohash_prefix_counts")
+def geohash_prefix_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1 over fixture-derived coordinates: encode geohash-12 (Arrow UDF),
+    group by 2-char prefix — the geoindex sharding aggregation (A1/W3)."""
+    from .functions import geohash as gh
+
+    cust = load_table(spark, sf_dir, "customer")
+    pts = cust.select(
+        "c_custkey",
+        (F.abs(F.col("c_acctbal")) % 140 - 70).alias("lat"),
+        ((F.col("c_custkey").cast("double") * 7) % 360 - 180).alias("lon"),
+    )
+    return (
+        pts.withColumn("geohash", gh.encode_udf(F.col("lat"), F.col("lon")))
+        .groupBy(F.substring("geohash", 1, 2).alias("g2"))
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+
+
+@query("email_parse_fixture")
+def email_parse_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1 on fixture data: wrap each document as an RFC-2822 message, parse
+    with the total email UDF, count tokens of the extracted body."""
+    from .functions.email_parse import parse_email
+
+    docs = load_table(spark, sf_dir, "documents")
+    raw = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("Message-ID: <"),
+            F.col("doc_id").cast("string"),
+            F.lit("@fixture>\nFrom: gen@example.com\nSubject: doc-"),
+            F.col("doc_id").cast("string"),
+            F.lit("\nContent-Type: text/plain\n\n"),
+            F.col("text"),
+        ).alias("original_msg"),
+    )
+    parsed = raw.withColumn("p", parse_email("original_msg"))
+    return parsed.select(
+        "doc_id",
+        F.col("p.Subject").alias("subject"),
+        F.size(F.split(F.trim(F.col("p.text")), r"\s+")).cast("bigint").alias("n_tokens"),
+    )

@@ -1,0 +1,72 @@
+"""Multimodal column tests: real decode/resize/feature paths for raw
+formats, NotImplementedError seam for compressed formats, metadata-only
+reads never touching payload bytes."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from anomaly_detection_in_time_series_data_spark.operators import multimodal as mm
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    return mm.synthetic_media(spark, 12)
+
+
+def test_image_features_real_decode(spark, media):
+    out = mm.image_features(media, resize_to=(4, 4)).collect()
+    assert len(out) == 4  # ids 0,3,6,9 are images
+    for r in out:
+        assert 0 <= r.px_mean <= 255
+        assert len(r.histogram) == 8 and abs(sum(r.histogram) - 1.0) < 1e-9
+        assert len(r.thumbnail) == 16 and all(0 <= v <= 1 for v in r.thumbnail)
+
+
+def test_resize_nearest_exact():
+    px = np.arange(16, dtype=np.uint8).reshape(4, 4)
+    out = mm.resize_nearest(px, 2, 2)
+    assert out.tolist() == [[0, 2], [8, 10]]
+
+
+def test_audio_features(media):
+    out = {r.media_id: r for r in mm.audio_features(media).collect()}
+    assert len(out) == 4
+    for r in out.values():
+        assert r.duration_s == 1.0  # 8000 samples at 8 kHz
+        assert r.rms > 1000  # sine at amplitude 20000 -> rms ~14142
+        assert 0 < r.zero_crossing_rate < 1
+
+
+def test_frame_sampling(media):
+    out = mm.sample_frames(media, every_k=2).collect()
+    by_id = {}
+    for r in out:
+        by_id.setdefault(r.media_id, []).append(r)
+    assert len(by_id) == 4  # video ids 2,5,8,11
+    for frames in by_id.values():
+        assert [f.frame_index for f in sorted(frames, key=lambda x: x.frame_index)] == [0, 2, 4]
+        assert all(len(f.frame) == 64 for f in frames)  # 8x8 raw frames
+
+
+def test_compressed_format_hits_stub_seam(spark):
+    df = spark.createDataFrame(
+        [(0, "image", "jpeg", bytearray(b"\xff\xd8\xff"), (4, 4, 1, None, None))],
+        mm.MEDIA,
+    )
+    with pytest.raises(Exception) as exc:
+        mm.image_features(df).collect()
+    assert "NotImplementedError" in str(exc.value) or isinstance(
+        exc.value, NotImplementedError
+    )
+
+
+def test_metadata_scan_prunes_payload(spark, media, tmp_path):
+    path = str(tmp_path / "media")
+    media.write.parquet(path)
+    scan = spark.read.parquet(path).select("media_id", "kind", "meta.width")
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    assert "payload" not in plan  # column pruning drops the binary column
+    assert scan.count() == 12

