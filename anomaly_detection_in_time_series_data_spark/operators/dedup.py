@@ -210,3 +210,92 @@ def simhash64(text_col: str = "text", shingle_n: int = 2) -> F.Column:
     for c in bit_cols[1:]:
         total = total.bitwiseOR(c)
     return total
+
+
+def simhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 2,
+) -> DataFrame:
+    """(id, simhash: bigint) — the scale formulation of ``simhash64``.
+
+    Explode shingles -> one xxhash64 per shingle -> 64 per-bit +-1 sums in a
+    single groupBy (map-side combine) -> reassemble the sign bits. The
+    column-expression variant (``simhash64``) nests 64 aggregate() calls and
+    pays a large codegen cost; this shape is linear work per shingle and one
+    narrow shuffle row per document. Documents with no shingles get simhash 0.
+    """
+    exploded = df.select(id_col, F.explode(shingles(text_col, shingle_n)).alias("_sh"))
+    hashed = exploded.select(id_col, F.xxhash64("_sh").alias("_h"))
+    aggs = []
+    for bit in range(64):
+        mask = (1 << bit) if bit < 63 else -(1 << 63)
+        aggs.append(
+            F.sum(
+                F.when(F.col("_h").bitwiseAND(F.lit(mask).cast("long")) != 0, 1)
+                .otherwise(-1)
+            ).alias(f"_b{bit}")
+        )
+    summed = hashed.groupBy(id_col).agg(*aggs)
+    total = F.lit(0).cast("long")
+    for bit in range(64):
+        mask = (1 << bit) if bit < 63 else -(1 << 63)
+        total = total.bitwiseOR(
+            F.when(F.col(f"_b{bit}") > 0, F.lit(mask).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    sigs = summed.select(id_col, total.alias("simhash"))
+    ids = df.select(id_col)
+    return ids.join(sigs, id_col, "left").fillna({"simhash": 0})
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    shingle_n: int = 2,
+    prefix_bits: int = 16,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: block on each of 4 16-bit bands (two docs
+    within hamming distance 3 of each other share at least one identical
+    band by pigeonhole), then verify exact hamming distance via bit_count.
+    Candidate generation is equi-join on (band_index, band_value) — never
+    all-pairs."""
+    sigs = simhash_signatures(df, id_col, text_col, shingle_n)
+    n_bands = 64 // prefix_bits
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftrightunsigned(F.col("simhash"), b * prefix_bits)
+                .bitwiseAND(F.lit((1 << prefix_bits) - 1))
+                .alias("bval"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    keyed = sigs.select(id_col, "simhash", F.explode(bands).alias("bb")).select(
+        id_col, "simhash", F.col("bb.band").alias("band"), F.col("bb.bval").alias("bval")
+    )
+    a = keyed.alias("a")
+    b = keyed.alias("b")
+    pairs = (
+        a.join(b, on=["band", "bval"])
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        pairs.withColumn("hamming", ham.cast("bigint"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -1067,7 +1067,14 @@ def regex_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash per document (xxhash64 has no DuckDB equivalent)."""
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select("doc_id", dedup.simhash64().alias("simhash"))
+    return dedup.simhash_signatures(docs)
+
+
+@query("simhash_near_pairs")
+def simhash_near_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash banded near-dup pairs (hamming <= 3; pigeonhole blocking)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.simhash_near_pairs(docs, max_hamming=3)
 
 
 @query("lsh_ann_topk")
@@ -1142,4 +1149,90 @@ def email_parse_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.col("p.Subject").alias("subject"),
         F.size(F.split(F.trim(F.col("p.text")), r"\s+")).cast("bigint").alias("n_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-shaped multi-join headline queries (bench anchors)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "shipping_priority_top10",
+    oracle="""
+    SELECT l_orderkey,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+           CAST(year(o_orderdate) AS BIGINT) AS order_year
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1995-03-15'
+      AND l_shipdate > TIMESTAMP '1995-03-15'
+    GROUP BY l_orderkey, year(o_orderdate)
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def shipping_priority_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3-shaped: selective dim filter -> two joins -> agg -> top-k.
+    The customer filter prunes before the join; top-k is TakeOrdered."""
+    customer = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < "1995-03-15"
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > "1995-03-15"
+    )
+    joined = (
+        customer.join(orders, customer.c_custkey == orders.o_custkey)
+        .join(li, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_orderkey", F.year("o_orderdate").cast("bigint").alias("order_year"))
+        .agg(
+            _dsum(
+                _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount")), "revenue"
+            )
+        )
+        .select("l_orderkey", "revenue", "order_year")
+    )
+    return relational.top_k(
+        joined, [F.col("revenue").desc(), F.col("l_orderkey")], 10
+    )
+
+
+@query(
+    "region_supplier_volume",
+    oracle="""
+    SELECT n_name,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+    GROUP BY n_name
+    """,
+)
+def region_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5-shaped: fact scan with three broadcast dims filtered by region."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            _dsum(
+                _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount")), "revenue"
+            ),
+            F.count("*").cast("bigint").alias("n_items"),
+        )
     )

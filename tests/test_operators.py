@@ -103,6 +103,20 @@ def test_simhash_close_for_near_dups(spark):
 
     assert ham(out[1], out[2]) < ham(out[1], out[3])
 
+    # The scale formulation computes the identical signature.
+    sig = {r.doc_id: r.simhash for r in dedup.simhash_signatures(df).collect()}
+    assert sig == out
+
+
+def test_simhash_near_pairs_blocking(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4
+    near = base.replace("kappa ", "kappa! ", 1)  # tiny perturbation
+    far = "one two three four five six seven eight nine ten eleven twelve"
+    df = spark.createDataFrame([(1, base), (2, near), (3, far)], ["doc_id", "text"])
+    pairs = dedup.simhash_near_pairs(df, max_hamming=8)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (1, 2) in got and (1, 3) not in got and (2, 3) not in got
+
 
 def test_lsh_topk_recall_against_bruteforce(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
