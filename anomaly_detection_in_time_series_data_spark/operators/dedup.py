@@ -52,9 +52,17 @@ def dedup_exact(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     return hashed.join(keep, on=["content_hash", id_col], how="inner").drop("content_hash")
 
 
-def shingles(text_col: str, n: int = 3):
-    """Word n-gram shingle array from whitespace tokens (distinct)."""
-    toks = tokens(F.lower(F.col(text_col)))
+def shingles_of(toks: F.Column, n: int = 3) -> F.Column:
+    """Word n-gram shingle array (distinct) from a *materialized* token
+    array column.
+
+    IMPORTANT: ``toks`` must be an attribute (a real column produced by a
+    previous projection), not an inline ``split(...)`` expression — outer
+    expressions referenced inside higher-order-function lambdas are
+    re-evaluated per element, so an inlined split would re-tokenize the
+    document once per shingle term (measured 10x slowdown). Use
+    ``with_shingles`` which stages the projections correctly.
+    """
     k = F.size(toks) - (n - 1)
     # sequence is empty when k <= 0
     idx = F.sequence(F.lit(0), k - 1)
@@ -64,6 +72,49 @@ def shingles(text_col: str, n: int = 3):
     return F.when(k <= 0, F.array().cast("array<string>")).otherwise(
         F.array_distinct(F.transform(idx, shingle_at))
     )
+
+
+def with_shingles(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """(id, _shingles) with tokenization staged as its own projection (the
+    split runs once per document; CollapseProject's cost guard keeps the
+    non-cheap split from being inlined into the shingle lambda).
+
+    If the source has fewer partitions than the cluster has slots (tiny
+    file, single row group), repartition first — shingling is CPU-bound and
+    would otherwise run on one core. At real scale the input already has
+    more partitions than cores and this is a no-op.
+    """
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        df = df.repartition(target, F.col(id_col))
+    toked = df.select(id_col, tokens(F.lower(F.col(text_col))).alias("_toks"))
+    return toked.select(id_col, shingles_of(F.col("_toks"), n).alias("_shingles"))
+
+
+def _explode_shingles(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """(id, _sh) — one row per shingle.
+
+    Uses ``explode_outer`` + an explicit null filter instead of ``explode``:
+    ``InferFiltersFromGenerate`` rewrites plain explode into a pre-filter on
+    ``size(<generator expr>)`` which predicate pushdown then inlines through
+    the staged projections — re-evaluating the whole shingle pipeline per
+    row in interpreted mode (measured ~10x). ``explode_outer`` is exempt
+    from that rule; the null filter runs on the generated attribute.
+    """
+    return (
+        with_shingles(df, id_col, text_col, n)
+        .select(id_col, F.explode_outer("_shingles").alias("_sh"))
+        .filter(F.col("_sh").isNotNull())
+    )
+
+
+def shingles(text_col: str, n: int = 3):
+    """Inline-expression variant (convenience for tiny frames/tests); see
+    ``with_shingles`` for the staged formulation used in pipelines."""
+    return shingles_of(tokens(F.lower(F.col(text_col))), n)
 
 
 def _hash_params(num_hashes: int) -> list[tuple[int, int]]:
@@ -97,7 +148,7 @@ def minhash_signature(
     Documents with no shingles (fewer than ``shingle_n`` tokens) produce no
     signature row — they can have no LSH candidates.
     """
-    exploded = df.select(id_col, F.explode(shingles(text_col, shingle_n)).alias("_sh"))
+    exploded = _explode_shingles(df, id_col, text_col, shingle_n)
     hashed = exploded.select(
         id_col, F.pmod(F.xxhash64("_sh"), F.lit(_MERSENNE_P)).alias("_h")
     )
@@ -170,7 +221,9 @@ def jaccard_pairs(
     threshold: float = 0.8,
 ) -> DataFrame:
     """Verify candidate pairs with exact shingle-set Jaccard similarity."""
-    sh = df.select(F.col(id_col), shingles(text_col, shingle_n).alias("sh"))
+    sh = with_shingles(df, id_col, text_col, shingle_n).withColumnRenamed(
+        "_shingles", "sh"
+    )
     a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
     joined = pairs.join(a, "id_a").join(b, "id_b")
@@ -226,7 +279,7 @@ def simhash_signatures(
     pays a large codegen cost; this shape is linear work per shingle and one
     narrow shuffle row per document. Documents with no shingles get simhash 0.
     """
-    exploded = df.select(id_col, F.explode(shingles(text_col, shingle_n)).alias("_sh"))
+    exploded = _explode_shingles(df, id_col, text_col, shingle_n)
     hashed = exploded.select(id_col, F.xxhash64("_sh").alias("_h"))
     aggs = []
     for bit in range(64):
