@@ -111,3 +111,78 @@ def flag_event_anomalies(
         lookback=lookback,
         threshold=threshold,
     ).select("event_id", "event_type", "value", "is_anomaly")
+
+
+def rolling_zscore_chunked(
+    df: DataFrame,
+    *,
+    partition_cols: list[str],
+    ts_col: str,
+    tiebreak_col: str,
+    value_col: str = "value",
+    lookback: int = 20,
+    threshold: float = 3.0,
+    chunk: str = "7 days",
+) -> DataFrame:
+    """Scale formulation of ``rolling_zscore`` with identical semantics.
+
+    ``rolling_zscore`` sorts each key's entire history in one task — with a
+    handful of keys (events has 5 event types) that is 5-way parallelism
+    forever, a non-starter at 100 TB. Here time is cut into ``chunk``
+    buckets and the window runs per (key, chunk):
+
+    1. rank rows from the end of each chunk (a per-(key,chunk) window —
+       fully parallel) and copy the last ``lookback`` rows of chunk c into
+       chunk c+1 as context rows;
+    2. run the trailing-window stats per (key, chunk) over own+context
+       rows; context rows supply the cross-boundary history and are then
+       dropped from the output.
+
+    Results are identical to the single-partition window whenever every
+    chunk holds at least ``lookback`` rows per key (first-chunk rows have
+    genuinely less history in both formulations). Parallelism becomes
+    #keys x #chunks, and each sort is bounded by chunk row count.
+    """
+    base = df.withColumn("_chunk", F.window(F.col(ts_col), chunk).start)
+    # Rank from chunk end to find context rows for the next chunk.
+    w_desc = Window.partitionBy(*partition_cols, "_chunk").orderBy(
+        F.col(ts_col).desc(), F.col(tiebreak_col).desc()
+    )
+    ctx = (
+        base.withColumn("_rn_desc", F.row_number().over(w_desc))
+        .filter(F.col("_rn_desc") <= lookback)
+        .drop("_rn_desc")
+        # move into the NEXT chunk as history-only rows
+        .withColumn(
+            "_chunk",
+            (
+                F.col("_chunk").cast("timestamp")
+                + F.expr(f"INTERVAL {chunk}")
+            ),
+        )
+        .withColumn("_ctx", F.lit(True))
+    )
+    own = base.withColumn("_ctx", F.lit(False))
+    unioned = own.unionByName(ctx)
+    w = (
+        Window.partitionBy(*partition_cols, "_chunk")
+        .orderBy(F.col(ts_col), F.col(tiebreak_col))
+        .rowsBetween(-lookback, -1)
+    )
+    mu = F.avg(value_col).over(w)
+    sigma = F.stddev_samp(value_col).over(w)
+    z = F.when(
+        sigma.isNotNull() & (sigma > _SIGMA_FLOOR),
+        (F.col(value_col) - mu) / sigma,
+    )
+    return (
+        unioned.withColumn("mu", mu)
+        .withColumn("sigma", sigma)
+        .withColumn("zscore", z)
+        .withColumn(
+            "is_anomaly",
+            F.coalesce(F.abs(F.col("zscore")) > F.lit(threshold), F.lit(False)),
+        )
+        .filter(~F.col("_ctx"))
+        .drop("_ctx", "_chunk")
+    )

@@ -1,0 +1,62 @@
+"""Time-series join operators Spark lacks as built-ins (SURVEY.md §2.3
+extension; standard capability for a telemetry engine).
+
+``asof_join`` — for each left row, the latest right row with
+``right_ts <= left_ts`` per key — is implemented with the union+window
+formulation: tag sources, union, and take ``last(right_col, ignorenulls)``
+over an unbounded-preceding window ordered by (ts, tag). One shuffle on the
+key, sort bounded per key, no range explosion — the same plan shape a
+native as-of physical operator would produce. DuckDB's native ASOF JOIN is
+the correctness oracle.
+
+Right rows must be unique per (keys, right_ts) — pre-aggregate otherwise
+(an ambiguous as-of match is order-dependent in any engine).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    keys: list[str],
+    left_ts: str,
+    right_ts: str,
+) -> DataFrame:
+    """As-of (backward) left join. Key columns must share names; all other
+    column names must be disjoint between the two frames. Right payload
+    columns come back nullable (no match -> null)."""
+    lcols = [c for c in left.columns if c not in keys]
+    rcols = [c for c in right.columns if c not in keys and c != right_ts]
+    l_tagged = left.select(
+        *keys,
+        F.col(left_ts).alias("_asof_ts"),
+        F.lit(1).alias("_tag"),
+        *lcols,
+        *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in rcols],
+    )
+    r_tagged = right.select(
+        *keys,
+        F.col(right_ts).alias("_asof_ts"),
+        F.lit(0).alias("_tag"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
+        *rcols,
+    )
+    unioned = l_tagged.unionByName(r_tagged)
+    # Right rows sort before left rows at equal ts (asof is inclusive).
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("_asof_ts"), F.col("_tag"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = [F.last(c, ignorenulls=True).over(w).alias(c) for c in rcols]
+    return (
+        unioned.select(*keys, "_asof_ts", "_tag", *lcols, *carried)
+        .filter(F.col("_tag") == 1)
+        .drop("_tag")
+        .withColumnRenamed("_asof_ts", left_ts)
+    )

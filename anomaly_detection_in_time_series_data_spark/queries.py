@@ -77,6 +77,23 @@ def flagship_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return anomaly.flag_event_anomalies(events, lookback=20, threshold=3.0)
 
 
+@query("flagship_anomaly_zscore_chunked", oracle=ORACLE["flagship_anomaly_zscore"])
+def flagship_anomaly_zscore_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scale formulation of the flagship: time-chunked window with
+    lookback-row context overlap — (#keys x #chunks)-way parallel instead of
+    #keys-way, hash-matching the exact same oracle."""
+    events = load_table(spark, sf_dir, "events")
+    return anomaly.rolling_zscore_chunked(
+        events,
+        partition_cols=["event_type"],
+        ts_col="ts",
+        tiebreak_col="event_id",
+        lookback=20,
+        threshold=3.0,
+        chunk="7 days",
+    ).select("event_id", "event_type", "value", "is_anomaly")
+
+
 # ---------------------------------------------------------------------------
 # Scans / projections / filters (S1-S2, P2, P4-P7)
 # ---------------------------------------------------------------------------
@@ -1236,3 +1253,39 @@ def region_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").cast("bigint").alias("n_items"),
         )
     )
+
+
+@query(
+    "asof_join_last_order",
+    oracle="""
+    WITH r AS (
+      SELECT o_custkey AS user_id, o_orderdate,
+             max(o_orderkey) AS last_orderkey
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT e.event_id, e.user_id, r.last_orderkey
+    FROM events e
+    ASOF LEFT JOIN r ON e.user_id = r.user_id
+                    AND CAST(e.ts AS TIMESTAMP) >= r.o_orderdate
+    """,
+)
+def asof_join_last_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each event matched to the user's most recent order at
+    event time (union+window formulation; DuckDB native ASOF JOIN oracle).
+    The right side is pre-aggregated to one row per (user, date) — an
+    ambiguous as-of match would be order-dependent in any engine."""
+    from .operators.joins import asof_join
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(
+            F.col("o_custkey").alias("user_id"),
+            F.col("o_orderdate"),
+        )
+        .agg(F.max("o_orderkey").alias("last_orderkey"))
+    )
+    joined = asof_join(
+        ev, orders, keys=["user_id"], left_ts="ts", right_ts="o_orderdate"
+    )
+    return joined.select("event_id", "user_id", "last_orderkey")

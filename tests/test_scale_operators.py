@@ -1,0 +1,95 @@
+"""Scale-formulation operators must equal their naive counterparts exactly:
+chunked rolling z-score vs single-partition window, salted agg vs plain
+groupBy, as-of join vs per-row lookup."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from anomaly_detection_in_time_series_data_spark.operators import anomaly, skew
+from anomaly_detection_in_time_series_data_spark.operators.joins import asof_join
+
+
+def test_chunked_zscore_equals_plain(spark, sf_dir):
+    events = __import__(
+        "anomaly_detection_in_time_series_data_spark.tables", fromlist=["load_table"]
+    ).load_table(spark, sf_dir, "events")
+    plain = anomaly.flag_event_anomalies(events, lookback=20, threshold=3.0)
+    chunked = anomaly.rolling_zscore_chunked(
+        events,
+        partition_cols=["event_type"],
+        ts_col="ts",
+        tiebreak_col="event_id",
+        lookback=20,
+        threshold=3.0,
+        chunk="7 days",
+    ).select("event_id", "event_type", "value", "is_anomaly")
+    a = {r.event_id: r.is_anomaly for r in plain.collect()}
+    b = {r.event_id: r.is_anomaly for r in chunked.collect()}
+    assert a == b
+
+
+def test_salted_agg_equals_plain(spark):
+    # Hot key: 90% of rows on one key.
+    rows = [("hot" if i % 10 else "cold", float(i)) for i in range(1000)]
+    df = spark.createDataFrame(rows, ["k", "v"])
+    plain = {
+        r.k: (r.total, r.n, r.mx)
+        for r in df.groupBy("k")
+        .agg(
+            F.sum(F.col("v").cast("decimal(18,2)")).cast("double").alias("total"),
+            F.count("*").alias("n"),
+            F.max("v").alias("mx"),
+        )
+        .collect()
+    }
+    salted = {
+        r.k: (r.total, r.n, r.mx)
+        for r in skew.salted_agg(
+            df,
+            ["k"],
+            {
+                "total": (
+                    F.sum(F.col("v").cast("decimal(18,2)")),
+                    "sum",
+                ),
+                "n": (F.count("*"), "sum"),
+                "mx": (F.max("v"), "max"),
+            },
+            salt_buckets=8,
+        )
+        .withColumn("total", F.col("total").cast("double"))
+        .collect()
+    }
+    assert plain == salted
+
+
+def test_asof_join_semantics(spark):
+    base = dt.datetime(2024, 1, 1)
+    left = spark.createDataFrame(
+        [
+            (1, base + dt.timedelta(days=5), "e1"),
+            (1, base + dt.timedelta(days=1), "e2"),
+            (2, base + dt.timedelta(days=3), "e3"),
+            (3, base + dt.timedelta(days=9), "e4"),  # key with no right rows
+        ],
+        ["k", "ts", "eid"],
+    )
+    right = spark.createDataFrame(
+        [
+            (1, base + dt.timedelta(days=0), 100),
+            (1, base + dt.timedelta(days=4), 104),
+            (1, base + dt.timedelta(days=8), 108),  # after every left row
+            (2, base + dt.timedelta(days=3), 203),  # equal ts -> inclusive
+        ],
+        ["k", "rts", "rv"],
+    )
+    out = {
+        r.eid: r.rv
+        for r in asof_join(
+            left, right, keys=["k"], left_ts="ts", right_ts="rts"
+        ).collect()
+    }
+    assert out == {"e1": 104, "e2": 100, "e3": 203, "e4": None}
