@@ -1,0 +1,104 @@
+"""Bucketed co-located join (no Exchange in plan) and stream-stream
+event-time join (T3: the locations x accelerations co-stream)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from anomaly_detection_in_time_series_data_spark import plans
+from anomaly_detection_in_time_series_data_spark.sources import bucketing
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_dir):
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    try:
+        bucketing.write_bucketed(
+            orders.withColumnRenamed("o_orderkey", "orderkey"),
+            "orders_b",
+            bucket_cols=["orderkey"],
+            num_buckets=8,
+        )
+        bucketing.write_bucketed(
+            lineitem.withColumnRenamed("l_orderkey", "orderkey"),
+            "lineitem_b",
+            bucket_cols=["orderkey"],
+            num_buckets=8,
+        )
+        joined = bucketing.bucketed_join(spark, "orders_b", "lineitem_b", ["orderkey"])
+        # disable auto-broadcast so the bucket-local SMJ is what we observe
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = plans.executed_plan(joined)
+        assert "Exchange" not in plan  # co-located: no shuffle on either side
+        assert joined.count() == lineitem.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.sql("DROP TABLE IF EXISTS orders_b")
+        spark.sql("DROP TABLE IF EXISTS lineitem_b")
+
+
+ROW = T.StructType(
+    [
+        T.StructField("ride_id", T.StringType()),
+        T.StructField("event_ts", T.TimestampType()),
+        T.StructField("v", T.DoubleType()),
+    ]
+)
+
+
+def test_stream_stream_join_on_event_time(spark, tmp_path):
+    """T3: two signals with identical batch boundaries joined on key within
+    an event-time bound (the join the reference's producer-only notebook
+    implies but never builds)."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+
+    def write(dirname, rows):
+        spark.createDataFrame(rows, ROW).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(tmp_path / dirname))
+
+    write("loc/b0", [("r1", base + dt.timedelta(seconds=s), float(s)) for s in (0, 10, 20)])
+    write("acc/b0", [("r1", base + dt.timedelta(seconds=s + 1), 100.0 + s) for s in (0, 10, 20)])
+
+    loc = (
+        spark.readStream.schema(ROW).parquet(str(tmp_path / "loc/*"))
+        .withWatermark("event_ts", "1 minute")
+        .select("ride_id", F.col("event_ts").alias("loc_ts"), F.col("v").alias("speed"))
+    )
+    acc = (
+        spark.readStream.schema(ROW).parquet(str(tmp_path / "acc/*"))
+        .withWatermark("event_ts", "1 minute")
+        .select(
+            F.col("ride_id").alias("acc_ride_id"),
+            F.col("event_ts").alias("acc_ts"),
+            F.col("v").alias("accel"),
+        )
+    )
+    joined = loc.join(
+        acc,
+        F.expr(
+            """
+            ride_id = acc_ride_id AND
+            acc_ts BETWEEN loc_ts AND loc_ts + INTERVAL 5 seconds
+            """
+        ),
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssj")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.sql("select * from ssj").collect()
+    # each location row pairs with the acceleration 1s later, same ride
+    assert len(rows) == 3
+    assert all(r.accel == 100.0 + r.speed for r in rows)
