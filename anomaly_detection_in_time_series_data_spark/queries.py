@@ -1119,7 +1119,12 @@ def kmeans_anomaly_scores_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def gmm_anomaly_scores_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import models
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    # Full-covariance GMM needs points >> dims per component; the 500-row
+    # fixture at 64 dims gives singular covariances (breeze chol fails), so
+    # fit on the first 16 dims — deterministic and well-posed at every SF.
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.slice("embedding", 1, 16)
+    )
     out = models.gmm_anomaly_scores(emb, k=4, quantile=0.05)
     return out.select("vec_id", F.round("log_likelihood", 4).alias("log_likelihood"), "is_anomaly")
 
