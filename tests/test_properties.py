@@ -1,0 +1,96 @@
+"""Property-based tests (hypothesis) for the hand-implemented codecs:
+geohash encode/decode and the Avro OCF binary encoding — the two places
+where a subtle bit-level bug could silently corrupt data at scale."""
+
+from __future__ import annotations
+
+import io
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from anomaly_detection_in_time_series_data_spark.functions import geohash as gh
+from anomaly_detection_in_time_series_data_spark.sources import avro_fallback as av
+
+lat = st.floats(min_value=-90, max_value=90, allow_nan=False)
+lon = st.floats(min_value=-180, max_value=180, exclude_max=True, allow_nan=False)
+
+
+@given(lat, lon)
+@settings(max_examples=200, deadline=None)
+def test_geohash_roundtrip_within_cell(la, lo):
+    g = gh.encode(la, lo, 12)
+    assert len(g) == 12 and all(c in gh._BASE32 for c in g)
+    lat_lo, lat_hi, lon_lo, lon_hi = gh.decode_bounds(g)
+    assert lat_lo <= la <= lat_hi
+    assert lon_lo <= lo <= lon_hi
+    # precision-12 cells are tiny
+    assert lat_hi - lat_lo < 1e-6 and lon_hi - lon_lo < 1e-6
+
+
+@given(lat, lon, st.integers(min_value=1, max_value=12))
+@settings(max_examples=100, deadline=None)
+def test_geohash_prefix_monotone(la, lo, k):
+    # The k-char geohash is a prefix of the 12-char one (hierarchical cells).
+    assert gh.encode(la, lo, 12).startswith(gh.encode(la, lo, k))
+
+
+@given(st.integers(min_value=-(2**63), max_value=2**63 - 1))
+@settings(max_examples=300, deadline=None)
+def test_avro_zigzag_varint_roundtrip(n):
+    buf = io.BytesIO()
+    av._write_long(buf, n)
+    r = av._Reader(buf.getvalue())
+    assert r.read_long() == n
+
+
+record = st.fixed_dictionaries(
+    {
+        "id": st.integers(min_value=-(2**62), max_value=2**62),
+        "name": st.one_of(st.none(), st.text(max_size=40)),
+        "x": st.one_of(
+            st.none(), st.floats(allow_nan=False, allow_infinity=False, width=64)
+        ),
+        "flag": st.one_of(st.none(), st.booleans()),
+        "tags": st.lists(st.text(max_size=8), max_size=4),
+    }
+)
+
+
+@given(st.lists(record, max_size=20))
+@settings(max_examples=50, deadline=None)
+def test_avro_container_roundtrip(records):
+    schema = {
+        "type": "record",
+        "name": "R",
+        "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "name", "type": ["null", "string"]},
+            {"name": "x", "type": ["null", "double"]},
+            {"name": "flag", "type": ["null", "boolean"]},
+            {"name": "tags", "type": {"type": "array", "items": "string"}},
+        ],
+    }
+    data = av._encode_container(records, schema)
+    r = av._Reader(data)
+    assert r.read(4) == av.MAGIC
+    # skip metadata map
+    while True:
+        n = r.read_long()
+        if n == 0:
+            break
+        if n < 0:
+            r.read_long()
+            n = -n
+        for _ in range(n):
+            r.read(r.read_long())
+            r.read(r.read_long())
+    r.read(16)
+    out = []
+    while r.pos < len(data):
+        cnt = r.read_long()
+        r.read_long()
+        for _ in range(cnt):
+            out.append(r.read_value(schema))
+        r.read(16)
+    assert out == records
