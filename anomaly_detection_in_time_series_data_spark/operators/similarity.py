@@ -149,3 +149,86 @@ def lsh_topk(
         .filter(F.col("_rn") <= k)
         .drop("_rn")
     )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int = 5,
+    nlist: int = 16,
+    nprobe: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k via an IVF (inverted-file) coarse quantizer.
+
+    Classic two-level ANN: KMeans(nlist) partitions the corpus into cells;
+    each probe searches only its ``nprobe`` nearest cells. The cell
+    assignment is a one-off batch job whose output would be persisted
+    (partitioned by cell) in production; the probe-side search is an
+    equi-join on cell id — at 100 TB it scans nprobe/nlist of the corpus
+    instead of all of it, with partition pruning doing the skipping if the
+    corpus is stored partitioned by cell.
+    """
+    import numpy as np
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feat = corpus.withColumn(
+        "_v", array_to_vector(F.col(vec_col).cast("array<double>"))
+    )
+    model = KMeans(k=nlist, seed=seed, featuresCol="_v", predictionCol="_cell").fit(
+        feat
+    )
+    assigned = model.transform(feat).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("_cvec"),
+        F.col("_cell"),
+    )
+    centers = [
+        [float(x) for x in np.asarray(c.toArray() if hasattr(c, "toArray") else c)]
+        for c in model.clusterCenters()
+    ]
+    # nprobe nearest cells per probe: squared distance to each centroid as
+    # column expressions over the broadcast (tiny) centroid list.
+    p = probes.select(
+        F.col(id_col).alias("probe_id"),
+        F.col(vec_col).cast("array<double>").alias("_pvec"),
+    )
+    dist_cells = F.array(
+        *[
+            F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("_pvec"),
+                        F.array(*[F.lit(x) for x in c]),
+                        lambda a, b: (a - b) * (a - b),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                ).alias("d"),
+                F.lit(i).alias("cell"),
+            )
+            for i, c in enumerate(centers)
+        ]
+    )
+    probe_cells = p.withColumn(
+        "_cells", F.slice(F.array_sort(dist_cells), 1, nprobe)
+    ).select(
+        "probe_id", "_pvec", F.explode(F.col("_cells.cell")).alias("_cell")
+    )
+    cand = probe_cells.join(assigned, on="_cell").filter(
+        F.col("probe_id") != F.col("neighbor_id")
+    )
+    scored = cand.withColumn(
+        "cosine_sim", cosine(F.col("_pvec"), F.col("_cvec"))
+    ).select("probe_id", "neighbor_id", "cosine_sim")
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )

@@ -1294,3 +1294,16 @@ def asof_join_last_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev, orders, keys=["user_id"], left_ts="ts", right_ts="o_orderdate"
     )
     return joined.select("event_id", "user_id", "last_orderkey")
+
+
+@query("ivf_ann_topk")
+def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse-quantizer ANN (KMeans cells + nprobe search); the second
+    scale path next to lsh_ann_topk. Recall vs brute force asserted in
+    tests."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 20)
+    res = similarity.ivf_topk(emb, probes, k=5, nlist=16, nprobe=4)
+    return res.select(
+        "probe_id", "neighbor_id", F.round("cosine_sim", 4).alias("cosine_sim")
+    )

@@ -171,3 +171,14 @@ def test_nearest_center_label(spark):
     out = {r.id: r.location for r in
            relational.nearest_center_label(df, centers, "lat", "lon").collect()}
     assert out == {1: "central", 2: "west", 3: "east"}
+
+
+def test_ivf_topk_recall_against_bruteforce(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    probes = emb.filter(F.col("vec_id") < 5)
+    exact = similarity.cosine_topk(emb, probes, k=3).collect()
+    approx = similarity.ivf_topk(emb, probes, k=3, nlist=8, nprobe=4).collect()
+    exact_pairs = {(r.probe_id, r.neighbor_id) for r in exact}
+    approx_pairs = {(r.probe_id, r.neighbor_id) for r in approx}
+    recall = len(exact_pairs & approx_pairs) / len(exact_pairs)
+    assert recall >= 0.5
