@@ -1307,3 +1307,58 @@ def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select(
         "probe_id", "neighbor_id", F.round("cosine_sim", 4).alias("cosine_sim")
     )
+
+
+@query(
+    "text_quality_flags",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, text,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE CAST(length(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+             END AS n_tokens,
+             CAST(length(regexp_replace(trim(text), '\\s+', '', 'g')) AS BIGINT)
+               AS n_nonws_chars,
+             CAST(length(text) - length(regexp_replace(text, '[^\\x00-\\x7F]|[!-/:-@\\[-`{-~]', '', 'g')) AS BIGINT)
+               AS n_punct
+      FROM documents
+    )
+    SELECT doc_id, n_tokens,
+           CASE WHEN n_tokens > 0 THEN CAST(n_nonws_chars AS DOUBLE) / n_tokens
+                ELSE 0.0 END AS avg_token_len,
+           CASE WHEN length(text) > 0 THEN CAST(n_punct AS DOUBLE) / length(text)
+                ELSE 0.0 END AS punct_ratio
+    FROM t
+    """,
+)
+def text_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-score signals (Gopher/C4-style public heuristics): token
+    count, mean token length, punctuation ratio. The char class
+    [non-ASCII or ASCII punctuation] is spelled out so Spark (Java regex)
+    and DuckDB (RE2) agree byte-for-byte."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = text.tokens("text")
+    n_tokens = F.size(toks).cast("bigint")
+    n_nonws = F.length(F.regexp_replace(F.trim(F.col("text")), r"\s+", "")).cast(
+        "bigint"
+    )
+    n_punct = (
+        F.length(F.col("text"))
+        - F.length(
+            F.regexp_replace(
+                F.col("text"), r"[^\x00-\x7F]|[!-/:-@\[-`{-~]", ""
+            )
+        )
+    ).cast("bigint")
+    return docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        F.when(n_tokens > 0, n_nonws.cast("double") / n_tokens)
+        .otherwise(F.lit(0.0))
+        .alias("avg_token_len"),
+        F.when(
+            F.length("text") > 0, n_punct.cast("double") / F.length("text")
+        )
+        .otherwise(F.lit(0.0))
+        .alias("punct_ratio"),
+    )

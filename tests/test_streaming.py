@@ -112,3 +112,32 @@ def test_windowed_stats_with_watermark(spark, tmp_path):
     assert (0, 4) in out
     # Second window [10,20): event at 12 -> n=1
     assert (10, 1) in out
+
+
+def test_delivery_listener_records_batches(spark, telemetry_dir, tmp_path):
+    from anomaly_detection_in_time_series_data_spark.streaming.observability import (
+        attach_delivery_listener,
+    )
+
+    listener = attach_delivery_listener(spark)
+    try:
+        stream = replay.read_replay_stream(spark, telemetry_dir, ROW, files_per_trigger=4)
+        q = (
+            stream.writeStream.format("memory")
+            .queryName("obs")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "obsck"))
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination(30)
+        import time
+
+        deadline = time.time() + 20
+        while time.time() < deadline and listener.log.rows_delivered < len(OFFSETS) * 2:
+            time.sleep(0.5)
+        assert listener.log.rows_delivered == len(OFFSETS) * 2
+        assert len(listener.log.progresses) >= 2  # batch-at-a-time callbacks
+    finally:
+        spark.streams.removeListener(listener)
