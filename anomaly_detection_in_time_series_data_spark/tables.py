@@ -27,6 +27,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     from .session import ensure_pyfiles
 
     ensure_pyfiles(spark)  # the driver's own session needs the package too
+    # Deterministic timestamp semantics vs the (naive-timestamp) DuckDB
+    # oracle: date-part extraction and date literals must render in UTC
+    # regardless of how the caller's session was built.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         # events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
         # reader rejects (PARQUET_TYPE_ILLEGAL). Read nanos as long and

@@ -21,10 +21,14 @@ from anomaly_detection_in_time_series_data_spark import queries as q
 
 HEADLINE = [
     "flagship_anomaly_zscore",
+    "flagship_anomaly_zscore_chunked",
     "agg_pricing_summary",
     "join_star_revenue",
+    "region_supplier_volume",
+    "shipping_priority_top10",
     "window_rank_orders",
     "window_running_sum",
+    "asof_join_last_order",
     "topk_orders",
     "dedup_exact_groups",
     "text_term_frequency",
