@@ -1464,3 +1464,70 @@ def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("o_totalprice").over(w).alias("latest_price"),
         F.nth_value("o_orderkey", 2).over(w).cast("bigint").alias("second_orderkey"),
     )
+
+
+# ---------------------------------------------------------------------------
+# SQL-API surface (spark.sql over registered views — same Catalyst plans)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "exists_agg_late_customers",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey
+      GROUP BY o.o_custkey
+      HAVING CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) > 3000000
+    )
+    """,
+)
+def exists_agg_late_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS with aggregation (Q21-family shape), via the SQL
+    API — Catalyst decorrelates it into an aggregate + semi join."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name FROM customer c
+        WHERE EXISTS (
+          SELECT 1 FROM orders o
+          WHERE o.o_custkey = c.c_custkey
+          GROUP BY o.o_custkey
+          HAVING CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) > 3000000
+        )
+        """
+    )
+
+
+@query(
+    "not_in_null_semantics",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_not_in,
+           CAST((SELECT count(*) FROM customer) AS BIGINT) AS n_total
+    FROM customer
+    WHERE c_nationkey NOT IN (
+      SELECT CASE WHEN s_suppkey = 0 THEN NULL ELSE s_nationkey END
+      FROM supplier
+    )
+    """,
+)
+def not_in_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT IN against a subquery containing a NULL — the classic
+    three-valued-logic trap (a NULL in the list makes NOT IN never-true for
+    non-matching rows). Both engines must implement the same null-aware
+    anti-join semantics."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    load_table(spark, sf_dir, "supplier").createOrReplaceTempView("supplier")
+    return spark.sql(
+        """
+        SELECT CAST(count(*) AS BIGINT) AS n_not_in,
+               CAST((SELECT count(*) FROM customer) AS BIGINT) AS n_total
+        FROM customer
+        WHERE c_nationkey NOT IN (
+          SELECT CASE WHEN s_suppkey = 0 THEN NULL ELSE s_nationkey END
+          FROM supplier
+        )
+        """
+    )
