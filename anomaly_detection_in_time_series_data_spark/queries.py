@@ -1531,3 +1531,80 @@ def not_in_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         """
     )
+
+
+@query(
+    "posexplode_tokens",
+    oracle="""
+    SELECT doc_id,
+           CAST(unnest(generate_series(1, len(toks))) - 1 AS BIGINT) AS pos,
+           unnest(toks) AS term
+    FROM (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
+      FROM documents WHERE length(trim(text)) > 0 AND doc_id < 50
+    )
+    """,
+)
+def posexplode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UDTF surface: positional explode of token arrays (one row per token
+    with its offset) — the generator/table-function shape."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    toked = docs.select("doc_id", text.tokens(F.lower(F.col("text"))).alias("_toks"))
+    return (
+        toked.select("doc_id", F.posexplode_outer("_toks").alias("pos", "term"))
+        .filter(F.col("term").isNotNull())
+        .select("doc_id", F.col("pos").cast("bigint").alias("pos"), "term")
+    )
+
+
+@query(
+    "array_agg_sorted",
+    oracle="""
+    SELECT c_mktsegment,
+           array_to_string(list_sort(list(DISTINCT CAST(c_nationkey AS BIGINT))), ',')
+             AS nations,
+           CAST(count(*) AS BIGINT) AS n
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def array_agg_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic array aggregation: collect_set + sort_array (a bare
+    collect_list is partition-order-dependent — never hash-comparable).
+    Serialized to a joined string: engines hash array cells differently."""
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.groupBy("c_mktsegment").agg(
+        F.concat_ws(
+            ",", F.sort_array(F.collect_set(F.col("c_nationkey").cast("bigint")))
+        ).alias("nations"),
+        F.count("*").cast("bigint").alias("n"),
+    )
+
+
+@query(
+    "ship_latency_by_priority",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(sum(date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE))) AS BIGINT)
+             AS total_latency_days,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def ship_latency_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date arithmetic across a join: days from order to ship (datediff ==
+    DuckDB date_diff('day') on the date-truncated timestamps)."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        orders.join(li, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum(
+                F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate"))
+            )
+            .cast("bigint")
+            .alias("total_latency_days"),
+            F.count("*").cast("bigint").alias("n_items"),
+        )
+    )

@@ -25,6 +25,13 @@ import __spark_entry__ as entrymod
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)].copy()
+    for col in df.columns:
+        if df[col].dtype == object and df[col].map(
+            lambda v: isinstance(v, (list, tuple)) or hasattr(v, "tolist")
+        ).any():
+            df[col] = df[col].map(
+                lambda v: str(list(v)) if v is not None and not isinstance(v, str) else v
+            )
     return df.sort_values(by=list(df.columns), ignore_index=True)
 
 
