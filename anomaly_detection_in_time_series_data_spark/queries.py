@@ -1608,3 +1608,395 @@ def ship_latency_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").cast("bigint").alias("n_items"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-family heavy relational shapes (adapted to the fixture star schema:
+# no partsupp / commitdate / receiptdate columns, so each query keeps the
+# classic plan shape on the columns that exist)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "promo_revenue",
+    oracle="""
+    SELECT CAST(sum(CASE WHEN p_type = 'PROMO' THEN rev ELSE CAST(0 AS DECIMAL(18,2)) END)
+                AS DOUBLE) AS promo_revenue,
+           CAST(sum(rev) AS DOUBLE) AS total_revenue
+    FROM (
+      SELECT p_type,
+             CAST(l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l_discount AS DECIMAL(18,2))) AS rev
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1996-04-01'
+    )
+    """,
+)
+def promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q14 shape: conditional aggregation over a fact->dim join. The part
+    side is small -> Catalyst broadcasts it; the shipdate range predicate
+    pushes down to the lineitem parquet scan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    rev = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+        )
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0).cast("decimal(18,2)")))
+            .cast("double")
+            .alias("promo_revenue"),
+            F.sum(rev).cast("double").alias("total_revenue"),
+        )
+    )
+
+
+@query(
+    "nation_volume_shipping",
+    oracle="""
+    SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+           CAST(year(l_shipdate) AS BIGINT) AS l_year,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS volume
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey  = c_custkey
+    JOIN nation cn ON c_nationkey = cn.n_nationkey
+    JOIN supplier ON l_suppkey  = s_suppkey
+    JOIN nation sn ON s_nationkey = sn.n_nationkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY cn.n_name, sn.n_name, year(l_shipdate)
+    """,
+)
+def nation_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7 shape: the nation dimension joined in TWO roles (customer's nation
+    and supplier's nation) — a self-join of the dim table under different
+    aliases, both broadcast; the fact table shuffles only for the final
+    group-by."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    cn = nation.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    sn = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .groupBy(
+            "cust_nation", "supp_nation", F.year("l_shipdate").cast("bigint").alias("l_year")
+        )
+        .agg(
+            _dsum(
+                _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount")), "volume"
+            )
+        )
+    )
+
+
+@query(
+    "avg_yearly_small_qty",
+    oracle="""
+    SELECT p_brand,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
+             AS avg_yearly,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_quantity < (
+      SELECT 0.2 * avg(l2.l_quantity) FROM lineitem l2
+      WHERE l2.l_partkey = l.l_partkey
+    )
+    GROUP BY p_brand
+    """,
+)
+def avg_yearly_small_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q17 shape: correlated scalar subquery (per-part average quantity),
+    expressed through the SQL API so Catalyst decorrelates it into an
+    aggregate + join — no per-row re-execution. Quantities are
+    integer-valued doubles, so avg() is order-insensitive exactly."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    load_table(spark, sf_dir, "part").createOrReplaceTempView("part")
+    return spark.sql(
+        """
+        SELECT p_brand,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
+                 AS avg_yearly,
+               CAST(count(*) AS BIGINT) AS n_items
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE l.l_quantity < (
+          SELECT 0.2 * avg(l2.l_quantity) FROM lineitem l2
+          WHERE l2.l_partkey = l.l_partkey
+        )
+        GROUP BY p_brand
+        """
+    )
+
+
+@query(
+    "large_volume_customers",
+    oracle="""
+    SELECT c_name, c_custkey, o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+           CAST(sum(l_quantity) AS BIGINT) AS total_qty
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (
+      SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+      HAVING sum(l_quantity) > 250
+    )
+    GROUP BY c_name, c_custkey, o_orderkey, o_orderdate
+    """,
+)
+def large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q18 shape: IN over a grouped-HAVING subquery (semi join against an
+    aggregate), then re-aggregation with the customer dimension."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("_sq"))
+        .filter(F.col("_sq") > 250)
+        .select("l_orderkey")
+    )
+    return (
+        li.join(big.withColumnRenamed("l_orderkey", "_bk"), F.col("l_orderkey") == F.col("_bk"), "left_semi")
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+        )
+        .agg(F.sum("l_quantity").cast("bigint").alias("total_qty"))
+    )
+
+
+@query(
+    "disjunctive_filter_revenue",
+    oracle="""
+    SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+           AND l_quantity >= 1 AND l_quantity <= 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+           AND l_quantity >= 10 AND l_quantity <= 20)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+           AND l_quantity >= 20 AND l_quantity <= 30)
+    """,
+)
+def disjunctive_filter_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q19 shape: OR-of-ANDs predicate spanning both join sides. Catalyst
+    extracts the common single-side conjuncts (quantity range, brand/size
+    sets) and pushes them below the join as scan filters."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    q, b, s = F.col("l_quantity"), F.col("p_brand"), F.col("p_size")
+    pred = (
+        ((b == "Brand#12") & s.between(1, 5) & (q >= 1) & (q <= 11))
+        | ((b == "Brand#23") & s.between(1, 10) & (q >= 10) & (q <= 20))
+        | ((b == "Brand#3") & s.between(1, 15) & (q >= 20) & (q <= 30))
+    )
+    return (
+        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .filter(pred)
+        .agg(
+            _dsum(_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount")), "revenue"),
+            F.count("*").cast("bigint").alias("n_items"),
+        )
+    )
+
+
+@query(
+    "supplier_cnt_by_type",
+    oracle="""
+    SELECT p_brand, p_type, p_size,
+           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM part JOIN lineitem ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#5'
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    """,
+)
+def supplier_cnt_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q16 shape: count(distinct) per part attributes with a NOT IN
+    exclusion list (null-free -> plain anti join)."""
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_brand") != "Brand#5")
+    li = load_table(spark, sf_dir, "lineitem")
+    bad = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select(F.col("s_suppkey").alias("_bad_suppkey"))
+    )
+    return (
+        li.join(
+            F.broadcast(bad), F.col("l_suppkey") == F.col("_bad_suppkey"), "left_anti"
+        )
+        .join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct(F.col("l_suppkey")).cast("bigint").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "acctbal_prospects",
+    oracle="""
+    SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+           CAST(count(*) AS BIGINT) AS n_custs,
+           CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+    FROM customer
+    WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+      AND NOT EXISTS (
+        SELECT 1 FROM orders
+        WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '2000-01-01'
+      )
+    GROUP BY c_nationkey
+    """,
+)
+def acctbal_prospects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q22 shape: uncorrelated scalar subquery (global average balance)
+    feeding a filter, plus NOT EXISTS anti join against recent orders.
+    Average of 2-decimal balances: both engines sum doubles — made
+    order-insensitive by aggregating the decimal cast, then dividing."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+               CAST(count(*) AS BIGINT) AS n_custs,
+               CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+        FROM customer
+        WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+          AND NOT EXISTS (
+            SELECT 1 FROM orders
+            WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '2000-01-01'
+          )
+        GROUP BY c_nationkey
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# Event-time windows in batch (the same window exprs the streaming layer
+# uses — session_window / window over the events table, oracle-checked)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "session_windows_user",
+    oracle="""
+    SELECT user_id,
+           CAST(epoch_us(min(ts)) AS BIGINT) AS session_start_us,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM (
+      SELECT user_id, ts,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS sess_id
+      FROM (
+        SELECT user_id, event_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                      OR ts - lag(ts) OVER w >= INTERVAL 1 HOUR
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      )
+    )
+    GROUP BY user_id, sess_id
+    """,
+)
+def session_windows_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session windows (1-hour inactivity gap) via Spark's native
+    ``session_window`` — the batch twin of the streaming session operator.
+    Oracle is the classic gaps-and-islands formulation: a session break is
+    a gap >= the timeout (Spark session windows are [start, start+gap)
+    half-open, so an event exactly at the previous end starts a new one)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").cast("bigint").alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("w.start")).alias("session_start_us"),
+            "n_events",
+        )
+    )
+
+
+@query(
+    "tumbling_event_stats",
+    oracle="""
+    SELECT event_type,
+           CAST(epoch_us(date_trunc('day', ts)) AS BIGINT) AS bucket_us,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           max(value) AS max_value
+    FROM events
+    GROUP BY event_type, date_trunc('day', ts)
+    """,
+)
+def tumbling_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-day event-time windows via ``F.window`` (epoch-aligned in
+    the UTC session timezone == date_trunc('day')) — the batch twin of the
+    streaming windowed aggregation. max/count outputs are order-insensitive
+    exactly, so no decimal discipline is needed."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type", F.window("ts", "1 day").alias("w"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.count_distinct(F.col("user_id")).cast("bigint").alias("n_users"),
+            F.max("value").alias("max_value"),
+        )
+        .select(
+            "event_type",
+            F.unix_micros(F.col("w.start")).alias("bucket_us"),
+            "n_events",
+            "n_users",
+            "max_value",
+        )
+    )
+
+
+@query(
+    "embedding_near_dup_pairs",
+    oracle="""
+    SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                 CAST(b.embedding AS DOUBLE[])) > 0.45
+    """,
+)
+def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs — the exact O(N^2) baseline
+    of the dedup family, computed JVM-side (zip_with/aggregate dot product,
+    no UDF). Output is ID pairs only: the 0.45 threshold sits >5e-4 from
+    the nearest fixture pair, far beyond double rounding, so the flag is
+    hash-stable. The 100 TB path replaces the cross join with LSH
+    bucketing (``similarity.lsh_topk`` / ``dedup.lsh_candidate_pairs``) —
+    same verdict, candidate-bucket-local comparisons only."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("_v")
+    )
+    a = emb.select(F.col("vec_id").alias("vec_id_a"), F.col("_v").alias("_va"))
+    b = emb.select(F.col("vec_id").alias("vec_id_b"), F.col("_v").alias("_vb"))
+    return (
+        a.join(b, F.col("vec_id_a") < F.col("vec_id_b"))
+        .filter(similarity.cosine(F.col("_va"), F.col("_vb")) > 0.45)
+        .select("vec_id_a", "vec_id_b")
+    )
