@@ -2000,3 +2000,119 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(similarity.cosine(F.col("_va"), F.col("_vb")) > 0.45)
         .select("vec_id_a", "vec_id_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming-executed queries: the SAME oracle as a batch query, but computed
+# by Structured Streaming micro-batches (availableNow trigger -> memory
+# sink). These prove the streaming layer produces hash-identical results.
+# ---------------------------------------------------------------------------
+
+
+def _read_events_stream(spark: SparkSession, sf_dir: str):
+    """Structured-Streaming twin of ``load_table(..., 'events')``: same
+    nanos->micros conversion, file-source over the fixture parquet."""
+    batch = load_table(spark, sf_dir, "events")  # sets tz + nanosAsLong conf
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    return (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")  # file source needs a dir
+        .parquet(sf_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000"))),
+        batch,
+    )
+
+
+def _run_to_memory(result, name_prefix: str, output_mode: str):
+    import uuid as _uuid
+
+    qname = f"{name_prefix}_{_uuid.uuid4().hex[:8]}"
+    q = (
+        result.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return qname
+
+
+@query(
+    "streaming_tumbling_stats",
+    oracle="""
+    SELECT event_type,
+           CAST(epoch_us(date_trunc('day', ts)) AS BIGINT) AS bucket_us,
+           CAST(count(*) AS BIGINT) AS n_events,
+           max(value) AS max_value
+    FROM events
+    GROUP BY event_type, date_trunc('day', ts)
+    """,
+)
+def streaming_tumbling_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling daily stats computed BY Structured Streaming (file source ->
+    windowed aggregation -> complete-mode memory sink, availableNow), hash-
+    matched against the plain SQL oracle — the batch/stream unification
+    guarantee: one query, two runtimes, identical bytes."""
+    stream, _ = _read_events_stream(spark, sf_dir)
+    agg = (
+        stream.groupBy("event_type", F.window("ts", "1 day").alias("w"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.max("value").alias("max_value"),
+        )
+        .select(
+            "event_type",
+            F.unix_micros(F.col("w.start")).alias("bucket_us"),
+            "n_events",
+            "max_value",
+        )
+    )
+    qname = _run_to_memory(agg, "stream_tumbling", "complete")
+    return spark.table(qname)
+
+
+@query(
+    "streaming_welford_zscore",
+    oracle="""
+    SELECT event_type,
+           CAST(epoch_us(ts) AS BIGINT) AS event_us,
+           value,
+           CASE WHEN n_prev >= 5 AND sigma IS NOT NULL AND sigma > 1e-12
+                     AND abs((value - mu) / sigma) > 3.0
+                THEN TRUE ELSE FALSE END AS is_anomaly
+    FROM (
+      SELECT event_type, ts, value,
+             count(*) OVER wp AS n_prev,
+             avg(value) OVER wp AS mu,
+             stddev_samp(value) OVER wp AS sigma
+      FROM events
+      WINDOW wp AS (PARTITION BY event_type ORDER BY ts
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    )
+    """,
+)
+def streaming_welford_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The custom stateful streaming operator (applyInPandasWithState,
+    Welford running mean/M2 state per key) hash-matched against the
+    equivalent unbounded-preceding window SQL: each event scored against
+    the statistics of all PRIOR events for its event_type. Causality holds
+    because ts is unique per key and batches sort by ts before folding
+    into state."""
+    from .streaming.anomaly_stream import streaming_zscore
+
+    stream, _ = _read_events_stream(spark, sf_dir)
+    scored = streaming_zscore(
+        stream.select(F.col("event_type"), F.col("ts").alias("event_ts"), "value"),
+        key_col="event_type",
+        ts_col="event_ts",
+        threshold=3.0,
+        min_points=5,
+    )
+    qname = _run_to_memory(scored, "stream_welford", "append")
+    return spark.table(qname).select(
+        "event_type",
+        F.unix_micros(F.col("event_ts")).alias("event_us"),
+        "value",
+        "is_anomaly",
+    )
