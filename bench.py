@@ -29,6 +29,12 @@ HEADLINE = [
     "window_rank_orders",
     "window_running_sum",
     "asof_join_last_order",
+    "nation_volume_shipping",
+    "supplier_cnt_by_type",
+    "large_volume_customers",
+    "promo_revenue",
+    "session_windows_user",
+    "tumbling_event_stats",
     "topk_orders",
     "dedup_exact_groups",
     "text_term_frequency",
