@@ -2116,3 +2116,127 @@ def streaming_welford_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         "is_anomaly",
     )
+
+
+# ---------------------------------------------------------------------------
+# Modern-Spark surfaces: VariantType JSON, range-interval join, approx
+# sketches with verified error bounds, multimodal feature extraction
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "variant_json_extract",
+    oracle="""
+    SELECT event_type,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS sum_k,
+           CAST(count(json_extract_string(props, '$.k')) AS BIGINT) AS n_k
+    FROM events GROUP BY event_type
+    """,
+)
+def variant_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured JSON via Spark 4 VariantType: ``parse_json`` once,
+    typed ``variant_get`` paths after — the columnar-shredded JSON path
+    (vs the regex twin ``json_props_extract``). DuckDB oracle uses its
+    native JSON extraction."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.variant_get(F.parse_json(F.col("props")), "$.k", "bigint")
+    return ev.groupBy("event_type").agg(
+        F.sum(k).cast("bigint").alias("sum_k"),
+        F.count(k).cast("bigint").alias("n_k"),
+    )
+
+
+@query(
+    "range_interval_join",
+    oracle="""
+    WITH spikes AS (
+      SELECT event_id AS spike_id,
+             ts - INTERVAL 30 MINUTE AS lo,
+             ts + INTERVAL 30 MINUTE AS hi
+      FROM (
+        SELECT event_id, ts,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY value DESC, event_id) AS rn
+        FROM events
+      ) WHERE rn <= 10
+    )
+    SELECT spike_id, CAST(count(*) AS BIGINT) AS n_events_in_window
+    FROM spikes JOIN events e ON e.ts >= spikes.lo AND e.ts < spikes.hi
+    GROUP BY spike_id
+    """,
+)
+def range_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval containment) join — a non-equi band join: the top-10
+    spike events per type define +/-30-minute windows; count ALL events
+    inside each window. The interval side is tiny and broadcast, so the
+    physical plan is a broadcast nested-loop with the band predicate — the
+    scalable shape when no equi key exists (the 100 TB alternative is
+    bucketing time into epochs and equi-joining on the epoch)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(F.desc("value"), "event_id")
+    spikes = (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select(
+            F.col("event_id").alias("spike_id"),
+            (F.col("ts") - F.expr("INTERVAL 30 MINUTES")).alias("lo"),
+            (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("hi"),
+        )
+    )
+    return (
+        load_table(spark, sf_dir, "events")
+        .alias("e")
+        .join(F.broadcast(spikes), (F.col("e.ts") >= F.col("lo")) & (F.col("e.ts") < F.col("hi")))
+        .groupBy("spike_id")
+        .agg(F.count("*").cast("bigint").alias("n_events_in_window"))
+    )
+
+
+@query(
+    "approx_distinct_bounds",
+    oracle="""
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
+           TRUE AS approx_within_5pct
+    FROM events GROUP BY event_type
+    """,
+)
+def approx_distinct_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ sketch with a VERIFIED error bound: the hash-carrying
+    columns are the exact distinct counts; the boolean asserts the sketch
+    estimate (rsd=2%) landed within 5% of exact — so the oracle match
+    actually checks the sketch, not just the exact path. At 100 TB the
+    sketch replaces the exact count (one pass, mergeable partial state,
+    no distinct shuffle)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count_distinct(F.col("user_id")).cast("bigint").alias("n_exact"),
+        (
+            F.abs(
+                F.approx_count_distinct("user_id", rsd=0.02).cast("double")
+                - F.count_distinct(F.col("user_id")).cast("double")
+            )
+            <= 0.05 * F.count_distinct(F.col("user_id")).cast("double")
+        ).alias("approx_within_5pct"),
+    )
+
+
+@query("multimodal_image_features")
+def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal binary-column pipeline (rows-only: payloads are
+    deterministic synthetic media — the image/audio codecs are stubbed per
+    the environment, the Spark plumbing is real): opaque binary payload +
+    typed metadata -> mapInPandas decode/resize/feature-extract. Returns
+    per-image brightness stats and an 8x8 thumbnail feature vector."""
+    from .operators.multimodal import image_features, synthetic_media
+
+    media = synthetic_media(spark, n=48)
+    feats = image_features(media, resize_to=(8, 8))
+    return feats.select(
+        "media_id",
+        F.round(F.col("px_mean"), 6).alias("px_mean"),
+        F.round(F.col("px_std"), 6).alias("px_std"),
+        F.size("histogram").cast("bigint").alias("n_hist_bins"),
+        F.size("thumbnail").cast("bigint").alias("n_thumb_px"),
+    )

@@ -89,3 +89,47 @@ def test_no_python_udf_in_relational_queries(spark, sf_dir):
     ]:
         plan = plans.executed_plan(q.QUERIES[name](spark, sf_dir))
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+
+
+def test_q19_disjunction_pushed_to_both_scan_sides(spark, sf_dir):
+    # Catalyst must extract the single-side conjuncts of the OR-of-ANDs
+    # predicate and push them below the join: the quantity disjunction to
+    # the lineitem scan, the brand/size disjunction to the part scan.
+    df = q.QUERIES["disjunctive_filter_revenue"](spark, sf_dir)
+    assert plans.has_pushed_filter(df, "l_quantity")
+    assert plans.has_pushed_filter(df, "p_brand")
+    assert plans.has_broadcast_join(df)
+
+
+def test_q7_two_role_dim_join_all_broadcast(spark, sf_dir):
+    # Five joins (orders + customer + supplier + nation x2 roles): every
+    # dim side broadcasts; the fact table must never sort-merge.
+    df = q.QUERIES["nation_volume_shipping"](spark, sf_dir)
+    plan = plans.executed_plan(df)
+    assert plans.has_broadcast_join(df)
+    assert "SortMergeJoin" not in plan
+    assert plans.has_pushed_filter(df, "l_shipdate")
+
+
+def test_q17_decorrelated_no_per_row_subquery(spark, sf_dir):
+    # The correlated scalar subquery must decorrelate into an aggregate +
+    # join, not a per-row re-execution (no nested subquery nodes left).
+    df = q.QUERIES["avg_yearly_small_qty"](spark, sf_dir)
+    plan = plans.executed_plan(df)
+    assert "Subquery" not in plan  # fully planned as joins
+    assert "partial_avg" in plan or "avg" in plan
+
+
+def test_q16_not_in_becomes_anti_join(spark, sf_dir):
+    df = q.QUERIES["supplier_cnt_by_type"](spark, sf_dir)
+    plan = plans.executed_plan(df)
+    assert "LeftAnti" in plan
+    assert plans.has_pushed_filter(df, "s_acctbal")
+
+
+def test_embedding_near_dup_stays_jvm_side(spark, sf_dir):
+    # The O(N^2) cosine baseline must run as JVM higher-order functions —
+    # no Python evaluation in the pair loop.
+    df = q.QUERIES["embedding_near_dup_pairs"](spark, sf_dir)
+    plan = plans.executed_plan(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
