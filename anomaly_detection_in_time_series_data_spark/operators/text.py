@@ -144,3 +144,31 @@ def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     return d.withColumn("lang_pred", label).drop(
         *[f"_s_{lang}" for lang in _LANG_MARKERS]
     )
+
+
+def chunk_text_udtf():
+    """Python UDTF (Spark 4 table-function surface) that chunks a document
+    into overlapping word windows — the canonical LLM-training-data
+    chunking op. Emits one row per (chunk_idx, chunk, n_tokens) with
+    ``window`` words per chunk advancing by ``stride`` (= window-overlap).
+
+    The arrow-optimized UDTF is the supported custom-generator path; for
+    the pure-SQL twin (used as the oracle) the same chunks come from
+    ``generate_series`` + ``array_slice``.
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id: bigint, chunk_idx: bigint, chunk: string, n_tokens: bigint")
+    class ChunkText:
+        WINDOW = 32
+        STRIDE = 24
+
+        def eval(self, doc_id: int, text: str):  # noqa: ANN001 — Spark UDTF API
+            toks = (text or "").strip().split()
+            if not toks:
+                return
+            for idx, start in enumerate(range(0, len(toks), self.STRIDE)):
+                piece = toks[start : start + self.WINDOW]
+                yield (doc_id, idx, " ".join(piece), len(piece))
+
+    return ChunkText

@@ -2240,3 +2240,57 @@ def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("histogram").cast("bigint").alias("n_hist_bins"),
         F.size("thumbnail").cast("bigint").alias("n_thumb_px"),
     )
+
+
+@query(
+    "udtf_text_chunks",
+    oracle="""
+    SELECT doc_id,
+           CAST((s / 24) AS BIGINT) AS chunk_idx,
+           array_to_string(toks[s + 1 : least(s + 32, n)], ' ') AS chunk,
+           CAST(least(s + 32, n) - s AS BIGINT) AS n_tokens
+    FROM (
+      SELECT doc_id, string_split(trim(text), ' ') AS toks,
+             len(string_split(trim(text), ' ')) AS n
+      FROM documents WHERE length(trim(text)) > 0
+    ), LATERAL unnest(generate_series(0, n - 1, 24)) AS t(s)
+    """,
+)
+def udtf_text_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping word-window chunking (32-word windows, stride 24) via a
+    Python UDTF in a LATERAL join — the table-function API surface. The
+    oracle derives identical chunks with generate_series + array_slice."""
+    chunker = text.chunk_text_udtf()
+    spark.udtf.register("chunk_text", chunker)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(
+        """
+        SELECT c.doc_id, c.chunk_idx, c.chunk, c.n_tokens
+        FROM documents d, LATERAL chunk_text(d.doc_id, d.text) c
+        WHERE length(trim(d.text)) > 0
+        """
+    )
+
+
+@query(
+    "approx_percentile_bounds",
+    oracle="""
+    SELECT o_orderstatus,
+           quantile_cont(o_totalprice, 0.5) AS p50_exact,
+           TRUE AS approx_within_2pct
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def approx_percentile_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketched percentile with a VERIFIED bound (same pattern as the HLL
+    query): hash-carrying column is the exact interpolated median;
+    the boolean asserts percentile_approx (accuracy 10k) landed within 2%.
+    At 100 TB the sketch is the only viable path — single pass, mergeable
+    partial state."""
+    orders = load_table(spark, sf_dir, "orders")
+    exact = F.expr("percentile(o_totalprice, 0.5D)")
+    approx = F.percentile_approx("o_totalprice", 0.5, 10000).cast("double")
+    return orders.groupBy("o_orderstatus").agg(
+        exact.alias("p50_exact"),
+        (F.abs(approx - exact) <= 0.02 * F.abs(exact)).alias("approx_within_2pct"),
+    )

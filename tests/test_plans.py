@@ -133,3 +133,30 @@ def test_embedding_near_dup_stays_jvm_side(spark, sf_dir):
     df = q.QUERIES["embedding_near_dup_pairs"](spark, sf_dir)
     plan = plans.executed_plan(df)
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_dynamic_partition_pruning_on_partitioned_fact(spark, sf_dir, tmp_path):
+    # Hive-partitioned fact + selectively-filtered dim join: Catalyst must
+    # inject a dynamic pruning subquery on the fact's partition column so
+    # only the matching year directories are scanned (the mechanism that
+    # makes partitioned 100 TB layouts cheap to join).
+    from anomaly_detection_in_time_series_data_spark.tables import load_table
+
+    path = str(tmp_path / "li_by_year")
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "ship_year", F.year("l_shipdate")
+    )
+    li.write.partitionBy("ship_year").parquet(path)
+    fact = spark.read.parquet(path)
+    dim = spark.createDataFrame(
+        [(y, "keep" if y == 1996 else "drop") for y in range(1995, 2002)],
+        "ship_year int, tag string",
+    )
+    joined = (
+        fact.join(dim.filter(F.col("tag") == "keep"), "ship_year")
+        .groupBy("ship_year")
+        .agg(F.sum("l_quantity").alias("q"))
+    )
+    plan = plans.executed_plan(joined)
+    assert "dynamicpruning" in plan.lower()
+    assert joined.count() == 1
