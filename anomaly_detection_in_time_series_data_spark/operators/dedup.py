@@ -352,3 +352,96 @@ def simhash_near_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def exact_jaccard_edges(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """EXACT near-duplicate edges (id_a < id_b, jaccard >= threshold) via
+    inverted-index blocking: explode distinct shingles, equi-join on the
+    shingle (any qualifying pair must share one — no false negatives,
+    unlike banded LSH), then verify candidates with the exact set Jaccard.
+
+    Scale shape: the shingle join is an equi shuffle join; hot shingles
+    (stop-phrases) skew it — at 100 TB drop shingles above a document-
+    frequency cap first (they cannot discriminate near-dups anyway), or
+    fall back to ``lsh_candidate_pairs`` when approximate recall is
+    acceptable. Jaccard arithmetic is integer-count division — exact and
+    engine-portable."""
+    sh = with_shingles(df, id_col=id_col, text_col=text_col, n=n).filter(
+        F.size("_shingles") > 0
+    )
+    ex = sh.select(F.col(id_col), F.explode("_shingles").alias("_s"))
+    cands = (
+        ex.alias("a")
+        .join(ex.alias("b"), "_s")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sa = sh.select(F.col(id_col).alias("id_a"), F.col("_shingles").alias("_sh_a"))
+    sb = sh.select(F.col(id_col).alias("id_b"), F.col("_shingles").alias("_sh_b"))
+    jac = F.size(F.array_intersect("_sh_a", "_sh_b")).cast("double") / F.size(
+        F.array_union("_sh_a", "_sh_b")
+    )
+    return (
+        cands.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def connected_components(
+    edges: DataFrame, src: str = "id_a", dst: str = "id_b", max_iter: int = 25
+) -> DataFrame:
+    """Connected components by iterative min-label propagation.
+
+    Each node starts labeled with its own id; every superstep sends labels
+    across edges (both directions) and keeps the per-node minimum,
+    converging in <= diameter supersteps. ``localCheckpoint`` truncates
+    the growing lineage each round (the standard Pregel-on-DataFrames
+    shape; GraphX/GraphFrames do the same supersteps). Returns
+    (node, component) where component = min node id in the component.
+
+    The convergence check is one count() action per superstep — O(diameter)
+    driver round-trips, NOT a per-row driver loop; at 100 TB use the
+    large-star/small-star variant to cut supersteps on high-diameter
+    graphs."""
+    und = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).unionByName(
+        edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+    )
+    und = und.localCheckpoint(eager=True)
+    labels = (
+        und.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+    )
+    for _ in range(max_iter):
+        msgs = und.join(labels, und.a == labels.node).select(
+            F.col("b").alias("node"), "component"
+        )
+        new_labels = (
+            labels.unionByName(msgs)
+            .groupBy("node")
+            .agg(F.min("component").alias("component"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels

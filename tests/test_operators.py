@@ -182,3 +182,38 @@ def test_ivf_topk_recall_against_bruteforce(spark, sf_dir):
     approx_pairs = {(r.probe_id, r.neighbor_id) for r in approx}
     recall = len(exact_pairs & approx_pairs) / len(exact_pairs)
     assert recall >= 0.5
+
+
+def test_connected_components_multi_hop_chain(spark):
+    from anomaly_detection_in_time_series_data_spark.operators.dedup import (
+        connected_components,
+    )
+
+    # chain 1-2-3-4 (diameter 3), triangle 10-11-12, disjoint pair 20-21
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
+        "id_a long, id_b long",
+    )
+    comp = {
+        r["node"]: r["component"] for r in connected_components(edges).collect()
+    }
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_exact_jaccard_edges_planted_near_dup(spark):
+    from anomaly_detection_in_time_series_data_spark.operators.dedup import (
+        exact_jaccard_edges,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base + " tail"),          # near-dup of 1
+            (3, "completely different words in this one entirely"),
+        ],
+        "doc_id long, text string",
+    )
+    edges = exact_jaccard_edges(docs, threshold=0.5).collect()
+    assert [(e["id_a"], e["id_b"]) for e in edges] == [(1, 2)]
+    assert edges[0]["jaccard"] > 0.8
