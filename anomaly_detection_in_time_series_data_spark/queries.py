@@ -2348,3 +2348,63 @@ def near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("component").cast("bigint").alias("component_id"),
         "component_size",
     )
+
+
+@query(
+    "window_distribution_ranks",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderstatus,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist() OVER w AS cume,
+           CAST(ntile(10) OVER w AS BIGINT) AS decile
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def window_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions (percent_rank/cume_dist/ntile) — exact
+    rational arithmetic on ranks, so the doubles agree bit-for-bit."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    return orders.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.ntile(10).over(w).cast("bigint").alias("decile"),
+    )
+
+
+@query(
+    "null_safe_equality",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_pairs
+    FROM (
+      SELECT CASE WHEN s_suppkey % 10 = 0 THEN NULL ELSE s_nationkey END AS k
+      FROM supplier
+    ) a
+    JOIN (
+      SELECT CASE WHEN c_custkey % 100 = 0 THEN NULL ELSE c_nationkey END AS k
+      FROM customer
+    ) b ON a.k IS NOT DISTINCT FROM b.k
+    """,
+)
+def null_safe_equality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (<=> / IS NOT DISTINCT FROM): NULL keys MATCH
+    each other — the opposite of standard join semantics; Spark still
+    plans it as a hash join on the null-safe key."""
+    supp = load_table(spark, sf_dir, "supplier").select(
+        F.when(F.col("s_suppkey") % 10 == 0, F.lit(None))
+        .otherwise(F.col("s_nationkey"))
+        .alias("ka")
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.when(F.col("c_custkey") % 100 == 0, F.lit(None))
+        .otherwise(F.col("c_nationkey"))
+        .alias("kb")
+    )
+    return (
+        supp.join(cust, F.col("ka").eqNullSafe(F.col("kb")))
+        .agg(F.count("*").cast("bigint").alias("n_pairs"))
+    )
