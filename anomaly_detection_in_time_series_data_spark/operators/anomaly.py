@@ -186,3 +186,75 @@ def rolling_zscore_chunked(
         .filter(~F.col("_ctx"))
         .drop("_ctx", "_chunk")
     )
+
+
+def ewma_anomaly(
+    df: DataFrame,
+    *,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    alpha: float = 0.1,
+    threshold: float = 3.0,
+    min_points: int = 5,
+) -> DataFrame:
+    """EWMA control-chart anomaly detection per key (causal).
+
+    Each point is scored against the exponentially weighted mean/variance
+    of STRICTLY PRIOR points (so an outlier cannot mask itself), then
+    folded in:
+
+        delta  = x - mu_prev
+        z      = delta / sqrt(var_prev)          (flag if |z| > threshold)
+        mu     = mu_prev + alpha * delta
+        var    = (1 - alpha) * (var_prev + alpha * delta^2)
+
+    Unlike the rolling-window z-score, state is O(1) per key (mu, var,
+    n) and old history decays smoothly — the standard drift-tolerant
+    scorer. Runs as one ``applyInPandas`` pass per key group; at scale
+    parallelism = #keys (chunk by time with state handoff if single keys
+    dominate — same trick as ``rolling_zscore_chunked``)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField(key_col, df.schema[key_col].dataType),
+            T.StructField("event_ts", df.schema[ts_col].dataType),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("ewma_z", T.DoubleType()),
+            T.StructField("is_anomaly", T.BooleanType()),
+        ]
+    )
+
+    def score(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(ts_col)
+        xs = pdf[value_col].to_numpy(dtype=float)
+        mu, var, n = 0.0, 0.0, 0
+        zs = np.full(len(xs), np.nan)
+        flags = np.zeros(len(xs), dtype=bool)
+        for i, x in enumerate(xs):
+            if n >= min_points and var > 1e-24:
+                zs[i] = (x - mu) / var**0.5
+                flags[i] = abs(zs[i]) > threshold
+            delta = x - mu if n else 0.0
+            if n == 0:
+                mu = x
+            else:
+                mu += alpha * delta
+                var = (1.0 - alpha) * (var + alpha * delta * delta)
+            n += 1
+        return pd.DataFrame(
+            {
+                key_col: pdf[key_col],
+                "event_ts": pdf[ts_col],
+                "value": xs,
+                "ewma_z": zs,
+                "is_anomaly": flags,
+            }
+        )
+
+    return df.select(key_col, ts_col, value_col).groupBy(key_col).applyInPandas(
+        score, schema=out_schema
+    )

@@ -2408,3 +2408,94 @@ def null_safe_equality(spark: SparkSession, sf_dir: str) -> DataFrame:
         supp.join(cust, F.col("ka").eqNullSafe(F.col("kb")))
         .agg(F.count("*").cast("bigint").alias("n_pairs"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-series resampling (title-domain ops: regular grid + gap fill)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "resample_gap_fill",
+    oracle="""
+    WITH b AS (
+      SELECT event_type,
+             (epoch_us(min(ts)) // 300000000) * 300 AS s0,
+             (epoch_us(max(ts)) // 300000000) * 300 AS s1
+      FROM events GROUP BY event_type
+    ),
+    grid AS (
+      SELECT event_type, unnest(generate_series(s0, s1, 300)) AS bucket_s
+      FROM b
+    ),
+    agg AS (
+      SELECT event_type,
+             (epoch_us(ts) // 300000000) * 300 AS bucket_s,
+             max(value) AS vmax
+      FROM events GROUP BY event_type, bucket_s
+    )
+    SELECT g.event_type,
+           CAST(g.bucket_s AS BIGINT) AS bucket_s,
+           last_value(a.vmax IGNORE NULLS)
+             OVER (PARTITION BY g.event_type ORDER BY g.bucket_s
+                   ROWS UNBOUNDED PRECEDING) AS filled_value,
+           a.vmax IS NULL AS is_gap
+    FROM grid g LEFT JOIN agg a USING (event_type, bucket_s)
+    """,
+)
+def resample_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resample each event_type series onto a regular 5-minute grid and
+    forward-fill gaps (last observation carried forward) — the
+    regularization step upstream of any rolling-window anomaly model.
+    Grid arithmetic is integer epoch-seconds (exact, engine-portable);
+    the filled statistic is per-bucket max (order-insensitive).
+
+    Scale shape: the grid is generated per key with `sequence` (no driver
+    loop), the join is co-partitioned by (key, bucket), and the fill is a
+    single window pass. Grid cardinality = #keys x horizon/granularity —
+    independent of event count, so it SHRINKS relative to the data as the
+    stream grows."""
+    ev = load_table(spark, sf_dir, "events")
+    bucket = F.expr("unix_micros(ts) div 300000000") * 300  # exact integer div
+    bounds = ev.groupBy("event_type").agg(
+        F.min(bucket).alias("s0"), F.max(bucket).alias("s1")
+    )
+    grid = bounds.select(
+        "event_type",
+        F.explode(F.sequence("s0", "s1", F.lit(300))).alias("bucket_s"),
+    )
+    agg = ev.groupBy("event_type", bucket.alias("bucket_s")).agg(
+        F.max("value").alias("vmax")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket_s")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(agg, ["event_type", "bucket_s"], "left")
+        .select(
+            "event_type",
+            F.col("bucket_s").cast("bigint").alias("bucket_s"),
+            F.last("vmax", ignorenulls=True).over(w).alias("filled_value"),
+            F.col("vmax").isNull().alias("is_gap"),
+        )
+    )
+
+
+@query("ewma_anomaly_scores")
+def ewma_anomaly_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA control-chart anomalies per event_type (rows-only: the
+    exponential recursion has no portable SQL twin; exactness is
+    unit-tested against closed-form weights and planted spikes)."""
+    ev = load_table(spark, sf_dir, "events")
+    scored = anomaly.ewma_anomaly(
+        ev, key_col="event_type", ts_col="ts", value_col="value",
+        alpha=0.1, threshold=3.0, min_points=5,
+    )
+    return scored.select(
+        "event_type",
+        F.unix_micros("event_ts").alias("event_us"),
+        "value",
+        "is_anomaly",
+    )

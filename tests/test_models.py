@@ -48,3 +48,62 @@ def test_scores_on_fixture_embeddings(spark, sf_dir):
     flagged = out.filter("is_anomaly").count()
     assert n == emb.count()
     assert 0 < flagged <= int(n * 0.10)  # ~5% above the 95th percentile
+
+
+def test_ewma_anomaly_flags_spike_not_steady(spark):
+    import math
+
+    from anomaly_detection_in_time_series_data_spark.operators.anomaly import (
+        ewma_anomaly,
+    )
+
+    rows = []
+    # steady noise-free sine for key 'a' with one planted spike at i=50
+    for i in range(100):
+        v = math.sin(i / 5.0)
+        if i == 50:
+            v = 40.0
+        rows.append(("a", i, float(v)))
+    df = spark.createDataFrame(rows, "k string, ts long, value double")
+    out = ewma_anomaly(
+        df, key_col="k", ts_col="ts", value_col="value", alpha=0.2
+    ).collect()
+    flagged = {r["event_ts"] for r in out if r["is_anomaly"]}
+    assert 50 in flagged
+    assert not flagged - {50, 51}  # recovery sample may flag; nothing else
+
+
+def test_ewma_matches_closed_form_recursion(spark):
+    from anomaly_detection_in_time_series_data_spark.operators.anomaly import (
+        ewma_anomaly,
+    )
+
+    xs = [1.0, 2.0, 0.5, 3.0, 1.5, 2.5, 0.0, 4.0]
+    df = spark.createDataFrame(
+        [("k", i, x) for i, x in enumerate(xs)], "k string, ts long, value double"
+    )
+    out = {
+        r["event_ts"]: r["ewma_z"]
+        for r in ewma_anomaly(
+            df, key_col="k", ts_col="ts", value_col="value",
+            alpha=0.3, min_points=2,
+        ).collect()
+    }
+    # reference recursion in plain python
+    mu, var, n = 0.0, 0.0, 0
+    expect = {}
+    for i, x in enumerate(xs):
+        expect[i] = (x - mu) / var**0.5 if (n >= 2 and var > 1e-24) else None
+        d = x - mu if n else 0.0
+        if n == 0:
+            mu = x
+        else:
+            mu += 0.3 * d
+            var = 0.7 * (var + 0.3 * d * d)
+        n += 1
+    for i, e in expect.items():
+        z = out[i]
+        if e is None:
+            assert z is None or z != z  # NaN
+        else:
+            assert abs(z - e) < 1e-12
