@@ -2499,3 +2499,113 @@ def ewma_anomaly_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         "is_anomaly",
     )
+
+
+@query(
+    "seasonal_count_anomaly",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type,
+             epoch_us(ts) // 3600000000 AS hour_idx,
+             hour(ts) AS hod,
+             count(*) AS n
+      FROM events GROUP BY event_type, hour_idx, hod
+    ),
+    base AS (
+      SELECT event_type, hod,
+             count(*) AS n_hours, sum(n) AS s, sum(n * n) AS ss
+      FROM hourly GROUP BY event_type, hod
+    )
+    SELECT h.event_type,
+           CAST(h.hour_idx AS BIGINT) AS hour_idx,
+           CAST(h.n AS BIGINT) AS n_events,
+           CASE WHEN n_hours >= 3
+                     AND (ss - s * s / CAST(n_hours AS DOUBLE)) / (n_hours - 1) > 1e-24
+                     AND abs(h.n - s / CAST(n_hours AS DOUBLE)) >
+                         2.0 * sqrt((ss - s * s / CAST(n_hours AS DOUBLE)) / (n_hours - 1))
+                THEN TRUE ELSE FALSE END AS is_anomalous_hour
+    FROM hourly h JOIN base USING (event_type, hod)
+    """,
+)
+def seasonal_count_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality-aware anomaly detection: each (event_type, hour) bucket
+    is scored against the hour-of-day baseline (same clock-hour across
+    days) — the detector that catches 'quiet Tuesday 3am is normal, quiet
+    Tuesday 3pm is not'. All statistics derive from integer count sums
+    (exact in both engines); mean/std enter doubles only through identical
+    expressions, so the boolean flag is hash-stable."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type",
+        F.expr("unix_micros(ts) div 3600000000").alias("hour_idx"),
+        F.hour("ts").alias("hod"),
+    ).agg(F.count("*").alias("n"))
+    base = hourly.groupBy("event_type", "hod").agg(
+        F.count("*").alias("n_hours"),
+        F.sum("n").alias("s"),
+        F.sum(F.col("n") * F.col("n")).alias("ss"),
+    )
+    nh = F.col("n_hours")
+    var = (F.col("ss") - F.col("s") * F.col("s") / nh.cast("double")) / (nh - 1)
+    mean = F.col("s") / nh.cast("double")
+    flag = (
+        (nh >= 3)
+        & (var > 1e-24)
+        & (F.abs(F.col("n") - mean) > 2.0 * F.sqrt(var))
+    )
+    return (
+        hourly.join(base, ["event_type", "hod"])
+        .select(
+            "event_type",
+            F.col("hour_idx").cast("bigint").alias("hour_idx"),
+            F.col("n").cast("bigint").alias("n_events"),
+            F.when(flag, F.lit(True)).otherwise(F.lit(False)).alias("is_anomalous_hour"),
+        )
+    )
+
+
+@query(
+    "key_skew_metrics",
+    oracle="""
+    SELECT keyspace,
+           CAST(max(n) AS BIGINT) AS max_per_key,
+           CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(sum(n) AS BIGINT) AS total_rows,
+           max(n) / (sum(n) / CAST(count(*) AS DOUBLE)) AS skew_factor
+    FROM (
+      SELECT 'orders_by_custkey' AS keyspace, count(*) AS n
+      FROM orders GROUP BY o_custkey
+      UNION ALL
+      SELECT 'lineitem_by_suppkey', count(*) FROM lineitem GROUP BY l_suppkey
+      UNION ALL
+      SELECT 'events_by_user', count(*) FROM events GROUP BY user_id
+    ) GROUP BY keyspace
+    """,
+)
+def key_skew_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew diagnostics (max key weight vs mean) for the three
+    natural join/agg keys — the metric that decides when to salt or let
+    AQE split a skewed partition. Integer counts -> exact doubles."""
+
+    def counts(df: DataFrame, key: str, label: str) -> DataFrame:
+        return (
+            df.groupBy(key)
+            .agg(F.count("*").alias("n"))
+            .select(F.lit(label).alias("keyspace"), "n")
+        )
+
+    per_key = (
+        counts(load_table(spark, sf_dir, "orders"), "o_custkey", "orders_by_custkey")
+        .unionByName(
+            counts(load_table(spark, sf_dir, "lineitem"), "l_suppkey", "lineitem_by_suppkey")
+        )
+        .unionByName(counts(load_table(spark, sf_dir, "events"), "user_id", "events_by_user"))
+    )
+    return per_key.groupBy("keyspace").agg(
+        F.max("n").cast("bigint").alias("max_per_key"),
+        F.count("*").cast("bigint").alias("n_keys"),
+        F.sum("n").cast("bigint").alias("total_rows"),
+        (
+            F.max("n") / (F.sum("n") / F.count("*").cast("double"))
+        ).alias("skew_factor"),
+    )

@@ -141,3 +141,43 @@ def test_delivery_listener_records_batches(spark, telemetry_dir, tmp_path):
         assert len(listener.log.progresses) >= 2  # batch-at-a-time callbacks
     finally:
         spark.streams.removeListener(listener)
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    src = tmp_path / "src"
+    src.mkdir()
+    b1 = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:01"), (2, "2024-01-01 00:00:02")],
+        "id long, ts_s string",
+    ).withColumn("ts", F.to_timestamp("ts_s")).drop("ts_s")
+    b2 = spark.createDataFrame(
+        [(2, "2024-01-01 00:00:03"), (3, "2024-01-01 00:00:04")],  # 2 is a dup
+        "id long, ts_s string",
+    ).withColumn("ts", F.to_timestamp("ts_s")).drop("ts_s")
+    b1.coalesce(1).write.parquet(str(src / "b1"))
+    b2.coalesce(1).write.parquet(str(src / "b2"))
+
+    stream = (
+        spark.readStream.schema("id long, ts timestamp")
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src))
+    )
+    deduped = stream.withWatermark("ts", "10 minutes").dropDuplicatesWithinWatermark(
+        ["id"]
+    )
+    import uuid
+
+    qname = f"dedup_{uuid.uuid4().hex[:8]}"
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    ids = sorted(r["id"] for r in spark.table(qname).collect())
+    assert ids == [1, 2, 3]  # duplicate id=2 dropped across micro-batches
