@@ -2609,3 +2609,97 @@ def key_skew_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n") / (F.sum("n") / F.count("*").cast("double"))
         ).alias("skew_factor"),
     )
+
+
+@query(
+    "value_histogram",
+    oracle="""
+    WITH b AS (SELECT min(value) AS lo, max(value) AS hi FROM events)
+    SELECT event_type,
+           CAST(least(floor((value - lo) / ((hi - lo) / 20)), 19) AS BIGINT) AS bin,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events, b
+    GROUP BY event_type, bin
+    """,
+)
+def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width 20-bin histogram per event_type over global bounds —
+    the one-pass distribution profile. Bounds are a 2-value broadcast;
+    bin arithmetic is the identical double expression in both engines, so
+    bin assignment is exact."""
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    binned = ev.crossJoin(F.broadcast(bounds)).select(
+        "event_type",
+        F.least(
+            F.floor((F.col("value") - F.col("lo")) / ((F.col("hi") - F.col("lo")) / 20)),
+            F.lit(19),
+        )
+        .cast("bigint")
+        .alias("bin"),
+    )
+    return binned.groupBy("event_type", "bin").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+
+
+@query(
+    "tfidf_top_terms",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+      FROM documents WHERE length(trim(text)) > 0
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+           WHERE length(term) > 0 GROUP BY doc_id, term),
+    dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks
+              WHERE length(term) > 0 GROUP BY term),
+    nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM toks)
+    SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+           CAST(rn AS BIGINT) AS rank
+    FROM (
+      SELECT t.doc_id, t.term, t.tf, d.df,
+             row_number() OVER (
+               PARTITION BY t.doc_id
+               ORDER BY t.tf * ln(CAST(n_docs AS DOUBLE) / d.df) DESC, t.term
+             ) AS rn
+      FROM tf t JOIN dfreq d USING (term) CROSS JOIN nd
+    ) WHERE rn <= 5
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF per document, top-5 terms — the classic text-featurization
+    ranking (explode -> tf agg -> document-frequency agg -> broadcast
+    join -> per-doc window). Hash-carried columns are the integer tf/df/
+    rank; the double tf-idf score drives ordering only (distinct (tf,df)
+    pairs are far beyond ulp apart on this vocabulary, and exact ties
+    break on the term)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (
+        docs.filter(F.length(F.trim("text")) > 0)
+        .select("doc_id", F.explode(text.tokens(F.lower(F.col("text")))).alias("term"))
+        .filter(F.length("term") > 0)
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = toks.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+    n_docs = toks.agg(F.count_distinct("doc_id").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), "term")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select(
+            "doc_id",
+            "term",
+            F.col("tf").cast("bigint").alias("tf"),
+            F.col("df").cast("bigint").alias("df"),
+            F.col("rn").cast("bigint").alias("rank"),
+        )
+    )
