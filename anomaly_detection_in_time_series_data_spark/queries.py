@@ -2703,3 +2703,62 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rn").cast("bigint").alias("rank"),
         )
     )
+
+
+@query(
+    "unpivot_part_measures",
+    oracle="""
+    SELECT p_partkey, 'retailprice' AS measure, p_retailprice AS value
+    FROM part
+    UNION ALL
+    SELECT p_partkey, 'size', CAST(p_size AS DOUBLE) FROM part
+    """,
+)
+def unpivot_part_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide->long melt) via the native ``unpivot``/``stack``
+    operator — the inverse of the pivot query; oracle is the UNION ALL
+    normal form."""
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.col("p_retailprice").alias("retailprice"),
+        F.col("p_size").cast("double").alias("size"),
+    ).unpivot("p_partkey", ["retailprice", "size"], "measure", "value")
+
+
+@query(
+    "running_distinct_users",
+    oracle="""
+    SELECT event_type,
+           CAST(epoch_us(ts) AS BIGINT) AS event_us,
+           CAST(count(DISTINCT user_id) OVER (
+             PARTITION BY event_type ORDER BY ts, event_id
+             RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS n_distinct_users_so_far
+    FROM events
+    """,
+)
+def running_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running COUNT(DISTINCT) over an event-time window — Spark windows
+    don't support DISTINCT aggregates, so this uses the standard rewrite:
+    flag each user's FIRST occurrence per key (row_number over
+    (key, user)), then a running sum of first-occurrence flags. Same
+    result, and strictly cheaper at scale: the state is one bit per row
+    instead of a distinct-set per frame."""
+    ev = load_table(spark, sf_dir, "events")
+    w_first = Window.partitionBy("event_type", "user_id").orderBy("ts", "event_id")
+    w_run = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        ev.withColumn(
+            "_first", (F.row_number().over(w_first) == 1).cast("long")
+        )
+        .select(
+            "event_type",
+            F.unix_micros("ts").alias("event_us"),
+            F.sum("_first").over(w_run).cast("bigint").alias("n_distinct_users_so_far"),
+        )
+    )

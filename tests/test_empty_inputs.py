@@ -1,0 +1,60 @@
+"""Totality on empty inputs: every operator must return an empty result
+with the right schema — never throw — when fed zero rows (the reference's
+pipelines crashed on edge inputs; ours must not)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from anomaly_detection_in_time_series_data_spark.operators import (
+    anomaly,
+    dedup,
+    relational,
+    similarity,
+    text,
+)
+
+
+def _empty_events(spark):
+    return spark.createDataFrame(
+        [], "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+
+
+def _empty_docs(spark):
+    return spark.createDataFrame([], "doc_id long, text string")
+
+
+def test_anomaly_ops_on_empty(spark):
+    ev = _empty_events(spark)
+    assert anomaly.flag_event_anomalies(ev, lookback=5, threshold=3.0).count() == 0
+    assert (
+        anomaly.ewma_anomaly(
+            ev, key_col="event_type", ts_col="ts", value_col="value"
+        ).count()
+        == 0
+    )
+
+
+def test_dedup_ops_on_empty(spark):
+    docs = _empty_docs(spark)
+    assert dedup.dedup_exact(docs).count() == 0
+    assert dedup.exact_jaccard_edges(docs).count() == 0
+    edges = spark.createDataFrame([], "id_a long, id_b long")
+    assert dedup.connected_components(edges).count() == 0
+    assert dedup.simhash_signatures(docs).count() == 0
+
+
+def test_similarity_on_empty(spark):
+    emb = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    probes = spark.createDataFrame(
+        [(0, [0.1] * 4)], "vec_id long, embedding array<float>"
+    )
+    assert similarity.cosine_topk(emb, probes, k=3).count() == 0
+
+
+def test_text_ops_on_empty_and_whitespace(spark):
+    docs = spark.createDataFrame([(1, "   "), (2, "")], "doc_id long, text string")
+    toked = docs.select("doc_id", text.tokens(F.col("text")).alias("t"))
+    assert all(r["t"] == [] for r in toked.collect())
+    assert text.term_frequencies(_empty_docs(spark)).count() == 0
