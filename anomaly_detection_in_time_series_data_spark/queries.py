@@ -2762,3 +2762,31 @@ def running_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("_first").over(w_run).cast("bigint").alias("n_distinct_users_so_far"),
         )
     )
+
+
+@query(
+    "ansi_safe_arithmetic",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(sum(CAST(CASE WHEN l_discount = 0 THEN NULL
+                         ELSE round(l_extendedprice / l_discount, 2) END
+                         AS DECIMAL(28,2)))
+                AS DOUBLE) AS sum_price_per_discount,
+           CAST(count(CASE WHEN l_discount = 0 THEN 1 END) AS BIGINT) AS n_div_zero
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def ansi_safe_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-mode error-safe arithmetic: Spark 4 runs ANSI SQL (division by
+    zero THROWS), so total pipelines use ``try_divide`` — NULL on the
+    error path, no job failure. The oracle mirrors with explicit NULLIF
+    semantics. Rounded to 2dp inside the exact decimal domain before the
+    double cast."""
+    li = load_table(spark, sf_dir, "lineitem")
+    ratio = F.round(
+        F.try_divide(F.col("l_extendedprice"), F.col("l_discount")), 2
+    ).cast("decimal(28,2)")
+    return li.groupBy("l_returnflag").agg(
+        F.sum(ratio).cast("double").alias("sum_price_per_discount"),
+        F.count(F.when(F.col("l_discount") == 0, 1)).cast("bigint").alias("n_div_zero"),
+    )

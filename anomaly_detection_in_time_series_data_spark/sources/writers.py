@@ -77,6 +77,9 @@ def write_geoindex(
         encoded.write.mode(mode)
         .partitionBy("g1", "g2", "g3")
         .option("compression", "gzip")
+        # The reference tree caps shards at 1,024 records (BASELINE.md);
+        # maxRecordsPerFile reproduces the cap per part file.
+        .option("maxRecordsPerFile", 1024)
         .json(path)
     )
 
