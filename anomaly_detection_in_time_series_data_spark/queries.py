@@ -2790,3 +2790,402 @@ def ansi_safe_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(ratio).cast("double").alias("sum_price_per_discount"),
         F.count(F.when(F.col("l_discount") == 0, 1)).cast("bigint").alias("n_div_zero"),
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H family, cont.: Q8/Q12/Q13/Q15/Q21/Q2 shapes adapted to the fixture
+# schema (no partsupp / commitdate / receiptdate columns exist there)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "market_share_asia",
+    oracle="""
+    WITH vol AS (
+      SELECT year(o_orderdate) AS o_year,
+             CAST(l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l_discount AS DECIMAL(18,2))) AS volume,
+             sn.n_name AS supp_nation
+      FROM lineitem
+      JOIN orders    ON l_orderkey = o_orderkey
+      JOIN customer  ON o_custkey = c_custkey
+      JOIN nation cn ON c_nationkey = cn.n_nationkey
+      JOIN region    ON cn.n_regionkey = r_regionkey
+      JOIN supplier  ON l_suppkey = s_suppkey
+      JOIN nation sn ON s_nationkey = sn.n_nationkey
+      WHERE r_name = 'ASIA'
+    )
+    SELECT CAST(o_year AS BIGINT) AS o_year,
+           CAST(sum(CASE WHEN supp_nation = 'NATION_2' THEN volume
+                         ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+             / CAST(sum(volume) AS DOUBLE) AS mkt_share
+    FROM vol GROUP BY o_year
+    """,
+)
+def market_share_asia(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8 shape (market share): 6-table star join — every dimension
+    broadcast, the fact shuffles once for the year group-by. Numerator and
+    denominator stay exact decimals; the single double division at the end
+    is deterministic. Reference has no joins at all (SURVEY §2.3) — this is
+    the driver-workload surface."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    cn = nation.select(F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_region"))
+    sn = nation.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))
+    vol = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+    num = F.sum(
+        F.when(F.col("supp_nation") == "NATION_2", vol).otherwise(F.lit(0).cast("decimal(18,2)"))
+    )
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(region), F.col("cn_region") == F.col("r_regionkey"))
+        .filter(F.col("r_name") == "ASIA")
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .groupBy(F.year("o_orderdate").cast("bigint").alias("o_year"))
+        .agg((num.cast("double") / F.sum(vol).cast("double")).alias("mkt_share"))
+    )
+
+
+@query(
+    "late_ship_priority_counts",
+    oracle="""
+    SELECT l_linestatus,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                         THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= o_orderdate + INTERVAL 60 DAY
+    GROUP BY l_linestatus
+    """,
+)
+def late_ship_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12 shape (shipping modes / priority split), adapted: the fixture has
+    no commit/receipt dates, so "late" = shipped >= 60 days after order
+    date — a non-equi predicate BETWEEN two columns of the joined row, then
+    conditional counts. The interval predicate is evaluated post-join,
+    JVM-side, inside whole-stage codegen."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        orders.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .filter(F.col("l_shipdate") >= F.col("o_orderdate") + F.expr("INTERVAL 60 DAY"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).cast("bigint").alias("low_line_count"),
+        )
+    )
+
+
+@query(
+    "customer_order_distribution",
+    oracle="""
+    SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+    FROM (
+      SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+      FROM customer c LEFT JOIN orders o
+        ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '4-NOT SPECIFIED'
+      GROUP BY c.c_custkey
+    ) GROUP BY c_count
+    """,
+)
+def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q13 shape (customer distribution): left outer join with an extra
+    join-side predicate (NOT a post-filter — that would drop the zero-order
+    customers), double aggregation. count(col) vs count(*) null semantics
+    is the point: customers with no orders land in the c_count=0 bucket."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(
+            orders,
+            (F.col("c_custkey") == F.col("o_custkey"))
+            & (F.col("o_orderpriority") != "4-NOT SPECIFIED"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("bigint").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").cast("bigint").alias("custdist"))
+
+
+@query(
+    "top_revenue_supplier",
+    oracle="""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate <  TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, CAST(total_revenue AS DOUBLE) AS total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+    """,
+)
+def top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q15 shape (top supplier): aggregate-then-argmax via an uncorrelated
+    scalar subquery over the SAME aggregate (Spark reuses the exchange —
+    ReusedExchange in the plan). Revenue equality is tested in the exact
+    decimal domain, so ties are exact, not float-fuzzy."""
+    for t in ("lineitem", "supplier"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(
+        """
+        WITH revenue AS (
+          SELECT l_suppkey AS supplier_no,
+                 sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                     * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS total_revenue
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+            AND l_shipdate <  TIMESTAMP '1996-04-01'
+          GROUP BY l_suppkey
+        )
+        SELECT s_suppkey, s_name, CAST(total_revenue AS DOUBLE) AS total_revenue
+        FROM supplier JOIN revenue ON s_suppkey = supplier_no
+        WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+        """
+    )
+
+
+@query(
+    "sole_latest_supplier",
+    oracle="""
+    SELECT s_name, CAST(count(DISTINCT l1.l_orderkey) AS BIGINT) AS numwait
+    FROM supplier
+    JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+    JOIN orders ON o_orderkey = l1.l_orderkey
+    WHERE o_orderstatus = 'F'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate >= l1.l_shipdate)
+    GROUP BY s_name
+    """,
+)
+def sole_latest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21 shape (suppliers who kept orders waiting), adapted to shipdate:
+    per supplier, finished orders with >1 supplier where THIS supplier
+    shipped strictly last. EXISTS -> left-semi self-join, NOT EXISTS ->
+    null-aware anti self-join with a non-equi conjunct; Catalyst plans both
+    against the same lineitem scan."""
+    for t in ("supplier", "lineitem", "orders"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(
+        """
+        SELECT s_name, CAST(count(DISTINCT l1.l_orderkey) AS BIGINT) AS numwait
+        FROM supplier
+        JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+        JOIN orders ON o_orderkey = l1.l_orderkey
+        WHERE o_orderstatus = 'F'
+          AND EXISTS (SELECT 1 FROM lineitem l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey
+                            AND l3.l_shipdate >= l1.l_shipdate)
+        GROUP BY s_name
+        """
+    )
+
+
+@query(
+    "min_cost_supplier",
+    oracle="""
+    SELECT DISTINCT p.p_partkey, p.p_brand, s.s_name AS cheapest_supplier,
+           CAST(l.l_extendedprice AS DOUBLE) AS min_price
+    FROM part p
+    JOIN lineitem l ON l.l_partkey = p.p_partkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    WHERE p.p_size <= 10
+      AND l.l_extendedprice = (SELECT min(l2.l_extendedprice)
+                               FROM lineitem l2
+                               WHERE l2.l_partkey = p.p_partkey)
+    """,
+)
+def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 shape (min-cost supplier): correlated scalar-min subquery against
+    the same fact table, decorrelated by Catalyst into a per-part min
+    aggregate + equi-join — no per-row re-execution. The fixture has no
+    partsupp, so lineitem extendedprice stands in for supplycost; equality
+    compares stored doubles (no arithmetic), so it is exact."""
+    for t in ("part", "lineitem", "supplier"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(
+        """
+        SELECT DISTINCT p.p_partkey, p.p_brand, s.s_name AS cheapest_supplier,
+               CAST(l.l_extendedprice AS DOUBLE) AS min_price
+        FROM part p
+        JOIN lineitem l ON l.l_partkey = p.p_partkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        WHERE p.p_size <= 10
+          AND l.l_extendedprice = (SELECT min(l2.l_extendedprice)
+                                   FROM lineitem l2
+                                   WHERE l2.l_partkey = p.p_partkey)
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# Statistical aggregates, deterministic mode, multiset ops, FILTER clause
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "corr_price_quantity",
+    oracle="""
+    SELECT l_returnflag,
+           round((n * sxy - sx * sy)
+             / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 9) AS corr_qty_price,
+           round((sxy - sx * sy / n) / (n - 1), 4) AS covar_samp_qty_price
+    FROM (
+      SELECT l_returnflag,
+             CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))
+                      * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))
+                      * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy
+      FROM lineitem GROUP BY l_returnflag
+    )
+    """,
+)
+def corr_price_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation + sample covariance via EXACT decimal moment
+    sums (sum x, sum y, sum x^2, sum y^2, sum xy are order-insensitive
+    decimals; the closing double arithmetic is a fixed expression tree both
+    engines evaluate identically in IEEE754). Native corr()/covar_samp()
+    use streaming float updates whose result is partition-order-dependent —
+    unusable for a bit-exact distributed oracle; the moment formulation is
+    also one shuffle instead of two."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x, y = _dec("l_quantity"), _dec("l_extendedprice")
+    agg = li.groupBy("l_returnflag").agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(x * x).cast("double").alias("sxx"),
+        F.sum(y * y).cast("double").alias("syy"),
+        F.sum(x * y).cast("double").alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    return agg.select(
+        "l_returnflag",
+        F.round(
+            (n * sxy - sx * sy) / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 9
+        ).alias("corr_qty_price"),
+        F.round((sxy - sx * sy / n) / (n - F.lit(1.0)), 4).alias("covar_samp_qty_price"),
+    )
+
+
+@query(
+    "modal_priority_by_status",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority AS modal_priority, cnt
+    FROM (
+      SELECT o_orderstatus, o_orderpriority, CAST(count(*) AS BIGINT) AS cnt,
+             row_number() OVER (PARTITION BY o_orderstatus
+                                ORDER BY count(*) DESC, o_orderpriority) AS rn
+      FROM orders GROUP BY o_orderstatus, o_orderpriority
+    ) WHERE rn = 1
+    """,
+)
+def modal_priority_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mode: engine-native mode() is tie-nondeterministic in
+    BOTH Spark and DuckDB, so the engine's mode operator is count + ranked
+    window with an explicit tiebreak — same answer on every run and every
+    partitioning."""
+    orders = load_table(spark, sf_dir, "orders")
+    counts = orders.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").cast("bigint").alias("cnt")
+    )
+    w = Window.partitionBy("o_orderstatus").orderBy(F.col("cnt").desc(), "o_orderpriority")
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_orderstatus", F.col("o_orderpriority").alias("modal_priority"), "cnt"
+        )
+    )
+
+
+@query(
+    "set_ops_all",
+    oracle="""
+    SELECT 'intersect_all' AS op, k FROM (
+      (SELECT c_nationkey AS k FROM customer JOIN orders ON c_custkey = o_custkey
+       WHERE year(o_orderdate) = 1995)
+      INTERSECT ALL
+      (SELECT c_nationkey AS k FROM customer JOIN orders ON c_custkey = o_custkey
+       WHERE year(o_orderdate) = 1996)
+    )
+    UNION ALL
+    SELECT 'except_all' AS op, k FROM (
+      (SELECT c_nationkey AS k FROM customer JOIN orders ON c_custkey = o_custkey
+       WHERE year(o_orderdate) = 1995)
+      EXCEPT ALL
+      (SELECT c_nationkey AS k FROM customer JOIN orders ON c_custkey = o_custkey
+       WHERE year(o_orderdate) = 1996)
+    )
+    """,
+)
+def set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset (bag) set operations — INTERSECT ALL / EXCEPT ALL preserve
+    multiplicities (SQL-standard min/difference of per-value counts), unlike the
+    distinct set ops already covered. Spark plans both as a single
+    hash-aggregate counting pass per side, no row-by-row matching."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    joined = cust.join(orders, F.col("c_custkey") == F.col("o_custkey"))
+    a = joined.filter(F.year("o_orderdate") == 1995).select(F.col("c_nationkey").alias("k"))
+    b = joined.filter(F.year("o_orderdate") == 1996).select(F.col("c_nationkey").alias("k"))
+    return (
+        a.intersectAll(b).select(F.lit("intersect_all").alias("op"), "k")
+        .unionAll(a.exceptAll(b).select(F.lit("except_all").alias("op"), "k"))
+    )
+
+
+@query(
+    "filtered_aggregates",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(count(*) FILTER (WHERE o_totalprice > 150000) AS BIGINT) AS n_big,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                FILTER (WHERE o_orderpriority = '1-URGENT') AS DOUBLE) AS urgent_total
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def filtered_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-standard FILTER clause on aggregates (per-aggregate predicates in
+    one pass — no self-joins, no second scan). Empty filter set yields NULL
+    for sum in both engines."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus,
+               CAST(count(*) FILTER (WHERE o_totalprice > 150000) AS BIGINT) AS n_big,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                    FILTER (WHERE o_orderpriority = '1-URGENT') AS DOUBLE) AS urgent_total
+        FROM orders GROUP BY o_orderstatus
+        """
+    )
