@@ -3189,3 +3189,255 @@ def filtered_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM orders GROUP BY o_orderstatus
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# Sliding windows (batch + streaming-executed), Q4/Q9/Q10 shapes,
+# window dedup, higher-order array functions
+# ---------------------------------------------------------------------------
+
+_SLIDING_ORACLE = """
+    WITH b AS (
+      SELECT event_type, value,
+             (epoch_us(ts) // 43200000000) * 43200000000 AS w0us
+      FROM events
+    )
+    SELECT event_type, bucket_us,
+           CAST(count(*) AS BIGINT) AS n_events,
+           max(value) AS max_value
+    FROM (
+      SELECT event_type, value, w0us AS bucket_us FROM b
+      UNION ALL
+      SELECT event_type, value, w0us - 43200000000 AS bucket_us FROM b
+    ) GROUP BY event_type, bucket_us
+"""
+
+
+@query("sliding_event_stats", oracle=_SLIDING_ORACLE)
+def sliding_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding (hopping) windows: 1-day windows every 12h — each event lands
+    in exactly window/slide = 2 buckets. Spark's window() generator expands
+    rows JVM-side before the aggregation (no UDF, no self-union); the
+    oracle materializes the same two epoch-aligned starts explicitly."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy("event_type", F.window("ts", "1 day", "12 hours").alias("w"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.max("value").alias("max_value"),
+        )
+        .select(
+            "event_type",
+            F.unix_micros(F.col("w.start")).alias("bucket_us"),
+            "n_events",
+            "max_value",
+        )
+    )
+
+
+@query("streaming_sliding_stats", oracle=_SLIDING_ORACLE)
+def streaming_sliding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME sliding-window aggregation executed by Structured Streaming
+    (file source -> hopping-window agg -> complete-mode memory sink,
+    availableNow) and hash-matched against the same batch SQL oracle."""
+    stream, _ = _read_events_stream(spark, sf_dir)
+    agg = (
+        stream.groupBy("event_type", F.window("ts", "1 day", "12 hours").alias("w"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.max("value").alias("max_value"),
+        )
+        .select(
+            "event_type",
+            F.unix_micros(F.col("w.start")).alias("bucket_us"),
+            "n_events",
+            "max_value",
+        )
+    )
+    qname = _run_to_memory(agg, "stream_sliding", "complete")
+    return spark.table(qname)
+
+
+@query(
+    "order_priority_exists_counts",
+    oracle="""
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1996-04-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey
+                    AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+    GROUP BY o_orderpriority
+    """,
+)
+def order_priority_exists_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4 shape (order priority checking): correlated EXISTS with a
+    non-equi conjunct (shipdate vs orderdate + interval) -> left-semi join,
+    then a small group-by. The date filter prunes the orders side before
+    the join."""
+    for t in ("orders", "lineitem"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(
+        """
+        SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate <  TIMESTAMP '1996-04-01'
+          AND EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey
+                        AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+        GROUP BY o_orderpriority
+        """
+    )
+
+
+@query(
+    "nation_profit",
+    oracle="""
+    SELECT n_name AS nation,
+           CAST(year(o_orderdate) AS BIGINT) AS o_year,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                    - CAST(p_retailprice AS DECIMAL(18,2))
+                      * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS profit
+    FROM lineitem
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN part     ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation   ON n_nationkey = s_nationkey
+    WHERE p_name LIKE '%red%'
+    GROUP BY n_name, year(o_orderdate)
+    """,
+)
+def nation_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9 shape (product-type profit): 5-table join with a LIKE filter on
+    the part dimension (pushed to the part scan, shrinking the build side
+    before broadcast) and a profit expression held in the exact decimal
+    domain. The fixture has no partsupp, so retailprice*quantity stands in
+    for supplycost."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    amount = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount")) - _dec(
+        "p_retailprice"
+    ) * _dec("l_quantity")
+    return (
+        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(nation), F.col("n_nationkey") == F.col("s_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+        )
+        .agg(_dsum(amount, "profit"))
+    )
+
+
+@query(
+    "returned_item_revenue",
+    oracle="""
+    SELECT c_custkey, c_name, CAST(revenue AS DOUBLE) AS revenue
+    FROM (
+      SELECT c_custkey, c_name,
+             sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS revenue
+      FROM customer
+      JOIN orders   ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate <  TIMESTAMP '1996-07-01'
+        AND l_returnflag = 'R'
+      GROUP BY c_custkey, c_name
+    ) ORDER BY revenue DESC, c_custkey LIMIT 20
+    """,
+)
+def returned_item_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q10 shape (returned-item reporting): fact->dim join, decimal revenue
+    aggregation, top-20 with an explicit unique tiebreaker (revenue ties
+    are EXACT decimal ties, so the tiebreak is load-bearing). Plans as
+    TakeOrderedAndProject — no global sort."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-07-01")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    rev = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.sum(_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))).alias(
+                "rev_dec"
+            )
+        )
+    )
+    return (
+        rev.orderBy(F.col("rev_dec").desc(), "c_custkey")
+        .limit(20)
+        .select("c_custkey", "c_name", F.col("rev_dec").cast("double").alias("revenue"))
+    )
+
+
+@query(
+    "latest_event_per_user",
+    oracle="""
+    SELECT user_id, event_id, CAST(epoch_us(ts) AS BIGINT) AS event_us, value
+    FROM (
+      SELECT user_id, event_id, ts, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-record-per-key dedup — the canonical CDC/compaction pattern
+    at scale: one ranked-window pass, no self-join against max(ts). Spark
+    plans a single shuffle on user_id with in-partition topN."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        events.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id", "event_id", F.unix_micros("ts").alias("event_us"), "value"
+        )
+    )
+
+
+@query(
+    "higher_order_array_ops",
+    oracle="""
+    SELECT vec_id,
+           CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_pos,
+           round(sqrt(list_sum(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS l2_norm
+    FROM embeddings
+    """,
+)
+def higher_order_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions (filter / aggregate lambdas) evaluated
+    JVM-side inside codegen — the scale path for per-row vector math
+    without any Python boundary. Accumulation is sequential in array order
+    in both engines; float32 squares are exact in double, and the single
+    closing sqrt is rounded to 6dp."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    x = F.col("embedding")
+    return emb.select(
+        "vec_id",
+        F.size(F.filter(x, lambda v: v > 0)).cast("bigint").alias("n_pos"),
+        F.round(
+            F.sqrt(
+                F.aggregate(
+                    x,
+                    F.lit(0.0),
+                    lambda acc, v: acc + v.cast("double") * v.cast("double"),
+                )
+            ),
+            6,
+        ).alias("l2_norm"),
+    )
