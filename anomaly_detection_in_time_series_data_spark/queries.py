@@ -3441,3 +3441,121 @@ def higher_order_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("l2_norm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# SQL:2023 surface (listagg / percentile_disc / LATERAL) + streaming sessions
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "listagg_order_priorities",
+    oracle="""
+    SELECT o_orderstatus,
+           string_agg(pc, ',' ORDER BY pc) AS priority_counts
+    FROM (
+      SELECT o_orderstatus,
+             o_orderpriority || ':' || CAST(count(*) AS VARCHAR) AS pc
+      FROM orders GROUP BY o_orderstatus, o_orderpriority
+    ) GROUP BY o_orderstatus
+    """,
+)
+def listagg_order_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL:2023 LISTAGG ... WITHIN GROUP (ORDER BY ...): deterministic
+    ordered string aggregation (DuckDB spells it string_agg with ORDER BY).
+    Aggregated over the small pre-counted group, not raw rows — the listagg
+    input stays bounded no matter the fact-table scale."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus,
+               listagg(pc, ',') WITHIN GROUP (ORDER BY pc) AS priority_counts
+        FROM (
+          SELECT o_orderstatus,
+                 o_orderpriority || ':' || CAST(count(*) AS STRING) AS pc
+          FROM orders GROUP BY o_orderstatus, o_orderpriority
+        ) GROUP BY o_orderstatus
+        """
+    )
+
+
+@query(
+    "percentile_disc_totalprice",
+    oracle="""
+    SELECT o_orderstatus,
+           percentile_disc(0.25) WITHIN GROUP (ORDER BY o_totalprice) AS p25,
+           percentile_disc(0.50) WITHIN GROUP (ORDER BY o_totalprice) AS p50,
+           percentile_disc(0.75) WITHIN GROUP (ORDER BY o_totalprice) AS p75
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def percentile_disc_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete percentiles (SQL-standard percentile_disc: smallest value
+    whose cume_dist >= fraction — an ACTUAL data value, no interpolation,
+    so the doubles are bit-identical by construction). Complements the
+    interpolated percentile_by_status query."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus,
+               percentile_disc(0.25) WITHIN GROUP (ORDER BY o_totalprice) AS p25,
+               percentile_disc(0.50) WITHIN GROUP (ORDER BY o_totalprice) AS p50,
+               percentile_disc(0.75) WITHIN GROUP (ORDER BY o_totalprice) AS p75
+        FROM orders GROUP BY o_orderstatus
+        """
+    )
+
+
+@query(
+    "lateral_topn_per_nation",
+    oracle="""
+    SELECT n.n_name, t.c_custkey, t.c_acctbal
+    FROM nation n, LATERAL (
+      SELECT c_custkey, c_acctbal
+      FROM customer
+      WHERE c_nationkey = n.n_nationkey
+      ORDER BY c_acctbal DESC, c_custkey
+      LIMIT 3
+    ) t
+    """,
+)
+def lateral_topn_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with ORDER BY + LIMIT (top-3 customers
+    per nation) — the SQL-standard spelling of per-group top-k; Catalyst
+    rewrites it to a ranked-window plan (one shuffle on the correlation
+    key), not a per-nation re-execution. Stored-double ordering with a
+    unique tiebreaker keeps the result set exact."""
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("nation")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(
+        """
+        SELECT n.n_name, t.c_custkey, t.c_acctbal
+        FROM nation n, LATERAL (
+          SELECT c_custkey, c_acctbal
+          FROM customer
+          WHERE c_nationkey = n.n_nationkey
+          ORDER BY c_acctbal DESC, c_custkey
+          LIMIT 3
+        ) t
+        """
+    )
+
+
+@query("streaming_session_windows", oracle=ORACLE["session_windows_user"])
+def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user 1-hour-gap session windows computed BY Structured Streaming
+    (session_window merges overlapping state across micro-batches;
+    complete-mode memory sink, availableNow) — hash-matched against the
+    same gaps-and-islands oracle as the batch twin ``session_windows_user``."""
+    stream, _ = _read_events_stream(spark, sf_dir)
+    agg = (
+        stream.groupBy("user_id", F.session_window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").cast("bigint").alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("w.start")).alias("session_start_us"),
+            "n_events",
+        )
+    )
+    qname = _run_to_memory(agg, "stream_sessions", "complete")
+    return spark.table(qname)
