@@ -60,3 +60,43 @@ def asof_join(
         .drop("_tag")
         .withColumnRenamed("_asof_ts", left_ts)
     )
+
+
+def binned_range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    *,
+    point_col: str,
+    lo_col: str,
+    hi_col: str,
+    bin_width: float,
+    how: str = "inner",
+) -> DataFrame:
+    """Point-in-interval join (``lo <= point < hi``) as an EQUI-join on bin
+    ids — the scale formulation of a range join.
+
+    A naive range join is a broadcast nested-loop (O(|P| x |I|)); binning
+    maps each interval to the ceil((hi-lo)/w)+1 bins it overlaps
+    (sequence + explode, JVM-side) and each point to its single bin, then
+    hash-joins on the bin id and re-checks the exact predicate. With
+    interval spans comparable to ``bin_width`` the work is O(|P| + k|I|)
+    and shuffles hash-partition by bin — no cross product, no straggler.
+    Column names must be disjoint between the two frames.
+    """
+    pbin = points.withColumn(
+        "_bin", F.floor(F.col(point_col) / F.lit(bin_width)).cast("long")
+    )
+    ibin = intervals.withColumn(
+        "_bin",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(lo_col) / F.lit(bin_width)).cast("long"),
+                F.floor(F.col(hi_col) / F.lit(bin_width)).cast("long"),
+            )
+        ),
+    )
+    return (
+        pbin.join(ibin, "_bin", how)
+        .filter((F.col(lo_col) <= F.col(point_col)) & (F.col(point_col) < F.col(hi_col)))
+        .drop("_bin")
+    )

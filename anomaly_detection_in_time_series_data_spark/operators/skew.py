@@ -53,3 +53,33 @@ def salted_agg(
         ]
     )
     return phase2
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    *,
+    keys: list[str],
+    salt_buckets: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Salted equi-join for a skewed fact side joining a small-ish dim.
+
+    The fact side gets a deterministic salt in ``[0, salt_buckets)``; the
+    dim side is replicated once per salt value (rows x salt_buckets), and
+    the join key becomes ``(keys..., salt)`` — the hot key's rows spread
+    over ``salt_buckets`` shuffle partitions instead of one straggler.
+    Result is EXACTLY the plain join (salt never changes matching, only
+    placement). Use when the dim is too big to broadcast outright but
+    replication by ``salt_buckets`` is still cheap; otherwise prefer
+    ``F.broadcast`` or AQE skew-join (both also shipped by this engine).
+    """
+    salted_fact = fact.withColumn(
+        "_salt",
+        F.pmod(F.xxhash64(*[F.col(c) for c in fact.columns]), F.lit(salt_buckets)),
+    )
+    replicated_dim = dim.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
+    ).withColumn("_salt", F.col("_salt").cast("long"))
+    out = salted_fact.join(replicated_dim, [*keys, "_salt"], how)
+    return out.drop("_salt")

@@ -3559,3 +3559,39 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     qname = _run_to_memory(agg, "stream_sessions", "complete")
     return spark.table(qname)
+
+
+@query("binned_range_join_events", oracle=ORACLE["range_interval_join"])
+def binned_range_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE formulation of ``range_interval_join`` — same result, same
+    oracle, different plan: time binned to 30-minute epochs, intervals
+    exploded onto the epochs they overlap, hash equi-join on the epoch id +
+    exact band re-check. No nested loop, no broadcast requirement — this is
+    the shape that survives when BOTH sides are 100 TB-large."""
+    from .operators.joins import binned_range_join
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(F.desc("value"), "event_id")
+    spikes = (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select(
+            F.col("event_id").alias("spike_id"),
+            F.unix_micros(F.col("ts") - F.expr("INTERVAL 30 MINUTES")).alias("lo"),
+            F.unix_micros(F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("hi"),
+        )
+    )
+    points = load_table(spark, sf_dir, "events").select(
+        F.col("event_id").alias("pid"), F.unix_micros("ts").alias("x")
+    )
+    joined = binned_range_join(
+        points,
+        spikes,
+        point_col="x",
+        lo_col="lo",
+        hi_col="hi",
+        bin_width=1_800_000_000.0,
+    )
+    return joined.groupBy("spike_id").agg(
+        F.count("*").cast("bigint").alias("n_events_in_window")
+    )

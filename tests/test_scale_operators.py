@@ -93,3 +93,46 @@ def test_asof_join_semantics(spark):
         ).collect()
     }
     assert out == {"e1": 104, "e2": 100, "e3": 203, "e4": None}
+
+
+def test_salted_join_equals_plain(spark):
+    # 90% of fact rows share one key; dim has 20 keys (some unmatched).
+    fact = spark.createDataFrame(
+        [(1 if i % 10 else i % 20, float(i)) for i in range(2000)], ["k", "v"]
+    )
+    dim = spark.createDataFrame([(i, f"d{i}") for i in range(20)], ["k", "name"])
+    plain = sorted(
+        (r.k, r.v, r.name) for r in fact.join(dim, "k", "inner").collect()
+    )
+    salted = sorted(
+        (r.k, r.v, r.name)
+        for r in skew.salted_join(fact, dim, keys=["k"], salt_buckets=8).collect()
+    )
+    assert plain == salted and len(plain) == 2000
+
+
+def test_binned_range_join_equals_naive(spark):
+    from anomaly_detection_in_time_series_data_spark.operators.joins import (
+        binned_range_join,
+    )
+
+    points = spark.createDataFrame(
+        [(i, float(i) * 0.7) for i in range(500)], ["pid", "x"]
+    )
+    intervals = spark.createDataFrame(
+        [(j, float(j) * 2.0, float(j) * 2.0 + 3.5) for j in range(200)],
+        ["iid", "lo", "hi"],
+    )
+    naive = sorted(
+        (r.pid, r.iid)
+        for r in points.join(
+            intervals, (F.col("lo") <= F.col("x")) & (F.col("x") < F.col("hi"))
+        ).collect()
+    )
+    binned = sorted(
+        (r.pid, r.iid)
+        for r in binned_range_join(
+            points, intervals, point_col="x", lo_col="lo", hi_col="hi", bin_width=4.0
+        ).collect()
+    )
+    assert naive == binned and len(naive) > 0
