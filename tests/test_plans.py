@@ -160,3 +160,85 @@ def test_dynamic_partition_pruning_on_partitioned_fact(spark, sf_dir, tmp_path):
     plan = plans.executed_plan(joined)
     assert "dynamicpruning" in plan.lower()
     assert joined.count() == 1
+
+
+def test_q21_exists_becomes_semi_and_anti_joins(spark, sf_dir):
+    plan = plans.executed_plan(q.QUERIES["sole_latest_supplier"](spark, sf_dir))
+    assert "LeftSemi" in plan  # EXISTS
+    assert "LeftAnti" in plan  # NOT EXISTS
+    assert "BatchEvalPython" not in plan
+
+
+def test_q10_top20_is_take_ordered(spark, sf_dir):
+    df = q.QUERIES["returned_item_revenue"](spark, sf_dir)
+    assert plans.has_take_ordered(df)
+
+
+def test_q8_market_share_broadcasts_all_dims(spark, sf_dir):
+    plan = plans.executed_plan(q.QUERIES["market_share_asia"](spark, sf_dir))
+    # 5 dimension joins (cust, cn, region, supp, sn) all broadcast; the
+    # only shuffle joins allowed are fact-to-orders.
+    assert plan.count("BroadcastHashJoin") >= 5
+
+
+def test_lateral_topn_is_window_not_loop(spark, sf_dir):
+    plan = plans.executed_plan(q.QUERIES["lateral_topn_per_nation"](spark, sf_dir))
+    # Catalyst decorrelates LATERAL+LIMIT into a ranked window, never a
+    # per-outer-row re-execution (which would show as a nested loop over
+    # the full customer scan).
+    assert "row_number" in plan or "Window" in plan
+
+
+def test_binned_range_join_has_no_nested_loop(spark, sf_dir):
+    plan = plans.executed_plan(q.QUERIES["binned_range_join_events"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_runtime_bloom_filter_injected_on_selective_dim(spark, sf_dir):
+    """Runtime row-level filtering: with a selective dim-side predicate,
+    Spark injects a bloom-filter semi-join filter on the fact side — the
+    scan-level row pruning that matters when the fact side is 100 TB."""
+    conf = spark.conf
+    before_bf = conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled")
+    before_thr = conf.get(
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold"
+    )
+    before_app = conf.get(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    )
+    conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "10GB")
+    # The fixture scan is tiny; at real scale the default 10GB gate passes.
+    conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0"
+    )
+    try:
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        # Disable broadcast so the join needs a shuffle (bloom filter's case).
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            df = li.join(orders, F.col("l_orderkey") == F.col("o_orderkey")).groupBy(
+                "l_linestatus"
+            ).count()
+            plan = plans.executed_plan(df)
+        finally:
+            conf.set("spark.sql.autoBroadcastJoinThreshold", "10MB")
+        assert "bloom" in plan.lower() or "might_contain" in plan.lower(), plan[:2000]
+    finally:
+        if before_bf is not None:
+            conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", before_bf)
+        if before_thr is not None:
+            conf.set(
+                "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+                before_thr,
+            )
+        if before_app is not None:
+            conf.set(
+                "spark.sql.optimizer.runtime.bloomFilter."
+                "applicationSideScanSizeThreshold",
+                before_app,
+            )
