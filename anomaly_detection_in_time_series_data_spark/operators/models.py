@@ -107,3 +107,44 @@ def gmm_anomaly_scores(
     ).drop("features")
     thresh = scored.approxQuantile("log_likelihood", [quantile], 0.001)[0]
     return scored.withColumn("is_anomaly", F.col("log_likelihood") < F.lit(thresh))
+
+
+def cv_regression_eval(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    *,
+    num_folds: int = 3,
+    reg_params: tuple[float, ...] = (0.0, 0.1, 1.0),
+    seed: int = 42,
+):
+    """k-fold cross-validated regression eval (SURVEY §2.10: the
+    house-price manual k=4 CV loop, `house_price.pdf`), on MLlib's
+    CrossValidator — folds are evaluated as Spark jobs, not a driver loop,
+    and the model grid is the reference's manual hyperparameter sweep done
+    declaratively.
+
+    Returns ``(best_model, metrics)`` where ``metrics`` maps each regParam
+    to its mean RMSE across folds.
+    """
+    from pyspark.ml.evaluation import RegressionEvaluator
+    from pyspark.ml.regression import LinearRegression
+    from pyspark.ml.tuning import CrossValidator, ParamGridBuilder
+
+    feat = _with_features(df, vec_col).withColumn(
+        "label", F.col(label_col).cast("double")
+    )
+    lr = LinearRegression(featuresCol="features", labelCol="label")
+    grid = ParamGridBuilder().addGrid(lr.regParam, list(reg_params)).build()
+    evaluator = RegressionEvaluator(metricName="rmse", labelCol="label")
+    cv = CrossValidator(
+        estimator=lr,
+        estimatorParamMaps=grid,
+        evaluator=evaluator,
+        numFolds=num_folds,
+        seed=seed,
+        parallelism=2,
+    )
+    model = cv.fit(feat)
+    metrics = {rp: m for rp, m in zip(reg_params, model.avgMetrics)}
+    return model, metrics

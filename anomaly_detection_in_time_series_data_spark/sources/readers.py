@@ -113,3 +113,34 @@ def decode_text(df: DataFrame, content_col: str = "content") -> DataFrame:
         return content.map(one)
 
     return df.withColumn("original_msg", _decode(F.col(content_col)))
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    *,
+    header: bool = True,
+    delimiter: str = ",",
+) -> DataFrame:
+    """CSV scan with an explicit schema (schema-on-read policy, SURVEY §1.3:
+    never inference in production paths — inference costs an extra full
+    pass and can flip types between runs). Malformed lines land in
+    ``_corrupt`` (PERMISSIVE), mirroring ``read_jsonl``."""
+    full = T.StructType(
+        schema.fields + [T.StructField("_corrupt", T.StringType(), True)]
+    )
+    return (
+        spark.read.schema(full)
+        .option("header", header)
+        .option("sep", delimiter)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .csv(path)
+    )
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan — columnar like parquet (schema from the file footer,
+    predicate pushdown + column pruning native)."""
+    return spark.read.orc(path)

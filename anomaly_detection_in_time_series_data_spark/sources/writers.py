@@ -117,3 +117,17 @@ def nearest_in_geoindex(
         if rows:
             return rows[0].asDict()
     return None
+
+
+def write_csv(
+    df: DataFrame, path: str, *, mode: str = "overwrite", header: bool = True
+) -> None:
+    """CSV write (interchange format — no pushdown/pruning on re-read;
+    parquet/ORC remain the engine-native rest formats)."""
+    df.write.mode(mode).option("header", header).csv(path)
+
+
+def write_orc(df: DataFrame, path: str, *, mode: str = "overwrite") -> None:
+    """ORC write — second columnar rest format; same partitionBy/codec
+    surface as parquet."""
+    df.write.mode(mode).orc(path)

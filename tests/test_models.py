@@ -107,3 +107,27 @@ def test_ewma_matches_closed_form_recursion(spark):
             assert z is None or z != z  # NaN
         else:
             assert abs(z - e) < 1e-12
+
+
+def test_cv_regression_eval_runs_kfold(spark, sf_dir):
+    import math
+
+    from anomaly_detection_in_time_series_data_spark.operators.models import (
+        cv_regression_eval,
+    )
+    from anomaly_detection_in_time_series_data_spark.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    model, metrics = cv_regression_eval(emb, reg_params=(0.1, 1.0), num_folds=3)
+    assert set(metrics) == {0.1, 1.0}
+    assert all(math.isfinite(v) and v > 0 for v in metrics.values())
+    # The best model scores the full set without error.
+    scored = model.transform(
+        __import__(
+            "anomaly_detection_in_time_series_data_spark.operators.models",
+            fromlist=["_with_features"],
+        )._with_features(emb, "embedding").withColumn(
+            "label", emb.label.cast("double")
+        )
+    )
+    assert scored.select("prediction").count() == emb.count()

@@ -100,3 +100,33 @@ def test_file_corpus_scan_and_decode(spark, tmp_path):
     rows = {r.username: r.original_msg for r in decoded.collect()}
     assert rows["alice"] == "hello utf8"
     assert "caf" in rows["bob"]  # latin-1 fallback decoded, never threw
+
+
+def test_csv_roundtrip_with_corrupt_line(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from anomaly_detection_in_time_series_data_spark.sources.readers import read_csv
+
+    p = tmp_path / "data.csv"
+    p.write_text("k,v\na,1\nb,2\nbad-line-no-delim\n")
+    schema = T.StructType(
+        [T.StructField("k", T.StringType()), T.StructField("v", T.IntegerType())]
+    )
+    df = read_csv(spark, str(p), schema)
+    rows = {r.k: (r.v, r._corrupt) for r in df.collect()}
+    assert rows["a"] == (1, None) and rows["b"] == (2, None)
+    # The malformed line survives as a corrupt-record row, not a job failure.
+    assert any(c is not None for _, c in rows.values())
+
+
+def test_orc_roundtrip(spark, tmp_path):
+    from anomaly_detection_in_time_series_data_spark.sources.readers import read_orc
+    from anomaly_detection_in_time_series_data_spark.sources.writers import write_orc
+
+    src = spark.range(100).selectExpr("id", "id * 2 AS dbl", "uuid() AS u")
+    path = str(tmp_path / "orc_out")
+    write_orc(src, path)
+    back = read_orc(spark, path)
+    assert back.count() == 100
+    assert {f.name for f in back.schema.fields} == {"id", "dbl", "u"}
+    assert back.agg({"dbl": "sum"}).collect()[0][0] == sum(i * 2 for i in range(100))
