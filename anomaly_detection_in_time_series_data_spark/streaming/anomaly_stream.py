@@ -154,3 +154,93 @@ def windowed_stats(
             "vmax",
         )
     )
+
+
+def streaming_ewma(
+    stream: DataFrame,
+    *,
+    key_col: str,
+    ts_col: str = "event_ts",
+    value_col: str = "value",
+    alpha: float = 0.1,
+    threshold: float = 3.0,
+    min_points: int = 5,
+) -> DataFrame:
+    """EWMA control chart on the Spark 4 stateful API
+    (``transformWithStateInPandas``): O(1) typed value state (mu, var, n)
+    per key, each event scored against strictly-prior state then folded in
+    — the exact math of the batch ``operators.anomaly.ewma_anomaly``, so
+    replaying a stream reproduces the batch scores bit-for-bit.
+
+    vs ``applyInPandasWithState`` (``streaming_zscore``): the processor
+    object owns named state handles (value/list/map state, timers, TTL)
+    instead of one opaque tuple — this is the API new stateful operators
+    should target; the Welford twin stays as the legacy-API reference.
+
+    Environment gate: executing TWS requires google.protobuf in the Python
+    workers (the state-server wire protocol); absent here, so execution is
+    covered by an importorskip-gated test, like the Kafka sink.
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField(key_col, T.StringType()),
+            T.StructField("event_ts", T.TimestampType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("ewma_z", T.DoubleType()),
+            T.StructField("is_anomaly", T.BooleanType()),
+        ]
+    )
+
+    class EwmaProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "ewma", "mu DOUBLE, var DOUBLE, n BIGINT"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            got = self._state.get()
+            mu, var, n = got if got is not None else (0.0, 0.0, 0)
+            for pdf in rows:
+                pdf = pdf.sort_values(ts_col)
+                zs: list[float | None] = []
+                flags: list[bool] = []
+                for x in pdf[value_col]:
+                    x = float(x)
+                    if n >= min_points and var > 1e-24:
+                        z = (x - mu) / var**0.5
+                    else:
+                        z = None
+                    zs.append(z)
+                    flags.append(bool(z is not None and abs(z) > threshold))
+                    delta = x - mu if n else 0.0
+                    if n == 0:
+                        mu = x
+                    else:
+                        mu += alpha * delta
+                        var = (1.0 - alpha) * (var + alpha * delta * delta)
+                    n += 1
+                yield pd.DataFrame(
+                    {
+                        key_col: pdf[key_col].astype(str),
+                        "event_ts": pdf[ts_col],
+                        "value": pdf[value_col].astype(float),
+                        "ewma_z": pd.Series(zs, index=pdf.index, dtype="float64"),
+                        "is_anomaly": flags,
+                    }
+                )
+            self._state.update((mu, var, n))
+
+        def close(self) -> None:
+            pass
+
+    return stream.groupBy(F.col(key_col)).transformWithStateInPandas(
+        statefulProcessor=EwmaProcessor(),
+        outputStructType=out_schema,
+        outputMode="append",
+        timeMode="None",
+    )

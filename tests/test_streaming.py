@@ -181,3 +181,79 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
     q.awaitTermination()
     ids = sorted(r["id"] for r in spark.table(qname).collect())
     assert ids == [1, 2, 3]  # duplicate id=2 dropped across micro-batches
+
+
+def test_streaming_ewma_matches_batch_exactly(spark, tmp_path):
+    """transformWithStateInPandas EWMA replayed over 3 micro-batches must
+    reproduce the batch ewma_anomaly operator bit-for-bit (state carries
+    across batch boundaries; scoring is causal within and across them).
+
+    Environment-gated like Kafka: the TWS state server speaks protobuf to
+    the Python worker, and google.protobuf is not baked into this
+    container — the operator itself is pure PySpark API.
+    """
+    import datetime as dt
+
+    pytest.importorskip("google.protobuf.descriptor")
+
+    from anomaly_detection_in_time_series_data_spark.operators.anomaly import (
+        ewma_anomaly,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    for i in range(60):
+        for k in ("a", "b"):
+            v = 100.0 if (k == "a" and i == 45) else float((i * 7) % 13)
+            rows.append((k, base + dt.timedelta(seconds=i), v))
+    df = spark.createDataFrame(rows, ["key", "event_ts", "value"])
+
+    src = tmp_path / "ewma_src"
+    # 3 files -> 3 micro-batches (maxFilesPerTrigger=1), time-ordered.
+    for b in range(3):
+        df.filter(
+            (F.col("event_ts") >= base + dt.timedelta(seconds=20 * b))
+            & (F.col("event_ts") < base + dt.timedelta(seconds=20 * (b + 1)))
+        ).coalesce(1).write.mode("overwrite").parquet(str(src / f"b{b}"))
+
+    schema = df.schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src / "b*"))
+    )
+    scored = anomaly_stream.streaming_ewma(
+        stream, key_col="key", value_col="value", min_points=5
+    )
+    q = (
+        scored.writeStream.format("memory")
+        .queryName("ewma_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ewma_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r.key, r.event_ts): (r.ewma_z, r.is_anomaly)
+        for r in spark.sql("select * from ewma_stream").collect()
+    }
+    want = {
+        (r.key, r.event_ts): (r.ewma_z, r.is_anomaly)
+        for r in ewma_anomaly(
+            df, key_col="key", ts_col="event_ts", value_col="value", min_points=5
+        ).collect()
+    }
+    assert len(got) == len(want) == 120
+    for k in want:
+        gz, gf = got[k]
+        wz, wf = want[k]
+        assert gf == wf, k
+        if wz is None:
+            assert gz is None, k
+        else:
+            assert gz == wz, k
+    # The planted spike is flagged by the streaming path.
+    assert any(f for (k, _), (_, f) in got.items() if k == "a")
