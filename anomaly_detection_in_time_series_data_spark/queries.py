@@ -3595,3 +3595,128 @@ def binned_range_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("spike_id").agg(
         F.count("*").cast("bigint").alias("n_events_in_window")
     )
+
+
+# ---------------------------------------------------------------------------
+# Bitwise/boolean aggregates, total date parsing, robust (MAD) anomaly score
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "bitwise_bool_aggs",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(bit_and(l_linenumber) AS BIGINT) AS band,
+           CAST(bit_or(l_linenumber)  AS BIGINT) AS bor,
+           CAST(bit_xor(l_linenumber) AS BIGINT) AS bxor,
+           bool_and(l_quantity > 1)  AS all_multi,
+           bool_or(l_discount = 0)   AS any_zero_disc
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def bitwise_bool_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise (AND/OR/XOR) and boolean (every/any) aggregates — all
+    commutative+associative, so they partial-aggregate map-side and are
+    order-insensitive by algebra, no decimal discipline needed."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.bit_and(F.col("l_linenumber").cast("bigint")).alias("band"),
+        F.bit_or(F.col("l_linenumber").cast("bigint")).alias("bor"),
+        F.bit_xor(F.col("l_linenumber").cast("bigint")).alias("bxor"),
+        F.bool_and(F.col("l_quantity") > 1).alias("all_multi"),
+        F.bool_or(F.col("l_discount") == 0).alias("any_zero_disc"),
+    )
+
+
+@query(
+    "safe_date_parsing",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(count(parsed) AS BIGINT) AS n_parsed,
+           CAST(count(*) - count(parsed) AS BIGINT) AS n_bad,
+           CAST(epoch_us(min(parsed)) AS BIGINT) AS min_parsed_us,
+           CAST(epoch_us(max(parsed)) AS BIGINT) AS max_parsed_us
+    FROM (
+      SELECT o_orderstatus,
+             try_strptime(
+               CASE WHEN o_orderkey % 97 = 0 THEN 'not-a-date'
+                    ELSE strftime(o_orderdate, '%Y-%m-%d') END,
+               '%Y-%m-%d') AS parsed
+      FROM orders
+    ) GROUP BY o_orderstatus
+    """,
+)
+def safe_date_parsing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Total (never-throwing) string->timestamp parsing: ``try_to_timestamp``
+    yields NULL on malformed input instead of failing the job — the engine
+    policy everywhere (ANSI mode + try_* variants), vs the reference whose
+    flagship pipeline died on the first malformed record (SURVEY §3.2)."""
+    orders = load_table(spark, sf_dir, "orders")
+    s = F.when(F.col("o_orderkey") % 97 == 0, F.lit("not-a-date")).otherwise(
+        F.date_format("o_orderdate", "yyyy-MM-dd")
+    )
+    parsed = F.try_to_timestamp(s, F.lit("yyyy-MM-dd"))
+    return (
+        orders.select("o_orderstatus", parsed.alias("parsed"))
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("parsed").cast("bigint").alias("n_parsed"),
+            (F.count("*") - F.count("parsed")).cast("bigint").alias("n_bad"),
+            F.unix_micros(F.min("parsed")).alias("min_parsed_us"),
+            F.unix_micros(F.max("parsed")).alias("max_parsed_us"),
+        )
+    )
+
+
+@query(
+    "mad_robust_anomaly",
+    oracle="""
+    WITH med AS (
+      SELECT event_type, median(value) AS med
+      FROM events GROUP BY event_type
+    ), mad AS (
+      SELECT e.event_type, any_value(m.med) AS med,
+             median(abs(e.value - m.med)) AS mad
+      FROM events e JOIN med m USING (event_type)
+      GROUP BY e.event_type
+    )
+    SELECT e.event_id, e.event_type, e.value,
+           CASE WHEN m.mad > 1e-12
+                     AND abs(e.value - m.med) / (1.4826 * m.mad) > 3.5
+                THEN TRUE ELSE FALSE END AS is_anomaly
+    FROM events e JOIN mad m USING (event_type)
+    """,
+)
+def mad_robust_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust anomaly scoring via Median Absolute Deviation (the classic
+    outlier-resistant alternative to the z-score: one extreme point can
+    drag mean/std but not median/MAD). Exact interpolated medians (same
+    sort-based percentile both engines), fixed double expression for the
+    modified z-score, boolean output. Two grouped passes + two broadcast
+    joins of tiny per-key stats — at scale both stats frames are << the
+    fact and broadcast."""
+    ev = load_table(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(F.expr("percentile(value, 0.5)").alias("med"))
+    mad = (
+        ev.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.first("med").alias("med"),
+            F.expr("percentile(abs(value - med), 0.5)").alias("mad"),
+        )
+    )
+    return (
+        ev.join(F.broadcast(mad), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            F.when(
+                (F.col("mad") > 1e-12)
+                & (F.abs(F.col("value") - F.col("med")) / (1.4826 * F.col("mad")) > 3.5),
+                F.lit(True),
+            )
+            .otherwise(F.lit(False))
+            .alias("is_anomaly"),
+        )
+    )
