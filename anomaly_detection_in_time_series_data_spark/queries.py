@@ -3720,3 +3720,187 @@ def mad_robust_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("is_anomaly"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Text profiling, dedup rates, vector centroids, grouping_id, CUSUM drift
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "char_ngram_profile",
+    oracle="""
+    SELECT lang, gram, CAST(count(*) AS BIGINT) AS n
+    FROM (
+      SELECT lang, substr(lower(text), i, 3) AS gram
+      FROM (
+        SELECT lang, text, unnest(generate_series(1, len(text) - 2)) AS i
+        FROM documents WHERE n_chars >= 3
+      )
+    )
+    GROUP BY lang, gram
+    HAVING count(*) >= 50
+    """,
+)
+def char_ngram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-trigram frequency profile per language — the aggregate
+    that backs n-gram language ID. The generator (sequence+explode) runs
+    JVM-side; at 100 TB the HAVING threshold is the noise floor that keeps
+    the profile table broadcastable."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") >= 3)
+    grams = docs.select(
+        "lang",
+        F.explode(
+            F.expr("transform(sequence(1, length(text) - 2), i -> substring(lower(text), i, 3))")
+        ).alias("gram"),
+    )
+    return (
+        grams.groupBy("lang", "gram")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .filter(F.col("n") >= 50)
+    )
+
+
+@query(
+    "dedup_rate_by_source",
+    oracle="""
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(*) - count(DISTINCT md5(text)) AS BIGINT) AS n_dup_rows
+    FROM documents GROUP BY source
+    """,
+)
+def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source exact-duplicate rate — the first triage number of any
+    training-data pipeline (which crawls/sources are polluting the
+    corpus). Hash-distinct over md5(text): both engines share the digest,
+    and the distinct count shuffles 16-byte hashes, not documents."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        (F.count("*") - F.count_distinct(F.md5("text"))).cast("bigint").alias("n_dup_rows"),
+    )
+
+
+@query(
+    "centroid_per_label",
+    oracle="""
+    SELECT label, pos,
+           CAST(sum(CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS BIGINT)
+             AS sum_component_micro,
+           CAST(count(*) AS BIGINT) AS n
+    FROM (
+      SELECT label, i - 1 AS pos, embedding[i] AS x
+      FROM (
+        SELECT label, embedding,
+               unnest(generate_series(1, len(embedding))) AS i
+        FROM embeddings
+      )
+    )
+    GROUP BY label, pos
+    """,
+)
+def centroid_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Element-wise vector aggregation (the centroid building block for
+    IVF/KMeans at scale): posexplode the embedding -> group by (label,
+    position) -> EXACT decimal component sums. The scalable formulation —
+    parallelism is #labels x dim, no driver-side vector math, and the
+    fixed-point micro-unit sums (floor(x*1e6) as bigint) are exact and
+    partition-order-insensitive where float sums are not. (Engines round
+    float->decimal casts differently — via shortest-decimal vs exact
+    binary — so the quantization is made explicit instead.)"""
+    emb = load_table(spark, sf_dir, "embeddings")
+    comp = emb.select(
+        "label", F.posexplode(F.col("embedding")).alias("pos", "x")
+    )
+    return comp.groupBy("label", "pos").agg(
+        F.sum(F.floor(F.col("x").cast("double") * 1000000).cast("bigint"))
+        .cast("bigint")
+        .alias("sum_component_micro"),
+        F.count("*").cast("bigint").alias("n"),
+    )
+
+
+@query(
+    "rollup_with_grouping_id",
+    oracle="""
+    SELECT CASE WHEN GROUPING(l_returnflag) = 1 THEN NULL ELSE l_returnflag END
+             AS l_returnflag,
+           CASE WHEN GROUPING(l_linestatus) = 1 THEN NULL ELSE l_linestatus END
+             AS l_linestatus,
+           CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT)
+             AS gid,
+           CAST(count(*) AS BIGINT) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def rollup_with_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP with grouping_id — the bitmask that disambiguates 'NULL
+    because subtotal row' from 'NULL in the data', required for correct
+    downstream consumption of any OLAP subtotal feed."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().cast("bigint").alias("gid"),
+            F.count("*").cast("bigint").alias("n"),
+        )
+        .select("l_returnflag", "l_linestatus", "gid", "n")
+    )
+
+
+@query(
+    "cusum_drift_scaled",
+    oracle="""
+    WITH x AS (
+      SELECT event_type, event_id, ts,
+             CAST(round(value, 6) AS DECIMAL(18,6)) AS xv
+      FROM events
+    ), tot AS (
+      SELECT event_type,
+             sum(xv) AS s_total,
+             CAST(count(*) AS BIGINT) AS n
+      FROM x GROUP BY event_type
+    )
+    SELECT x.event_id, x.event_type,
+           CAST(sum(x.xv * t.n - t.s_total)
+                OVER (PARTITION BY x.event_type ORDER BY x.ts, x.event_id
+                      ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS cusum_scaled
+    FROM x JOIN tot t USING (event_type)
+    """,
+)
+def cusum_drift_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM drift detection, scale-safe formulation: the classic CUSUM
+    sums (x_i - mean) prefixes, but decimal means need a division whose
+    rounding differs across engines — so the engine computes the
+    EQUIVALENT scaled statistic sum(n*x_i - S) (= n * classic CUSUM),
+    entirely in exact integer-scaled decimals: one grouped pass for
+    (S, n), one broadcast join, one prefix-sum window. A sustained level
+    shift shows as a V/Λ extremum in the curve."""
+    ev = load_table(spark, sf_dir, "events")
+    x = ev.select(
+        "event_type",
+        "event_id",
+        "ts",
+        F.round("value", 6).cast("decimal(18,6)").alias("xv"),
+    )
+    tot = x.groupBy("event_type").agg(
+        F.sum("xv").alias("s_total"), F.count("*").cast("bigint").alias("n")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        x.join(F.broadcast(tot), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            F.sum(F.col("xv") * F.col("n") - F.col("s_total"))
+            .over(w)
+            .cast("double")
+            .alias("cusum_scaled"),
+        )
+    )
