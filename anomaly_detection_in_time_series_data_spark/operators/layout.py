@@ -75,3 +75,45 @@ def write_zordered(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def compact_small_files(
+    spark,
+    path: str,
+    *,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    sort_cols: list[str] | None = None,
+) -> int:
+    """Small-file compaction — the table-maintenance pass every long-lived
+    100 TB dataset needs (streaming sinks and fine-grained partitionBy
+    writes accrete kilobyte files; scans then pay an open/footer cost per
+    file and lose row-group skipping).
+
+    Rewrites ``path`` in place with file count = ceil(bytes/target): sizes
+    come from the filesystem (no data pass), the rewrite is one
+    repartition — range-partitioned over ``sort_cols`` when given (keeps
+    min/max clustering; pair with ``with_zorder`` for multi-dim layouts),
+    hash otherwise. Returns the new file count. The temp-dir swap keeps
+    the window of inconsistency to a rename; table formats with atomic
+    commits (Iceberg/Delta) replace the swap, not the strategy.
+    """
+    import math
+
+    jvm_path = spark.sparkContext._jvm.org.apache.hadoop.fs.Path(path)
+    fs = jvm_path.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    total = sum(
+        s.getLen()
+        for s in fs.listStatus(jvm_path)
+        if s.getPath().getName().endswith(".parquet")
+    )
+    n_files = max(1, math.ceil(total / target_file_bytes))
+    df = spark.read.parquet(path)
+    if sort_cols:
+        df = df.repartitionByRange(n_files, *[F.col(c) for c in sort_cols])
+    else:
+        df = df.repartition(n_files)
+    tmp = path.rstrip("/") + "__compact_tmp"
+    df.write.mode("overwrite").parquet(tmp)
+    fs.delete(jvm_path, True)
+    fs.rename(spark.sparkContext._jvm.org.apache.hadoop.fs.Path(tmp), jvm_path)
+    return n_files

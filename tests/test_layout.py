@@ -67,3 +67,28 @@ def test_zorder_clusters_both_dimensions(spark, sf_dir, tmp_path):
     assert s_supp > 0.8          # ...and leaves the other unclustered
     assert z_part < 0.6 and z_supp < 0.6   # z-order clusters BOTH
     assert max(z_part, z_supp) < s_supp    # strictly better on the 2nd dim
+
+
+def test_compact_small_files_reduces_file_count(spark, tmp_path):
+    from anomaly_detection_in_time_series_data_spark.operators.layout import (
+        compact_small_files,
+    )
+
+    path = str(tmp_path / "frag")
+    # 40 tiny files.
+    spark.range(4000).selectExpr("id", "id % 7 AS k").repartition(40).write.parquet(
+        path
+    )
+    import os
+
+    def parquet_files():
+        return [f for f in os.listdir(path) if f.endswith(".parquet")]
+
+    assert len(parquet_files()) == 40
+    before = spark.read.parquet(path)
+    before_sum = before.agg({"id": "sum"}).collect()[0][0]
+    n = compact_small_files(spark, path, target_file_bytes=10**9, sort_cols=["id"])
+    assert n == 1 and len(parquet_files()) == 1
+    after = spark.read.parquet(path)
+    assert after.count() == 4000
+    assert after.agg({"id": "sum"}).collect()[0][0] == before_sum

@@ -257,3 +257,49 @@ def test_streaming_ewma_matches_batch_exactly(spark, tmp_path):
             assert gz == wz, k
     # The planted spike is flagged by the streaming path.
     assert any(f for (k, _), (_, f) in got.items() if k == "a")
+
+
+def test_python_datasource_batch_read(spark, telemetry_dir):
+    """The custom Python Data Source reads the t= layout with one Spark
+    partition per captured batch and materializes t as a column."""
+    from anomaly_detection_in_time_series_data_spark.sources.telemetry_datasource import (
+        TelemetryReplayDataSource,
+    )
+
+    spark.dataSource.register(TelemetryReplayDataSource)
+    df = spark.read.format("telemetry_replay").option("path", telemetry_dir).load()
+    assert df.count() == len(OFFSETS) * 2
+    ts = sorted(r.t for r in df.select("t").distinct().collect())
+    assert ts == sorted(OFFSETS)
+    # Schema inferred from the parquet footer + derived t.
+    assert set(df.columns) == {"ride_id", "seq", "speed", "t"}
+    # One input partition per t= dir.
+    assert df.rdd.getNumPartitions() == len(OFFSETS)
+
+
+def test_python_datasource_stream_replays_in_order(spark, telemetry_dir, tmp_path):
+    """Streaming side: micro-batch per t= directory, ascending offsets."""
+    from anomaly_detection_in_time_series_data_spark.sources.telemetry_datasource import (
+        TelemetryReplayDataSource,
+    )
+
+    spark.dataSource.register(TelemetryReplayDataSource)
+    stream = (
+        spark.readStream.format("telemetry_replay")
+        .option("path", telemetry_dir)
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("pyds_replay")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "pyds_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.sql("select * from pyds_replay").collect()
+    assert len(rows) == len(OFFSETS) * 2
+    assert sorted({r.t for r in rows}) == sorted(OFFSETS)
