@@ -3748,12 +3748,26 @@ def char_ngram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     JVM-side; at 100 TB the HAVING threshold is the noise floor that keeps
     the profile table broadcastable."""
     docs = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") >= 3)
-    grams = docs.select(
-        "lang",
-        F.explode(
-            F.expr("transform(sequence(1, length(text) - 2), i -> substring(lower(text), i, 3))")
-        ).alias("gram"),
+    # Stage the computed array, then explode_outer + null-filter: plain
+    # explode on a computed array triggers InferFiltersFromGenerate, whose
+    # inferred size()>0 filter inlines the whole gram pipeline per row in
+    # interpreted mode (the dedup shingle fix, commit history) — outer is
+    # exempt from the rule.
+    # The documents scan is a handful of partitions at fixture scale; the
+    # gram expansion is CPU-bound, so spread it across the cluster first
+    # (same treatment as the minhash shingle stage).
+    lowered = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism).select(
+        "lang", F.lower("text").alias("_lt")
     )
+    staged = lowered.select(
+        "lang",
+        F.expr(
+            "transform(sequence(1, length(_lt) - 2), i -> substring(_lt, i, 3))"
+        ).alias("_grams"),
+    )
+    grams = staged.select(
+        "lang", F.explode_outer("_grams").alias("gram")
+    ).filter(F.col("gram").isNotNull())
     return (
         grams.groupBy("lang", "gram")
         .agg(F.count("*").cast("bigint").alias("n"))

@@ -40,6 +40,16 @@ HEADLINE = [
     "text_term_frequency",
     "similarity_topk",
     "minhash_lsh_pairs",
+    "market_share_asia",
+    "sole_latest_supplier",
+    "returned_item_revenue",
+    "customer_order_distribution",
+    "latest_event_per_user",
+    "sliding_event_stats",
+    "mad_robust_anomaly",
+    "cusum_drift_scaled",
+    "char_ngram_profile",
+    "binned_range_join_events",
 ]
 
 
