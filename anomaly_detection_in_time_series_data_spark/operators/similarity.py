@@ -232,3 +232,58 @@ def ivf_topk(
         .filter(F.col("_rn") <= k)
         .drop("_rn")
     )
+
+
+def cosine_near_pairs_gemm(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.45,
+) -> DataFrame:
+    """All-pairs cosine near-duplicate pairs via blocked matrix multiply.
+
+    The per-pair expression formulation (crossJoin + aggregate lambda) is
+    O(N^2 * d) scalar ops inside codegen — correct but ~50x slower than
+    BLAS. Here the full normalized matrix (N x d float64; 100k x 64 ≈
+    50 MB) is broadcast to every worker once, and each partition GEMMs its
+    own row-block against it (``block @ all.T``), emitting only pairs
+    above threshold with id_a < id_b. Same exact arithmetic per pair
+    (float64 dot), so the verdict against any margin-separated threshold
+    matches the expression formulation bit-for-bit at the flag level.
+
+    Beyond broadcast reach (N*d > ~1e9), shard the broadcast side into
+    column blocks and union the per-shard outputs — the row-block x
+    col-block grid is the standard distributed GEMM; LSH/IVF bucketing
+    (``lsh_topk`` / ``ivf_topk``) remains the sub-quadratic path.
+    """
+    import numpy as np
+    import pandas as pd
+
+    rows = df.select(id_col, F.col(vec_col).cast("array<double>")).collect()
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    mat = np.array([r[1] for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0.0] = 1.0
+    normed = mat / norms[:, None]
+    spark = df.sparkSession
+    b_ids = spark.sparkContext.broadcast(ids)
+    b_mat = spark.sparkContext.broadcast(normed)
+
+    def block_pairs(iterator):
+        all_ids = b_ids.value
+        all_mat = b_mat.value
+        for pdf in iterator:
+            idx = pdf["_row"].to_numpy()
+            sims = all_mat[idx] @ all_mat.T  # (block, N)
+            bi, bj = np.nonzero(sims > threshold)
+            ia = all_ids[idx[bi]]
+            ib = all_ids[bj]
+            keep = ia < ib
+            yield pd.DataFrame({"vec_id_a": ia[keep], "vec_id_b": ib[keep]})
+
+    n = len(ids)
+    rows_df = spark.range(n).select(F.col("id").cast("int").alias("_row"))
+    return rows_df.repartition(spark.sparkContext.defaultParallelism).mapInPandas(
+        block_pairs, "vec_id_a long, vec_id_b long"
+    )

@@ -136,3 +136,31 @@ def test_binned_range_join_equals_naive(spark):
         ).collect()
     )
     assert naive == binned and len(naive) > 0
+
+
+def test_gemm_near_pairs_equals_expression_formulation(spark):
+    import random
+
+    from anomaly_detection_in_time_series_data_spark.operators import similarity
+
+    rng = random.Random(7)
+    base = [[rng.gauss(0, 1) for _ in range(16)] for _ in range(40)]
+    # Plant near-duplicates: rows 40..49 are tiny perturbations of 0..9.
+    rows = [(i, v) for i, v in enumerate(base)] + [
+        (40 + i, [x + 0.01 * rng.gauss(0, 1) for x in base[i]]) for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    a = df.select(F.col("vec_id").alias("ia"), F.col("embedding").cast("array<double>").alias("va"))
+    b = df.select(F.col("vec_id").alias("ib"), F.col("embedding").cast("array<double>").alias("vb"))
+    expr_pairs = sorted(
+        (r.ia, r.ib)
+        for r in a.join(b, F.col("ia") < F.col("ib"))
+        .filter(similarity.cosine(F.col("va"), F.col("vb")) > 0.9)
+        .collect()
+    )
+    gemm_pairs = sorted(
+        (r.vec_id_a, r.vec_id_b)
+        for r in similarity.cosine_near_pairs_gemm(df, threshold=0.9).collect()
+    )
+    assert expr_pairs == gemm_pairs
+    assert len(gemm_pairs) >= 10  # every planted near-dup found
