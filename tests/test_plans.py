@@ -242,3 +242,43 @@ def test_runtime_bloom_filter_injected_on_selective_dim(spark, sf_dir):
                 "applicationSideScanSizeThreshold",
                 before_app,
             )
+
+
+def test_aqe_splits_skewed_join_partitions(spark):
+    """AQE skew-join: one hot key (90% of rows) must be split into multiple
+    tasks at runtime instead of one straggler. Thresholds are lowered so
+    the fixture-scale skew qualifies; production keeps the defaults
+    (256MB) and the same plan rewrite fires."""
+    conf = spark.conf
+    saved = {
+        k: conf.get(k)
+        for k in (
+            "spark.sql.adaptive.skewJoin.enabled",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.coalescePartitions.enabled",
+        )
+    }
+    conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+    conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8KB")
+    conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try:
+        left = spark.range(200_000).selectExpr(
+            "CASE WHEN id % 10 < 9 THEN 0 ELSE id END AS k", "id AS v"
+        )
+        right = spark.range(50_000).selectExpr(
+            "CASE WHEN id % 10 < 9 THEN 0 ELSE id END AS k", "id AS w"
+        )
+        df = left.join(right, "k").groupBy().count()
+        df.collect()  # AQE decides at runtime — plan must be executed
+        plan = plans.executed_plan(df)
+        assert "skew=true" in plan, plan[:3000]
+    finally:
+        for k, v in saved.items():
+            if v is not None:
+                conf.set(k, v)

@@ -303,3 +303,33 @@ def test_python_datasource_stream_replays_in_order(spark, telemetry_dir, tmp_pat
     rows = spark.sql("select * from pyds_replay").collect()
     assert len(rows) == len(OFFSETS) * 2
     assert sorted({r.t for r in rows}) == sorted(OFFSETS)
+
+
+def test_stream_static_enrichment_join(spark, telemetry_dir, tmp_path):
+    """Stream-static join: every micro-batch joins against a batch dim
+    table (re-read per batch, so dim updates are picked up) — the standard
+    streaming enrichment pattern; broadcast keeps it shuffle-free."""
+    from anomaly_detection_in_time_series_data_spark.streaming.replay import (
+        read_replay_stream,
+    )
+
+    dim = spark.createDataFrame(
+        [("r1", "alpha"), ("r2", "beta")], ["ride_id", "rider_name"]
+    )
+    stream = read_replay_stream(spark, telemetry_dir, ROW, files_per_trigger=4)
+    enriched = stream.join(F.broadcast(dim), "ride_id", "left")
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName("enriched_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "enrich_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.sql("select * from enriched_stream").collect()
+    assert len(rows) == len(OFFSETS) * 2
+    names = {r.ride_id: r.rider_name for r in rows}
+    assert names == {"r1": "alpha", "r2": "beta"}
