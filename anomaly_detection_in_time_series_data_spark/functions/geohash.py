@@ -217,3 +217,28 @@ def haversine_expr(
         + F.cos(phi1) * F.cos(phi2) * F.sin(dlmb / 2) * F.sin(dlmb / 2)
     )
     return F.lit(2 * 6371000.0) * F.asin(F.sqrt(a))
+
+
+def neighbors(gh_str: str) -> list[str]:
+    """The up-to-8 adjacent cells of a geohash at the same precision
+    (decode bounds -> offset center by one cell width/height -> re-encode;
+    latitude clamps at the poles, longitude wraps at the antimeridian).
+    Needed for boundary-correct prefix-pruned search: a probe near a cell
+    edge can have its true nearest record in the adjacent cell."""
+    lat_lo, lat_hi, lon_lo, lon_hi = decode_bounds(gh_str)
+    clat, clon = (lat_lo + lat_hi) / 2, (lon_lo + lon_hi) / 2
+    dlat, dlon = lat_hi - lat_lo, lon_hi - lon_lo
+    out = []
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            if dx == 0 and dy == 0:
+                continue
+            lat = clat + dy * dlat
+            lon = clon + dx * dlon
+            if not -90.0 <= lat <= 90.0:
+                continue
+            lon = ((lon + 180.0) % 360.0) - 180.0
+            n = encode(lat, lon, len(gh_str))
+            if n != gh_str and n not in out:
+                out.append(n)
+    return out

@@ -98,15 +98,22 @@ def nearest_in_geoindex(
 
     The reference full-scans all 67k records per probe despite having built
     the geoindex (`Assignment_3.ipynb:692-720` — SURVEY §4 'anti-evidence').
-    Here the probe's geohash prefix prunes to one g3/g2/g1 directory
-    (partition pruning on the Hive layout — visible as PartitionFilters in
-    the scan), widening only if the cell is empty; the final distance is
-    exact haversine, JVM-side.
+    Here the probe's geohash prefix prunes to the probe cell PLUS its 8
+    neighbors (boundary-correct: a probe near a cell edge can have its
+    nearest record across the edge) at each of the g3/g2/g1 levels —
+    partition pruning on the Hive layout, visible as PartitionFilters in
+    the scan — widening only if the neighborhood is empty; the final
+    distance is exact haversine, JVM-side.
     """
     probe = gh.encode(lat, lon, 12)
     df = spark.read.json(index_path)
-    for prefix_col, prefix in (("g3", probe[:3]), ("g2", probe[:2]), ("g1", probe[:1]), (None, None)):
-        cand = df if prefix_col is None else df.filter(F.col(prefix_col) == prefix)
+    levels = []
+    for k, col in ((3, "g3"), (2, "g2"), (1, "g1")):
+        cell = probe[:k]
+        levels.append((col, [cell] + gh.neighbors(cell)))
+    levels.append((None, None))
+    for prefix_col, cells in levels:
+        cand = df if prefix_col is None else df.filter(F.col(prefix_col).isin(cells))
         scored = cand.withColumn(
             "_dist",
             gh.haversine_expr(

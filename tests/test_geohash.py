@@ -54,3 +54,18 @@ def test_haversine_expr_matches_python(spark):
     ).collect()[0].m
     assert abs(got - gh.haversine(41.15, -95.92, 46.28, 48.0)) < 1e-6
     assert 8_000_000 < got < 12_000_000  # Omaha -> Astrakhan ballpark
+
+
+def test_neighbors_cover_adjacent_cells():
+    from anomaly_detection_in_time_series_data_spark.functions import geohash as gh
+
+    ns = gh.neighbors("u4p")
+    assert len(ns) == 8 and "u4p" not in ns
+    # Every neighbor's bounding box touches the center cell's box.
+    lo1, hi1, glo1, ghi1 = gh.decode_bounds("u4p")
+    for n in ns:
+        lo2, hi2, glo2, ghi2 = gh.decode_bounds(n)
+        assert hi2 >= lo1 - 1e-9 and lo2 <= hi1 + 1e-9
+        assert ghi2 >= glo1 - 1e-9 and glo2 <= ghi1 + 1e-9
+    # Pole clamp: top-latitude cells have < 8 neighbors.
+    assert len(gh.neighbors(gh.encode(89.9, 0.0, 3))) < 8

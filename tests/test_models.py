@@ -131,3 +131,23 @@ def test_cv_regression_eval_runs_kfold(spark, sf_dir):
         )
     )
     assert scored.select("prediction").count() == emb.count()
+
+
+def test_model_artifact_save_load_roundtrip(spark, sf_dir, tmp_path):
+    """W6 (SURVEY §2.1): model artifact persistence — MLlib save/load must
+    reproduce identical scoring (the reference's model.save('...h5') row)."""
+    from pyspark.ml.clustering import KMeans, KMeansModel
+    from pyspark.ml.functions import array_to_vector
+
+    from anomaly_detection_in_time_series_data_spark.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "features", array_to_vector(F.col("embedding").cast("array<double>"))
+    )
+    model = KMeans(k=4, seed=42, featuresCol="features").fit(emb)
+    path = str(tmp_path / "kmeans_model")
+    model.save(path)
+    back = KMeansModel.load(path)
+    a = [r.prediction for r in model.transform(emb).select("prediction").collect()]
+    b = [r.prediction for r in back.transform(emb).select("prediction").collect()]
+    assert a == b
