@@ -3915,3 +3915,82 @@ def cusum_drift_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("cusum_scaled"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Training-pipeline: hybrid filtered k-NN and reproducible dataset splits
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "hybrid_filtered_knn",
+    oracle="""
+    WITH probe AS (SELECT embedding AS pv FROM embeddings WHERE vec_id = 0)
+    SELECT vec_id, lang, sim
+    FROM (
+      SELECT e.vec_id, d.lang,
+             round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                          (SELECT CAST(pv AS DOUBLE[]) FROM probe)), 6)
+               AS sim
+      FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id
+      WHERE d.lang = 'en' AND e.vec_id <> 0
+    )
+    ORDER BY sim DESC, vec_id LIMIT 5
+    """,
+)
+def hybrid_filtered_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: metadata filter (document language) + vector
+    similarity top-k in ONE plan — the filter prunes BEFORE the similarity
+    math, which is the whole point of filtered ANN at scale (score only
+    the candidates that qualify). Similarity is rounded to 6dp before
+    ranking with a unique tiebreaker so both engines rank identically."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+    probe_vec = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    probe = F.array(*[F.lit(float(x)) for x in probe_vec])
+    sim = F.round(
+        similarity.cosine(F.col("embedding").cast("array<double>"), probe), 6
+    )
+    return (
+        emb.filter(F.col("vec_id") != 0)
+        .join(
+            F.broadcast(docs.filter(F.col("lang") == "en").select("doc_id", "lang")),
+            F.col("doc_id") == F.col("vec_id"),
+        )
+        .select("vec_id", "lang", sim.alias("sim"))
+        .orderBy(F.col("sim").desc(), "vec_id")
+        .limit(5)
+    )
+
+
+@query(
+    "deterministic_split_counts",
+    oracle="""
+    SELECT source, split, CAST(count(*) AS BIGINT) AS n
+    FROM (
+      SELECT source,
+             CASE WHEN md5(text) < 'c0' THEN 'train'
+                  WHEN md5(text) < 'e0' THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    ) GROUP BY source, split
+    """,
+)
+def deterministic_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible train/val/test assignment by CONTENT HASH — no RNG, no
+    engine-specific sampling: md5 hex ranges give 75/12.5/12.5% expected
+    splits, stable across runs, engines, partitionings, and re-ingestions
+    (the property a training pipeline needs so examples never leak between
+    splits when data is re-processed). Exact-duplicate texts land in the
+    same split by construction."""
+    docs = load_table(spark, sf_dir, "documents")
+    split = (
+        F.when(F.md5("text") < "c0", "train")
+        .when(F.md5("text") < "e0", "val")
+        .otherwise("test")
+    )
+    return (
+        docs.select("source", split.alias("split"))
+        .groupBy("source", "split")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
