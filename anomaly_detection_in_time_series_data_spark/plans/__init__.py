@@ -8,6 +8,7 @@ and to fail tests when a code change regresses them.
 
 from .inspect import (
     executed_plan,
+    formatted_plan,
     has_broadcast_join,
     has_partition_filter,
     has_pushed_filter,
@@ -18,6 +19,7 @@ from .inspect import (
 
 __all__ = [
     "executed_plan",
+    "formatted_plan",
     "has_broadcast_join",
     "has_partition_filter",
     "has_pushed_filter",
