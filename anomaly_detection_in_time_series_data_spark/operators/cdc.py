@@ -1,0 +1,88 @@
+"""Change-data-capture table maintenance: SCD2 merge.
+
+Complements ``streaming/sinks.py``'s foreachBatch upsert (SCD1 — overwrite
+in place) with the type-2 slowly-changing dimension: every change CLOSES
+the current version (stamps ``valid_to``) and INSERTS a new open version,
+so any historical point-in-time join (`AS OF`) remains answerable — the
+lineage-preserving shape training-data pipelines need when labels or
+metadata get revised after examples were already consumed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def scd2_merge(
+    current: DataFrame,
+    updates: DataFrame,
+    *,
+    keys: list[str],
+    tracked: list[str],
+    ts_col: str,
+    start_col: str = "valid_from",
+    end_col: str = "valid_to",
+) -> DataFrame:
+    """Merge ``updates`` (key cols + tracked cols + ``ts_col``) into the
+    SCD2 ``current`` table (key + tracked + ``start_col`` + ``end_col``
+    where open rows have NULL ``end_col``).
+
+    Semantics per update row:
+    - key unseen            -> new open version
+    - tracked values equal  -> no-op (idempotent re-delivery safe)
+    - tracked values differ -> close the open row at update ts, add new
+      open version
+
+    One shuffle on the keys; closed history rows pass through untouched
+    (at 100 TB: partition the table by open/closed so the closed majority
+    is not even rewritten — the merge only rewrites the open partition).
+    ``updates`` must carry one row per key (pre-aggregate with
+    ``latest_event_per_user``-style ranked dedup otherwise).
+    """
+    upd = updates.select(
+        *keys, *[F.col(c).alias(f"_u_{c}") for c in tracked], F.col(ts_col).alias("_u_ts")
+    )
+    open_rows = current.filter(F.col(end_col).isNull())
+    closed_rows = current.filter(F.col(end_col).isNotNull())
+
+    joined = open_rows.join(upd, keys, "full_outer")
+    # Any tracked column differing (null-safe) marks the row as changed.
+    diff = None
+    for c in tracked:
+        d = ~F.col(c).eqNullSafe(F.col(f"_u_{c}"))
+        diff = d if diff is None else (diff | d)
+
+    has_open = F.col(start_col).isNotNull()
+    has_upd = F.col("_u_ts").isNotNull()
+
+    # 1. untouched open rows (no update for the key)
+    untouched = joined.filter(has_open & ~has_upd).select(*current.columns)
+    # 2. unchanged (update delivered but values equal): keep original row
+    unchanged = joined.filter(has_open & has_upd & ~diff).select(*current.columns)
+    # 3. closed-out versions of changed rows
+    closed_out = (
+        joined.filter(has_open & has_upd & diff)
+        .select(
+            *keys,
+            *tracked,
+            F.col(start_col),
+            F.col("_u_ts").alias(end_col),
+        )
+    )
+    # 4. new open versions (changed keys + brand-new keys)
+    new_open = (
+        joined.filter(has_upd & (~has_open | diff))
+        .select(
+            *keys,
+            *[F.col(f"_u_{c}").alias(c) for c in tracked],
+            F.col("_u_ts").alias(start_col),
+            F.lit(None).cast(current.schema[end_col].dataType).alias(end_col),
+        )
+    )
+    return (
+        closed_rows.unionByName(untouched)
+        .unionByName(unchanged)
+        .unionByName(closed_out.select(*current.columns))
+        .unionByName(new_open.select(*current.columns))
+    )

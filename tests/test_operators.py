@@ -217,3 +217,70 @@ def test_exact_jaccard_edges_planted_near_dup(spark):
     edges = exact_jaccard_edges(docs, threshold=0.5).collect()
     assert [(e["id_a"], e["id_b"]) for e in edges] == [(1, 2)]
     assert edges[0]["jaccard"] > 0.8
+
+
+def test_scd2_merge_versions_and_history(spark):
+    import datetime as dt
+
+    from anomaly_detection_in_time_series_data_spark.operators.cdc import scd2_merge
+
+    t = lambda d: dt.datetime(2024, 1, d)  # noqa: E731
+    current = spark.createDataFrame(
+        [
+            # k=1: one closed version + one open
+            (1, "a-v1", t(1), t(5)),
+            (1, "a-v2", t(5), None),
+            # k=2: open, will be unchanged
+            (2, "b-v1", t(2), None),
+            # k=3: open, will change
+            (3, "c-v1", t(3), None),
+        ],
+        "k int, val string, valid_from timestamp, valid_to timestamp",
+    )
+    updates = spark.createDataFrame(
+        [
+            (2, "b-v1", t(9)),   # same value -> no-op
+            (3, "c-v2", t(9)),   # changed -> close + new version
+            (4, "d-v1", t(9)),   # new key -> new open version
+        ],
+        "k int, val string, ts timestamp",
+    )
+    out = scd2_merge(
+        current, updates, keys=["k"], tracked=["val"], ts_col="ts"
+    )
+    rows = {(r.k, r.val): (r.valid_from, r.valid_to) for r in out.collect()}
+    assert len(rows) == 6
+    assert rows[(1, "a-v1")] == (t(1), t(5))      # closed history untouched
+    assert rows[(1, "a-v2")] == (t(5), None)      # open, no update
+    assert rows[(2, "b-v1")] == (t(2), None)      # unchanged (idempotent)
+    assert rows[(3, "c-v1")] == (t(3), t(9))      # closed at update ts
+    assert rows[(3, "c-v2")] == (t(9), None)      # new open version
+    assert rows[(4, "d-v1")] == (t(9), None)      # brand-new key
+    # Idempotence: re-applying the same updates changes nothing.
+    again = scd2_merge(out, updates, keys=["k"], tracked=["val"], ts_col="ts")
+    assert {(r.k, r.val, r.valid_from, r.valid_to) for r in again.collect()} == {
+        (r.k, r.val, r.valid_from, r.valid_to) for r in out.collect()
+    }
+
+
+def test_observation_metrics_single_pass(spark, sf_dir):
+    """Data-quality metrics via observe(): null/row counts collected as a
+    side effect of the ONE action that materializes the result — no second
+    scan (the pattern for pipeline health metrics at 100 TB)."""
+    from pyspark.sql import Observation
+
+    from anomaly_detection_in_time_series_data_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    obs = Observation("quality")
+    observed = docs.observe(
+        obs,
+        F.count("*").alias("n_rows"),
+        F.sum(F.col("text").isNull().cast("long")).alias("n_null_text"),
+        F.sum((F.length("text") < 10).cast("long")).alias("n_tiny_docs"),
+    )
+    n_out = observed.filter(F.col("n_chars") > 0).count()  # the real action
+    got = obs.get
+    assert got["n_rows"] >= n_out
+    assert got["n_null_text"] == 0
+    assert got["n_tiny_docs"] >= 0
