@@ -282,3 +282,20 @@ def test_aqe_splits_skewed_join_partitions(spark):
         for k, v in saved.items():
             if v is not None:
                 conf.set(k, v)
+
+
+def test_join_strategy_hints_are_honored(spark, sf_dir):
+    """All four join-strategy hints route planning: the engine exposes them
+    for the cases where Catalyst's default costing is wrong at scale
+    (e.g. force shuffle_hash when one side is small-ish but over the
+    broadcast threshold, avoiding the sort of a 100 TB fact)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cases = {
+        "broadcast": "BroadcastHashJoin",
+        "merge": "SortMergeJoin",
+        "shuffle_hash": "ShuffledHashJoin",
+    }
+    for hint, node in cases.items():
+        df = li.join(orders.hint(hint), li.l_orderkey == orders.o_orderkey)
+        assert node in plans.executed_plan(df), hint
