@@ -3994,3 +3994,105 @@ def deterministic_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source", "split")
         .agg(F.count("*").cast("bigint").alias("n"))
     )
+
+
+# ---------------------------------------------------------------------------
+# NULL ordering, scalar conditionals, calendar month arithmetic
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "nulls_ordering_topk",
+    oracle="""
+    SELECT o_orderkey, maybe_price
+    FROM (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_totalprice END
+               AS maybe_price
+      FROM orders
+    )
+    ORDER BY maybe_price DESC NULLS LAST, o_orderkey
+    LIMIT 50
+    """,
+)
+def nulls_ordering_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit NULLS LAST ordering — engines DISAGREE by default (Spark
+    sorts NULL first ascending, DuckDB last), so portable ranked output
+    must pin it. Still plans as TakeOrderedAndProject."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.select(
+            "o_orderkey",
+            F.when(F.col("o_orderkey") % 7 == 0, F.lit(None))
+            .otherwise(F.col("o_totalprice"))
+            .alias("maybe_price"),
+        )
+        .orderBy(F.col("maybe_price").desc_nulls_last(), "o_orderkey")
+        .limit(50)
+    )
+
+
+@query(
+    "scalar_conditionals",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(sum(CAST(greatest(l_quantity, 25.0) AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_floor25,
+           CAST(sum(CAST(least(l_quantity, 25.0) AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_cap25,
+           CAST(count(nullif(l_discount, 0.0)) AS BIGINT) AS n_discounted,
+           CAST(sum(CASE WHEN coalesce(nullif(l_tax, 0.0), l_discount) > 0.05
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_high_rate
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def scalar_conditionals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar conditional family (greatest/least/nullif/coalesce) — all
+    codegen expressions; the aggregates stay in the exact decimal/integer
+    domain."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.sum(F.greatest("l_quantity", F.lit(25.0)).cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_floor25"),
+        F.sum(F.least("l_quantity", F.lit(25.0)).cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_cap25"),
+        F.count(F.nullif("l_discount", F.lit(0.0))).cast("bigint").alias("n_discounted"),
+        F.sum(
+            F.when(
+                F.coalesce(F.nullif("l_tax", F.lit(0.0)), F.col("l_discount")) > 0.05,
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_high_rate"),
+    )
+
+
+@query(
+    "month_boundary_counts",
+    oracle="""
+    SELECT CAST(epoch_us(m_next) AS BIGINT) AS next_month_us,
+           CAST(count(*) AS BIGINT) AS n
+    FROM (
+      SELECT date_trunc('month', o_orderdate) + INTERVAL 1 MONTH AS m_next
+      FROM orders
+    ) GROUP BY m_next
+    """,
+)
+def month_boundary_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar month arithmetic (variable-length units — NOT fixed
+    86400*30s): both engines clamp end-of-month identically
+    (Jan 31 + 1 month = Feb 29), verified cross-engine here via the
+    trunc+add composition."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.select(
+            F.unix_micros(
+                F.add_months(F.date_trunc("month", "o_orderdate"), 1).cast("timestamp")
+            ).alias("next_month_us")
+        )
+        .groupBy("next_month_us")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )

@@ -216,3 +216,21 @@ def test_proto_routes_roundtrip_distributed(spark):
     assert r1["equipment"] == ["CR2", "738"] and r1["codeshare"] is False
     r2 = by_airline[24]
     assert r2["stops"] == 1 and r2["codeshare"] is True
+
+
+def test_parquet_schema_evolution_merge_on_read(spark, tmp_path):
+    """Schema evolution: files written before a column existed merge with
+    newer files (mergeSchema) — old rows surface NULL for the added column
+    instead of failing the scan (the additive-evolution contract a
+    long-lived 100 TB dataset depends on)."""
+    path = str(tmp_path / "evolving")
+    spark.range(10).selectExpr("id", "id * 2 AS a").write.parquet(f"{path}/p=1")
+    spark.range(10, 20).selectExpr(
+        "id", "id * 2 AS a", "'new' AS b"
+    ).write.parquet(f"{path}/p=2")
+    df = spark.read.option("mergeSchema", "true").parquet(path)
+    assert {f.name for f in df.schema.fields} == {"id", "a", "b", "p"}
+    assert df.count() == 20
+    old = df.filter("p = 1")
+    assert old.filter(F.col("b").isNull()).count() == 10
+    assert df.filter("p = 2").filter(F.col("b") == "new").count() == 10
