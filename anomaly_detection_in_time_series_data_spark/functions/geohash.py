@@ -47,7 +47,14 @@ _MAX_PREFIX = max(PRECISION_METERS)
 
 
 def encode(latitude: float, longitude: float, precision: int = 12) -> str:
-    """Standard base-32 geohash encode (public algorithm)."""
+    """Base-32 geohash encode (public algorithm), with pygeohash's strict
+    ``>`` midpoint comparison: a coordinate exactly equal to a bisection
+    midpoint goes to the LOW half.  This matters in practice — the
+    reference's coordinates are float32-derived dyadic rationals that hit
+    midpoints exactly at deep precision, and the committed golden tree
+    (`results/geoindex/**`) encodes 1,202 of 67,180 records differently
+    under the ``>=`` convention.  Verified char-identical to the committed
+    pygeohash output for all 67,180 (tests/test_geoindex_golden.py)."""
     lat_lo, lat_hi = -90.0, 90.0
     lon_lo, lon_hi = -180.0, 180.0
     chars: list[str] = []
@@ -57,7 +64,7 @@ def encode(latitude: float, longitude: float, precision: int = 12) -> str:
     while len(chars) < precision:
         if even:
             mid = (lon_lo + lon_hi) / 2
-            if longitude >= mid:
+            if longitude > mid:
                 ch = (ch << 1) | 1
                 lon_lo = mid
             else:
@@ -65,7 +72,7 @@ def encode(latitude: float, longitude: float, precision: int = 12) -> str:
                 lon_hi = mid
         else:
             mid = (lat_lo + lat_hi) / 2
-            if latitude >= mid:
+            if latitude > mid:
                 ch = (ch << 1) | 1
                 lat_lo = mid
             else:
@@ -217,6 +224,36 @@ def haversine_expr(
         + F.cos(phi1) * F.cos(phi2) * F.sin(dlmb / 2) * F.sin(dlmb / 2)
     )
     return F.lit(2 * 6371000.0) * F.asin(F.sqrt(a))
+
+
+def min_distance_to_region_boundary(lat: float, lon: float, cell: str) -> float:
+    """Conservative lower bound (meters) on the distance from probe
+    ``(lat, lon)`` — inside ``cell`` — to any point OUTSIDE the 3x3
+    neighborhood of ``cell``.
+
+    A candidate found inside the pruned 3x3 region is only provably the
+    global nearest when its distance does not exceed this bound (otherwise
+    a closer record could sit in an unscanned cell just across the region
+    edge). North/south edges use exact meridian arc length; east/west
+    edges use the cross-track distance to the edge meridian
+    (``asin(cos(lat)*sin(dlon))``).  All clamps round the bound DOWN, so
+    an underestimate only triggers a wider (never a wrong) search.
+    """
+    lat_lo, lat_hi, lon_lo, lon_hi = decode_bounds(cell)
+    dlat, dlon = lat_hi - lat_lo, lon_hi - lon_lo
+    top = min(lat_hi + dlat, 90.0)
+    bot = max(lat_lo - dlat, -90.0)
+    r = 6371000.0
+    dists = [
+        math.radians(max(top - lat, 0.0)) * r,
+        math.radians(max(lat - bot, 0.0)) * r,
+    ]
+    for edge in (lon_hi + dlon, lon_lo - dlon):
+        d = abs(edge - lon) % 360.0
+        d = min(d, 360.0 - d)
+        x = math.cos(math.radians(lat)) * math.sin(math.radians(min(d, 90.0)))
+        dists.append(abs(math.asin(max(-1.0, min(1.0, x)))) * r)
+    return min(dists)
 
 
 def neighbors(gh_str: str) -> list[str]:

@@ -237,6 +237,71 @@ def jaccard_pairs(
     )
 
 
+def jaccard_verify_counts(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Verify candidate pairs with EXACT Jaccard via integer co-occurrence
+    counts — the scale replacement for ``jaccard_pairs``'s array-carrying
+    join (which re-scans ~|A|+|B| strings per candidate through
+    ``array_intersect``/``array_union``; measured 15s of an 18s edge build
+    at sf0.1 in ``exact_jaccard_edges``).
+
+    Shape: semi-join the shingle stage down to documents that appear in any
+    candidate pair, explode once, then two equi-joins — (pairs ⋈ ex_a on
+    id_a) ⋈ ex_b on (id_b, shingle) — whose row count IS |A ∩ B| per pair.
+    Since shingle arrays are distinct sets, jaccard = c / (|A| + |B| - c)
+    exactly; identical output to ``jaccard_pairs`` for threshold > 0
+    (zero-intersection candidates have jaccard 0 and are filtered either
+    way). All joins are equi-joins on scalar keys; no arrays cross a
+    shuffle."""
+    assert threshold > 0.0, "inner-join verify drops jaccard-0 pairs"
+    # The candidate DAG (often a full LSH pipeline) is referenced twice
+    # below (id semi-join + intersection join) — materialize it once.
+    # Candidate pairs are tiny relative to the corpus by construction.
+    pairs = pairs.localCheckpoint(eager=True)
+    ids = (
+        pairs.select(F.col("id_a").alias(id_col))
+        .union(pairs.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    # Semi-join the RAW docs down to candidate ids BEFORE the shingle
+    # projection: a projection-then-join order would evaluate the CPU-heavy
+    # shingle expression for every corpus row only to drop most of them
+    # (Catalyst keeps the written project/join order here since _shingles
+    # is referenced above the join).  Then materialize the shingle stage
+    # once: it feeds the explode (both pair sides) and the size lookup.
+    # At 100 TB this is persist(DISK_ONLY) or a staged table.
+    cand = df.join(F.broadcast(ids), id_col, "left_semi")
+    sh = with_shingles(cand, id_col=id_col, text_col=text_col, n=shingle_n).localCheckpoint(
+        eager=True
+    )
+    ex = sh.select(F.col(id_col), F.explode("_shingles").alias("_s"))
+    inter = (
+        pairs.join(ex.select(F.col(id_col).alias("id_a"), "_s"), "id_a")
+        .join(ex.select(F.col(id_col).alias("id_b"), "_s"), ["id_b", "_s"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("_c"))
+    )
+    sizes = sh.select(F.col(id_col), F.size("_shingles").alias("_sz"))
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("_sz").alias("_sza"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("_sz").alias("_szb"))
+    jac = F.col("_c").cast("double") / (
+        F.col("_sza") + F.col("_szb") - F.col("_c")
+    ).cast("double")
+    return (
+        inter.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 def simhash64(text_col: str = "text", shingle_n: int = 2) -> F.Column:
     """64-bit SimHash over word shingles, as a single column expression.
 

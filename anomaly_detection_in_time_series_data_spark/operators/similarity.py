@@ -240,50 +240,78 @@ def cosine_near_pairs_gemm(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.45,
+    grid: int | None = None,
 ) -> DataFrame:
-    """All-pairs cosine near-duplicate pairs via blocked matrix multiply.
+    """All-pairs cosine near-duplicate pairs via DISTRIBUTED grid-blocked
+    matrix multiply — no driver-side materialization, no broadcast.
 
     The per-pair expression formulation (crossJoin + aggregate lambda) is
     O(N^2 * d) scalar ops inside codegen — correct but ~50x slower than
-    BLAS. Here the full normalized matrix (N x d float64; 100k x 64 ≈
-    50 MB) is broadcast to every worker once, and each partition GEMMs its
-    own row-block against it (``block @ all.T``), emitting only pairs
-    above threshold with id_a < id_b. Same exact arithmetic per pair
-    (float64 dot), so the verdict against any margin-separated threshold
-    matches the expression formulation bit-for-bit at the flag level.
+    BLAS. The corpus is hashed into ``grid`` row-blocks; each vector is
+    replicated to the ``grid`` column-cells of its row-block (row side) and
+    the ``grid`` row-cells of its column-block (col side), so every grid
+    cell (ra, cb) receives exactly the two sub-blocks it must multiply.
+    One ``applyInPandas`` per cell GEMMs block_a @ block_b.T and emits only
+    pairs above threshold with id_a < id_b — each unordered pair (i, j),
+    i < j, survives in exactly one cell (the one where i is on the row
+    side), so no distinct is needed.
 
-    Beyond broadcast reach (N*d > ~1e9), shard the broadcast side into
-    column blocks and union the per-shard outputs — the row-block x
-    col-block grid is the standard distributed GEMM; LSH/IVF bucketing
-    (``lsh_topk`` / ``ivf_topk``) remains the sub-quadratic path.
+    Scale shape: shuffle volume is 2*N*grid*d doubles (the standard
+    replication cost of grid GEMM); per-cell memory is (N/grid)*d*2 — pick
+    ``grid`` so a cell's two sub-blocks fit an executor (default:
+    ceil(sqrt(defaultParallelism)) cells >= cluster parallelism).  Norms
+    are computed JVM-side once per vector; only the O(N^2) dot products run
+    in BLAS.  The sub-quadratic 100 TB path remains LSH/IVF bucketing
+    (``lsh_topk`` / ``ivf_topk``).
     """
-    import numpy as np
-    import pandas as pd
+    import math
 
-    rows = df.select(id_col, F.col(vec_col).cast("array<double>")).collect()
-    ids = np.array([r[0] for r in rows], dtype=np.int64)
-    mat = np.array([r[1] for r in rows], dtype=np.float64)
-    norms = np.linalg.norm(mat, axis=1)
-    norms[norms == 0.0] = 1.0
-    normed = mat / norms[:, None]
     spark = df.sparkSession
-    b_ids = spark.sparkContext.broadcast(ids)
-    b_mat = spark.sparkContext.broadcast(normed)
+    if grid is None:
+        grid = max(2, int(math.ceil(math.sqrt(spark.sparkContext.defaultParallelism))))
+    v = df.select(
+        F.col(id_col).cast("long").alias("_id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    ).withColumn("_nrm", _norm(F.col("_v"))).withColumn(
+        "_blk", F.pmod(F.xxhash64(F.col("_id")), F.lit(grid)).cast("int")
+    )
+    cells = F.explode(F.sequence(F.lit(0), F.lit(grid - 1)))
+    rows_side = v.select(
+        "_id", "_v", "_nrm",
+        F.col("_blk").alias("_ra"),
+        cells.alias("_cb"),
+        F.lit(0).alias("_side"),
+    )
+    cols_side = v.select(
+        "_id", "_v", "_nrm",
+        cells.alias("_ra"),
+        F.col("_blk").alias("_cb"),
+        F.lit(1).alias("_side"),
+    )
+    both = rows_side.unionByName(cols_side)
 
-    def block_pairs(iterator):
-        all_ids = b_ids.value
-        all_mat = b_mat.value
-        for pdf in iterator:
-            idx = pdf["_row"].to_numpy()
-            sims = all_mat[idx] @ all_mat.T  # (block, N)
-            bi, bj = np.nonzero(sims > threshold)
-            ia = all_ids[idx[bi]]
-            ib = all_ids[bj]
-            keep = ia < ib
-            yield pd.DataFrame({"vec_id_a": ia[keep], "vec_id_b": ib[keep]})
+    def cell_pairs(pdf):
+        import numpy as np
+        import pandas as pd
 
-    n = len(ids)
-    rows_df = spark.range(n).select(F.col("id").cast("int").alias("_row"))
-    return rows_df.repartition(spark.sparkContext.defaultParallelism).mapInPandas(
-        block_pairs, "vec_id_a long, vec_id_b long"
+        pa = pdf[pdf["_side"] == 0]
+        pb = pdf[pdf["_side"] == 1]
+        if pa.empty or pb.empty:
+            return pd.DataFrame({"vec_id_a": pd.Series([], dtype="int64"),
+                                 "vec_id_b": pd.Series([], dtype="int64")})
+        ma = np.array(pa["_v"].tolist(), dtype=np.float64)
+        mb = np.array(pb["_v"].tolist(), dtype=np.float64)
+        na = pa["_nrm"].to_numpy(dtype=np.float64).copy()
+        nb = pb["_nrm"].to_numpy(dtype=np.float64).copy()
+        na[na == 0.0] = 1.0
+        nb[nb == 0.0] = 1.0
+        sims = (ma / na[:, None]) @ (mb / nb[:, None]).T
+        bi, bj = np.nonzero(sims > threshold)
+        ia = pa["_id"].to_numpy()[bi]
+        ib = pb["_id"].to_numpy()[bj]
+        keep = ia < ib
+        return pd.DataFrame({"vec_id_a": ia[keep], "vec_id_b": ib[keep]})
+
+    return both.groupBy("_ra", "_cb").applyInPandas(
+        cell_pairs, "vec_id_a long, vec_id_b long"
     )

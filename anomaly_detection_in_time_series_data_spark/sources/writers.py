@@ -99,20 +99,24 @@ def nearest_in_geoindex(
     The reference full-scans all 67k records per probe despite having built
     the geoindex (`Assignment_3.ipynb:692-720` — SURVEY §4 'anti-evidence').
     Here the probe's geohash prefix prunes to the probe cell PLUS its 8
-    neighbors (boundary-correct: a probe near a cell edge can have its
-    nearest record across the edge) at each of the g3/g2/g1 levels —
-    partition pruning on the Hive layout, visible as PartitionFilters in
-    the scan — widening only if the neighborhood is empty; the final
-    distance is exact haversine, JVM-side.
+    neighbors at each of the g3/g2/g1 levels — partition pruning on the
+    Hive layout, visible as PartitionFilters in the scan. The search widens
+    to the next level when the neighborhood is empty OR when the best
+    candidate's haversine distance exceeds the minimum distance from the
+    probe to the pruned region's outer boundary
+    (``gh.min_distance_to_region_boundary``) — a nearer record could
+    otherwise hide in an unscanned cell just across the region edge. The
+    final distance is exact haversine, JVM-side.
     """
     probe = gh.encode(lat, lon, 12)
     df = spark.read.json(index_path)
-    levels = []
+    levels: list[tuple[str | None, list[str] | None, float]] = []
     for k, col in ((3, "g3"), (2, "g2"), (1, "g1")):
         cell = probe[:k]
-        levels.append((col, [cell] + gh.neighbors(cell)))
-    levels.append((None, None))
-    for prefix_col, cells in levels:
+        bound = gh.min_distance_to_region_boundary(lat, lon, cell)
+        levels.append((col, [cell] + gh.neighbors(cell), bound))
+    levels.append((None, None, float("inf")))
+    for prefix_col, cells, bound in levels:
         cand = df if prefix_col is None else df.filter(F.col(prefix_col).isin(cells))
         scored = cand.withColumn(
             "_dist",
@@ -121,7 +125,9 @@ def nearest_in_geoindex(
             ),
         )
         rows = scored.orderBy("_dist").limit(1).collect()
-        if rows:
+        # Accept only a candidate provably nearest: closer than any point
+        # outside the scanned 3x3 region.  Otherwise widen a level.
+        if rows and rows[0]["_dist"] <= bound:
             return rows[0].asDict()
     return None
 

@@ -91,6 +91,30 @@ def test_minhash_lsh_finds_planted_near_dups(spark):
     assert {(r.id_a, r.id_b) for r in verified} == {(1, 2)}
 
 
+def test_jaccard_verify_counts_matches_array_verify(spark):
+    """The count-based verify (no array-carrying join) must produce the
+    identical pair set AND identical jaccard values as the array
+    formulation — both are integer-count divisions over distinct sets."""
+    docs = [
+        (1, "the quick brown fox jumps over the lazy dog again and again " * 5),
+        (2, ("the quick brown fox jumps over the lazy dog again and again " * 5
+             ).replace("lazy", "sleepy")),
+        (3, "completely unrelated content about spark catalyst optimizer internals"),
+        (4, "the quick brown fox jumps over the lazy dog again and again " * 5),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    pairs = dedup.lsh_candidate_pairs(df, num_hashes=32, bands=16)
+    old = {
+        (r.id_a, r.id_b): round(r.jaccard, 12)
+        for r in dedup.jaccard_pairs(df, pairs, threshold=0.3).collect()
+    }
+    new = {
+        (r.id_a, r.id_b): round(r.jaccard, 12)
+        for r in dedup.jaccard_verify_counts(df, pairs, threshold=0.3).collect()
+    }
+    assert old == new and (1, 4) in new and new[(1, 4)] == 1.0
+
+
 def test_simhash_close_for_near_dups(spark):
     base = "alpha beta gamma delta epsilon zeta eta theta " * 4
     near = base.replace("delta", "delt")

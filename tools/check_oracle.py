@@ -47,6 +47,16 @@ def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> tuple[bool, str]
         if x.dtype.kind == "f" or y.dtype.kind == "f":
             xa = x.astype(float).to_numpy()
             ya = y.astype(float).to_numpy()
+            # One-sided NaN/NULL must FAIL: abs(x - NaN) is NaN and
+            # "NaN > 0" is False in numpy, which would silently pass.
+            one_nan = pd.isna(xa) != pd.isna(ya)
+            if one_nan.any():
+                i = int(one_nan.argmax())
+                return (
+                    False,
+                    f"float col {col}: one-sided NaN/NULL at canon row {i}: "
+                    f"{xa[i]!r} vs {ya[i]!r}",
+                )
             both_nan = pd.isna(xa) & pd.isna(ya)
             diff = abs(xa - ya)
             diff[both_nan] = 0.0
