@@ -188,6 +188,22 @@ def rolling_zscore_chunked(
     )
 
 
+def _ewma_step(
+    mu: float, var: float, n: int, x: float, alpha: float
+) -> tuple[float, float, int]:
+    """One EWMA state transition — THE single definition of the recurrence,
+    shared by the sequential scorer, the chunked state pass, and the chunked
+    chunk scorer so all three execute the identical float op sequence
+    (bit-equal outputs)."""
+    delta = x - mu if n else 0.0
+    if n == 0:
+        mu = x
+    else:
+        mu += alpha * delta
+        var = (1.0 - alpha) * (var + alpha * delta * delta)
+    return mu, var, n + 1
+
+
 def ewma_anomaly(
     df: DataFrame,
     *,
@@ -197,6 +213,7 @@ def ewma_anomaly(
     alpha: float = 0.1,
     threshold: float = 3.0,
     min_points: int = 5,
+    tiebreak_col: str | None = None,
 ) -> DataFrame:
     """EWMA control-chart anomaly detection per key (causal).
 
@@ -212,12 +229,20 @@ def ewma_anomaly(
     Unlike the rolling-window z-score, state is O(1) per key (mu, var,
     n) and old history decays smoothly — the standard drift-tolerant
     scorer. Runs as one ``applyInPandas`` pass per key group; at scale
-    parallelism = #keys (chunk by time with state handoff if single keys
-    dominate — same trick as ``rolling_zscore_chunked``)."""
+    parallelism = #keys — use ``ewma_anomaly_chunked`` (bit-equal output,
+    parallelism #keys x #chunks) when single keys dominate.
+
+    ``tiebreak_col`` makes tied-timestamp scoring deterministic (rows with
+    equal ``ts`` otherwise keep nondeterministic incoming order, so
+    sequential scores could differ across runs)."""
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
 
+    sort_cols = [ts_col] + ([tiebreak_col] if tiebreak_col else [])
+    in_cols = [key_col, ts_col, value_col] + (
+        [tiebreak_col] if tiebreak_col else []
+    )
     out_schema = T.StructType(
         [
             T.StructField(key_col, df.schema[key_col].dataType),
@@ -229,7 +254,7 @@ def ewma_anomaly(
     )
 
     def score(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(ts_col)
+        pdf = pdf.sort_values(sort_cols)
         xs = pdf[value_col].to_numpy(dtype=float)
         mu, var, n = 0.0, 0.0, 0
         zs = np.full(len(xs), np.nan)
@@ -238,13 +263,7 @@ def ewma_anomaly(
             if n >= min_points and var > 1e-24:
                 zs[i] = (x - mu) / var**0.5
                 flags[i] = abs(zs[i]) > threshold
-            delta = x - mu if n else 0.0
-            if n == 0:
-                mu = x
-            else:
-                mu += alpha * delta
-                var = (1.0 - alpha) * (var + alpha * delta * delta)
-            n += 1
+            mu, var, n = _ewma_step(mu, var, n, x, alpha)
         return pd.DataFrame(
             {
                 key_col: pdf[key_col],
@@ -255,6 +274,120 @@ def ewma_anomaly(
             }
         )
 
-    return df.select(key_col, ts_col, value_col).groupBy(key_col).applyInPandas(
+    return df.select(*in_cols).groupBy(key_col).applyInPandas(
         score, schema=out_schema
+    )
+
+
+def ewma_anomaly_chunked(
+    df: DataFrame,
+    *,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak_col: str = "event_id",
+    alpha: float = 0.1,
+    threshold: float = 3.0,
+    min_points: int = 5,
+    chunk: str = "7 days",
+) -> DataFrame:
+    """``ewma_anomaly`` with time-chunk + state-handoff execution —
+    BIT-EQUAL scores, parallelism #keys x #chunks instead of #keys.
+
+    EWMA is inherently a sequential recurrence, so exact (bit-equal)
+    parallelism across chunks is impossible in one pass — instead the work
+    is split so the unavoidable sequential part is minimal:
+
+    1. **State pass** (parallel over keys): a bare scalar scan per key that
+       only records the (mu, var, n) state at each chunk entry — no z
+       computation, no per-row output assembly. Output: #keys x #chunks
+       tiny state rows.
+    2. **Score pass** (parallel over key x chunk): each (key, chunk) group
+       re-runs the identical recurrence from its handed-off entry state
+       and emits the scored rows.
+
+    Both passes call ``_ewma_step`` — the same op sequence as the
+    sequential scorer — so outputs are bit-equal (unit-asserted).  The
+    per-row heavy part (scoring + Arrow assembly, the dominant constant)
+    parallelizes #keys x #chunks; only the cheap state scan stays
+    key-sequential.  ``tiebreak_col`` is required: both passes must agree
+    on a TOTAL row order for the handoff to be exact.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    sort_cols = [ts_col, tiebreak_col]
+    base = df.select(key_col, ts_col, value_col, tiebreak_col).withColumn(
+        "_chunk", F.window(F.col(ts_col), chunk).start
+    )
+
+    state_schema = T.StructType(
+        [
+            T.StructField(key_col, df.schema[key_col].dataType),
+            T.StructField("_chunk", T.TimestampType()),
+            T.StructField("_mu_in", T.DoubleType()),
+            T.StructField("_var_in", T.DoubleType()),
+            T.StructField("_n_in", T.LongType()),
+        ]
+    )
+
+    def states(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(sort_cols)
+        xs = pdf[value_col].to_numpy(dtype=float)
+        chunks = pdf["_chunk"].to_numpy()
+        mu, var, n = 0.0, 0.0, 0
+        out = {"_chunk": [], "_mu_in": [], "_var_in": [], "_n_in": []}
+        cur = None
+        for c, x in zip(chunks, xs):
+            if cur is None or c != cur:
+                cur = c
+                out["_chunk"].append(c)
+                out["_mu_in"].append(mu)
+                out["_var_in"].append(var)
+                out["_n_in"].append(n)
+            mu, var, n = _ewma_step(mu, var, n, x, alpha)
+        out[key_col] = [pdf[key_col].iloc[0]] * len(out["_chunk"])
+        return pd.DataFrame(out)
+
+    entry_states = base.groupBy(key_col).applyInPandas(states, schema=state_schema)
+
+    out_schema = T.StructType(
+        [
+            T.StructField(key_col, df.schema[key_col].dataType),
+            T.StructField("event_ts", df.schema[ts_col].dataType),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("ewma_z", T.DoubleType()),
+            T.StructField("is_anomaly", T.BooleanType()),
+        ]
+    )
+
+    def score_chunk(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(sort_cols)
+        xs = pdf[value_col].to_numpy(dtype=float)
+        mu = float(pdf["_mu_in"].iloc[0])
+        var = float(pdf["_var_in"].iloc[0])
+        n = int(pdf["_n_in"].iloc[0])
+        zs = np.full(len(xs), np.nan)
+        flags = np.zeros(len(xs), dtype=bool)
+        for i, x in enumerate(xs):
+            if n >= min_points and var > 1e-24:
+                zs[i] = (x - mu) / var**0.5
+                flags[i] = abs(zs[i]) > threshold
+            mu, var, n = _ewma_step(mu, var, n, x, alpha)
+        return pd.DataFrame(
+            {
+                key_col: pdf[key_col],
+                "event_ts": pdf[ts_col],
+                "value": xs,
+                "ewma_z": zs,
+                "is_anomaly": flags,
+            }
+        )
+
+    # #keys x #chunks state rows: broadcast onto the chunked data, then
+    # score each (key, chunk) group independently.
+    joined = base.join(F.broadcast(entry_states), on=[key_col, "_chunk"])
+    return joined.groupBy(key_col, "_chunk").applyInPandas(
+        score_chunk, schema=out_schema
     )

@@ -2519,11 +2519,16 @@ def resample_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ewma_anomaly_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EWMA control-chart anomalies per event_type (rows-only: the
     exponential recursion has no portable SQL twin; exactness is
-    unit-tested against closed-form weights and planted spikes)."""
+    unit-tested against closed-form weights and planted spikes).
+
+    Runs the chunked state-handoff formulation (parallelism #keys x
+    #chunks; bit-equal to the sequential scorer — unit-asserted), with
+    event_id tiebreak so tied-timestamp scoring is deterministic."""
     ev = load_table(spark, sf_dir, "events")
-    scored = anomaly.ewma_anomaly(
+    scored = anomaly.ewma_anomaly_chunked(
         ev, key_col="event_type", ts_col="ts", value_col="value",
-        alpha=0.1, threshold=3.0, min_points=5,
+        tiebreak_col="event_id", alpha=0.1, threshold=3.0, min_points=5,
+        chunk="7 days",
     )
     return scored.select(
         "event_type",

@@ -54,6 +54,7 @@ def streaming_zscore(
     value_col: str = "value",
     threshold: float = 3.0,
     min_points: int = 5,
+    tiebreak_col: str | None = None,
 ) -> DataFrame:
     """Per-key running z-score over a stream via Welford state.
 
@@ -61,8 +62,14 @@ def streaming_zscore(
     events for its key (causal, replay-stable given per-key event-time
     order within batches), then merged into the state. Keys with fewer than
     ``min_points`` prior events never flag.
+
+    Pass ``tiebreak_col`` (it must be selected into the stream) when
+    timestamps can repeat within a key: rows with equal ``ts`` otherwise
+    keep nondeterministic incoming order, so sequential scores could
+    differ across runs.
     """
     out_schema = zscore_output_schema(key_col)
+    sort_cols = [ts_col] + ([tiebreak_col] if tiebreak_col else [])
 
     def score(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
@@ -73,7 +80,7 @@ def streaming_zscore(
             n, mean, m2 = 0, 0.0, 0.0
         frames = []
         for pdf in pdfs:
-            pdf = pdf.sort_values(ts_col)
+            pdf = pdf.sort_values(sort_cols)
             zs: list[float | None] = []
             flags: list[bool] = []
             for v in pdf[value_col]:
@@ -165,6 +172,7 @@ def streaming_ewma(
     alpha: float = 0.1,
     threshold: float = 3.0,
     min_points: int = 5,
+    tiebreak_col: str | None = None,
 ) -> DataFrame:
     """EWMA control chart on the Spark 4 stateful API
     (``transformWithStateInPandas``): O(1) typed value state (mu, var, n)
@@ -205,8 +213,9 @@ def streaming_ewma(
         def handleInputRows(self, key, rows, timerValues):
             got = self._state.get()
             mu, var, n = got if got is not None else (0.0, 0.0, 0)
+            sort_cols = [ts_col] + ([tiebreak_col] if tiebreak_col else [])
             for pdf in rows:
-                pdf = pdf.sort_values(ts_col)
+                pdf = pdf.sort_values(sort_cols)
                 zs: list[float | None] = []
                 flags: list[bool] = []
                 for x in pdf[value_col]:

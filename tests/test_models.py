@@ -151,3 +151,61 @@ def test_model_artifact_save_load_roundtrip(spark, sf_dir, tmp_path):
     a = [r.prediction for r in model.transform(emb).select("prediction").collect()]
     b = [r.prediction for r in back.transform(emb).select("prediction").collect()]
     assert a == b
+
+
+def test_ewma_chunked_bit_equal_to_sequential(spark):
+    """The time-chunk + state-handoff formulation must reproduce the
+    sequential scorer BIT-equal (same _ewma_step op sequence), across
+    chunk boundaries, tied timestamps, and a planted spike."""
+    import datetime
+    import math
+    import struct
+
+    from anomaly_detection_in_time_series_data_spark.operators.anomaly import (
+        ewma_anomaly,
+        ewma_anomaly_chunked,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for key, n_points, spike_at in (("a", 400, 170), ("b", 90, None)):
+        for i in range(n_points):
+            v = math.sin(i / 7.0) * (1.0 if key == "a" else 3.0)
+            if spike_at is not None and i == spike_at:
+                v = 55.0
+            # three points per timestamp -> exercises the tiebreak
+            ts = t0 + datetime.timedelta(hours=8 * (i // 3))
+            rows.append((key, ts, eid, float(v)))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "k string, ts timestamp, event_id long, value double"
+    ).repartition(7)  # scramble incoming order
+
+    kw = dict(
+        key_col="k", ts_col="ts", value_col="value", tiebreak_col="event_id",
+        alpha=0.1, threshold=3.0, min_points=5,
+    )
+
+    def bits(rows_):
+        def f2b(x):
+            if x is None:
+                return "nan"
+            return struct.pack("<d", x).hex()
+
+        # (k, ts, value-bits) is a unique row key in this fixture because
+        # every value in a key's series is distinct
+        return {
+            (r["k"], r["event_ts"], f2b(r["value"])): (
+                f2b(r["ewma_z"]),
+                r["is_anomaly"],
+            )
+            for r in rows_
+        }
+
+    seq = bits(ewma_anomaly(df, **kw).collect())
+    # "2 days" x 8-hourly points -> ~67 chunks for key a
+    chk = bits(ewma_anomaly_chunked(df, chunk="2 days", **kw).collect())
+    assert len(seq) == len(chk) == len(rows)
+    assert seq == chk
+    assert any(flag for _, flag in seq.values())  # spike was flagged
