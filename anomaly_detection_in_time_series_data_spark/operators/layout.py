@@ -101,11 +101,24 @@ def compact_small_files(
 
     jvm_path = spark.sparkContext._jvm.org.apache.hadoop.fs.Path(path)
     fs = jvm_path.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
-    total = sum(
-        s.getLen()
-        for s in fs.listStatus(jvm_path)
-        if s.getPath().getName().endswith(".parquet")
-    )
+    # Recursive listing: on a Hive-partitioned tree the parquet files live
+    # in partition SUBDIRS — a flat listStatus would size the table at 0
+    # bytes and collapse it to one file.  Partitioned layouts are refused
+    # outright: a flat rewrite would silently flatten the partition dirs
+    # (re-partitioning maintenance belongs to a partition-aware pass).
+    total = 0
+    it = fs.listFiles(jvm_path, True)
+    while it.hasNext():
+        s = it.next()
+        p = s.getPath()
+        if p.getName().endswith(".parquet"):
+            if "=" in p.getParent().getName():
+                raise ValueError(
+                    f"compact_small_files: {path} contains Hive partition "
+                    "subdirectories; compacting would flatten the layout — "
+                    "compact each partition directory instead"
+                )
+            total += s.getLen()
     n_files = max(1, math.ceil(total / target_file_bytes))
     df = spark.read.parquet(path)
     if sort_cols:

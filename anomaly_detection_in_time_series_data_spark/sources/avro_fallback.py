@@ -268,9 +268,89 @@ def write_avro(df: DataFrame, path: str, mode: str = "overwrite") -> str:
     return "fallback"
 
 
+def avro_to_spark_schema(avro_schema: dict) -> T.StructType:
+    """Inverse of ``spark_to_avro_schema``: rebuild the explicit StructType
+    from the OCF-embedded schema so the fallback read needs NO inference —
+    Avro ``float`` stays FloatType (inference would widen to double) and
+    all-null columns keep their declared type (inference would fail)."""
+
+    def field_type(ft) -> tuple[T.DataType, bool]:
+        if isinstance(ft, list):  # ["null", X] nullable union
+            inner = [t for t in ft if t != "null"]
+            assert len(inner) == 1, f"unsupported Avro union: {ft}"
+            dt, _ = field_type(inner[0])
+            return dt, True
+        if isinstance(ft, dict):
+            if ft["type"] == "array":
+                dt, _ = field_type(ft["items"])
+                return T.ArrayType(dt), False
+            if ft["type"] == "record":
+                return (
+                    T.StructType(
+                        [
+                            T.StructField(f["name"], *field_type(f["type"]))
+                            for f in ft["fields"]
+                        ]
+                    ),
+                    False,
+                )
+            raise TypeError(f"unsupported Avro complex type: {ft}")
+        scalar = {
+            "boolean": T.BooleanType(),
+            "int": T.IntegerType(),
+            "long": T.LongType(),
+            "float": T.FloatType(),
+            "double": T.DoubleType(),
+            "string": T.StringType(),
+            "bytes": T.BinaryType(),
+        }
+        if ft in scalar:
+            return scalar[ft], False
+        raise TypeError(f"unsupported Avro type: {ft}")
+
+    return T.StructType(
+        [
+            T.StructField(f["name"], *field_type(f["type"]))
+            for f in avro_schema["fields"]
+        ]
+    )
+
+
+def _decode_ocf_bytes(data: bytes, fp: str) -> list[dict]:
+    """Decode one Avro OCF byte blob into python row dicts (pure spec)."""
+    r = _Reader(data)
+    assert r.read(4) == MAGIC, f"not an Avro OCF: {fp}"
+    meta: dict[str, bytes] = {}
+    while True:
+        n = r.read_long()
+        if n == 0:
+            break
+        if n < 0:
+            r.read_long()
+            n = -n
+        for _ in range(n):
+            k = r.read(r.read_long()).decode()
+            v = r.read(r.read_long())
+            meta[k] = v
+    schema_obj = json.loads(meta["avro.schema"])
+    assert meta.get("avro.codec", b"null") == b"null"
+    r.read(16)  # sync
+    rows: list[dict] = []
+    while r.pos < len(data):
+        cnt = r.read_long()
+        r.read_long()  # byte length
+        for _ in range(cnt):
+            rows.append(r.read_value(schema_obj))
+        r.read(16)  # sync
+    return rows
+
+
 def read_avro(spark: SparkSession, path: str) -> DataFrame:
-    """Read Avro written by either path. Tries spark-avro; falls back to the
-    pure-Python decoder (driver-side listing, per-file parallel decode)."""
+    """Read Avro written by either path. Tries spark-avro; falls back to
+    the pure-Python decoder: the driver reads ONE file header for the
+    embedded schema (converted to an explicit StructType — no inference),
+    then files decode in parallel on executors via
+    ``parallelize(files).flatMap``."""
     try:
         return spark.read.format("avro").load(path)
     except Exception:  # noqa: BLE001
@@ -278,34 +358,32 @@ def read_avro(spark: SparkSession, path: str) -> DataFrame:
     files = sorted(
         os.path.join(path, f) for f in os.listdir(path) if f.endswith(".avro")
     )
-    all_rows: list[dict] = []
-    schema_obj = None
-    for fp in files:
-        with open(fp, "rb") as f:
-            data = f.read()
-        r = _Reader(data)
-        assert r.read(4) == MAGIC, f"not an Avro OCF: {fp}"
-        meta: dict[str, bytes] = {}
-        while True:
-            n = r.read_long()
-            if n == 0:
-                break
-            if n < 0:
-                r.read_long()
-                n = -n
-            for _ in range(n):
-                k = r.read(r.read_long()).decode()
-                v = r.read(r.read_long())
-                meta[k] = v
-        schema_obj = json.loads(meta["avro.schema"])
-        assert meta.get("avro.codec", b"null") == b"null"
-        r.read(16)  # sync
-        while r.pos < len(data):
-            cnt = r.read_long()
-            r.read_long()  # byte length
-            for _ in range(cnt):
-                all_rows.append(r.read_value(schema_obj))
-            r.read(16)  # sync
-    if not all_rows:
+    if not files:
         return spark.createDataFrame([], schema="id long")
-    return spark.createDataFrame(all_rows)
+    with open(files[0], "rb") as f:
+        head = _Reader(f.read())
+    assert head.read(4) == MAGIC, f"not an Avro OCF: {files[0]}"
+    meta: dict[str, bytes] = {}
+    while True:
+        n = head.read_long()
+        if n == 0:
+            break
+        if n < 0:
+            head.read_long()
+            n = -n
+        for _ in range(n):
+            k = head.read(head.read_long()).decode()
+            v = head.read(head.read_long())
+            meta[k] = v
+    avro_schema = json.loads(meta["avro.schema"])
+    struct = avro_to_spark_schema(avro_schema)
+
+    def decode_file(fp: str):
+        with open(fp, "rb") as fh:
+            return [
+                tuple(row.get(f.name) for f in struct.fields)
+                for row in _decode_ocf_bytes(fh.read(), fp)
+            ]
+
+    rdd = spark.sparkContext.parallelize(files, len(files)).flatMap(decode_file)
+    return spark.createDataFrame(rdd, schema=struct)

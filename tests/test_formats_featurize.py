@@ -51,6 +51,33 @@ def test_avro_roundtrip_flat_and_nested(spark, tmp_path):
     assert got[0][2] == 41.1499988 and got[2][2] == 0.0
 
 
+def test_avro_fallback_read_exact_schema_no_inference(spark, tmp_path):
+    """The fallback read must rebuild the EMBEDDED schema, not infer:
+    Avro float stays FloatType (inference widens to double) and an
+    all-null column keeps its declared type (inference would fail)."""
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType(), False),
+            T.StructField("score", T.FloatType(), True),
+            T.StructField("always_null", T.StringType(), True),
+        ]
+    )
+    df = spark.createDataFrame(
+        [(1, 1.5, None), (2, None, None)], schema
+    )
+    path = str(tmp_path / "float_avro")
+    if avro_fallback.write_avro(df, path) != "fallback":
+        import pytest
+
+        pytest.skip("spark-avro jar present; fallback path not exercised")
+    back = avro_fallback.read_avro(spark, path)
+    assert dict(back.dtypes) == {
+        "id": "bigint", "score": "float", "always_null": "string"
+    }
+    got = {r["id"]: (r["score"], r["always_null"]) for r in back.collect()}
+    assert got[1][0] == 1.5 and got[1][1] is None and got[2] == (None, None)
+
+
 def test_avro_header_is_spec_correct(spark, tmp_path):
     df = spark.createDataFrame([(1, "x")], ["id", "s"])
     path = str(tmp_path / "hdr")

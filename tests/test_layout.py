@@ -92,3 +92,23 @@ def test_compact_small_files_reduces_file_count(spark, tmp_path):
     after = spark.read.parquet(path)
     assert after.count() == 4000
     assert after.agg({"id": "sum"}).collect()[0][0] == before_sum
+
+
+def test_compact_refuses_hive_partitioned_tree(spark, tmp_path):
+    """A Hive-partitioned table must not be silently flattened: sizing is
+    recursive (a flat listing would see 0 bytes) and the partitioned
+    layout is refused with a clear error."""
+    import pytest
+
+    from anomaly_detection_in_time_series_data_spark.operators.layout import (
+        compact_small_files,
+    )
+
+    path = str(tmp_path / "parts")
+    spark.range(100).selectExpr("id", "id % 3 AS k").write.partitionBy(
+        "k"
+    ).parquet(path)
+    with pytest.raises(ValueError, match="partition subdirectories"):
+        compact_small_files(spark, path, target_file_bytes=10**9)
+    # the refused table is untouched
+    assert spark.read.parquet(path).count() == 100
