@@ -3018,27 +3018,48 @@ def top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sole_latest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q21 shape (suppliers who kept orders waiting), adapted to shipdate:
     per supplier, finished orders with >1 supplier where THIS supplier
-    shipped strictly last. EXISTS -> left-semi self-join, NOT EXISTS ->
-    null-aware anti self-join with a non-equi conjunct; Catalyst plans both
-    against the same lineitem scan."""
-    for t in ("supplier", "lineitem", "orders"):
-        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
-    return spark.sql(
-        """
-        SELECT s_name, CAST(count(DISTINCT l1.l_orderkey) AS BIGINT) AS numwait
-        FROM supplier
-        JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
-        JOIN orders ON o_orderkey = l1.l_orderkey
-        WHERE o_orderstatus = 'F'
-          AND EXISTS (SELECT 1 FROM lineitem l2
-                      WHERE l2.l_orderkey = l1.l_orderkey
-                        AND l2.l_suppkey <> l1.l_suppkey)
-          AND NOT EXISTS (SELECT 1 FROM lineitem l3
-                          WHERE l3.l_orderkey = l1.l_orderkey
-                            AND l3.l_suppkey <> l1.l_suppkey
-                            AND l3.l_shipdate >= l1.l_shipdate)
-        GROUP BY s_name
-        """
+    shipped strictly last.
+
+    Single-scan restructure of the EXISTS/NOT-EXISTS formulation (which
+    scans lineitem three times — base + semi + anti self-joins): a
+    supplier row l1 qualifies iff every OTHER supplier in the order ships
+    strictly earlier, i.e. the order's max shipdate is achieved by exactly
+    one supplier (and >= 2 suppliers participate).  One
+    groupBy(order, supp) + one window over order computes that — lineitem
+    is scanned ONCE with two shuffles, vs three scans + two self-join
+    shuffles; the orders semi-join lands on the window's orderkey
+    partitioning.  Same rows as the subquery form (the oracle keeps the
+    EXISTS/NOT-EXISTS SQL, so the equivalence is hash-checked)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supplier = load_table(spark, sf_dir, "supplier")
+    per_os = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("l_shipdate").alias("smax")
+    )
+    w = Window.partitionBy("l_orderkey")
+    tmp = per_os.withColumn("order_max", F.max("smax").over(w)).withColumn(
+        "n_supp", F.count("*").over(w)
+    )
+    tmp = tmp.withColumn(
+        "n_at_max",
+        F.sum(F.when(F.col("smax") == F.col("order_max"), 1).otherwise(0)).over(w),
+    )
+    winners = tmp.filter(
+        (F.col("n_supp") >= 2)
+        & (F.col("smax") == F.col("order_max"))
+        & (F.col("n_at_max") == 1)
+    )
+    finished = orders.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_orderkey").alias("l_orderkey")
+    )
+    return (
+        winners.join(finished, "l_orderkey", "left_semi")
+        .join(
+            F.broadcast(supplier.select("s_suppkey", "s_name")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .groupBy("s_name")
+        .agg(F.count("*").cast("bigint").alias("numwait"))
     )
 
 

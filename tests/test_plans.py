@@ -162,10 +162,14 @@ def test_dynamic_partition_pruning_on_partitioned_fact(spark, sf_dir, tmp_path):
     assert joined.count() == 1
 
 
-def test_q21_exists_becomes_semi_and_anti_joins(spark, sf_dir):
+def test_q21_single_lineitem_scan(spark, sf_dir):
+    """The windowed restructure scans lineitem ONCE (the subquery form
+    needs base + semi + anti = three scans), keeps the orders probe a
+    semi join, and broadcasts the supplier dim."""
     plan = plans.executed_plan(q.QUERIES["sole_latest_supplier"](spark, sf_dir))
-    assert "LeftSemi" in plan  # EXISTS
-    assert "LeftAnti" in plan  # NOT EXISTS
+    assert plan.count("lineitem.parquet") == 1
+    assert "LeftSemi" in plan  # finished-orders probe
+    assert "BroadcastHashJoin" in plan  # supplier dim
     assert "BatchEvalPython" not in plan
 
 
