@@ -1,0 +1,71 @@
+"""CI guard: COVERAGE.md's "oracle `name`" claims cannot silently diverge
+from driver-recorded results.
+
+Round 1 shipped 77 registered queries whose oracle status was a claim with
+no driver CORRECTNESS row (the driver checks only the first 50 registered
+names per round).  This guard makes that state impossible to reintroduce:
+every oracle claim must be (a) green in some recorded CORRECTNESS_r*.json,
+(b) inside the current first-50 window (checked this round), or (c)
+explicitly listed in ``queries._PENDING_NEXT`` (scheduled for the next
+rotation).  Anything else fails CI.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import re
+from pathlib import Path
+
+from anomaly_detection_in_time_series_data_spark import queries as q
+
+REPO = Path(__file__).resolve().parents[1]
+
+
+def _recorded_green() -> set[str]:
+    green: set[str] = set()
+    for f in sorted(glob.glob(str(REPO / "CORRECTNESS_r*.json"))):
+        for name, row in json.load(open(f)).items():
+            if row.get("hash_match"):
+                green.add(name)
+    return green
+
+
+def _claimed_oracles() -> set[str]:
+    text = (REPO / "COVERAGE.md").read_text()
+    return set(re.findall(r"oracle `([a-z0-9_]+)`", text))
+
+
+def test_every_claimed_oracle_is_registered_with_sql():
+    claimed = _claimed_oracles()
+    assert claimed, "COVERAGE.md parse produced no oracle claims"
+    unregistered = sorted(claimed - set(q.QUERIES))
+    missing_sql = sorted(n for n in claimed & set(q.QUERIES) if n not in q.ORACLE)
+    assert not unregistered, f"claimed but not registered: {unregistered}"
+    assert not missing_sql, f"claimed but no oracle_sql entry: {missing_sql}"
+
+
+def test_every_claimed_oracle_is_verified_or_scheduled():
+    claimed = _claimed_oracles() & set(q.QUERIES)
+    green = _recorded_green()
+    window = set(list(q.QUERIES)[:50])
+    pending = set(q._PENDING_NEXT)
+    orphaned = sorted(
+        n for n in claimed if n not in green and n not in window and n not in pending
+    )
+    assert not orphaned, (
+        "oracle claims with no driver row, not in the current correctness "
+        f"window, and not scheduled in _PENDING_NEXT: {orphaned}"
+    )
+
+
+def test_pending_rotation_list_is_consistent():
+    """_PENDING_NEXT names must exist, carry oracles, and actually need a
+    rotation (drop them from the list once a green row is recorded AND
+    they have left the front window)."""
+    pending = list(q._PENDING_NEXT)
+    assert len(pending) == len(set(pending)), "duplicates in _PENDING_NEXT"
+    unknown = sorted(set(pending) - set(q.QUERIES))
+    assert not unknown, f"unknown queries in _PENDING_NEXT: {unknown}"
+    no_sql = sorted(n for n in pending if n not in q.ORACLE)
+    assert not no_sql, f"_PENDING_NEXT entries without oracle SQL: {no_sql}"
