@@ -1182,7 +1182,23 @@ def geohash_prefix_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("email_parse_fixture")
+@query(
+    "email_parse_fixture",
+    # The RFC-2822 wrapper is built by the query itself, so the oracle can
+    # state what a correct parse MUST return without re-implementing the
+    # parser: Subject is the injected 'doc-<id>' header and the extracted
+    # text/plain body is the original document text verbatim — i.e. the
+    # parse must be the identity on single-part plain messages.  Whitespace
+    # tokenization matches Spark's split(trim(x), '\\s+') exactly
+    # (both yield [''] -> 1 for all-whitespace input).
+    oracle=r"""
+    SELECT doc_id,
+           'doc-' || CAST(doc_id AS VARCHAR) AS subject,
+           CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+             AS n_tokens
+    FROM documents
+    """,
+)
 def email_parse_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """U1 on fixture data: wrap each document as an RFC-2822 message, parse
     with the total email UDF, count tokens of the extracted body."""
@@ -4160,6 +4176,112 @@ def month_boundary_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Training-data quality: repetition metrics and pattern-scrub counts
+# (Gopher/C4-style public heuristics; LLM-pipeline first-class operators)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "doc_repetition_metrics",
+    # Split semantics pinned cross-engine: both split on literal newline /
+    # \s+ and keep empty fields, so counts are integer-exact and the
+    # fractions divide identical integers.
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id,
+             string_split(text, chr(10)) AS lines,
+             string_split_regex(trim(text), '\s+') AS toks
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(lines) AS BIGINT) AS n_lines,
+           CAST(len(lines) - len(list_distinct(lines)) AS BIGINT) AS n_dup_lines,
+           CASE WHEN len(lines) > 0
+                THEN CAST(len(lines) - len(list_distinct(lines)) AS DOUBLE)
+                     / len(lines)
+                ELSE 0.0 END AS dup_line_frac,
+           CASE WHEN len(toks) > 0
+                THEN CAST(len(toks) - len(list_distinct(toks)) AS DOUBLE)
+                     / len(toks)
+                ELSE 0.0 END AS dup_word_frac
+    FROM t
+    """,
+)
+def doc_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition (Gopher-style quality signals): duplicate
+    line count/fraction and duplicate word fraction.  Pure JVM expressions
+    (split + array_distinct sizes) — integer counts, so the fractions are
+    engine-exact; a natural pre-filter before corpus-level dedup."""
+    docs = load_table(spark, sf_dir, "documents")
+    lines = F.split(F.col("text"), "\n")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    n_lines = F.size(lines).cast("bigint")
+    n_dup_lines = (F.size(lines) - F.size(F.array_distinct(lines))).cast("bigint")
+    n_toks = F.size(toks)
+    n_dup_toks = n_toks - F.size(F.array_distinct(toks))
+    return docs.select(
+        "doc_id",
+        n_lines.alias("n_lines"),
+        n_dup_lines.alias("n_dup_lines"),
+        F.when(n_lines > 0, n_dup_lines.cast("double") / n_lines)
+        .otherwise(F.lit(0.0))
+        .alias("dup_line_frac"),
+        F.when(n_toks > 0, n_dup_toks.cast("double") / n_toks)
+        .otherwise(F.lit(0.0))
+        .alias("dup_word_frac"),
+    )
+
+
+@query(
+    "doc_pattern_scrub_counts",
+    # Patterns restricted to syntax Java regex and RE2 treat identically
+    # (explicit classes, no backrefs/lookaround).
+    oracle=r"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text,
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+'))
+             AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(text, 'https?://[^ \t\n]+'))
+             AS BIGINT) AS n_urls,
+           CASE WHEN length(text) > 0
+                THEN CAST(length(text)
+                          - length(regexp_replace(text, '[0-9]', '', 'g'))
+                          AS DOUBLE) / length(text)
+                ELSE 0.0 END AS digit_frac
+    FROM documents
+    """,
+)
+def doc_pattern_scrub_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII-adjacent pattern counts for scrub/redact pipelines: email-like
+    and URL-like match counts plus digit-character fraction per document.
+    All JVM regex expressions (no UDF); the patterns use only syntax Java
+    regex and DuckDB's RE2 interpret identically, so counts are exact."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_emails = F.size(
+        F.regexp_extract_all(
+            F.col("text"),
+            F.lit(r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+"),
+        )
+    ).cast("bigint")
+    n_urls = F.size(
+        F.regexp_extract_all(F.col("text"), F.lit(r"https?://[^ \t\n]+"))
+    ).cast("bigint")
+    n_digits = F.length("text") - F.length(
+        F.regexp_replace(F.col("text"), "[0-9]", "")
+    )
+    return docs.select(
+        "doc_id",
+        n_emails.alias("n_emails"),
+        n_urls.alias("n_urls"),
+        F.when(
+            F.length("text") > 0, n_digits.cast("double") / F.length("text")
+        )
+        .otherwise(F.lit(0.0))
+        .alias("digit_frac"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver correctness-window rotation.
 #
 # The driver's per-round oracle gate checks the FIRST 50 registered queries.
@@ -4231,6 +4353,9 @@ _ROUND2_FRONT = [
 # Oracle-bearing queries with no driver correctness row after round 2 —
 # rotate these to the front in round 3.
 _PENDING_NEXT = [
+    "email_parse_fixture",  # oracle added in round 2 (identity-parse twin)
+    "doc_repetition_metrics",  # new in round 2
+    "doc_pattern_scrub_counts",  # new in round 2
     "posexplode_tokens",
     "array_agg_sorted",
     "variant_json_extract",
