@@ -94,3 +94,39 @@ def test_avro_container_roundtrip(records):
             out.append(r.read_value(schema))
         r.read(16)
     assert out == records
+
+
+@given(
+    st.floats(min_value=-89.9, max_value=89.9),
+    st.floats(min_value=-179.9, max_value=179.9),
+    st.floats(min_value=-89.9, max_value=89.9),
+    st.floats(min_value=-179.9, max_value=179.9),
+    st.integers(min_value=1, max_value=4),
+)
+@settings(max_examples=200, deadline=None)
+def test_region_boundary_bound_is_a_true_lower_bound(
+    plat, plon, qlat, qlon, precision
+):
+    """For any probe and any point OUTSIDE the probe cell's 3x3
+    neighborhood, the boundary bound must not exceed the haversine
+    distance — the pruned-search acceptance rule
+    (candidate_dist <= bound  =>  provably nearest) depends on it."""
+    import math
+
+    from anomaly_detection_in_time_series_data_spark.functions import geohash as gh
+
+    cell = gh.encode(plat, plon, precision)
+    region = {cell, *gh.neighbors(cell)}
+    if gh.encode(qlat, qlon, precision) in region:
+        return  # q inside the region: the bound makes no claim about it
+    bound = gh.min_distance_to_region_boundary(plat, plon, cell)
+
+    phi1, phi2 = math.radians(plat), math.radians(qlat)
+    dphi = math.radians(qlat - plat)
+    dlmb = math.radians(qlon - plon)
+    a = (
+        math.sin(dphi / 2) ** 2
+        + math.cos(phi1) * math.cos(phi2) * math.sin(dlmb / 2) ** 2
+    )
+    dist = 2 * 6371000.0 * math.asin(math.sqrt(a))
+    assert bound <= dist + 1e-6
