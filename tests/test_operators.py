@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 
 from anomaly_detection_in_time_series_data_spark.operators import (
     anomaly,
+    contamination,
     dedup,
     relational,
     similarity,
@@ -113,6 +114,48 @@ def test_jaccard_verify_counts_matches_array_verify(spark):
         for r in dedup.jaccard_verify_counts(df, pairs, threshold=0.3).collect()
     }
     assert old == new and (1, 4) in new and new[(1, 4)] == 1.0
+
+
+def test_ngram_contamination_planted_overlap(spark):
+    """An eval doc sharing an 8-token passage with a train doc must be
+    flagged with exactly the shared grams counted; a disjoint eval doc
+    must report zero hits (and still appear in the report)."""
+    passage = "the quick brown fox jumps over the lazy dog tonight"  # 10 toks
+    train = spark.createDataFrame(
+        [(1, f"intro words here {passage} trailing text follows now")],
+        ["doc_id", "text"],
+    )
+    ev = spark.createDataFrame(
+        [
+            (2, f"unrelated lead-in {passage} and a different tail entirely"),
+            (3, "completely fresh sentence with no shared passage at all "
+                "padded out to exceed eight whitespace tokens easily"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {
+        r.doc_id: r
+        for r in contamination.ngram_contamination(train, ev).collect()
+    }
+    assert set(rows) == {2, 3}
+    # The 10-token shared passage contributes exactly 3 shared 8-grams.
+    assert rows[2].n_contaminated == 3
+    assert rows[2].is_contaminated
+    assert rows[3].n_contaminated == 0 and not rows[3].is_contaminated
+    assert abs(rows[2].contaminated_frac - 3 / rows[2].n_grams) < 1e-15
+
+
+def test_ngram_contamination_short_docs_excluded(spark):
+    """Docs with fewer than n tokens carry no n-gram evidence: excluded
+    from the report, and as train docs they contaminate nothing."""
+    train = spark.createDataFrame([(1, "too short to matter")], ["doc_id", "text"])
+    ev = spark.createDataFrame(
+        [(2, "too short to matter"), (3, "one two three four five six seven eight")],
+        ["doc_id", "text"],
+    )
+    rows = contamination.ngram_contamination(train, ev).collect()
+    assert {r.doc_id for r in rows} == {3}
+    assert rows[0].n_grams == 1 and rows[0].n_contaminated == 0
 
 
 def test_simhash_close_for_near_dups(spark):

@@ -173,6 +173,46 @@ def test_q21_single_lineitem_scan(spark, sf_dir):
     assert "BatchEvalPython" not in plan
 
 
+def test_q6_all_predicates_pushed_and_pruned(spark, sf_dir):
+    """Q6 is the canonical scan-bound query: all four predicates must reach
+    the parquet scan and the scan must read only the 4 referenced columns
+    — at 100 TB this is the difference between a full-table read and a
+    stats-pruned fraction of it."""
+    df = q.QUERIES["forecast_revenue_change"](spark, sf_dir)
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert plans.has_pushed_filter(df, col)
+    assert set(plans.read_columns(df)) == {
+        "l_shipdate",
+        "l_discount",
+        "l_quantity",
+        "l_extendedprice",
+    }
+    plan = plans.executed_plan(df)
+    assert "partial_sum" in plan  # map-side combine before the 1-row exchange
+
+
+def test_q11_single_fact_scan_reused_aggregate(spark, sf_dir):
+    """Q11's global-total branch must reuse the per-part aggregate's
+    exchange (AQE ReusedExchange), not re-scan the fact table. The reuse
+    is an AQE runtime decision, so assert on the final executed plan."""
+    df = q.QUERIES["important_part_value"](spark, sf_dir)
+    df.collect()  # materialize so the final AQE plan (with reuse) exists
+    plan = plans.executed_plan(df)
+    assert "ReusedExchange" in plan  # single physical lineitem scan
+    assert "BroadcastHashJoin" in plan  # supplier + nation dims broadcast
+    assert "BatchEvalPython" not in plan
+
+
+def test_q20_nested_in_becomes_semi_joins(spark, sf_dir):
+    """Q20's doubly-nested IN must decorrelate into semi joins (no
+    per-row re-execution, no nested loop) with the part dim broadcast."""
+    plan = plans.executed_plan(q.QUERIES["part_promotion_suppliers"](spark, sf_dir))
+    assert "LeftSemi" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("lineitem.parquet") == 1
+
+
 def test_q10_top20_is_take_ordered(spark, sf_dir):
     df = q.QUERIES["returned_item_revenue"](spark, sf_dir)
     assert plans.has_take_ordered(df)
