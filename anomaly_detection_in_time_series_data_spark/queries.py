@@ -24,7 +24,15 @@ from collections.abc import Callable
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .operators import anomaly, contamination, dedup, relational, similarity, text
+from .operators import (
+    anomaly,
+    contamination,
+    dedup,
+    packing,
+    relational,
+    similarity,
+    text,
+)
 from .tables import load_table
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -4470,6 +4478,84 @@ def eval_contamination_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Round-2 training-pipeline additions: sequence packing
+# ---------------------------------------------------------------------------
+
+_PACK_TOKENS_SQL = """
+      SELECT doc_id, CAST(doc_id % 32 AS INT) AS shard,
+             CAST(CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                  END AS BIGINT) AS n_tokens
+      FROM documents
+"""
+
+
+@query(
+    "sequence_pack_assignments",
+    oracle=f"""
+    WITH t AS ({_PACK_TOKENS_SQL}),
+    c AS (
+      SELECT doc_id, shard, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM t
+    )
+    SELECT doc_id, shard, n_tokens,
+           CAST(floor((cum - n_tokens) / 256.0) AS BIGINT) AS start_pack,
+           CAST(CASE WHEN n_tokens > 0 THEN floor((cum - 1) / 256.0)
+                ELSE floor((cum - n_tokens) / 256.0) END AS BIGINT) AS end_pack,
+           CASE WHEN n_tokens > 0 THEN floor((cum - 1) / 256.0)
+                > floor((cum - n_tokens) / 256.0) ELSE FALSE END AS is_split
+    FROM c
+    """,
+)
+def sequence_pack_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-then-chunk sequence packing (GPT-style): per document, the
+    256-token training sequences its tokens land in, per 32-way shard.
+    Pure window arithmetic over JVM token counts — one shuffle on shard,
+    no Python anywhere. is_split marks boundary-straddling docs (the
+    packing-quality signal). Deterministic by (doc_id % shards, doc_id)
+    ordering, so assignments are reproducible across runs and engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    return packing.concat_chunk_assignments(docs)
+
+
+@query(
+    "greedy_pack_assignments",
+    oracle=f"""
+    WITH RECURSIVE t AS (
+      SELECT doc_id, shard, n_tokens,
+             row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
+      FROM ({_PACK_TOKENS_SQL})
+    ),
+    rec AS (
+      SELECT shard, rn, doc_id, n_tokens,
+             n_tokens AS fill, CAST(0 AS BIGINT) AS pack_id
+      FROM t WHERE rn = 1
+      UNION ALL
+      SELECT o.shard, o.rn, o.doc_id, o.n_tokens,
+             CASE WHEN r.fill + o.n_tokens <= 256
+                  THEN r.fill + o.n_tokens ELSE o.n_tokens END,
+             CASE WHEN r.fill + o.n_tokens <= 256
+                  THEN r.pack_id ELSE r.pack_id + 1 END
+      FROM rec r JOIN t o ON o.shard = r.shard AND o.rn = r.rn + 1
+    )
+    SELECT doc_id, shard, n_tokens, pack_id FROM rec
+    """,
+)
+def greedy_pack_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-preserving greedy sequence packing: a doc joins the current
+    256-token pack if it fits, else opens a new one (oversized docs get
+    their own pack). Inherently sequential per shard -> one Arrow-batched
+    applyInPandas group per shard, integers only across the boundary;
+    parallel across the 32 shards. The oracle replays the same recursion
+    as a recursive CTE — assignment-exact, which is the reproducibility
+    bar a training pipeline needs."""
+    docs = load_table(spark, sf_dir, "documents")
+    return packing.greedy_pack_assignments(docs)
+
+
+# ---------------------------------------------------------------------------
 # Driver correctness-window rotation.
 #
 # The driver's per-round oracle gate checks the FIRST 50 registered queries.
@@ -4573,6 +4659,8 @@ _PENDING_NEXT = [
     "important_part_value",  # Q11, new in round 2
     "part_promotion_suppliers",  # Q20, new in round 2
     "eval_contamination_ngrams",  # new in round 2
+    "sequence_pack_assignments",  # new in round 2
+    "greedy_pack_assignments",  # new in round 2
 ]
 
 

@@ -14,6 +14,7 @@ from anomaly_detection_in_time_series_data_spark.operators import (
     anomaly,
     contamination,
     dedup,
+    packing,
     relational,
     similarity,
     text,
@@ -156,6 +157,53 @@ def test_ngram_contamination_short_docs_excluded(spark):
     rows = contamination.ngram_contamination(train, ev).collect()
     assert {r.doc_id for r in rows} == {3}
     assert rows[0].n_grams == 1 and rows[0].n_contaminated == 0
+
+
+def _docs_of_token_counts(spark, counts):
+    """One single-shard frame whose docs have exactly the given token counts."""
+    rows = [(i, " ".join(["w"] * c) if c else "") for i, c in enumerate(counts)]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_concat_chunk_packing_boundaries(spark):
+    """Token counts 100+100+100 against budget 256: doc 2 straddles the
+    first cut (offset 200..299 -> packs 0 and 1) and must carry is_split."""
+    df = _docs_of_token_counts(spark, [100, 100, 100, 0])
+    got = {
+        r.doc_id: r
+        for r in packing.concat_chunk_assignments(
+            df, budget=256, n_shards=1
+        ).collect()
+    }
+    assert (got[0].start_pack, got[0].end_pack, got[0].is_split) == (0, 0, False)
+    assert (got[1].start_pack, got[1].end_pack, got[1].is_split) == (0, 0, False)
+    assert (got[2].start_pack, got[2].end_pack, got[2].is_split) == (0, 1, True)
+    # zero-token doc sits at offset 300 -> pack 1, never split
+    assert (got[3].start_pack, got[3].end_pack, got[3].is_split) == (1, 1, False)
+
+
+def test_greedy_packing_fill_and_oversize(spark):
+    """Greedy fill at budget 256: 200 fits pack 0; 100 doesn't fit (300 >
+    256) -> pack 1; 400 oversized opens pack 2 alone; next 10 -> pack 3."""
+    df = _docs_of_token_counts(spark, [200, 100, 400, 10])
+    got = {
+        r.doc_id: r.pack_id
+        for r in packing.greedy_pack_assignments(
+            df, budget=256, n_shards=1
+        ).collect()
+    }
+    assert got == {0: 0, 1: 1, 2: 2, 3: 3}
+
+
+def test_greedy_packing_exact_fit_shares_pack(spark):
+    df = _docs_of_token_counts(spark, [128, 128, 1])
+    got = {
+        r.doc_id: r.pack_id
+        for r in packing.greedy_pack_assignments(
+            df, budget=256, n_shards=1
+        ).collect()
+    }
+    assert got == {0: 0, 1: 0, 2: 1}
 
 
 def test_simhash_close_for_near_dups(spark):
