@@ -30,6 +30,7 @@ from .operators import (
     dedup,
     packing,
     relational,
+    sampling,
     similarity,
     text,
 )
@@ -4556,6 +4557,87 @@ def greedy_pack_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Round-2 training-pipeline additions: deterministic sampling + source mixing
+# ---------------------------------------------------------------------------
+
+_LANG_THRESHOLDS = {"en": "4", "de": "8", "es": "c", "fr": "2", "zh": "ff"}
+_LANG_THR_SQL = (
+    "CASE lang WHEN 'en' THEN '4' WHEN 'de' THEN '8' WHEN 'es' THEN 'c' "
+    "WHEN 'fr' THEN '2' WHEN 'zh' THEN 'ff' ELSE '0' END"
+)
+
+
+@query(
+    "stratified_sample_counts",
+    oracle=f"""
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_total,
+           CAST(sum(CASE WHEN md5('s1|' || text) < {_LANG_THR_SQL}
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(sum(CASE WHEN md5('s1|' || text) < {_LANG_THR_SQL}
+                    THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS kept_frac
+    FROM documents GROUP BY lang
+    """,
+)
+def stratified_sample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: per-language hash-threshold rates
+    (en 25%, de 50%, es 75%, fr 12.5%, zh ~100%) decided by
+    md5(seed + text) — no RNG, so the sample is identical across runs,
+    engines, and partitionings, and duplicates can never straddle the
+    kept/dropped boundary. The keep predicate is a scalar CASE expression
+    at the scan; the only shuffle is the final small groupBy."""
+    docs = load_table(spark, sf_dir, "documents")
+    kept = sampling.stratified_keep(docs, "lang", _LANG_THRESHOLDS, seed="s1|")
+    return kept.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_total"),
+        F.sum(F.col("_keep").cast("int")).cast("bigint").alias("n_kept"),
+        (
+            F.sum(F.col("_keep").cast("int")).cast("double") / F.count("*")
+        ).alias("kept_frac"),
+    )
+
+
+@query(
+    "source_mixture_plan",
+    oracle="""
+    SELECT lang, n_docs, weight,
+           least(CAST(1.0 AS DOUBLE),
+                 weight * CAST(0.5 AS DOUBLE) * CAST(n_total AS DOUBLE)
+                   / CAST(n_docs AS DOUBLE)) AS rate,
+           least(CAST(1.0 AS DOUBLE),
+                 weight * CAST(0.5 AS DOUBLE) * CAST(n_total AS DOUBLE)
+                   / CAST(n_docs AS DOUBLE)) * CAST(n_docs AS DOUBLE)
+             AS expected_kept
+    FROM (
+      SELECT lang, n_docs, sum(n_docs) OVER () AS n_total,
+             CASE lang WHEN 'en' THEN CAST(0.5 AS DOUBLE)
+                       WHEN 'de' THEN CAST(0.2 AS DOUBLE)
+                       WHEN 'es' THEN CAST(0.15 AS DOUBLE)
+                       WHEN 'fr' THEN CAST(0.1 AS DOUBLE)
+                       WHEN 'zh' THEN CAST(0.05 AS DOUBLE)
+                       ELSE CAST(0.0 AS DOUBLE) END AS weight
+      FROM (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+            FROM documents GROUP BY lang)
+    )
+    """,
+)
+def source_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted source-mixing planner: per-language sampling rate that hits
+    a 50%-of-corpus target with mixture weights en/de/es/fr/zh =
+    .5/.2/.15/.1/.05, capped at 1 when a stratum can't meet its quota.
+    The global count is a window over #strata rows (bounded at any corpus
+    size); everything else is per-stratum double arithmetic with a fixed
+    expression tree, so both engines agree bit-for-bit."""
+    docs = load_table(spark, sf_dir, "documents")
+    return sampling.mixture_plan(
+        docs,
+        "lang",
+        {"en": 0.5, "de": 0.2, "es": 0.15, "fr": 0.1, "zh": 0.05},
+        target_frac=0.5,
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver correctness-window rotation.
 #
 # The driver's per-round oracle gate checks the FIRST 50 registered queries.
@@ -4661,6 +4743,8 @@ _PENDING_NEXT = [
     "eval_contamination_ngrams",  # new in round 2
     "sequence_pack_assignments",  # new in round 2
     "greedy_pack_assignments",  # new in round 2
+    "stratified_sample_counts",  # new in round 2
+    "source_mixture_plan",  # new in round 2
 ]
 
 

@@ -16,6 +16,7 @@ from anomaly_detection_in_time_series_data_spark.operators import (
     dedup,
     packing,
     relational,
+    sampling,
     similarity,
     text,
 )
@@ -204,6 +205,47 @@ def test_greedy_packing_exact_fit_shares_pack(spark):
         ).collect()
     }
     assert got == {0: 0, 1: 0, 2: 1}
+
+
+def test_stratified_keep_is_deterministic_and_seed_sensitive(spark):
+    df = spark.createDataFrame(
+        [(i, f"document number {i} body", "en" if i % 2 else "de") for i in range(200)],
+        ["doc_id", "text", "lang"],
+    )
+    thr = {"en": "8", "de": "8"}
+    a = sampling.stratified_keep(df, "lang", thr, seed="s1|")
+    b = sampling.stratified_keep(df, "lang", thr, seed="s1|")
+    assert a.filter("_keep").count() == b.filter("_keep").count()  # reproducible
+    kept_a = {r.doc_id for r in a.filter("_keep").collect()}
+    kept_c = {
+        r.doc_id
+        for r in sampling.stratified_keep(df, "lang", thr, seed="s2|")
+        .filter("_keep")
+        .collect()
+    }
+    assert kept_a != kept_c  # a new seed redraws the sample
+    # ~50% rate: comfortably inside [0.3, 0.7] at n=200
+    assert 60 < len(kept_a) < 140
+    # stratum not in thresholds keeps nothing
+    none = sampling.stratified_keep(df, "lang", {"en": "8"}, seed="s1|")
+    assert none.filter("lang = 'de' and _keep").count() == 0
+
+
+def test_mixture_plan_caps_underresourced_stratum(spark):
+    df = spark.createDataFrame(
+        [(i, "x", "big" if i < 90 else "small") for i in range(100)],
+        ["doc_id", "text", "src"],
+    )
+    plan = {
+        r.src: r
+        for r in sampling.mixture_plan(
+            df, "src", {"big": 0.2, "small": 0.8}, target_frac=0.5
+        ).collect()
+    }
+    # small stratum quota = 0.8*0.5*100 = 40 > its 10 docs -> rate capped at 1
+    assert plan["small"].rate == 1.0 and plan["small"].expected_kept == 10.0
+    # big stratum: 0.2*0.5*100/90 ≈ 0.111
+    assert abs(plan["big"].rate - (0.2 * 0.5 * 100 / 90)) < 1e-12
 
 
 def test_simhash_close_for_near_dups(spark):
