@@ -525,3 +525,78 @@ def connected_components(
         if changed == 0:
             break
     return labels
+
+
+# ---------------------------------------------------------------------------
+# Segment-level dedup (aligned k-token spans) — passage-granular dedup for
+# corpora without paragraph structure. A document's text is cut into
+# consecutive k-token segments (non-overlapping, so each token belongs to
+# exactly one segment and the segment count is len/k, not len like sliding
+# shingles); shared segments across documents mark copied passages.
+# ---------------------------------------------------------------------------
+
+
+def doc_segments(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 10
+) -> DataFrame:
+    """(id, _seg): the distinct aligned k-token segments of each document.
+
+    Same staging discipline as the shingle pipeline: tokenization is its
+    own projection (runs once per doc), the generator is explode_outer so
+    InferFiltersFromGenerate cannot clone the expensive expression into a
+    pre-filter, and the trailing partial segment is kept (both engines'
+    slice clips at the array end).
+    """
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        df = df.repartition(target, F.col(id_col))
+    toked = df.select(id_col, tokens(F.lower(F.col(text_col))).alias("_toks"))
+    n_segs = F.ceil(F.size("_toks") / k).cast("int")
+    seg_at = lambda i: F.array_join(  # noqa: E731
+        F.slice(F.col("_toks"), i * k + 1, k), " "
+    )
+    segs = F.when(F.size("_toks") == 0, F.array().cast("array<string>")).otherwise(
+        F.array_distinct(F.transform(F.sequence(F.lit(0), n_segs - 1), seg_at))
+    )
+    return (
+        toked.select(id_col, segs.alias("_segs"))
+        .select(id_col, F.explode_outer("_segs").alias("_seg"))
+        .filter(F.col("_seg").isNotNull())
+    )
+
+
+def segment_containment(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 10
+) -> DataFrame:
+    """Per-document containment report: what fraction of the doc's segments
+    also appear in at least one OTHER document.
+
+    Scale shape: segments collapse to 64-bit hashes before any join; the
+    global per-segment doc-count is a map-side-combined groupBy on the
+    hash, and the re-join to per-doc rows is a long-key equi join. High
+    containment (e.g. >= 0.8) is the standard drop signal for documents
+    that are near-subsets of other documents.
+    """
+    segs = doc_segments(df, id_col, text_col, k).select(
+        id_col, F.xxhash64("_seg").alias("_sh")
+    )
+    counts = segs.groupBy("_sh").agg(F.count("*").cast("bigint").alias("_n_docs"))
+    joined = segs.join(counts, "_sh")
+    n_seg = F.count("*").cast("bigint")
+    n_shared = F.sum((F.col("_n_docs") > 1).cast("int")).cast("bigint")
+    return (
+        joined.groupBy(id_col)
+        .agg(n_seg.alias("n_segments"), n_shared.alias("n_shared"))
+        .select(
+            id_col,
+            "n_segments",
+            "n_shared",
+            (F.col("n_shared").cast("double") / F.col("n_segments")).alias(
+                "containment_frac"
+            ),
+            (
+                F.col("n_shared").cast("double") / F.col("n_segments") >= 0.8
+            ).alias("is_contained"),
+        )
+    )

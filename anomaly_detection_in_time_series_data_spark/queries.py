@@ -4638,6 +4638,73 @@ def source_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Round-2 training-pipeline additions: segment-level dedup
+# ---------------------------------------------------------------------------
+
+_SEGMENTS_SQL = """
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(range(0, CAST(ceil(len(toks)/10.0) AS INT)),
+                    i -> array_to_string(toks[(i*10+1):(i*10+10)], ' '))) AS seg
+      FROM (SELECT doc_id,
+                   regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+            FROM documents)
+"""
+
+
+@query(
+    "duplicate_segment_stats",
+    oracle=f"""
+    SELECT seg, CAST(count(*) AS BIGINT) AS n_docs
+    FROM ({_SEGMENTS_SQL})
+    GROUP BY seg HAVING count(*) > 1
+    """,
+)
+def duplicate_segment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Copied-passage inventory: aligned 10-token segments appearing in
+    more than one document, with their document counts. Non-overlapping
+    segmentation keeps the exploded row count at tokens/10 per doc (vs
+    ~tokens for sliding shingles). The groupBy key here is the segment
+    text so the oracle can replay it; the containment operator uses the
+    hashed-key formulation for scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        dedup.doc_segments(docs)
+        .groupBy(F.col("_seg").alias("seg"))
+        .agg(F.count("*").cast("bigint").alias("n_docs"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+@query(
+    "doc_segment_containment",
+    oracle=f"""
+    WITH segs AS ({_SEGMENTS_SQL}),
+    counts AS (SELECT seg, CAST(count(*) AS BIGINT) AS n_docs
+               FROM segs GROUP BY seg)
+    SELECT segs.doc_id,
+           CAST(count(*) AS BIGINT) AS n_segments,
+           CAST(sum(CASE WHEN counts.n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_shared,
+           CAST(sum(CASE WHEN counts.n_docs > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*) AS containment_frac,
+           CAST(sum(CASE WHEN counts.n_docs > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*) >= 0.8 AS is_contained
+    FROM segs JOIN counts USING (seg)
+    GROUP BY segs.doc_id
+    """,
+)
+def doc_segment_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document containment: the fraction of a doc's 10-token segments
+    that appear in at least one other document — the drop signal for
+    near-subset documents. Segments collapse to xxhash64 before the join,
+    so the shuffle carries (bigint, bigint) rows only; the oracle replays
+    the logic on segment strings (counts agree — 64-bit collisions are
+    vanishing and the result is deterministic either way)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.segment_containment(docs)
+
+
+# ---------------------------------------------------------------------------
 # Driver correctness-window rotation.
 #
 # The driver's per-round oracle gate checks the FIRST 50 registered queries.
@@ -4745,6 +4812,8 @@ _PENDING_NEXT = [
     "greedy_pack_assignments",  # new in round 2
     "stratified_sample_counts",  # new in round 2
     "source_mixture_plan",  # new in round 2
+    "duplicate_segment_stats",  # new in round 2
+    "doc_segment_containment",  # new in round 2
 ]
 
 

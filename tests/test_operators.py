@@ -248,6 +248,32 @@ def test_mixture_plan_caps_underresourced_stratum(spark):
     assert abs(plan["big"].rate - (0.2 * 0.5 * 100 / 90)) < 1e-12
 
 
+def test_segment_containment_planted_subset(spark):
+    """Doc 2 is doc 1's first 20 tokens verbatim -> both of its aligned
+    10-token segments are shared, containment 1.0; doc 3 is disjoint."""
+    base_tokens = [f"tok{i}" for i in range(30)]
+    d1 = " ".join(base_tokens)
+    d2 = " ".join(base_tokens[:20])
+    d3 = " ".join(f"other{i}" for i in range(25))
+    df = spark.createDataFrame(
+        [(1, d1), (2, d2), (3, d3)], ["doc_id", "text"]
+    )
+    got = {r.doc_id: r for r in dedup.segment_containment(df).collect()}
+    assert got[2].n_segments == 2 and got[2].n_shared == 2
+    assert got[2].containment_frac == 1.0 and got[2].is_contained
+    assert got[1].n_segments == 3 and got[1].n_shared == 2
+    assert not got[1].is_contained  # 2/3 < 0.8
+    assert got[3].n_shared == 0 and not got[3].is_contained
+
+
+def test_doc_segments_trailing_partial_kept(spark):
+    df = spark.createDataFrame([(1, " ".join(f"w{i}" for i in range(12)))],
+                               ["doc_id", "text"])
+    segs = [r._seg for r in dedup.doc_segments(df).collect()]
+    assert len(segs) == 2
+    assert "w10 w11" in segs  # 2-token trailing partial segment survives
+
+
 def test_simhash_close_for_near_dups(spark):
     base = "alpha beta gamma delta epsilon zeta eta theta " * 4
     near = base.replace("delta", "delt")
