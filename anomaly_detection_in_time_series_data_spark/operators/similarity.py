@@ -315,3 +315,88 @@ def cosine_near_pairs_gemm(
     return both.groupBy("_ra", "_cb").applyInPandas(
         cell_pairs, "vec_id_a long, vec_id_b long"
     )
+
+
+# ---------------------------------------------------------------------------
+# Semantic dedup: sign-quantized bucketing + intra-bucket near-dup pairs.
+# The SemDeDup-style pipeline (public): coarse-cluster embeddings, compare
+# ONLY within a cluster, drop all but one representative of each near-dup
+# pair. Bucketing here is sign quantization over the first ``bits``
+# coordinates — deterministic, closed-form, engine-portable (no trained
+# centroids, no RNG), and the bucket count 2^bits is the parallelism/recall
+# dial: more bits -> smaller buckets -> cheaper quadratic step, lower
+# recall across bucket faces (same trade as IVF nprobe).
+# ---------------------------------------------------------------------------
+
+
+def sign_bucket(vec: Column, bits: int = 6) -> Column:
+    """Integer bucket id from the signs of the first ``bits`` coordinates."""
+    b = F.lit(0)
+    for i in range(bits):
+        b = b + F.when(F.element_at(vec, i + 1) >= 0, F.lit(1 << i)).otherwise(
+            F.lit(0)
+        )
+    return b.cast("int")
+
+
+def semantic_dedup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int = 6,
+    threshold: float = 0.40,
+) -> DataFrame:
+    """(id_a, id_b, bucket, sim): same-bucket pairs with cosine >= threshold.
+
+    The join is an equi join on the bucket id; the quadratic comparison is
+    confined to each bucket (corpus/2^bits expected rows). At larger scale,
+    raise ``bits`` so bucket sizes stay bounded — the per-bucket work is
+    (n/2^bits)^2 * 2^bits = n^2 / 2^bits, a tunable 2^-bits discount on
+    brute force, and the bucketed equi join shuffles each side once.
+    """
+    c = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+        sign_bucket(F.col(vec_col), bits).alias("bucket"),
+    )
+    a, b = c.alias("a"), c.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .withColumn("sim", cosine(F.col("a._v"), F.col("b._v")))
+        .filter(F.col("sim") >= threshold)
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.col("a.bucket").alias("bucket"),
+            "sim",
+        )
+    )
+
+
+def semantic_dedup_keep(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int = 6,
+    threshold: float = 0.40,
+) -> DataFrame:
+    """(vec_id, bucket, keep): drop a vector iff it near-duplicates a
+    LOWER-id vector in its bucket (the deterministic keep-the-min rule, so
+    exactly one representative of each duplicate pair chain survives a
+    single pass). Anti-join of the corpus against the pairs' high side.
+    """
+    pairs = semantic_dedup_pairs(df, id_col, vec_col, bits, threshold)
+    dropped = pairs.select(F.col("id_b").alias("_drop_id")).distinct()
+    c = df.select(
+        F.col(id_col),
+        sign_bucket(F.col(vec_col), bits).alias("bucket"),
+    )
+    return c.join(
+        dropped, c[id_col] == dropped._drop_id, "left"
+    ).select(
+        id_col, "bucket", F.col("_drop_id").isNull().alias("keep")
+    )

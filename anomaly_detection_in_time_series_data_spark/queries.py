@@ -4705,6 +4705,74 @@ def doc_segment_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Round-2 training-pipeline additions: semantic dedup over embeddings
+# ---------------------------------------------------------------------------
+
+_SIGN_BUCKET_SQL = """
+         (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END)
+       + (CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END)
+       + (CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END)
+       + (CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END)
+       + (CASE WHEN embedding[5] >= 0 THEN 16 ELSE 0 END)
+       + (CASE WHEN embedding[6] >= 0 THEN 32 ELSE 0 END)
+"""
+
+
+@query(
+    "semantic_dedup_pairs",
+    oracle=f"""
+    WITH c AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             CAST({_SIGN_BUCKET_SQL} AS INT) AS bucket
+      FROM embeddings
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.bucket AS bucket,
+           round(list_cosine_similarity(a.v, b.v), 4) AS sim
+    FROM c a JOIN c b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.v, b.v) >= 0.40
+    """,
+)
+def semantic_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic near-dup pairs: sign-quantized 6-bit
+    bucketing (closed-form, no trained centroids, no RNG) confines the
+    quadratic cosine comparison to each bucket — an equi join on the
+    bucket id, n^2/2^bits total work with bits as the scale dial. The
+    fixture's threshold 0.40 is corpus-relative (random 64-dim vectors
+    cap out near 0.5); real embedding corpora use ~0.95+."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.semantic_dedup_pairs(emb).withColumn(
+        "sim", F.round("sim", 4)
+    )
+
+
+@query(
+    "semantic_dedup_keep",
+    oracle=f"""
+    WITH c AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             CAST({_SIGN_BUCKET_SQL} AS INT) AS bucket
+      FROM embeddings
+    ),
+    p AS (
+      SELECT DISTINCT b.vec_id AS drop_id
+      FROM c a JOIN c b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+      WHERE list_cosine_similarity(a.v, b.v) >= 0.40
+    )
+    SELECT c.vec_id, c.bucket, p.drop_id IS NULL AS keep
+    FROM c LEFT JOIN p ON c.vec_id = p.drop_id
+    """,
+)
+def semantic_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic-dedup keep/drop verdict per vector: drop iff it
+    near-duplicates a lower-id vector in its sign bucket (deterministic
+    keep-the-min representative rule — one pass, no iteration). The drop
+    set is a DISTINCT projection of the pair high side anti-joined back
+    into the corpus."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.semantic_dedup_keep(emb)
+
+
+# ---------------------------------------------------------------------------
 # Driver correctness-window rotation.
 #
 # The driver's per-round oracle gate checks the FIRST 50 registered queries.
@@ -4814,6 +4882,8 @@ _PENDING_NEXT = [
     "source_mixture_plan",  # new in round 2
     "duplicate_segment_stats",  # new in round 2
     "doc_segment_containment",  # new in round 2
+    "semantic_dedup_pairs",  # new in round 2
+    "semantic_dedup_keep",  # new in round 2
 ]
 
 

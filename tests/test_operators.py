@@ -274,6 +274,44 @@ def test_doc_segments_trailing_partial_kept(spark):
     assert "w10 w11" in segs  # 2-token trailing partial segment survives
 
 
+def test_semantic_dedup_keep_min_representative(spark):
+    """Planted duplicate chain 1~2 and 2~3 (parallel vectors, same sign
+    bucket): the single-pass min rule keeps 1, drops 2 and 3; the
+    orthogonal vector 4 survives untouched."""
+    vecs = [
+        (1, [1.0, 2.0, 0.5, 0.0]),
+        (2, [2.0, 4.0, 1.0, 0.0]),      # parallel to 1 (cos = 1)
+        (3, [1.0, 2.0, 0.5, 1e-9]),     # ~parallel to both
+        (4, [1.0, -2.0, 0.5, 0.0]),     # different sign bucket
+    ]
+    df = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    keep = {
+        r.vec_id: r.keep
+        for r in similarity.semantic_dedup_keep(
+            df, bits=3, threshold=0.99
+        ).collect()
+    }
+    assert keep == {1: True, 2: False, 3: False, 4: True}
+    pairs = similarity.semantic_dedup_pairs(df, bits=3, threshold=0.99)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert got == {(1, 2), (1, 3), (2, 3)}
+
+
+def test_sign_bucket_splits_by_coordinate_signs(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, 1.0]), (2, [1.0, -1.0]), (3, [-1.0, 1.0])],
+        ["vec_id", "embedding"],
+    )
+    got = {
+        r.vec_id: r.b
+        for r in df.select(
+            "vec_id",
+            similarity.sign_bucket(F.col("embedding"), bits=2).alias("b"),
+        ).collect()
+    }
+    assert got == {1: 3, 2: 1, 3: 2}
+
+
 def test_simhash_close_for_near_dups(spark):
     base = "alpha beta gamma delta epsilon zeta eta theta " * 4
     near = base.replace("delta", "delt")
