@@ -4773,6 +4773,84 @@ def semantic_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Round-2 training-pipeline additions: curation funnel
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "curation_funnel",
+    oracle="""
+    WITH t AS (
+      SELECT source, lang,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE CAST(len(regexp_split_to_array(trim(lower(text)), '\\s+'))
+                       AS BIGINT) END AS n_tokens,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE CAST(len(list_distinct(
+                         regexp_split_to_array(trim(lower(text)), '\\s+')))
+                       AS BIGINT) END AS n_distinct
+      FROM documents
+    ),
+    staged AS (
+      SELECT source,
+             CASE WHEN n_tokens < 20 THEN 'too_short'
+                  WHEN n_tokens > 1000 THEN 'too_long'
+                  WHEN lang NOT IN ('en', 'de', 'fr') THEN 'bad_lang'
+                  WHEN CAST(n_distinct AS DOUBLE) / n_tokens < 0.35
+                       THEN 'high_repetition'
+                  ELSE 'kept' END AS stage
+      FROM t
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN stage = 'too_short' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_too_short,
+           CAST(sum(CASE WHEN stage = 'too_long' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_too_long,
+           CAST(sum(CASE WHEN stage = 'bad_lang' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_bad_lang,
+           CAST(sum(CASE WHEN stage = 'high_repetition' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_high_repetition,
+           CAST(sum(CASE WHEN stage = 'kept' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept,
+           CAST(sum(CASE WHEN stage = 'kept' THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*) AS kept_frac
+    FROM staged GROUP BY source
+    """,
+)
+def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-curation funnel: every document is attributed to its FIRST
+    failing filter stage (length bounds -> language allowlist -> repetition
+    cap) or 'kept', then counts roll up per source — the per-stage loss
+    report every curation pipeline publishes. One scan, all scalar JVM
+    expressions, one small groupBy; the stage cascade is a CASE chain so
+    a doc is counted in exactly one stage (funnel counts sum to n_docs)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = text.tokens(F.lower(F.col("text")))
+    n_tokens = F.size(toks).cast("bigint")
+    n_distinct = F.size(F.array_distinct(toks)).cast("bigint")
+    stage = (
+        F.when(n_tokens < 20, "too_short")
+        .when(n_tokens > 1000, "too_long")
+        .when(~F.col("lang").isin("en", "de", "fr"), "bad_lang")
+        .when(n_distinct.cast("double") / n_tokens < 0.35, "high_repetition")
+        .otherwise("kept")
+    )
+    staged = docs.select("source", stage.alias("stage"))
+    cnt = lambda s: F.sum((F.col("stage") == s).cast("int")).cast("bigint")  # noqa: E731
+    return staged.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        cnt("too_short").alias("n_too_short"),
+        cnt("too_long").alias("n_too_long"),
+        cnt("bad_lang").alias("n_bad_lang"),
+        cnt("high_repetition").alias("n_high_repetition"),
+        cnt("kept").alias("n_kept"),
+        (F.sum((F.col("stage") == "kept").cast("int")).cast("double") / F.count("*"))
+        .alias("kept_frac"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver correctness-window rotation.
 #
 # The driver's per-round oracle gate checks the FIRST 50 registered queries.
@@ -4884,6 +4962,7 @@ _PENDING_NEXT = [
     "doc_segment_containment",  # new in round 2
     "semantic_dedup_pairs",  # new in round 2
     "semantic_dedup_keep",  # new in round 2
+    "curation_funnel",  # new in round 2
 ]
 
 

@@ -50,6 +50,13 @@ HEADLINE = [
     "cusum_drift_scaled",
     "char_ngram_profile",
     "binned_range_join_events",
+    # round-2 additions
+    "forecast_revenue_change",
+    "important_part_value",
+    "eval_contamination_ngrams",
+    "sequence_pack_assignments",
+    "doc_segment_containment",
+    "semantic_dedup_keep",
 ]
 
 
