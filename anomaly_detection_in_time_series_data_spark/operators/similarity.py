@@ -330,13 +330,81 @@ def cosine_near_pairs_gemm(
 
 
 def sign_bucket(vec: Column, bits: int = 6) -> Column:
-    """Integer bucket id from the signs of the first ``bits`` coordinates."""
+    """Integer bucket id from the signs of the first ``bits`` coordinates.
+
+    ``try_element_at`` (not ``element_at``) so a prefix longer than the
+    vector contributes 0-bits instead of throwing under ANSI mode — the
+    adaptive extension may probe past short vectors.
+    """
     b = F.lit(0)
     for i in range(bits):
-        b = b + F.when(F.element_at(vec, i + 1) >= 0, F.lit(1 << i)).otherwise(
-            F.lit(0)
-        )
+        b = b + F.when(
+            F.try_element_at(vec, F.lit(i + 1)) >= 0, F.lit(1 << i)
+        ).otherwise(F.lit(0))
     return b.cast("int")
+
+
+def adaptive_sign_buckets(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int = 6,
+    cap: int | None = 4096,
+    ext_bits: int = 4,
+    levels: int = 2,
+) -> DataFrame:
+    """(_id, _v, bucket): sign buckets with per-bucket size bounded by
+    recursive bit-extension.
+
+    Fixed sign buckets are data-independent orthants; real embedding
+    corpora are anisotropic, so one hot orthant can concentrate a large
+    fraction of the corpus and re-create near-quadratic per-bucket work.
+    Remedy: count each bucket, and for buckets larger than ``cap`` extend
+    the sign prefix by ``ext_bits`` more coordinates (the longer prefix
+    refines the shorter one — ``sign_bucket(v, b+k) mod 2^b ==
+    sign_bucket(v, b)``), repeating up to ``levels`` times. Only oversized
+    buckets pay the refinement; everyone else keeps the cheap coarse id.
+
+    Final ids are disambiguated across levels by an accumulated offset
+    (level-l ids live in ``[sum_{j<l} 2^bits_j, ...)``), so the downstream
+    equi join never mixes granularities.
+
+    Cost per level: one map-side-combinable groupBy producing at most
+    #distinct-buckets rows (tiny — broadcast), plus a broadcast hash join
+    against the corpus. No extra corpus shuffle. A bucket of identical
+    sign patterns (exact-duplicate vectors) cannot be split by any prefix
+    length — that residual is inherent to sign quantization and is the
+    reason ``cap`` is a dial, not a hard guarantee.
+    """
+    c = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+        sign_bucket(F.col(vec_col), bits).alias("bucket"),
+    )
+    if cap is None:
+        return c
+    offset, cur_bits = 0, bits
+    for _ in range(levels):
+        oversized = (
+            c.groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") > cap)
+            .select(F.col("bucket").alias("_ob"))
+        )
+        offset += 1 << cur_bits
+        cur_bits += ext_bits
+        c = (
+            c.join(F.broadcast(oversized), c["bucket"] == F.col("_ob"), "left")
+            .withColumn(
+                "bucket",
+                F.when(
+                    F.col("_ob").isNotNull(),
+                    F.lit(offset) + sign_bucket(F.col("_v"), cur_bits),
+                ).otherwise(F.col("bucket")),
+            )
+            .drop("_ob")
+        )
+    return c
 
 
 def semantic_dedup_pairs(
@@ -345,6 +413,9 @@ def semantic_dedup_pairs(
     vec_col: str = "embedding",
     bits: int = 6,
     threshold: float = 0.40,
+    cap: int | None = None,
+    ext_bits: int = 4,
+    levels: int = 2,
 ) -> DataFrame:
     """(id_a, id_b, bucket, sim): same-bucket pairs with cosine >= threshold.
 
@@ -353,12 +424,12 @@ def semantic_dedup_pairs(
     raise ``bits`` so bucket sizes stay bounded — the per-bucket work is
     (n/2^bits)^2 * 2^bits = n^2 / 2^bits, a tunable 2^-bits discount on
     brute force, and the bucketed equi join shuffles each side once.
+    With ``cap`` set, oversized buckets are recursively refined by
+    ``adaptive_sign_buckets`` so a hot orthant cannot re-create
+    near-quadratic work (splitting a bucket also splits its cross-face
+    pairs — the same recall-for-cost trade as raising ``bits``).
     """
-    c = df.select(
-        F.col(id_col).alias("_id"),
-        F.col(vec_col).cast("array<double>").alias("_v"),
-        sign_bucket(F.col(vec_col), bits).alias("bucket"),
-    )
+    c = adaptive_sign_buckets(df, id_col, vec_col, bits, cap, ext_bits, levels)
     a, b = c.alias("a"), c.alias("b")
     return (
         a.join(
@@ -383,18 +454,22 @@ def semantic_dedup_keep(
     vec_col: str = "embedding",
     bits: int = 6,
     threshold: float = 0.40,
+    cap: int | None = None,
+    ext_bits: int = 4,
+    levels: int = 2,
 ) -> DataFrame:
     """(vec_id, bucket, keep): drop a vector iff it near-duplicates a
     LOWER-id vector in its bucket (the deterministic keep-the-min rule, so
     exactly one representative of each duplicate pair chain survives a
     single pass). Anti-join of the corpus against the pairs' high side.
     """
-    pairs = semantic_dedup_pairs(df, id_col, vec_col, bits, threshold)
-    dropped = pairs.select(F.col("id_b").alias("_drop_id")).distinct()
-    c = df.select(
-        F.col(id_col),
-        sign_bucket(F.col(vec_col), bits).alias("bucket"),
+    pairs = semantic_dedup_pairs(
+        df, id_col, vec_col, bits, threshold, cap, ext_bits, levels
     )
+    dropped = pairs.select(F.col("id_b").alias("_drop_id")).distinct()
+    c = adaptive_sign_buckets(
+        df, id_col, vec_col, bits, cap, ext_bits, levels
+    ).select(F.col("_id").alias(id_col), "bucket")
     return c.join(
         dropped, c[id_col] == dropped._drop_id, "left"
     ).select(

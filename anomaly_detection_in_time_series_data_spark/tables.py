@@ -8,6 +8,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, TimestampNTZType
 
 TABLE_NAMES = [
     "region",
@@ -32,13 +33,25 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # regardless of how the caller's session was built.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-        # reader rejects (PARQUET_TYPE_ILLEGAL). Read nanos as long and
-        # convert to a microsecond TimestampType with exact integer division
-        # (`div`, not `/` — nanos exceed double's 2^53 integer range).
+        # The driver regenerates fixtures between rounds and the physical
+        # type of events.ts has changed across regenerations: sometimes
+        # parquet TIMESTAMP(NANOS) (which Spark's vectorized reader rejects
+        # with PARQUET_TYPE_ILLEGAL unless read as long), sometimes a plain
+        # TIMESTAMP(MICROS). Branch on what the footer actually says.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        if isinstance(df.schema["ts"].dataType, LongType):
+            # nanos-as-long → exact integer division to micros (`div`, not
+            # `/` — nanos exceed double's 2^53 integer range).
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(df.schema["ts"].dataType, TimestampNTZType):
+            # Normalize NTZ to TimestampType so every downstream consumer
+            # (unix_micros, session_window, streaming watermarks) sees one
+            # type regardless of the fixture's physical encoding.  The
+            # session timezone is pinned UTC above, so the wall-clock values
+            # are unchanged and match the naive-timestamp DuckDB oracle.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

@@ -297,6 +297,59 @@ def test_semantic_dedup_keep_min_representative(spark):
     assert got == {(1, 2), (1, 3), (2, 3)}
 
 
+def test_adaptive_sign_buckets_split_hot_orthant(spark):
+    """Plant a hot orthant — 32 vectors sharing the same 2-bit sign prefix
+    but diverse beyond it — plus a small cold bucket. With cap=8 the hot
+    bucket must refine (bounded sub-buckets, distinct id space); the cold
+    bucket must keep its coarse level-0 id untouched."""
+    hot = [
+        # dims 1-2 positive (bucket 3 at bits=2); dims 3-4 signs vary by i
+        (i, [1.0, 1.0, 1.0 if i % 2 else -1.0, 1.0 if (i // 2) % 2 else -1.0])
+        for i in range(32)
+    ]
+    cold = [(100 + i, [-1.0, -1.0, 1.0, 1.0]) for i in range(3)]
+    df = spark.createDataFrame(hot + cold, ["vec_id", "embedding"])
+    out = similarity.adaptive_sign_buckets(
+        df, bits=2, cap=8, ext_bits=2, levels=2
+    ).collect()
+    buckets = {}
+    for r in out:
+        buckets.setdefault(r.bucket, []).append(r._id)
+    # cold bucket: untouched level-0 id (bits=2 -> id 0), size 3
+    assert buckets[0] == [100, 101, 102]
+    # hot orthant: split into 4 level-1 sub-buckets of 8, all in the
+    # level-1 id space [4, 4+16) and each within the cap (so level 2
+    # leaves them alone)
+    hot_buckets = {b: ids for b, ids in buckets.items() if b != 0}
+    assert len(hot_buckets) == 4
+    assert all(4 <= b < 20 for b in hot_buckets)
+    assert all(len(ids) == 8 for ids in hot_buckets.values())
+    # candidate-pair work is bounded: sum of per-bucket n^2 collapses from
+    # 32^2=1024 to 4*64=256
+    assert sum(len(v) ** 2 for v in hot_buckets.values()) == 256
+
+
+def test_adaptive_sign_buckets_second_level(spark):
+    """A bucket still oversized after one extension refines again at
+    level 2, landing in the level-2 id space."""
+    # 12 vectors identical on dims 1-4 (so level-1 at bits 2+2=4 cannot
+    # split them) but split 6/6 on dim 5 -> level 2 (bits=6) separates.
+    vecs = [
+        (i, [1.0, 1.0, 1.0, 1.0, 1.0 if i < 6 else -1.0, 1.0])
+        for i in range(12)
+    ]
+    df = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    out = similarity.adaptive_sign_buckets(
+        df, bits=2, cap=8, ext_bits=2, levels=2
+    ).collect()
+    sizes = {}
+    for r in out:
+        sizes[r.bucket] = sizes.get(r.bucket, 0) + 1
+    # level-2 offset is 4 + 16 = 20; both sub-buckets sized 6 <= cap
+    assert all(b >= 20 for b in sizes)
+    assert sorted(sizes.values()) == [6, 6]
+
+
 def test_sign_bucket_splits_by_coordinate_signs(spark):
     df = spark.createDataFrame(
         [(1, [1.0, 1.0]), (2, [1.0, -1.0]), (3, [-1.0, 1.0])],
