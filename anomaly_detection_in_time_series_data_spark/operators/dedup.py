@@ -184,14 +184,18 @@ def lsh_candidate_pairs(
     """
     rows_per_band = num_hashes // bands
     sig = minhash_signature(df, id_col, text_col, num_hashes, shingle_n)
+    # Bucket key is xxhash64 over the band's signature slice: a single
+    # 8-byte long (vs a 32-char md5 hex string) — cheaper to compute and a
+    # 4x narrower shuffle/join key. A 64-bit collision only creates a
+    # spurious candidate, which the exact-Jaccard verify then rejects.
     band_structs = F.array(
         *[
             F.struct(
                 F.lit(b).alias("band"),
-                F.md5(F.concat_ws(",", *[
-                    F.col("signature")[b * rows_per_band + r].cast("string")
+                F.xxhash64(*[
+                    F.col("signature")[b * rows_per_band + r]
                     for r in range(rows_per_band)
-                ])).alias("bucket"),
+                ]).alias("bucket"),
             )
             for b in range(bands)
         ]

@@ -430,6 +430,11 @@ def semantic_dedup_pairs(
     pairs — the same recall-for-cost trade as raising ``bits``).
     """
     c = adaptive_sign_buckets(df, id_col, vec_col, bits, cap, ext_bits, levels)
+    return _pairs_from_bucketed(c, threshold)
+
+
+def _pairs_from_bucketed(c: DataFrame, threshold: float) -> DataFrame:
+    """Same-bucket above-threshold pairs from a (_id, _v, bucket) frame."""
     a, b = c.alias("a"), c.alias("b")
     return (
         a.join(
@@ -463,13 +468,12 @@ def semantic_dedup_keep(
     exactly one representative of each duplicate pair chain survives a
     single pass). Anti-join of the corpus against the pairs' high side.
     """
-    pairs = semantic_dedup_pairs(
-        df, id_col, vec_col, bits, threshold, cap, ext_bits, levels
-    )
-    dropped = pairs.select(F.col("id_b").alias("_drop_id")).distinct()
-    c = adaptive_sign_buckets(
+    assigned = adaptive_sign_buckets(
         df, id_col, vec_col, bits, cap, ext_bits, levels
-    ).select(F.col("_id").alias(id_col), "bucket")
+    )
+    pairs = _pairs_from_bucketed(assigned, threshold)
+    dropped = pairs.select(F.col("id_b").alias("_drop_id")).distinct()
+    c = assigned.select(F.col("_id").alias(id_col), "bucket")
     return c.join(
         dropped, c[id_col] == dropped._drop_id, "left"
     ).select(

@@ -926,7 +926,13 @@ def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH candidates verified with count-based exact Jaccard
     (integer co-occurrence counts; no array-carrying verify join — same
-    rows as the ``jaccard_pairs`` formulation, ~2x faster at sf0.1)."""
+    rows as the ``jaccard_pairs`` formulation). Measured at sf0.1 warm
+    (best-of-3 executions): count-verify 0.35s vs array-verify 0.59s
+    end-to-end — a ~1.7x execution win, but the BENCH wall number for this
+    query is dominated by one-time Catalyst analysis + codegen of the
+    32-hash DAG (~2s), which is constant in data size and irrelevant at
+    scale. The earlier '~2x faster' phrasing overstated the bench-visible
+    effect; this note records what was actually measured."""
     docs = load_table(spark, sf_dir, "documents")
     pairs = dedup.lsh_candidate_pairs(docs, num_hashes=32, bands=8)
     return dedup.jaccard_verify_counts(docs, pairs, threshold=0.5).select(
@@ -3651,6 +3657,69 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(qname)
 
 
+@query(
+    "streaming_dedup_keys",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+)
+def streaming_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup via ``dropDuplicatesWithinWatermark`` — the
+    bounded-state dedup a training-data ingest stream needs: the watermark
+    caps how long each key is remembered, so state size tracks the dedup
+    horizon instead of the stream's full history (plain streaming
+    ``dropDuplicates`` state grows forever). Output projects only the
+    dedup key, so which physical duplicate arrived first is irrelevant and
+    the result is hash-stable = the batch DISTINCT. The fixture's 90-day
+    delay exceeds the events span, making streaming output exactly the
+    global distinct; at scale the delay is the state/recall dial."""
+    stream, _ = _read_events_stream(spark, sf_dir)
+    deduped = (
+        stream.withWatermark("ts", "90 days")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    qname = _run_to_memory(deduped, "stream_dedup", "append")
+    return spark.table(qname)
+
+
+@query(
+    "streaming_static_enrich",
+    oracle="""
+    SELECT c.c_mktsegment AS mktsegment,
+           CAST(count(*) AS BIGINT) AS n_events,
+           max(e.value) AS max_value,
+           CAST(min(e.event_id) AS BIGINT) AS first_event_id
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join: the event stream joins the static
+    customer dimension (events.user_id is a natural FK into c_custkey),
+    then aggregates per market segment (count/max/min — distinct
+    aggregates are unsupported on streams; dedup first via
+    ``streaming_dedup_keys``'s operator if distinct users are needed)
+    — the canonical streaming-ingest enrichment shape. The static side is re-read per micro-batch and
+    broadcast (dimension tables stay small relative to the stream), so the
+    stream side never shuffles for the join — only for the final
+    aggregation. Complete-mode memory sink, availableNow; hash-matched
+    against the batch join SQL."""
+    stream, _ = _read_events_stream(spark, sf_dir)
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    agg = (
+        stream.join(F.broadcast(cust), stream["user_id"] == cust["c_custkey"])
+        .groupBy(F.col("c_mktsegment").alias("mktsegment"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.max("value").alias("max_value"),
+            F.min("event_id").cast("bigint").alias("first_event_id"),
+        )
+    )
+    qname = _run_to_memory(agg, "stream_enrich", "complete")
+    return spark.table(qname)
+
+
 @query("binned_range_join_events", oracle=ORACLE["range_interval_join"])
 def binned_range_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SCALE formulation of ``range_interval_join`` — same result, same
@@ -4951,29 +5020,10 @@ _ROUND2_FRONT = [
     "running_distinct_users",
 ]
 
-# Oracle-bearing queries with no driver correctness row after round 2 —
-# rotate these to the front in round 3.
+# Oracle-bearing queries with no driver correctness row that are NOT in the
+# current front window — rotate these to the front in round 4.  (Everything
+# else that was pending after round 2 is in _ROUND3_FRONT below.)
 _PENDING_NEXT = [
-    "email_parse_fixture",  # oracle added in round 2 (identity-parse twin)
-    "doc_repetition_metrics",  # new in round 2
-    "doc_pattern_scrub_counts",  # new in round 2
-    "posexplode_tokens",
-    "array_agg_sorted",
-    "variant_json_extract",
-    "approx_distinct_bounds",
-    "approx_percentile_bounds",
-    "window_distribution_ranks",
-    "null_safe_equality",
-    "key_skew_metrics",
-    "value_histogram",
-    "unpivot_part_measures",
-    "ansi_safe_arithmetic",
-    "late_ship_priority_counts",
-    "corr_price_quantity",
-    "modal_priority_by_status",
-    "set_ops_all",
-    "filtered_aggregates",
-    "higher_order_array_ops",
     "listagg_order_priorities",
     "percentile_disc_totalprice",
     "bitwise_bool_aggs",
@@ -4982,19 +5032,8 @@ _PENDING_NEXT = [
     "nulls_ordering_topk",
     "scalar_conditionals",
     "month_boundary_counts",
-    "forecast_revenue_change",  # Q6, new in round 2
-    "important_part_value",  # Q11, new in round 2
-    "part_promotion_suppliers",  # Q20, new in round 2
-    "eval_contamination_ngrams",  # new in round 2
-    "sequence_pack_assignments",  # new in round 2
-    "greedy_pack_assignments",  # new in round 2
-    "stratified_sample_counts",  # new in round 2
-    "source_mixture_plan",  # new in round 2
-    "duplicate_segment_stats",  # new in round 2
-    "doc_segment_containment",  # new in round 2
-    "semantic_dedup_pairs",  # new in round 2
-    "semantic_dedup_keep",  # new in round 2
-    "curation_funnel",  # new in round 2
+    "streaming_dedup_keys",  # new in round 3
+    "streaming_static_enrich",  # new in round 3
 ]
 
 
@@ -5060,20 +5099,6 @@ _ROUND3_FRONT = [
     "filtered_aggregates",
     "higher_order_array_ops",
 ]
-
-# Oracle-bearing queries still without a driver row after round 3 — rotate
-# these to the front in round 4.
-_PENDING_ROUND4 = [
-    "listagg_order_priorities",
-    "percentile_disc_totalprice",
-    "bitwise_bool_aggs",
-    "safe_date_parsing",
-    "rollup_with_grouping_id",
-    "nulls_ordering_topk",
-    "scalar_conditionals",
-    "month_boundary_counts",
-]
-
 
 def _rotate_front(front: list[str]) -> None:
     global QUERIES, ORACLE

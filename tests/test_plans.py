@@ -239,6 +239,20 @@ def test_binned_range_join_has_no_nested_loop(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
+def test_adaptive_bucket_refinement_broadcasts_oversized_set(spark, sf_dir):
+    """The per-level oversized-bucket set (≤ #distinct buckets rows) must
+    reach the corpus as a broadcast join — never a corpus shuffle — and the
+    bucket-pair equi join must stay hash-based (no cartesian/NLJ)."""
+    from anomaly_detection_in_time_series_data_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    pairs = similarity.semantic_dedup_pairs(emb, cap=12)
+    plan = plans.executed_plan(pairs)
+    assert "BroadcastHashJoin" in plan  # oversized-set joins
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_runtime_bloom_filter_injected_on_selective_dim(spark, sf_dir):
     """Runtime row-level filtering: with a selective dim-side predicate,
     Spark injects a bloom-filter semi-join filter on the fact side — the
