@@ -26,10 +26,17 @@ def asof_join(
     keys: list[str],
     left_ts: str,
     right_ts: str,
+    direction: str = "backward",
 ) -> DataFrame:
-    """As-of (backward) left join. Key columns must share names; all other
-    column names must be disjoint between the two frames. Right payload
-    columns come back nullable (no match -> null)."""
+    """As-of left join. Key columns must share names; all other column
+    names must be disjoint between the two frames. Right payload columns
+    come back nullable (no match -> null).
+
+    ``direction="backward"`` (default) matches each left row to the most
+    recent right row at-or-before its timestamp; ``"forward"`` to the
+    earliest right row at-or-after it. Both are the same single-shuffle
+    union+window formulation — forward just scans the per-key timeline in
+    descending order (no second join strategy to maintain)."""
     lcols = [c for c in left.columns if c not in keys]
     rcols = [c for c in right.columns if c not in keys and c != right_ts]
     l_tagged = left.select(
@@ -47,10 +54,17 @@ def asof_join(
         *rcols,
     )
     unioned = l_tagged.unionByName(r_tagged)
-    # Right rows sort before left rows at equal ts (asof is inclusive).
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"asof_join direction must be backward|forward, got {direction}")
+    # Right rows sort before left rows at equal ts (asof is inclusive):
+    # ascending scan for backward, descending for forward — the right tag
+    # (0) orders first under the ascending _tag tiebreak either way.
+    ts_order = (
+        F.col("_asof_ts") if direction == "backward" else F.col("_asof_ts").desc()
+    )
     w = (
         Window.partitionBy(*keys)
-        .orderBy(F.col("_asof_ts"), F.col("_tag"))
+        .orderBy(ts_order, F.col("_tag"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = [F.last(c, ignorenulls=True).over(w).alias(c) for c in rcols]

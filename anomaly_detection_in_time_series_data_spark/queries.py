@@ -1362,6 +1362,150 @@ def asof_join_last_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.select("event_id", "user_id", "last_orderkey")
 
 
+@query(
+    "asof_join_next_order",
+    oracle="""
+    WITH r AS (
+      SELECT o_custkey AS user_id, o_orderdate,
+             max(o_orderkey) AS next_orderkey
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT e.event_id, e.user_id, r.next_orderkey
+    FROM events e
+    ASOF LEFT JOIN r ON e.user_id = r.user_id
+                    AND CAST(e.ts AS TIMESTAMP) <= r.o_orderdate
+    """,
+)
+def asof_join_next_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join: each event matched to the user's EARLIEST order
+    at-or-after event time — same union+window machinery as the backward
+    variant, timeline scanned descending (`direction="forward"`); DuckDB
+    native forward ASOF (<=) oracle."""
+    from .operators.joins import asof_join
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("user_id"), F.col("o_orderdate"))
+        .agg(F.max("o_orderkey").alias("next_orderkey"))
+    )
+    joined = asof_join(
+        ev,
+        orders,
+        keys=["user_id"],
+        left_ts="ts",
+        right_ts="o_orderdate",
+        direction="forward",
+    )
+    return joined.select("event_id", "user_id", "next_orderkey")
+
+
+@query(
+    "iqr_outlier_anomaly",
+    oracle="""
+    WITH fences AS (
+      SELECT event_type,
+             quantile_cont(value, 0.25) AS q1,
+             quantile_cont(value, 0.75) AS q3
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type, e.value,
+           (e.value < f.q1 - 1.5 * (f.q3 - f.q1)
+            OR e.value > f.q3 + 1.5 * (f.q3 - f.q1)) AS is_outlier
+    FROM events e JOIN fences f ON e.event_type = f.event_type
+    """,
+)
+def iqr_outlier_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence (IQR) robust outlier flags — the quartile-based member
+    of the anomaly family next to z-score (moment-based), MAD (median-
+    based) and CUSUM (drift). Exact interpolated quartiles (Spark
+    `percentile` == DuckDB quantile_cont bit-for-bit) computed per type in
+    one grouped pass, fences broadcast back onto events; the boolean is
+    hash-stable because both engines evaluate the identical IEEE
+    expression on identical quartiles."""
+    ev = load_table(spark, sf_dir, "events")
+    fences = ev.groupBy("event_type").agg(
+        F.percentile("value", 0.25).alias("q1"),
+        F.percentile("value", 0.75).alias("q3"),
+    )
+    iqr = F.col("q3") - F.col("q1")
+    return (
+        ev.join(F.broadcast(fences), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            (
+                (F.col("value") < F.col("q1") - 1.5 * iqr)
+                | (F.col("value") > F.col("q3") + 1.5 * iqr)
+            ).alias("is_outlier"),
+        )
+    )
+
+
+@query(
+    "histogram_rarity_anomaly",
+    oracle="""
+    WITH rng AS (
+      SELECT event_type, min(value) AS vmin, max(value) AS vmax,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY event_type
+    ),
+    binned AS (
+      SELECT e.event_id, e.event_type,
+             CAST(least(19, CAST(floor((e.value - r.vmin)
+                   / ((r.vmax - r.vmin) / 20.0)) AS BIGINT)) AS BIGINT) AS bin,
+             r.n
+      FROM events e JOIN rng r ON e.event_type = r.event_type
+    ),
+    hist AS (
+      SELECT event_type, bin, CAST(count(*) AS BIGINT) AS bin_n
+      FROM binned GROUP BY event_type, bin
+    )
+    SELECT b.event_id, b.event_type, b.bin,
+           (h.bin_n < 0.005 * b.n) AS is_rare
+    FROM binned b JOIN hist h ON b.event_type = h.event_type AND b.bin = h.bin
+    """,
+)
+def histogram_rarity_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Density (histogram) anomaly: events landing in a 20-bin value
+    bucket that holds <0.5% of their type's mass are flagged rare — the
+    distribution-shape member of the anomaly family (catches isolated
+    modes that z-score/IQR miss when variance is large). Two grouped
+    passes (range, then histogram), both map-side combinable; the range
+    and histogram are tiny per-type frames broadcast back onto events, so
+    the events table is scanned, never shuffled."""
+    ev = load_table(spark, sf_dir, "events")
+    rng = ev.groupBy("event_type").agg(
+        F.min("value").alias("vmin"),
+        F.max("value").alias("vmax"),
+        F.count("*").cast("bigint").alias("n"),
+    )
+    binned = ev.join(F.broadcast(rng), "event_type").select(
+        "event_id",
+        "event_type",
+        F.least(
+            F.lit(19),
+            F.floor(
+                (F.col("value") - F.col("vmin"))
+                / ((F.col("vmax") - F.col("vmin")) / F.lit(20.0))
+            ).cast("bigint"),
+        )
+        .cast("bigint")
+        .alias("bin"),
+        "n",
+    )
+    hist = binned.groupBy("event_type", "bin").agg(
+        F.count("*").cast("bigint").alias("bin_n")
+    )
+    return binned.join(F.broadcast(hist), ["event_type", "bin"]).select(
+        "event_id",
+        "event_type",
+        "bin",
+        (F.col("bin_n") < 0.005 * F.col("n")).alias("is_rare"),
+    )
+
+
 @query("ivf_ann_topk")
 def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF coarse-quantizer ANN (KMeans cells + nprobe search); the second
@@ -5034,6 +5178,9 @@ _PENDING_NEXT = [
     "month_boundary_counts",
     "streaming_dedup_keys",  # new in round 3
     "streaming_static_enrich",  # new in round 3
+    "asof_join_next_order",  # new in round 3
+    "iqr_outlier_anomaly",  # new in round 3
+    "histogram_rarity_anomaly",  # new in round 3
 ]
 
 

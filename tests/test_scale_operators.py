@@ -94,6 +94,20 @@ def test_asof_join_semantics(spark):
     }
     assert out == {"e1": 104, "e2": 100, "e3": 203, "e4": None}
 
+    # forward direction: earliest right row at-or-after each left ts
+    fwd = {
+        r.eid: r.rv
+        for r in asof_join(
+            left,
+            right,
+            keys=["k"],
+            left_ts="ts",
+            right_ts="rts",
+            direction="forward",
+        ).collect()
+    }
+    assert fwd == {"e1": 108, "e2": 104, "e3": 203, "e4": None}
+
 
 def test_salted_join_equals_plain(spark):
     # 90% of fact rows share one key; dim has 20 keys (some unmatched).
