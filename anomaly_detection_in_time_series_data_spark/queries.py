@@ -603,7 +603,7 @@ def window_rank_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_suppkey, l_orderkey, l_linenumber,
            CAST(sum(CAST(l_quantity AS DECIMAL(18,2)))
                 OVER (PARTITION BY l_suppkey
-                      ORDER BY l_shipdate, l_orderkey, l_linenumber
+                      ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity
                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
              AS running_qty
     FROM lineitem
@@ -613,7 +613,11 @@ def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     w = (
         Window.partitionBy("l_suppkey")
-        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        # (l_orderkey, l_linenumber) is NOT unique in the driver fixtures
+        # (1,161 duplicate pairs even at sf0.001), so the running sum needs
+        # l_quantity as a final tiebreak: rows tying on all four columns are
+        # interchangeable, making the prefix sums order-independent.
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber", "l_quantity")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return li.select(
@@ -5095,6 +5099,94 @@ def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "data_quality_report",
+    oracle="""
+    SELECT 'orders' AS table_name, 'pk_unique' AS check_name,
+           CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS n_violations,
+           count(*) = count(DISTINCT o_orderkey) AS pass
+    FROM orders
+    UNION ALL
+    SELECT 'lineitem', 'pk_unique',
+           CAST(count(*) - count(DISTINCT l_orderkey * 10 + l_linenumber) AS BIGINT),
+           count(*) = count(DISTINCT l_orderkey * 10 + l_linenumber)
+    FROM lineitem
+    UNION ALL
+    SELECT 'lineitem', 'fk_orders',
+           CAST(count(*) AS BIGINT), count(*) = 0
+    FROM lineitem l ANTI JOIN orders o ON l.l_orderkey = o.o_orderkey
+    UNION ALL
+    SELECT 'orders', 'fk_customer',
+           CAST(count(*) AS BIGINT), count(*) = 0
+    FROM orders o ANTI JOIN customer c ON o.o_custkey = c.c_custkey
+    UNION ALL
+    SELECT 'events', 'value_not_null',
+           CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) = 0
+    FROM events
+    UNION ALL
+    SELECT 'documents', 'nonempty_text',
+           CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 1 ELSE 0 END) AS BIGINT),
+           sum(CASE WHEN length(trim(text)) = 0 THEN 1 ELSE 0 END) = 0
+    FROM documents
+    """,
+)
+def data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constraint-check report (the expectations gate a pipeline runs
+    before training ingest): PK uniqueness, FK coverage, null and empty
+    rates — one row per (table, check) with violation count and verdict.
+    Uniqueness checks are count-vs-count-distinct in a single map-side
+    combinable aggregate; FK coverage is a LEFT ANTI join (the violating
+    side only — no row multiplication); results are 6 one-row frames
+    unioned, so the report cost is the sum of the individual scans."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cust = load_table(spark, sf_dir, "customer")
+    ev = load_table(spark, sf_dir, "events")
+    docs = load_table(spark, sf_dir, "documents")
+
+    def agg_report(df: DataFrame, table: str, check: str, viol: Column) -> DataFrame:
+        return df.agg(
+            F.lit(table).alias("table_name"),
+            F.lit(check).alias("check_name"),
+            viol.cast("bigint").alias("n_violations"),
+            (viol == 0).alias("pass"),
+        )
+
+    orders_pk = agg_report(
+        orders, "orders", "pk_unique",
+        F.count("*") - F.count_distinct(F.col("o_orderkey")),
+    )
+    li_pk = agg_report(
+        li, "lineitem", "pk_unique",
+        F.count("*")
+        - F.count_distinct(F.col("l_orderkey") * 10 + F.col("l_linenumber")),
+    )
+    li_fk = agg_report(
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"], "left_anti"),
+        "lineitem", "fk_orders", F.count("*"),
+    )
+    orders_fk = agg_report(
+        orders.join(cust, orders["o_custkey"] == cust["c_custkey"], "left_anti"),
+        "orders", "fk_customer", F.count("*"),
+    )
+    ev_null = agg_report(
+        ev, "events", "value_not_null",
+        F.sum(F.col("value").isNull().cast("int")),
+    )
+    docs_empty = agg_report(
+        docs, "documents", "nonempty_text",
+        F.sum((F.length(F.trim(F.col("text"))) == 0).cast("int")),
+    )
+    return (
+        orders_pk.unionByName(li_pk)
+        .unionByName(li_fk)
+        .unionByName(orders_fk)
+        .unionByName(ev_null)
+        .unionByName(docs_empty)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness-window rotation.
 #
@@ -5181,6 +5273,7 @@ _PENDING_NEXT = [
     "asof_join_next_order",  # new in round 3
     "iqr_outlier_anomaly",  # new in round 3
     "histogram_rarity_anomaly",  # new in round 3
+    "data_quality_report",  # new in round 3
 ]
 
 

@@ -57,6 +57,10 @@ HEADLINE = [
     "sequence_pack_assignments",
     "doc_segment_containment",
     "semantic_dedup_keep",
+    # round-3 additions
+    "iqr_outlier_anomaly",
+    "histogram_rarity_anomaly",
+    "data_quality_report",
 ]
 
 
