@@ -3868,6 +3868,55 @@ def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(qname)
 
 
+@query(
+    "streaming_stream_join",
+    oracle="""
+    SELECT a.event_id AS click_id, b.event_id AS purchase_id,
+           a.user_id AS user_id
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND a.event_type = 'click' AND b.event_type = 'purchase'
+     AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
+    """,
+)
+def streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (click -> purchase attribution within
+    1 hour, per user): both sides are watermarked streams and the join
+    condition carries the event-time band, which is what lets the engine
+    expire buffered state — each side holds at most (watermark delay +
+    band width) of history instead of the whole stream. Append-mode
+    memory sink, availableNow; the matched-pair set is order-independent,
+    so the streaming run hash-matches the batch self-join oracle."""
+    stream, _ = _read_events_stream(spark, sf_dir)
+    clicks = (
+        stream.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("user_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 day")
+    )
+    stream2, _ = _read_events_stream(spark, sf_dir)
+    purchases = (
+        stream2.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 day")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")),
+    ).select("click_id", "purchase_id", "user_id")
+    qname = _run_to_memory(joined, "stream_join", "append")
+    return spark.table(qname)
+
+
 @query("binned_range_join_events", oracle=ORACLE["range_interval_join"])
 def binned_range_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SCALE formulation of ``range_interval_join`` — same result, same
@@ -5274,6 +5323,7 @@ _PENDING_NEXT = [
     "iqr_outlier_anomaly",  # new in round 3
     "histogram_rarity_anomaly",  # new in round 3
     "data_quality_report",  # new in round 3
+    "streaming_stream_join",  # new in round 3
 ]
 
 
