@@ -3654,6 +3654,120 @@ def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "event_funnel_counts",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, min(ts) AS t_click FROM events
+      WHERE event_type = 'click' GROUP BY user_id
+    ),
+    v AS (
+      SELECT e.user_id, min(e.ts) AS t_view
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'view' AND e.ts > c.t_click
+      GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS t_purchase
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > v.t_view
+      GROUP BY e.user_id
+    )
+    SELECT 'click' AS stage, CAST((SELECT count(*) FROM c) AS BIGINT) AS n_users
+    UNION ALL
+    SELECT 'click>view', CAST((SELECT count(*) FROM v) AS BIGINT)
+    UNION ALL
+    SELECT 'click>view>purchase', CAST((SELECT count(*) FROM p) AS BIGINT)
+    """,
+)
+def event_funnel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-funnel analysis (click -> later view -> later purchase):
+    each stage is the per-user min event time STRICTLY AFTER the previous
+    stage's time — the standard product-analytics funnel, which a naive
+    exists-per-type query gets wrong (it ignores ordering). Three grouped
+    passes, each keyed on user_id so the per-stage joins co-partition with
+    the aggregates (one shuffle total at scale with AQE exchange reuse);
+    stage frames shrink monotonically, so later passes touch only
+    surviving users."""
+    ev = load_table(spark, sf_dir, "events")
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+
+    def stage_count(df: DataFrame, name: str) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("stage"),
+            F.count("*").cast("bigint").alias("n_users"),
+        )
+
+    return (
+        stage_count(c, "click")
+        .unionByName(stage_count(v, "click>view"))
+        .unionByName(stage_count(p, "click>view>purchase"))
+    )
+
+
+@query(
+    "cohort_retention_counts",
+    oracle="""
+    WITH first_seen AS (
+      SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+      FROM events GROUP BY user_id
+    )
+    SELECT CAST(epoch_us(f.cohort_week) AS BIGINT) AS cohort_week_us,
+           CAST(datediff('week', f.cohort_week,
+                         date_trunc('week', e.ts)) AS BIGINT) AS week_offset,
+           CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_active
+    FROM events e JOIN first_seen f ON e.user_id = f.user_id
+    GROUP BY 1, 2
+    """,
+)
+def cohort_retention_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users bucketed by first-seen week, counted
+    distinct in each subsequent activity week — the standard retention
+    triangle. The first-seen frame is a per-user min (one grouped pass,
+    broadcastable — #users rows), re-joined onto events so the heavy side
+    is scanned once and shuffles only for the final (cohort, offset)
+    aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    return (
+        ev.join(F.broadcast(first_seen), "user_id")
+        .groupBy(
+            F.unix_micros("cohort_week").alias("cohort_week_us"),
+            (
+                F.floor(
+                    F.datediff(
+                        F.date_trunc("week", F.col("ts")), F.col("cohort_week")
+                    )
+                    / 7
+                )
+            )
+            .cast("bigint")
+            .alias("week_offset"),
+        )
+        .agg(F.count_distinct("user_id").cast("bigint").alias("n_active"))
+    )
+
+
+@query(
     "higher_order_array_ops",
     oracle="""
     SELECT vec_id,
@@ -5324,6 +5438,8 @@ _PENDING_NEXT = [
     "histogram_rarity_anomaly",  # new in round 3
     "data_quality_report",  # new in round 3
     "streaming_stream_join",  # new in round 3
+    "event_funnel_counts",  # new in round 3
+    "cohort_retention_counts",  # new in round 3
 ]
 
 
