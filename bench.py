@@ -61,6 +61,8 @@ HEADLINE = [
     "iqr_outlier_anomaly",
     "histogram_rarity_anomaly",
     "data_quality_report",
+    "event_funnel_counts",
+    "cohort_retention_counts",
 ]
 
 
