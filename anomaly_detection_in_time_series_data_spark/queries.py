@@ -2440,6 +2440,44 @@ def approx_distinct_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "hll_daily_union_bounds",
+    oracle="""
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
+           TRUE AS union_within_5pct
+    FROM events GROUP BY event_type
+    """,
+)
+def hll_daily_union_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch distinct counting — the 100 TB pattern the exact
+    path can't follow: one HLL sketch per (type, day) partition, then
+    sketches UNIONED across days without revisiting raw data (datasketches
+    hll_sketch_agg / hll_union_agg). A day's sketch is computed once when
+    the day's partition lands; every later rollup is sketch-merge only.
+    The hash-carried column is the exact distinct count; the boolean
+    asserts the unioned estimate landed within 5% of it, so the oracle
+    match verifies the sketch pipeline, not just the exact twin."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("_d")
+    ).agg(F.hll_sketch_agg("user_id").alias("_sk"))
+    unioned = daily.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("_sk")).alias("_est")
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").cast("bigint").alias("n_exact")
+    )
+    return exact.join(F.broadcast(unioned), "event_type").select(
+        "event_type",
+        "n_exact",
+        (
+            F.abs(F.col("_est").cast("double") - F.col("n_exact").cast("double"))
+            <= 0.05 * F.col("n_exact").cast("double")
+        ).alias("union_within_5pct"),
+    )
+
+
 @query("multimodal_image_features")
 def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal binary-column pipeline (rows-only: payloads are
@@ -5440,6 +5478,7 @@ _PENDING_NEXT = [
     "streaming_stream_join",  # new in round 3
     "event_funnel_counts",  # new in round 3
     "cohort_retention_counts",  # new in round 3
+    "hll_daily_union_bounds",  # new in round 3
 ]
 
 
