@@ -2478,6 +2478,112 @@ def hll_daily_union_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "theta_vocab_overlap_bounds",
+    oracle="""
+    WITH ta AS (
+      SELECT DISTINCT t.tok FROM documents d,
+        LATERAL unnest(string_split_regex(trim(d.text), '\\s+')) AS t(tok)
+      WHERE d.source = 'src0' AND length(trim(d.text)) > 0
+    ),
+    tb AS (
+      SELECT DISTINCT t.tok FROM documents d,
+        LATERAL unnest(string_split_regex(trim(d.text), '\\s+')) AS t(tok)
+      WHERE d.source = 'src1' AND length(trim(d.text)) > 0
+    )
+    SELECT 'src0' AS source_a, 'src1' AS source_b,
+           CAST((SELECT count(*) FROM ta JOIN tb USING (tok)) AS BIGINT)
+             AS n_shared_exact,
+           TRUE AS within_5pct
+    """,
+)
+def theta_vocab_overlap_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch set intersection — mergeable set overlap without
+    co-shuffling the sets: each source's token vocabulary becomes one
+    theta sketch (a fixed-seed KMV sample, deterministic under any
+    partition order), and the intersection ESTIMATE comes from combining
+    two sketch summaries — at 100 TB the overlap of two corpora reduces
+    to exchanging kilobyte sketches instead of joining token sets. The
+    hash-carried column is the exact shared-vocabulary count; the boolean
+    asserts the sketch estimate is within 5%."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length(F.trim(F.col("text"))) > 0
+    )
+    toks = docs.filter(F.col("source").isin("src0", "src1")).select(
+        "source", F.explode(text.tokens(F.col("text"))).alias("tok")
+    )
+    sketches = toks.groupBy("source").agg(
+        F.theta_sketch_agg("tok").alias("sk")
+    )
+    a = sketches.filter(F.col("source") == "src0").select(
+        F.col("sk").alias("sk_a")
+    )
+    b = sketches.filter(F.col("source") == "src1").select(
+        F.col("sk").alias("sk_b")
+    )
+    est = a.crossJoin(b).select(
+        F.theta_sketch_estimate(
+            F.theta_intersection(F.col("sk_a"), F.col("sk_b"))
+        ).alias("_est")
+    )
+    ta = toks.filter(F.col("source") == "src0").select("tok").distinct()
+    tb = toks.filter(F.col("source") == "src1").select("tok").distinct()
+    exact = ta.join(tb, "tok").agg(
+        F.count("*").cast("bigint").alias("n_shared_exact")
+    )
+    return exact.crossJoin(F.broadcast(est)).select(
+        F.lit("src0").alias("source_a"),
+        F.lit("src1").alias("source_b"),
+        "n_shared_exact",
+        (
+            F.abs(F.col("_est").cast("double") - F.col("n_shared_exact").cast("double"))
+            <= 0.05 * F.col("n_shared_exact").cast("double")
+        ).alias("within_5pct"),
+    )
+
+
+@query(
+    "kll_median_bounds",
+    oracle="""
+    SELECT event_type,
+           quantile_cont(value, 0.5) AS exact_median,
+           TRUE AS est_within_rank_band
+    FROM events GROUP BY event_type
+    """,
+)
+def kll_median_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KLL quantile sketch with per-day partial sketches merged across
+    days (kll_sketch_agg_double -> kll_merge_agg_double) — the mergeable
+    replacement for a global sort when only quantiles are needed. KLL is
+    a randomized sampler, so the assertion is the sketch's own contract:
+    the estimated median's true rank must land in the [0.40, 0.60] band
+    (>= 6x the default-k 99%-confidence rank error of ~1.65%); the band
+    bounds are exact interpolated percentiles, bit-equal in both engines.
+    The hash-carried column is the exact median."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("_d")
+    ).agg(F.kll_sketch_agg_double("value").alias("_sk"))
+    merged = daily.groupBy("event_type").agg(
+        F.kll_sketch_get_quantile_double(
+            F.kll_merge_agg_double("_sk"), F.lit(0.5)
+        ).alias("_est_median")
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.percentile("value", 0.5).alias("exact_median"),
+        F.percentile("value", 0.40).alias("_p40"),
+        F.percentile("value", 0.60).alias("_p60"),
+    )
+    return exact.join(F.broadcast(merged), "event_type").select(
+        "event_type",
+        "exact_median",
+        (
+            (F.col("_est_median") >= F.col("_p40"))
+            & (F.col("_est_median") <= F.col("_p60"))
+        ).alias("est_within_rank_band"),
+    )
+
+
 @query("multimodal_image_features")
 def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal binary-column pipeline (rows-only: payloads are
@@ -5479,6 +5585,8 @@ _PENDING_NEXT = [
     "event_funnel_counts",  # new in round 3
     "cohort_retention_counts",  # new in round 3
     "hll_daily_union_bounds",  # new in round 3
+    "theta_vocab_overlap_bounds",  # new in round 3
+    "kll_median_bounds",  # new in round 3
 ]
 
 
