@@ -53,6 +53,31 @@ def test_similarity_on_empty(spark):
     assert similarity.cosine_topk(emb, probes, k=3).count() == 0
 
 
+def test_adaptive_buckets_on_empty(spark):
+    emb = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    assert similarity.adaptive_sign_buckets(emb, cap=4).count() == 0
+    assert similarity.semantic_dedup_pairs(emb, cap=4).count() == 0
+    # keep verdict on empty corpus is an empty report, not an error
+    assert similarity.semantic_dedup_keep(emb, cap=4).count() == 0
+
+
+def test_asof_join_empty_right_side(spark):
+    import datetime as dt
+
+    from anomaly_detection_in_time_series_data_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 2), "e1")], "k long, ts timestamp, eid string"
+    )
+    right = spark.createDataFrame([], "k long, rts timestamp, rv long")
+    for direction in ("backward", "forward"):
+        out = asof_join(
+            left, right, keys=["k"], left_ts="ts", right_ts="rts",
+            direction=direction,
+        ).collect()
+        assert len(out) == 1 and out[0].rv is None
+
+
 def test_text_ops_on_empty_and_whitespace(spark):
     docs = spark.createDataFrame([(1, "   "), (2, "")], "doc_id long, text string")
     toked = docs.select("doc_id", text.tokens(F.col("text")).alias("t"))
