@@ -3912,6 +3912,84 @@ def cohort_retention_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "event_transition_counts",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    )
+    SELECT prev_type, event_type AS next_type,
+           CAST(count(*) AS BIGINT) AS n
+    FROM seq WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, next_type
+    """,
+)
+def event_transition_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition counts over each user's event
+    sequence (the behavioral-model input): lag() over the per-user
+    timeline, then a global (prev, next) count. One shuffle for the
+    window, one map-side-combined aggregate over a 5x5 state space;
+    event_id tiebreaks equal timestamps so the sequence is a total order
+    in both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+    return (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+
+
+@query(
+    "interarrival_stats",
+    oracle="""
+    WITH gaps AS (
+      SELECT event_type,
+             CAST(epoch_us(ts) AS BIGINT)
+               - CAST(epoch_us(lag(ts) OVER (PARTITION BY event_type
+                                             ORDER BY ts, event_id)) AS BIGINT)
+               AS gap_us
+      FROM events
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_gaps,
+           CAST(sum(gap_us) AS BIGINT) AS total_gap_us,
+           quantile_cont(gap_us, 0.5) AS median_gap_us,
+           CAST(max(gap_us) AS BIGINT) AS max_gap_us
+    FROM gaps WHERE gap_us IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival-time distribution per event type — the
+    arrival-process profile (rate drift, burst detection baseline). Gaps
+    are exact integer microseconds (lag over the per-type timeline,
+    event_id tiebreak); sum/max stay in bigint and the median is the
+    exact interpolated percentile, so every column is hash-exact."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    gaps = ev.select(
+        "event_type",
+        (
+            F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+        ).alias("gap_us"),
+    ).filter(F.col("gap_us").isNotNull())
+    return gaps.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_gaps"),
+        F.sum("gap_us").cast("bigint").alias("total_gap_us"),
+        F.percentile("gap_us", 0.5).alias("median_gap_us"),
+        F.max("gap_us").cast("bigint").alias("max_gap_us"),
+    )
+
+
+@query(
     "higher_order_array_ops",
     oracle="""
     SELECT vec_id,
@@ -5587,6 +5665,8 @@ _PENDING_NEXT = [
     "hll_daily_union_bounds",  # new in round 3
     "theta_vocab_overlap_bounds",  # new in round 3
     "kll_median_bounds",  # new in round 3
+    "event_transition_counts",  # new in round 3
+    "interarrival_stats",  # new in round 3
 ]
 
 
