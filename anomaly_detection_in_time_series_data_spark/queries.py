@@ -3912,6 +3912,55 @@ def cohort_retention_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "session_conversion_rates",
+    oracle="""
+    WITH sessions AS (
+      SELECT user_id, sess_id,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS converted
+      FROM (
+        SELECT user_id, event_type, ts,
+               sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS sess_id
+        FROM (
+          SELECT user_id, event_id, event_type, ts,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                        OR ts - lag(ts) OVER w >= INTERVAL 1 HOUR
+                      THEN 1 ELSE 0 END AS is_new
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        )
+      )
+      GROUP BY user_id, sess_id
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(sum(converted) AS BIGINT) AS n_converting,
+           CAST(sum(converted) AS DOUBLE) / count(*) AS conversion_rate
+    FROM sessions GROUP BY user_id
+    """,
+)
+def session_conversion_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session conversion: sessions (1-hour inactivity gap, via
+    native session_window) flagged by whether they contain a purchase,
+    rolled up to a per-user conversion rate — the session-level KPI the
+    raw funnel can't give (it ignores session boundaries). Same
+    gaps-and-islands oracle pattern as session_windows_user, extended
+    with the conversion flag."""
+    ev = load_table(spark, sf_dir, "events")
+    sessions = ev.groupBy(
+        "user_id", F.session_window("ts", "1 hour").alias("w")
+    ).agg(
+        F.max((F.col("event_type") == "purchase").cast("int")).alias("converted")
+    )
+    return sessions.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("n_sessions"),
+        F.sum("converted").cast("bigint").alias("n_converting"),
+        (F.sum("converted").cast("double") / F.count("*")).alias("conversion_rate"),
+    )
+
+
+@query(
     "event_transition_counts",
     oracle="""
     WITH seq AS (
@@ -5667,6 +5716,7 @@ _PENDING_NEXT = [
     "kll_median_bounds",  # new in round 3
     "event_transition_counts",  # new in round 3
     "interarrival_stats",  # new in round 3
+    "session_conversion_rates",  # new in round 3
 ]
 
 
