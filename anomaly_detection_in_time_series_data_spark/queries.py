@@ -3912,6 +3912,35 @@ def cohort_retention_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "weekday_hour_profile",
+    oracle="""
+    SELECT CAST(dayofweek(ts) AS BIGINT) AS dow,
+           CAST(hour(ts) AS BIGINT) AS hr,
+           CAST(count(*) AS BIGINT) AS n_events,
+           max(value) AS max_value,
+           quantile_cont(value, 0.5) AS median_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def weekday_hour_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekday x hour seasonal profile (the heatmap behind the seasonal
+    anomaly baseline): one grouped pass over 7x24 cells with
+    order-independent statistics only — count, max, and the exact
+    interpolated median (no double sums, so every cell is hash-exact).
+    DuckDB dayofweek() is 0=Sunday..6; Spark's dayofweek() is
+    1=Sunday..7, so the Spark side subtracts 1 to align."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        (F.dayofweek("ts") - 1).cast("bigint").alias("dow"),
+        F.hour("ts").cast("bigint").alias("hr"),
+    ).agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.max("value").alias("max_value"),
+        F.percentile("value", 0.5).alias("median_value"),
+    )
+
+
+@query(
     "session_conversion_rates",
     oracle="""
     WITH sessions AS (
@@ -5717,6 +5746,7 @@ _PENDING_NEXT = [
     "event_transition_counts",  # new in round 3
     "interarrival_stats",  # new in round 3
     "session_conversion_rates",  # new in round 3
+    "weekday_hour_profile",  # new in round 3
 ]
 
 
