@@ -1,0 +1,365 @@
+"""Classical time-series analytics over irregular event streams.
+
+Extends the reference's anomaly family (reference `Assignment 4.py` builds
+rolling mean/std scores over a single series) with the standard
+detection/profiling toolkit a time-series engine is expected to carry:
+change-point scoring, seasonal-trend (STL-lite) decomposition,
+autocorrelation, OHLC downsampling, time-weighted averages, and
+gaps-and-islands segmentation — each expressed as declarative DataFrame
+plans (window frames + grouped aggregates, no Python in the hot path).
+
+Float-determinism discipline (matches the repo-wide oracle contract):
+sums that cross a shuffle or a window frame go through DECIMAL (exact,
+order-independent); per-group location statistics use the exact
+interpolated median (`F.percentile` == DuckDB `quantile_cont`); the only
+double arithmetic is per-row scalar math on already-exact inputs, which is
+bit-identical across engines for an identical expression tree.
+
+Scale notes are on each function; the common shape is one shuffle to
+co-locate a key's timeline, then window/group work that is linear per
+partition. Keys are (user_id | event_type | day) — at 100 TB the
+cardinality of these keys (millions x days) keeps partitions bounded; a
+single global series would instead use the chunked formulations in
+`anomaly.py` (time-sliced with context overlap).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_DEC = "decimal(18,6)"
+
+
+def changepoint_mean_shift(
+    df: DataFrame,
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+    value_col: str = "value",
+    half_window: int = 8,
+) -> DataFrame:
+    """CUSUM-style two-sided mean-shift score, reduced per key.
+
+    For every point with ``half_window`` full rows on each side, the score
+    is |mean(next w) - mean(prev w)|: a level shift in the series produces
+    a local maximum at the change point, while i.i.d. noise concentrates
+    near zero. This is the classic sliding two-sample statistic behind
+    CUSUM/Pettitt-style detectors, evaluated in one window pass.
+
+    Both frame sums are DECIMAL (exact regardless of DuckDB's segment-tree
+    vs Spark's sliding-buffer evaluation order); the single division to a
+    mean happens once, in double, on exact inputs.
+
+    Scale: one hash shuffle on ``key_col``; each partition does two O(w)
+    sliding frames per row. No state beyond the 2w-row frame; AQE-safe.
+    """
+    w_order = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
+    before = w_order.rowsBetween(-half_window, -1)
+    after = w_order.rowsBetween(1, half_window)
+    v = F.col(value_col).cast(_DEC)
+    scored = (
+        df.select(key_col, ts_col, tiebreak_col, value_col)
+        .withColumn("_sb", F.sum(v).over(before))
+        .withColumn("_nb", F.count(value_col).over(before))
+        .withColumn("_sa", F.sum(v).over(after))
+        .withColumn("_na", F.count(value_col).over(after))
+        .filter(
+            (F.col("_nb") == half_window) & (F.col("_na") == half_window)
+        )
+        .withColumn(
+            "shift",
+            F.abs((F.col("_sa") - F.col("_sb")).cast("double"))
+            / F.lit(float(half_window)),
+        )
+    )
+    return scored.groupBy(key_col).agg(
+        F.count("*").cast("bigint").alias("n_scored"),
+        F.max("shift").alias("max_shift"),
+    )
+
+
+def stl_residual_profile(
+    df: DataFrame,
+    *,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+    value_col: str = "value",
+    half_trend: int = 12,
+) -> DataFrame:
+    """STL-lite seasonal profile of the detrended series.
+
+    Decomposition in two declarative passes:
+
+    1. trend_t = centered moving average over ``2*half_trend + 1`` rows of
+       the per-key timeline (rows with a full frame only — edge rows have
+       no defined trend, exactly as in classical STL's inner loop);
+       detrended_t = value_t - trend_t.
+    2. the seasonal component per (key, hour-of-day) cell as the exact
+       median of the detrended values, with min/max/count completing the
+       residual profile. Median (not mean) is both the robust choice and
+       the order-independent one.
+
+    Scale: pass 1 is one shuffle + an O(w) sliding frame; pass 2 is a
+    map-side-combining hash aggregate on at most |keys| x 24 cells.
+    """
+    n_frame = 2 * half_trend + 1
+    w = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col).rowsBetween(
+        -half_trend, half_trend
+    )
+    v = F.col(value_col).cast(_DEC)
+    detrended = (
+        df.select(key_col, ts_col, tiebreak_col, value_col)
+        .withColumn("_s", F.sum(v).over(w))
+        .withColumn("_n", F.count(value_col).over(w))
+        .filter(F.col("_n") == n_frame)
+        .withColumn(
+            "detrended",
+            F.col(value_col)
+            - F.col("_s").cast("double") / F.lit(float(n_frame)),
+        )
+    )
+    return detrended.groupBy(
+        F.col(key_col),
+        F.hour(ts_col).cast("bigint").alias("hr"),
+    ).agg(
+        F.count("*").cast("bigint").alias("n_obs"),
+        F.percentile("detrended", 0.5).alias("seasonal_med"),
+        F.min("detrended").alias("min_detrended"),
+        F.max("detrended").alias("max_detrended"),
+    )
+
+
+def acf_lag1(
+    df: DataFrame,
+    *,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+    value_col: str = "value",
+    dec: str = "decimal(10,2)",
+) -> DataFrame:
+    """Per-key lag-1 autocorrelation via exact decimal moment sums.
+
+    Pearson correlation of (x_t, x_{t-1}) pairs from the per-key timeline.
+    The five moment sums (Sx, Sy, Sxy, Sxx, Syy) accumulate in DECIMAL —
+    products of two decimal casts are exact, and decimal addition is
+    associative, so the grouped sums are order-independent. The closed-form
+    correlation is then one per-group double expression on exact inputs.
+
+    ``dec`` bounds the whole pipeline's exactness: with scale s and
+    per-key moment sums under 2^53/10^(2s) the final decimal->double casts
+    are correctly-rounded-exact in every engine (the fixtures quantize
+    value to 2 decimals, so (10,2) loses nothing and keeps the scale-4
+    product sums in exact-double range up to ~10^9 rows per key).
+
+    (A direct ``F.corr`` would shuffle the same data but accumulate double
+    partials whose value depends on partitioning — unusable under an exact
+    cross-engine hash compare, and equally non-reproducible between two
+    runs of a 1000-executor job.)
+    """
+    w = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
+    x = F.col(value_col).cast(dec)
+    pairs = (
+        df.select(key_col, ts_col, tiebreak_col, value_col)
+        .withColumn("_prev", F.lag(value_col).over(w))
+        .filter(F.col("_prev").isNotNull())
+    )
+    y = F.col("_prev").cast(dec)
+    sums = pairs.groupBy(key_col).agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(x * y).cast("double").alias("sxy"),
+        F.sum(x * x).cast("double").alias("sxx"),
+        F.sum(y * y).cast("double").alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    cov = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    varx = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary = n * F.col("syy") - F.col("sy") * F.col("sy")
+    return sums.select(
+        key_col,
+        F.col("n").alias("n_pairs"),
+        F.when(
+            (varx > 0) & (vary > 0), cov / F.sqrt(varx * vary)
+        ).alias("acf1"),
+    )
+
+
+def ohlc_downsample(
+    df: DataFrame,
+    *,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """OHLC (open/high/low/close) candlestick downsampling per key per day.
+
+    Open/close are the first/last values in (ts, tiebreak) order — selected
+    with ``row_number`` from both ends and folded into the grouped pass as
+    conditional MAXes, so one window pass + one hash aggregate produces the
+    whole candle. High/low/volume are plain order-independent aggregates.
+
+    Scale: the window and the groupBy share the (key, day) partitioning —
+    Catalyst reuses the exchange, so the candle costs one shuffle total.
+    The downsampled output (|keys| x |days| rows) is the input to the
+    next rollup level; candles re-merge exactly (first-of-firsts /
+    last-of-lasts / max / min / sum), making this a mergeable summary.
+    """
+    day = F.date_trunc("day", F.col(ts_col))
+    base = df.select(
+        F.col(key_col),
+        day.alias("_day"),
+        F.col(ts_col),
+        F.col(tiebreak_col),
+        F.col(value_col),
+    )
+    w_asc = Window.partitionBy(key_col, "_day").orderBy(ts_col, tiebreak_col)
+    w_desc = Window.partitionBy(key_col, "_day").orderBy(
+        F.col(ts_col).desc(), F.col(tiebreak_col).desc()
+    )
+    ranked = base.withColumn("_rn", F.row_number().over(w_asc)).withColumn(
+        "_rn_last", F.row_number().over(w_desc)
+    )
+    return ranked.groupBy(
+        F.col(key_col), F.unix_micros(F.col("_day")).alias("day_us")
+    ).agg(
+        F.max(F.when(F.col("_rn") == 1, F.col(value_col))).alias("open"),
+        F.max(value_col).alias("high"),
+        F.min(value_col).alias("low"),
+        F.max(F.when(F.col("_rn_last") == 1, F.col(value_col))).alias("close"),
+        F.count("*").cast("bigint").alias("volume"),
+    )
+
+
+def time_weighted_avg(
+    df: DataFrame,
+    *,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Daily time-weighted average (TWAP) of an irregularly-sampled series.
+
+    Each observation holds until the next one in the same (key, day); its
+    weight is that holding duration quantized to whole seconds (floor-div
+    of the exact microsecond delta — identical integer arithmetic in every
+    engine). The last observation of a day carries zero weight (no defined
+    holding interval), mirroring the standard TWAP-over-bars definition.
+    value x duration products are decimal-exact before the grouped sum and
+    small enough that the final decimal->double casts are correctly-
+    rounded-exact; days with a single observation (or only sub-second
+    holds) yield NULL. ``span_us`` stays at full microsecond precision.
+
+    Scale: one shuffle on (key, day); lead() and the aggregate share the
+    partitioning. Duration arithmetic stays integral end-to-end.
+    """
+    day = F.date_trunc("day", F.col(ts_col))
+    w = Window.partitionBy(key_col, "_day").orderBy(ts_col, tiebreak_col)
+    base = (
+        df.select(
+            F.col(key_col),
+            day.alias("_day"),
+            F.col(ts_col),
+            F.col(tiebreak_col),
+            F.col(value_col),
+        )
+        .withColumn("_us", F.unix_micros(F.col(ts_col)))
+        .withColumn("_next_us", F.lead("_us").over(w))
+        .withColumn("_dur_us", F.col("_next_us") - F.col("_us"))
+        .withColumn("_dur_s", F.expr("_dur_us div 1000000"))
+    )
+    # _dur_s fits 6 digits (< 1 day); a decimal(6,0) cast keeps the
+    # product at a small exact precision. A raw long operand would infer
+    # decimal(20,0), push the product past precision 38, and make Spark
+    # shave the scale (a real 1e-14 divergence vs any exact oracle).
+    weighted = F.col(value_col).cast("decimal(10,2)") * F.col("_dur_s").cast(
+        "decimal(6,0)"
+    )
+    return base.groupBy(
+        F.col(key_col), F.unix_micros(F.col("_day")).alias("day_us")
+    ).agg(
+        F.count("*").cast("bigint").alias("n_obs"),
+        F.sum("_dur_us").cast("bigint").alias("span_us"),
+        F.when(
+            F.sum("_dur_s") > 0,
+            F.sum(weighted).cast("double") / F.sum("_dur_s").cast("double"),
+        ).alias("twap"),
+    )
+
+
+def gaps_islands(
+    df: DataFrame,
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+    gap: str = "1 hour",
+) -> DataFrame:
+    """Gaps-and-islands segmentation, reduced to a per-key activity report.
+
+    An island is a maximal run of consecutive events whose inter-arrival
+    gap stays under ``gap``. Classic formulation: flag rows that open a new
+    island (first row, or gap >= threshold), take the running sum of flags
+    as the island id, then aggregate islands and reduce per key. All
+    arithmetic is integral (counts, microsecond spans) — exact under any
+    partitioning.
+
+    This is the batch twin of ``session_window`` sessionization, but it
+    exposes the island *structure* (per-island extents) rather than only
+    window bounds, which is what gap-detection / uptime reports need.
+
+    Scale: one shuffle on ``key_col``; two window passes over the same
+    partitioning (flag + running sum), then two hash aggregates that both
+    map-side combine.
+    """
+    gap_us = F.lit(_interval_to_us(gap))
+    w = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
+    run = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    flagged = (
+        df.select(key_col, ts_col, tiebreak_col)
+        .withColumn("_us", F.unix_micros(F.col(ts_col)))
+        .withColumn("_prev_us", F.lag("_us").over(w))
+        .withColumn(
+            "_new",
+            F.when(
+                F.col("_prev_us").isNull()
+                | ((F.col("_us") - F.col("_prev_us")) >= gap_us),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("_island", F.sum("_new").over(run))
+    )
+    islands = flagged.groupBy(key_col, "_island").agg(
+        F.count("*").cast("bigint").alias("_n"),
+        (F.max("_us") - F.min("_us")).alias("_span_us"),
+    )
+    return islands.groupBy(key_col).agg(
+        F.count("*").cast("bigint").alias("n_islands"),
+        F.max("_n").alias("max_island_events"),
+        F.max("_span_us").cast("bigint").alias("max_island_span_us"),
+        F.sum("_n").cast("bigint").alias("n_events"),
+    )
+
+
+def _interval_to_us(gap: str) -> int:
+    """Parse the tiny interval grammar used here ('N unit') to microseconds."""
+    n, unit = gap.split()
+    scale = {
+        "second": 1_000_000,
+        "seconds": 1_000_000,
+        "minute": 60_000_000,
+        "minutes": 60_000_000,
+        "hour": 3_600_000_000,
+        "hours": 3_600_000_000,
+        "day": 86_400_000_000,
+        "days": 86_400_000_000,
+    }[unit]
+    return int(n) * scale

@@ -29,11 +29,13 @@ from .operators import (
     anomaly,
     contamination,
     dedup,
+    linkage,
     packing,
     relational,
     sampling,
     similarity,
     text,
+    timeseries,
 )
 from .tables import load_table
 
@@ -5651,6 +5653,250 @@ def data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Classical time-series analytics (operators/timeseries.py): change-point
+# scoring, STL-lite decomposition, autocorrelation, OHLC bars, TWAP,
+# gaps-and-islands — the profiling toolkit around the anomaly family.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "changepoint_mean_shift",
+    oracle="""
+    WITH scored AS (
+      SELECT user_id,
+             sum(CAST(value AS DECIMAL(18,6))) OVER before_w AS sb,
+             count(value) OVER before_w AS nb,
+             sum(CAST(value AS DECIMAL(18,6))) OVER after_w AS sa,
+             count(value) OVER after_w AS na
+      FROM events
+      WINDOW before_w AS (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN 8 PRECEDING AND 1 PRECEDING),
+             after_w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN 1 FOLLOWING AND 8 FOLLOWING)
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_scored,
+           max(abs(CAST(sa - sb AS DOUBLE)) / 8.0) AS max_shift
+    FROM scored WHERE nb = 8 AND na = 8
+    GROUP BY user_id
+    """,
+)
+def changepoint_mean_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided mean-shift change-point score (sliding two-sample CUSUM
+    statistic), reduced to per-user (n_scored, max_shift). Both frame
+    sums are decimal-exact, so the per-row score is bit-identical under
+    any evaluation order (DuckDB segment tree vs Spark sliding buffer)."""
+    ev = load_table(spark, sf_dir, "events")
+    return timeseries.changepoint_mean_shift(ev, half_window=8)
+
+
+@query(
+    "stl_residual_profile",
+    oracle="""
+    WITH det AS (
+      SELECT event_type, ts,
+             value,
+             sum(CAST(value AS DECIMAL(18,6))) OVER w AS s,
+             count(value) OVER w AS n
+      FROM events
+      WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+                   ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)
+    )
+    SELECT event_type, CAST(hour(ts) AS BIGINT) AS hr,
+           CAST(count(*) AS BIGINT) AS n_obs,
+           quantile_cont(detrended, 0.5) AS seasonal_med,
+           min(detrended) AS min_detrended,
+           max(detrended) AS max_detrended
+    FROM (
+      SELECT event_type, ts, value - CAST(s AS DOUBLE) / 25.0 AS detrended
+      FROM det WHERE n = 25
+    )
+    GROUP BY event_type, hr
+    """,
+)
+def stl_residual_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STL-lite: centered 25-row moving-average trend per event_type,
+    then the seasonal profile of the detrended series per hour-of-day
+    (exact median + min/max/count — all order-independent)."""
+    ev = load_table(spark, sf_dir, "events")
+    return timeseries.stl_residual_profile(ev, half_trend=12)
+
+
+@query(
+    "acf_by_event_type",
+    oracle="""
+    WITH pairs AS (
+      SELECT event_type,
+             CAST(value AS DECIMAL(10,2)) AS x,
+             CAST(lag(value) OVER (PARTITION BY event_type
+                                   ORDER BY ts, event_id)
+                  AS DECIMAL(10,2)) AS y
+      FROM events
+    ), sums AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+             CAST(sum(x * y) AS DOUBLE) AS sxy,
+             CAST(sum(x * x) AS DOUBLE) AS sxx,
+             CAST(sum(y * y) AS DOUBLE) AS syy
+      FROM pairs WHERE y IS NOT NULL GROUP BY event_type
+    )
+    SELECT event_type, n AS n_pairs,
+           CASE WHEN CAST(n AS DOUBLE) * sxx - sx * sx > 0
+                 AND CAST(n AS DOUBLE) * syy - sy * sy > 0
+                THEN (CAST(n AS DOUBLE) * sxy - sx * sy)
+                     / sqrt((CAST(n AS DOUBLE) * sxx - sx * sx)
+                            * (CAST(n AS DOUBLE) * syy - sy * sy))
+           END AS acf1
+    FROM sums
+    """,
+)
+def acf_by_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation per event_type from exact decimal moment
+    sums + a closed-form Pearson correlation in double. A direct F.corr
+    would accumulate partitioning-dependent double partials — unusable
+    under an exact hash compare and non-reproducible at 1000 executors."""
+    ev = load_table(spark, sf_dir, "events")
+    return timeseries.acf_lag1(ev)
+
+
+@query(
+    "ohlc_daily_bars",
+    oracle="""
+    WITH ranked AS (
+      SELECT event_type, date_trunc('day', ts) AS d, value,
+             row_number() OVER (PARTITION BY event_type, date_trunc('day', ts)
+                                ORDER BY ts, event_id) AS rn,
+             row_number() OVER (PARTITION BY event_type, date_trunc('day', ts)
+                                ORDER BY ts DESC, event_id DESC) AS rn_last
+      FROM events
+    )
+    SELECT event_type,
+           CAST(epoch_us(d) AS BIGINT) AS day_us,
+           max(CASE WHEN rn = 1 THEN value END) AS open,
+           max(value) AS high,
+           min(value) AS low,
+           max(CASE WHEN rn_last = 1 THEN value END) AS close,
+           CAST(count(*) AS BIGINT) AS volume
+    FROM ranked GROUP BY event_type, day_us
+    """,
+)
+def ohlc_daily_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC candlestick downsampling per (event_type, day) — a mergeable
+    summary (first-of-firsts / last-of-lasts / max / min / sum), so daily
+    bars re-roll exactly into weekly/monthly bars without touching raw
+    data: the hypertable-rollup pattern."""
+    ev = load_table(spark, sf_dir, "events")
+    return timeseries.ohlc_downsample(ev)
+
+
+@query(
+    "twap_daily",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type, date_trunc('day', ts) AS d, value,
+             lead(epoch_us(ts)) OVER (PARTITION BY event_type,
+                                                   date_trunc('day', ts)
+                                      ORDER BY ts, event_id)
+               - epoch_us(ts) AS dur_us
+      FROM events
+    )
+    SELECT event_type,
+           CAST(epoch_us(d) AS BIGINT) AS day_us,
+           CAST(count(*) AS BIGINT) AS n_obs,
+           CAST(sum(dur_us) AS BIGINT) AS span_us,
+           CASE WHEN sum(dur_us // 1000000) > 0
+                THEN CAST(sum(CAST(value AS DECIMAL(10,2))
+                              * CAST(dur_us // 1000000 AS DECIMAL(6,0)))
+                          AS DOUBLE)
+                     / CAST(sum(dur_us // 1000000) AS DOUBLE)
+           END AS twap
+    FROM seq GROUP BY event_type, day_us
+    """,
+)
+def twap_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily time-weighted average of the irregularly-sampled series:
+    each observation holds until the next one that day, with weights
+    quantized to whole seconds (identical floor-div in both engines) so
+    every decimal->double cast stays correctly-rounded-exact.
+    Single-observation days yield NULL."""
+    ev = load_table(spark, sf_dir, "events")
+    return timeseries.time_weighted_avg(ev)
+
+
+@query(
+    "activity_islands",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, us, event_id,
+             CASE WHEN prev_us IS NULL OR us - prev_us >= 3600000000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM (
+        SELECT user_id, event_id, epoch_us(ts) AS us,
+               lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS prev_us
+        FROM events
+      )
+    ), islands AS (
+      SELECT user_id,
+             CAST(count(*) AS BIGINT) AS n,
+             max(us) - min(us) AS span_us
+      FROM (
+        SELECT user_id, us,
+               sum(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS island
+        FROM flagged
+      )
+      GROUP BY user_id, island
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_islands,
+           max(n) AS max_island_events,
+           CAST(max(span_us) AS BIGINT) AS max_island_span_us,
+           CAST(sum(n) AS BIGINT) AS n_events
+    FROM islands GROUP BY user_id
+    """,
+)
+def activity_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands segmentation (1-hour gap threshold) reduced to a
+    per-user activity report — the batch twin of session_window that
+    exposes island structure (count, largest extent) with all-integral
+    arithmetic. The island-id running sum uses the same (ts, event_id)
+    total order as the gap flags, so tied timestamps segment identically
+    in both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    return timeseries.gaps_islands(ev, gap="1 hour")
+
+
+@query(
+    "blocked_name_linkage",
+    oracle="""
+    SELECT CAST(c1.c_nationkey AS BIGINT) AS nationkey,
+           CAST(count(*) AS BIGINT) AS n_pairs
+    FROM customer c1 JOIN customer c2
+      ON c1.c_nationkey = c2.c_nationkey
+     AND c1.c_custkey < c2.c_custkey
+     AND levenshtein(c1.c_name, c2.c_name) <= 1
+    GROUP BY 1
+    """,
+)
+def blocked_name_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record linkage via the deletion-neighborhood inverted index
+    (operators/linkage.py): every name emits len+1 deletion variants,
+    distance<=1 pairs MUST share a variant key, so candidates come from an
+    equi-join on (nation, variant) and one exact levenshtein verifies each
+    — O(n x len) index rows instead of the quadratic per-block self-join
+    the SQL oracle spells (same result set; at sf0.1 ~10x faster, and at
+    100 TB the difference between a join and a wall)."""
+    cust = load_table(spark, sf_dir, "customer")
+    pairs = linkage.edit1_pairs(
+        cust, block_col="c_nationkey", key_col="c_custkey", name_col="c_name"
+    )
+    return pairs.groupBy(
+        F.col("block").cast("bigint").alias("nationkey")
+    ).agg(F.count("*").cast("bigint").alias("n_pairs"))
+
+
+# ---------------------------------------------------------------------------
 # Driver correctness-window rotation.
 #
 # The driver's per-round oracle gate checks the FIRST 50 registered queries.
@@ -5747,6 +5993,13 @@ _PENDING_NEXT = [
     "interarrival_stats",  # new in round 3
     "session_conversion_rates",  # new in round 3
     "weekday_hour_profile",  # new in round 3
+    "changepoint_mean_shift",  # new in round 3 (timeseries family)
+    "stl_residual_profile",  # new in round 3 (timeseries family)
+    "acf_by_event_type",  # new in round 3 (timeseries family)
+    "ohlc_daily_bars",  # new in round 3 (timeseries family)
+    "twap_daily",  # new in round 3 (timeseries family)
+    "activity_islands",  # new in round 3 (timeseries family)
+    "blocked_name_linkage",  # new in round 3 (linkage family)
 ]
 
 
