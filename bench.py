@@ -63,6 +63,9 @@ HEADLINE = [
     "data_quality_report",
     "event_funnel_counts",
     "cohort_retention_counts",
+    "changepoint_mean_shift",
+    "twap_daily",
+    "blocked_name_linkage",
 ]
 
 
