@@ -349,6 +349,55 @@ def gaps_islands(
     )
 
 
+def ols_trend(
+    df: DataFrame,
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-key linear trend (OLS slope + intercept) of value over time.
+
+    x is integer days since the key's first event (window min over the
+    same partitioning the sums use — one shuffle total), y is the
+    decimal-cast value. The five moment sums are exact: x and x*x are
+    plain BIGINTs, Sy and Sxy are decimal sums with small operand widths
+    (x fits decimal(6,0) for ~2,700 years of daily offsets), so the
+    closed-form slope/intercept is per-key double math on exact inputs —
+    reproducible under any partitioning, same discipline as ``acf_lag1``.
+
+    slope is per *day*; keys with a degenerate x spread (all events the
+    same day) yield NULLs.
+    """
+    w = Window.partitionBy(key_col)
+    base = (
+        df.select(key_col, ts_col, value_col)
+        .withColumn("_us", F.unix_micros(F.col(ts_col)))
+        .withColumn("_first_us", F.min("_us").over(w))
+        .withColumn("_x", F.expr("(_us - _first_us) div 86400000000"))
+    )
+    y = F.col(value_col).cast("decimal(10,2)")
+    xd = F.col("_x").cast("decimal(6,0)")
+    sums = base.groupBy(key_col).agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("_x").cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(xd * y).cast("double").alias("sxy"),
+        F.sum(F.col("_x") * F.col("_x")).cast("double").alias("sxx"),
+    )
+    n = F.col("n").cast("double")
+    denom = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / denom
+    return sums.select(
+        key_col,
+        F.col("n").alias("n_obs"),
+        F.when(denom > 0, slope).alias("slope_per_day"),
+        F.when(
+            denom > 0, (F.col("sy") - slope * F.col("sx")) / n
+        ).alias("intercept"),
+    )
+
+
 def _interval_to_us(gap: str) -> int:
     """Parse the tiny interval grammar used here ('N unit') to microseconds."""
     n, unit = gap.split()

@@ -32,6 +32,7 @@ from .operators import (
     linkage,
     packing,
     relational,
+    robust,
     sampling,
     similarity,
     text,
@@ -5896,6 +5897,107 @@ def blocked_name_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.count("*").cast("bigint").alias("n_pairs"))
 
 
+@query(
+    "ols_trend_by_user",
+    oracle="""
+    WITH base AS (
+      SELECT user_id, value,
+             (epoch_us(ts) - min(epoch_us(ts))
+                OVER (PARTITION BY user_id)) // 86400000000 AS x
+      FROM events
+    ), sums AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS DOUBLE) AS sx,
+             CAST(sum(CAST(value AS DECIMAL(10,2))) AS DOUBLE) AS sy,
+             CAST(sum(CAST(x AS DECIMAL(6,0))
+                      * CAST(value AS DECIMAL(10,2))) AS DOUBLE) AS sxy,
+             CAST(sum(x * x) AS DOUBLE) AS sxx
+      FROM base GROUP BY user_id
+    )
+    SELECT user_id, n AS n_obs,
+           CASE WHEN CAST(n AS DOUBLE) * sxx - sx * sx > 0
+                THEN (CAST(n AS DOUBLE) * sxy - sx * sy)
+                     / (CAST(n AS DOUBLE) * sxx - sx * sx)
+           END AS slope_per_day,
+           CASE WHEN CAST(n AS DOUBLE) * sxx - sx * sx > 0
+                THEN (sy - (CAST(n AS DOUBLE) * sxy - sx * sy)
+                           / (CAST(n AS DOUBLE) * sxx - sx * sx) * sx)
+                     / CAST(n AS DOUBLE)
+           END AS intercept
+    FROM sums
+    """,
+)
+def ols_trend_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user linear trend (OLS slope per day + intercept) — the
+    detrending/forecasting primitive, via the same exact-decimal moment
+    sums + closed-form double math as acf_by_event_type."""
+    ev = load_table(spark, sf_dir, "events")
+    return timeseries.ols_trend(ev, key_col="user_id")
+
+
+@query(
+    "winsorized_value_stats",
+    oracle="""
+    WITH fences AS (
+      SELECT event_type,
+             quantile_cont(value, 0.01) AS lo,
+             quantile_cont(value, 0.99) AS hi
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_type, CAST(count(*) AS BIGINT) AS n,
+           min(lo) AS lo, min(hi) AS hi,
+           CAST(sum(CAST(CASE WHEN value < lo THEN lo
+                              WHEN value > hi THEN hi
+                              ELSE value END AS DECIMAL(18,6))) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE) AS winsorized_mean,
+           CAST(sum(CASE WHEN value < lo THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_clamped_low,
+           CAST(sum(CASE WHEN value > hi THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_clamped_high
+    FROM events e JOIN fences USING (event_type)
+    GROUP BY e.event_type
+    """,
+)
+def winsorized_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type winsorization report (operators/robust.py): exact
+    quantile fences broadcast back onto the stream, decimal-summed
+    clamped mean, integer clamp rates."""
+    ev = load_table(spark, sf_dir, "events")
+    return robust.winsorized_summary(ev, group_cols=["event_type"])
+
+
+@query(
+    "seasonal_robust_anomaly",
+    oracle="""
+    WITH cells AS (
+      SELECT CAST(dayofweek(ts) AS BIGINT) AS dow,
+             CAST(hour(ts) AS BIGINT) AS hr, value AS v
+      FROM events
+    ), med AS (
+      SELECT dow, hr, quantile_cont(v, 0.5) AS med
+      FROM cells GROUP BY dow, hr
+    ), mad AS (
+      SELECT c.dow, c.hr,
+             quantile_cont(abs(v - med), 0.5) AS mad,
+             min(med) AS med
+      FROM cells c JOIN med USING (dow, hr) GROUP BY c.dow, c.hr
+    )
+    SELECT c.dow, c.hr, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN mad > 0 AND abs(v - med) > 5.0 * mad
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalous
+    FROM cells c JOIN mad USING (dow, hr)
+    GROUP BY c.dow, c.hr
+    """,
+)
+def seasonal_robust_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cell-wise robust anomaly counts on the weekday x hour grid
+    (operators/robust.py): per-cell median/MAD baseline, |v - med| >
+    5*MAD rule, exact counts only — the seasonal-aware counterpart of
+    mad_robust_anomaly's global baseline."""
+    ev = load_table(spark, sf_dir, "events")
+    return robust.seasonal_robust_flags(ev, k=5.0)
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness-window rotation.
 #
@@ -6000,6 +6102,9 @@ _PENDING_NEXT = [
     "twap_daily",  # new in round 3 (timeseries family)
     "activity_islands",  # new in round 3 (timeseries family)
     "blocked_name_linkage",  # new in round 3 (linkage family)
+    "ols_trend_by_user",  # new in round 3 (timeseries family)
+    "winsorized_value_stats",  # new in round 3 (robust family)
+    "seasonal_robust_anomaly",  # new in round 3 (robust family)
 ]
 
 

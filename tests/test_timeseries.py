@@ -195,3 +195,52 @@ def test_edit1_pairs_no_python_udf_in_plan(spark):
         df, block_col="b", key_col="k", name_col="n"
     )._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_ols_trend_recovers_planted_line(spark):
+    # y = 3 + 2x over days 0..9 -> slope 2.0/day, intercept 3.0 exactly.
+    from anomaly_detection_in_time_series_data_spark.operators.timeseries import ols_trend
+
+    rows = [("a", "x", 86400 * d, 3.0 + 2.0 * d) for d in range(10)]
+    (r,) = ols_trend(_events(spark, rows), key_col="user_id").collect()
+    assert r["slope_per_day"] == 2.0
+    assert r["intercept"] == 3.0
+    assert r["n_obs"] == 10
+
+
+def test_ols_trend_degenerate_x_is_null(spark):
+    from anomaly_detection_in_time_series_data_spark.operators.timeseries import ols_trend
+
+    rows = [("a", "x", s, float(s)) for s in (0, 10, 20)]  # same day
+    (r,) = ols_trend(_events(spark, rows), key_col="user_id").collect()
+    assert r["slope_per_day"] is None and r["intercept"] is None
+
+
+def test_winsorize_clamps_tails_only(spark):
+    from anomaly_detection_in_time_series_data_spark.operators import robust
+
+    vals = [float(i) for i in range(1, 100)] + [1000.0]  # one fat tail
+    df = spark.createDataFrame([("x", v) for v in vals], ["k", "value"])
+    out = robust.winsorized_summary(
+        df, group_cols=["k"], lo_p=0.05, hi_p=0.95
+    ).collect()[0]
+    assert out["n_clamped_high"] >= 1  # the 1000.0 outlier
+    assert out["hi"] < 1000.0
+    assert out["winsorized_mean"] < sum(vals) / len(vals)  # tail pulled in
+
+
+def test_seasonal_robust_flags_planted_spike(spark):
+    from anomaly_detection_in_time_series_data_spark.operators import robust
+
+    # 50 calm points in one (dow, hr) cell plus one huge spike -> exactly
+    # one anomalous row in that cell; a constant cell (MAD=0) flags none.
+    rows = [("a", "x", i, 10.0 + (i % 5) * 0.1) for i in range(50)]
+    rows.append(("a", "x", 55, 500.0))
+    rows += [("a", "x", 7200 + i, 3.0) for i in range(20)]  # constant cell
+    out = {
+        (r["dow"], r["hr"]): r
+        for r in robust.seasonal_robust_flags(_events(spark, rows), k=5.0).collect()
+    }
+    # T0 is 2024-01-01 00:00 (Monday): dow=1 in the 0=Sunday convention
+    assert out[(1, 0)]["n_anomalous"] == 1
+    assert out[(1, 2)]["n_anomalous"] == 0  # constant cell, MAD=0 guard
