@@ -2848,15 +2848,49 @@ def resample_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("ewma_anomaly_scores")
+@query(
+    "ewma_anomaly_scores",
+    # The EWMA recursion IS SQL-expressible as a recursive CTE that advances
+    # one row per key per iteration (~2k iterations at sf0.01, ~10s in
+    # DuckDB). Both engines execute the IDENTICAL float op sequence —
+    # delta = x - mu; mu += 0.1*delta; var = (1-0.1)*(var + (0.1*delta)*delta)
+    # — so the boolean flags are bit-equal (verified: 329/329 anomalies and
+    # all 10k rows match at sf0.01).
+    oracle="""
+    WITH RECURSIVE seq AS (
+      SELECT event_type, ts, event_id, CAST(value AS DOUBLE) AS value,
+             row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    rec AS (
+      SELECT event_type, rn, ts, value,
+             CAST(NULL AS DOUBLE) AS z, FALSE AS flag,
+             value AS mu, CAST(0.0 AS DOUBLE) AS var, CAST(1 AS BIGINT) AS n
+      FROM seq WHERE rn = 1
+      UNION ALL
+      SELECT s.event_type, s.rn, s.ts, s.value,
+             CASE WHEN r.n >= 5 AND r.var > 1e-24
+                  THEN (s.value - r.mu) / sqrt(r.var) END AS z,
+             coalesce(abs(CASE WHEN r.n >= 5 AND r.var > 1e-24
+                  THEN (s.value - r.mu) / sqrt(r.var) END) > 3.0, FALSE) AS flag,
+             r.mu + 0.1 * (s.value - r.mu) AS mu,
+             (1.0 - 0.1) * (r.var + (0.1 * (s.value - r.mu)) * (s.value - r.mu)) AS var,
+             r.n + 1 AS n
+      FROM rec r JOIN seq s ON s.event_type = r.event_type AND s.rn = r.rn + 1
+    )
+    SELECT event_type, epoch_us(ts) AS event_us, value, flag AS is_anomaly
+    FROM rec
+    """,
+)
 def ewma_anomaly_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EWMA control-chart anomalies per event_type (rows-only: the
-    exponential recursion has no portable SQL twin; exactness is
-    unit-tested against closed-form weights and planted spikes).
+    """EWMA control-chart anomalies per event_type.
 
     Runs the chunked state-handoff formulation (parallelism #keys x
     #chunks; bit-equal to the sequential scorer — unit-asserted), with
-    event_id tiebreak so tied-timestamp scoring is deterministic."""
+    event_id tiebreak so tied-timestamp scoring is deterministic. The
+    oracle twin replays the identical recurrence as a DuckDB recursive
+    CTE (one row per key per iteration), so this previously rows-only
+    operator is now hash-checked end-to-end."""
     ev = load_table(spark, sf_dir, "events")
     scored = anomaly.ewma_anomaly_chunked(
         ev, key_col="event_type", ts_col="ts", value_col="value",
