@@ -391,3 +391,139 @@ def ewma_anomaly_chunked(
     return joined.groupBy(key_col, "_chunk").applyInPandas(
         score_chunk, schema=out_schema
     )
+
+
+def _holt_step(
+    l: float, b: float, r: float, n: int, x: float, alpha: float, beta: float,
+    gamma: float,
+) -> tuple[float, float, float, int]:
+    """One Holt (double-exponential) state transition — the single
+    definition of the recurrence, shared by the sequential scorer, the
+    chunked state pass, the chunked scorer, and (textually mirrored) the
+    DuckDB recursive-CTE oracle, so every path executes the identical
+    float op sequence (bit-equal outputs).
+
+    State: level ``l``, trend ``b``, EWMA of absolute one-step-ahead
+    forecast residuals ``r`` (the adaptive scale the flag threshold is
+    relative to), count ``n``."""
+    if n == 0:
+        l, b, r = x, 0.0, 0.0
+    else:
+        forecast = l + b
+        l_next = alpha * x + (1.0 - alpha) * forecast
+        b_next = beta * (l_next - l) + (1.0 - beta) * b
+        r = gamma * abs(x - forecast) + (1.0 - gamma) * r
+        l, b = l_next, b_next
+    return l, b, r, n + 1
+
+
+def holt_forecast_anomaly_chunked(
+    df: DataFrame,
+    *,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak_col: str = "event_id",
+    alpha: float = 0.5,
+    beta: float = 0.3,
+    gamma: float = 0.2,
+    threshold: float = 4.0,
+    min_points: int = 10,
+    chunk: str = "7 days",
+) -> DataFrame:
+    """Holt linear-trend forecasting with residual-based anomaly flags —
+    the forecast-driven scorer the reference's title implies but never
+    ships (its only models are Keras reconstruction nets,
+    ``Week#12_Assignment.ipynb:132-186``).
+
+    Each point is scored against the one-step-ahead forecast (level +
+    trend) from STRICTLY PRIOR state; the residual is compared to an
+    exponentially weighted mean absolute residual, so the flag adapts to
+    each key's own noise floor and survives level shifts and trends that
+    break the static z-score.
+
+    Execution is the same time-chunk + state-handoff scheme as
+    ``ewma_anomaly_chunked`` (state pass per key -> tiny entry-state rows
+    -> parallel (key, chunk) scoring; bit-equal to a sequential pass,
+    parallelism #keys x #chunks).
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    sort_cols = [ts_col, tiebreak_col]
+    base = df.select(key_col, ts_col, value_col, tiebreak_col).withColumn(
+        "_chunk", F.window(F.col(ts_col), chunk).start
+    )
+
+    state_schema = T.StructType(
+        [
+            T.StructField(key_col, df.schema[key_col].dataType),
+            T.StructField("_chunk", T.TimestampType()),
+            T.StructField("_l_in", T.DoubleType()),
+            T.StructField("_b_in", T.DoubleType()),
+            T.StructField("_r_in", T.DoubleType()),
+            T.StructField("_n_in", T.LongType()),
+        ]
+    )
+
+    def states(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(sort_cols)
+        xs = pdf[value_col].to_numpy(dtype=float)
+        chunks = pdf["_chunk"].to_numpy()
+        l, b, r, n = 0.0, 0.0, 0.0, 0
+        out = {"_chunk": [], "_l_in": [], "_b_in": [], "_r_in": [], "_n_in": []}
+        cur = None
+        for c, x in zip(chunks, xs):
+            if cur is None or c != cur:
+                cur = c
+                out["_chunk"].append(c)
+                out["_l_in"].append(l)
+                out["_b_in"].append(b)
+                out["_r_in"].append(r)
+                out["_n_in"].append(n)
+            l, b, r, n = _holt_step(l, b, r, n, x, alpha, beta, gamma)
+        out[key_col] = [pdf[key_col].iloc[0]] * len(out["_chunk"])
+        return pd.DataFrame(out)
+
+    entry_states = base.groupBy(key_col).applyInPandas(states, schema=state_schema)
+
+    out_schema = T.StructType(
+        [
+            T.StructField(key_col, df.schema[key_col].dataType),
+            T.StructField("event_ts", df.schema[ts_col].dataType),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("forecast", T.DoubleType()),
+            T.StructField("is_anomaly", T.BooleanType()),
+        ]
+    )
+
+    def score_chunk(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(sort_cols)
+        xs = pdf[value_col].to_numpy(dtype=float)
+        l = float(pdf["_l_in"].iloc[0])
+        b = float(pdf["_b_in"].iloc[0])
+        r = float(pdf["_r_in"].iloc[0])
+        n = int(pdf["_n_in"].iloc[0])
+        fcs = np.full(len(xs), np.nan)
+        flags = np.zeros(len(xs), dtype=bool)
+        for i, x in enumerate(xs):
+            if n > 0:
+                fcs[i] = l + b
+            if n >= min_points and r > 1e-24:
+                flags[i] = abs(x - (l + b)) > threshold * r
+            l, b, r, n = _holt_step(l, b, r, n, x, alpha, beta, gamma)
+        return pd.DataFrame(
+            {
+                key_col: pdf[key_col],
+                "event_ts": pdf[ts_col],
+                "value": xs,
+                "forecast": fcs,
+                "is_anomaly": flags,
+            }
+        )
+
+    joined = base.join(F.broadcast(entry_states), on=[key_col, "_chunk"])
+    return joined.groupBy(key_col, "_chunk").applyInPandas(
+        score_chunk, schema=out_schema
+    )

@@ -33,8 +33,10 @@ from .operators import (
     packing,
     relational,
     robust,
+    rollup,
     sampling,
     similarity,
+    sketches,
     text,
     timeseries,
 )
@@ -6033,6 +6035,163 @@ def seasonal_robust_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Round-3 additions: exact heavy hitters (two-pass Misra-Gries), rollup
+# cascade (mergeable continuous aggregates), Holt forecast anomalies.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "heavy_hitter_bigrams",
+    oracle="""
+    WITH toks AS (
+      SELECT string_split_regex(trim(lower(text)), '\\s+') AS l
+      FROM documents WHERE length(trim(text)) > 0
+    ),
+    big AS (
+      SELECT unnest(list_transform(range(1, len(l)),
+                                   i -> l[i] || ' ' || l[i+1])) AS bigram
+      FROM toks
+    ),
+    c AS (SELECT bigram, count(*) AS n FROM big GROUP BY bigram),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_total FROM c)
+    SELECT bigram,
+           CAST(n AS BIGINT) AS hh_count,
+           (SELECT n_total FROM tot) AS n_total,
+           CAST(ceil(0.0015 * (SELECT CAST(n_total AS DOUBLE) FROM tot))
+                AS BIGINT) AS threshold
+    FROM c
+    WHERE n >= ceil(0.0015 * (SELECT CAST(n_total AS DOUBLE) FROM tot))
+    """,
+)
+def heavy_hitter_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact frequent word-bigrams via the two-pass Misra-Gries scheme
+    (`operators/sketches.py`): per-partition bounded-state candidate pass,
+    then an exact recount of the (small) candidate superset — the shuffle
+    never carries the full bigram space. ``capacity=680`` is deliberately
+    BELOW the ~916 distinct bigrams at sf0.01 so the eviction path is
+    genuinely exercised while the pigeonhole guarantee (capacity+1 >
+    1/phi) keeps the output exact. Bigrams are built array-side
+    (zip_with over adjacent slices — no shuffle, no Python)."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length(F.trim(F.col("text"))) > 0
+    )
+    toks = text.tokens(F.lower(F.col("text")))
+    n = F.size(toks)
+    bigrams = F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(toks, F.lit(1), n - 1),
+            F.slice(toks, F.lit(2), n - 1),
+            lambda a, b: F.concat_ws(" ", a, b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    stream = docs.select(F.explode(bigrams).alias("bigram"))
+    return sketches.heavy_hitters_exact(stream, "bigram", phi=0.0015, capacity=680)
+
+
+@query(
+    "rollup_cascade_daily",
+    oracle="""
+    WITH d AS (
+      SELECT event_type, date_trunc('day', ts) AS day,
+             count(*) AS n,
+             sum(CAST(value AS DECIMAL(18,2))) AS s,
+             sum(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2)))
+               AS ss,
+             min(value) AS mn, max(value) AS mx
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type,
+           CAST(epoch_us(day) AS BIGINT) AS bucket_us,
+           CAST(n AS BIGINT) AS n_events,
+           CAST(s AS DOUBLE) AS sum_value,
+           CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS avg_value,
+           CASE WHEN n > 1 THEN sqrt(greatest(
+                (CAST(ss AS DOUBLE)
+                 - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                / (CAST(n AS DOUBLE) - 1.0), 0.0)) END AS std_value,
+           mn AS min_value, mx AS max_value
+    FROM d
+    """,
+)
+def rollup_cascade_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-aggregate cascade (`operators/rollup.py`): raw events ->
+    per-minute mergeable partials -> hour -> day, with day-level stats
+    (incl. std) derived ONLY from carried partials. The oracle aggregates
+    raw->day directly, so the hash match proves the cascade's merges are
+    exact (decimal-domain sums/sumsq are order- and grouping-insensitive).
+    At 100 TB each level is ~60x smaller than the one below and appends
+    only touch the buckets they land in."""
+    ev = load_table(spark, sf_dir, "events")
+    minute = rollup.time_bucket_partials(
+        ev, "event_type", "ts", "value", "1 minute"
+    )
+    hour = rollup.merge_rollup(minute, "event_type", "1 hour")
+    day = rollup.merge_rollup(hour, "event_type", "1 day")
+    return rollup.finalize_stats(day, "event_type")
+
+
+@query(
+    "holt_forecast_anomaly",
+    # Same recursive-CTE replay technique as ewma_anomaly_scores: both
+    # engines execute the textually mirrored float op sequence of
+    # operators/anomaly._holt_step, so forecasts and flags are bit-equal.
+    oracle="""
+    WITH RECURSIVE seq AS (
+      SELECT event_type, ts, event_id, CAST(value AS DOUBLE) AS value,
+             row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    rec AS (
+      SELECT event_type, rn, ts, value,
+             CAST(NULL AS DOUBLE) AS forecast, FALSE AS flag,
+             value AS l, CAST(0.0 AS DOUBLE) AS b,
+             CAST(0.0 AS DOUBLE) AS r, CAST(1 AS BIGINT) AS n
+      FROM seq WHERE rn = 1
+      UNION ALL
+      SELECT s.event_type, s.rn, s.ts, s.value,
+             (rc.l + rc.b) AS forecast,
+             coalesce(rc.n >= 10 AND rc.r > 1e-24
+                      AND abs(s.value - (rc.l + rc.b)) > 4.0 * rc.r,
+                      FALSE) AS flag,
+             0.5 * s.value + (1.0 - 0.5) * (rc.l + rc.b) AS l,
+             0.3 * ((0.5 * s.value + (1.0 - 0.5) * (rc.l + rc.b)) - rc.l)
+               + (1.0 - 0.3) * rc.b AS b,
+             0.2 * abs(s.value - (rc.l + rc.b)) + (1.0 - 0.2) * rc.r AS r,
+             rc.n + 1 AS n
+      FROM rec rc JOIN seq s ON s.event_type = rc.event_type AND s.rn = rc.rn + 1
+    )
+    SELECT event_type, epoch_us(ts) AS event_us, value, forecast,
+           flag AS is_anomaly
+    FROM rec
+    """,
+)
+def holt_forecast_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt linear-trend forecast anomalies per event_type (chunked
+    state-handoff execution; `operators/anomaly.py:
+    holt_forecast_anomaly_chunked`). Each point is scored against the
+    one-step-ahead level+trend forecast from strictly prior state, with
+    the flag threshold adaptive to the key's own EWMA of absolute
+    residuals — the forecast-driven scorer that survives trends and level
+    shifts where the static z-score misfires."""
+    ev = load_table(spark, sf_dir, "events")
+    scored = anomaly.holt_forecast_anomaly_chunked(
+        ev, key_col="event_type", ts_col="ts", value_col="value",
+        tiebreak_col="event_id", alpha=0.5, beta=0.3, gamma=0.2,
+        threshold=4.0, min_points=10, chunk="7 days",
+    )
+    return scored.select(
+        "event_type",
+        F.unix_micros("event_ts").alias("event_us"),
+        "value",
+        F.when(F.isnan(F.col("forecast")), F.lit(None).cast("double"))
+        .otherwise(F.col("forecast"))
+        .alias("forecast"),
+        "is_anomaly",
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver correctness-window rotation.
 #
 # The driver's per-round oracle gate checks the FIRST 50 registered queries.
@@ -6139,6 +6298,10 @@ _PENDING_NEXT = [
     "ols_trend_by_user",  # new in round 3 (timeseries family)
     "winsorized_value_stats",  # new in round 3 (robust family)
     "seasonal_robust_anomaly",  # new in round 3 (robust family)
+    "ewma_anomaly_scores",  # round 3: upgraded rows-only -> recursive-CTE oracle
+    "heavy_hitter_bigrams",  # new in round 3 (two-pass Misra-Gries)
+    "rollup_cascade_daily",  # new in round 3 (continuous aggregates)
+    "holt_forecast_anomaly",  # new in round 3 (forecast anomalies)
 ]
 
 

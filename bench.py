@@ -66,6 +66,9 @@ HEADLINE = [
     "changepoint_mean_shift",
     "twap_daily",
     "blocked_name_linkage",
+    "heavy_hitter_bigrams",
+    "rollup_cascade_daily",
+    "holt_forecast_anomaly",
 ]
 
 
