@@ -29,6 +29,7 @@ from .operators import (
     anomaly,
     contamination,
     dedup,
+    graph,
     linkage,
     packing,
     relational,
@@ -6191,6 +6192,159 @@ def holt_forecast_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "near_dup_triangles",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(generate_series(1, len(toks) - 2),
+                           i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))
+               AS shingles
+      FROM (SELECT doc_id, string_split(trim(lower(text)), ' ') AS toks
+            FROM documents WHERE length(trim(text)) > 0)
+      WHERE len(toks) >= 3
+    ),
+    edges AS (
+      SELECT a.doc_id AS a, b.doc_id AS b
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+            / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.5
+    ),
+    tri AS (
+      SELECT e1.a AS n1, e1.b AS n2, e2.b AS n3
+      FROM edges e1
+      JOIN edges e2 ON e2.a = e1.b
+      JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    tc AS (
+      SELECT n, count(*) AS n_triangles FROM (
+        SELECT n1 AS n FROM tri
+        UNION ALL SELECT n2 FROM tri
+        UNION ALL SELECT n3 FROM tri
+      ) GROUP BY n
+    ),
+    deg AS (
+      SELECT node, count(*) AS degree FROM (
+        SELECT a AS node FROM edges UNION ALL SELECT b FROM edges
+      ) GROUP BY node
+    )
+    SELECT CAST(deg.node AS BIGINT) AS doc_id,
+           CAST(degree AS BIGINT) AS degree,
+           CAST(coalesce(n_triangles, 0) AS BIGINT) AS n_triangles,
+           CASE WHEN degree >= 2
+                THEN 2.0 * CAST(coalesce(n_triangles, 0) AS DOUBLE)
+                     / (CAST(degree AS DOUBLE) * (CAST(degree AS DOUBLE) - 1.0))
+                ELSE 0.0 END AS clustering
+    FROM deg LEFT JOIN tc ON deg.node = tc.n
+    """,
+)
+def near_dup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local graph density of the near-dup graph (`operators/graph.py`):
+    per-doc triangle participation + clustering coefficient over the exact
+    Jaccard edge set. Degree-oriented wedge generation — each triangle
+    found exactly once, wedge fan-out bounded O(sqrt(|E|)) per node — vs
+    the oracle's naive three-way edge join (fine at sf0.01, quadratic on
+    hubs at scale). High-degree low-clustering nodes are boilerplate hubs
+    chaining unrelated docs; dense triangles are true duplicate clusters."""
+    docs = load_table(spark, sf_dir, "documents")
+    edges = dedup.exact_jaccard_edges(docs, threshold=0.5)
+    stats = graph.node_triangle_counts(edges)
+    return stats.select(
+        F.col("node").cast("bigint").alias("doc_id"),
+        F.col("degree").cast("bigint").alias("degree"),
+        F.col("n_triangles").cast("bigint").alias("n_triangles"),
+        "clustering",
+    )
+
+
+@query(
+    "bigram_pmi_collocations",
+    oracle="""
+    WITH toks AS (
+      SELECT string_split_regex(trim(lower(text)), '\\s+') AS l
+      FROM documents WHERE length(trim(text)) > 0
+    ),
+    uni AS (
+      SELECT unnest(l) AS term FROM toks
+    ),
+    uc AS (SELECT term, count(*) AS c FROM uni GROUP BY term),
+    ut AS (SELECT CAST(sum(c) AS DOUBLE) AS nt FROM uc),
+    big AS (
+      SELECT unnest(list_transform(range(1, len(l)),
+                                   i -> struct_pack(w1 := l[i], w2 := l[i+1])))
+               AS bg
+      FROM toks
+    ),
+    bc AS (SELECT bg.w1 AS w1, bg.w2 AS w2, count(*) AS c FROM big GROUP BY 1, 2),
+    bt AS (SELECT CAST(sum(c) AS DOUBLE) AS nb FROM bc)
+    SELECT w1, w2, CAST(bc.c AS BIGINT) AS pair_count,
+           round(ln((CAST(bc.c AS DOUBLE) / (SELECT nb FROM bt))
+                    / ((CAST(a.c AS DOUBLE) / (SELECT nt FROM ut))
+                       * (CAST(b.c AS DOUBLE) / (SELECT nt FROM ut)))), 4)
+             AS pmi
+    FROM bc JOIN uc a ON bc.w1 = a.term JOIN uc b ON bc.w2 = b.term
+    WHERE bc.c >= 25
+    """,
+)
+def bigram_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information of adjacent word pairs — the standard
+    collocation signal for vocabulary/tokenizer construction (merge pairs
+    that co-occur far above chance). Three map-side-combinable aggregates
+    (unigram counts, bigram counts, totals) + two BROADCAST joins of the
+    bigram table against the (tiny) unigram count table — no sort, no
+    wide shuffle beyond the count groupBys. PMI is rounded to 4 decimals
+    (ln is the one libm call; both engines agree far beyond 4 places)."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length(F.trim(F.col("text"))) > 0
+    )
+    toks = text.tokens(F.lower(F.col("text")))
+    n = F.size(toks)
+    pairs = F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(toks, F.lit(1), n - 1),
+            F.slice(toks, F.lit(2), n - 1),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    uni = (
+        docs.select(F.explode(toks).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("c"))
+    )
+    nt = uni.groupBy().agg(F.sum("c").cast("double").alias("nt"))
+    big = (
+        docs.select(F.explode(pairs).alias("bg"))
+        .select("bg.w1", "bg.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("c"))
+    )
+    nb = big.groupBy().agg(F.sum("c").cast("double").alias("nb"))
+    a = uni.selectExpr("term AS w1", "c AS ca")
+    b = uni.selectExpr("term AS w2", "c AS cb")
+    pmi = F.round(
+        F.log(
+            (F.col("c").cast("double") / F.col("nb"))
+            / (
+                (F.col("ca").cast("double") / F.col("nt"))
+                * (F.col("cb").cast("double") / F.col("nt"))
+            )
+        ),
+        4,
+    )
+    return (
+        big.filter(F.col("c") >= 25)
+        .join(F.broadcast(a), "w1")
+        .join(F.broadcast(b), "w2")
+        .crossJoin(F.broadcast(nt))
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "w1", "w2", F.col("c").cast("bigint").alias("pair_count"),
+            pmi.alias("pmi"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness-window rotation.
 #
@@ -6302,6 +6456,8 @@ _PENDING_NEXT = [
     "heavy_hitter_bigrams",  # new in round 3 (two-pass Misra-Gries)
     "rollup_cascade_daily",  # new in round 3 (continuous aggregates)
     "holt_forecast_anomaly",  # new in round 3 (forecast anomalies)
+    "near_dup_triangles",  # new in round 3 (graph family)
+    "bigram_pmi_collocations",  # new in round 3 (collocations)
 ]
 
 
