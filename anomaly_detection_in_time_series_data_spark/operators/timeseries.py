@@ -412,3 +412,86 @@ def _interval_to_us(gap: str) -> int:
         "days": 86_400_000_000,
     }[unit]
     return int(n) * scale
+
+
+def weekly_discords(
+    df: DataFrame,
+    *,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak_col: str = "event_id",
+    m: int = 8,
+    exclusion: int | None = None,
+) -> DataFrame:
+    """Matrix-profile-style discord discovery, windowed by ISO week.
+
+    For every length-``m`` subsequence of a key's value series, the
+    *profile* value is the minimum Euclidean distance^2 to any OTHER
+    subsequence starting in the same (key, week), excluding trivial
+    matches (|pos_i - pos_j| < ``exclusion``, default m). The subsequence
+    whose profile value is LARGEST is the week's discord — the classic
+    "most unusual shape" primitive (Keogh's matrix profile, UCR;
+    public literature), which catches pattern anomalies that pointwise
+    z-scores miss entirely (e.g. a plausible value arriving in an
+    impossible shape).
+
+    Execution shape: one shuffle to co-locate each key's timeline
+    (window frame builds the subsequence arrays in frame order), then a
+    self-equi-join ON (key, week) — the O(n^2) pair work is confined to
+    within-group n (#rows per key-week), and groups parallelize
+    #keys x #weeks. For global (unwindowed) discords at 100 TB, the
+    z-normalized variant maps onto the blocked GEMM in
+    `similarity.all_pairs_cosine` (z-normed subsequences are unit
+    vectors: max cosine == min distance).
+
+    Float determinism: the distance is an EXPLICIT left-associated
+    ``(a1-b1)^2 + ... + (am-bm)^2`` chain — no reduction whose order the
+    engine may choose — so profile values are bit-identical to the SQL
+    oracle's textually parallel expression.
+
+    Returns one row per (key, week): the discord subsequence's start
+    position, start timestamp, and profile value.
+    """
+    if exclusion is None:
+        exclusion = m
+    kw = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
+    sub = (
+        df.select(key_col, ts_col, value_col, tiebreak_col)
+        .withColumn("pos", F.row_number().over(kw))
+        .withColumn(
+            "arr",
+            F.collect_list(value_col).over(kw.rowsBetween(0, m - 1)),
+        )
+        .filter(F.size("arr") == m)
+        .withColumn("week", F.date_trunc("week", F.col(ts_col)))
+        .select(key_col, "week", "pos", F.col(ts_col).alias("start_ts"), "arr")
+    )
+    a = sub.alias("a")
+    b = sub.alias("b")
+    d2 = None
+    for i in range(m):
+        t = F.col("a.arr").getItem(i) - F.col("b.arr").getItem(i)
+        d2 = t * t if d2 is None else d2 + t * t
+    pairs = (
+        a.join(b, on=[key_col, "week"])
+        .filter(F.abs(F.col("a.pos") - F.col("b.pos")) >= exclusion)
+        .groupBy(key_col, "week", F.col("a.pos").alias("pos"))
+        .agg(F.min(d2).alias("profile_d2"))
+    )
+    meta = sub.select(key_col, "week", "pos", "start_ts")
+    scored = pairs.join(meta, [key_col, "week", "pos"])
+    dw = Window.partitionBy(key_col, "week").orderBy(
+        F.col("profile_d2").desc(), F.col("pos")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(dw))
+        .filter(F.col("rn") == 1)
+        .select(
+            key_col,
+            F.unix_micros("week").alias("week_us"),
+            F.col("pos").cast("bigint").alias("discord_pos"),
+            F.unix_micros("start_ts").alias("start_us"),
+            "profile_d2",
+        )
+    )

@@ -6345,6 +6345,68 @@ def bigram_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Explicit left-associated distance chain shared (textually) by the Spark
+# plan and the DuckDB oracle — no engine-chosen reduction order.
+_DISCORD_M = 8
+_DISCORD_D2_SQL = " + ".join(
+    f"(a.arr[{i}] - b.arr[{i}]) * (a.arr[{i}] - b.arr[{i}])"
+    for i in range(1, _DISCORD_M + 1)
+)
+
+
+@query(
+    "weekly_shape_discords",
+    oracle=f"""
+    WITH ordered AS (
+      SELECT event_type, ts,
+             row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id)
+               AS pos,
+             list(CAST(value AS DOUBLE)) OVER (
+               PARTITION BY event_type ORDER BY ts, event_id
+               ROWS BETWEEN CURRENT ROW AND {_DISCORD_M - 1} FOLLOWING) AS arr
+      FROM events
+    ),
+    sub AS (
+      SELECT event_type, date_trunc('week', ts) AS week, pos, ts AS start_ts,
+             arr
+      FROM ordered WHERE len(arr) = {_DISCORD_M}
+    ),
+    profile AS (
+      SELECT a.event_type, a.week, a.pos,
+             min({_DISCORD_D2_SQL}) AS profile_d2
+      FROM sub a JOIN sub b
+        ON a.event_type = b.event_type AND a.week = b.week
+       AND abs(a.pos - b.pos) >= {_DISCORD_M}
+      GROUP BY 1, 2, 3
+    ),
+    ranked AS (
+      SELECT p.event_type, p.week, p.pos, s.start_ts, p.profile_d2,
+             row_number() OVER (PARTITION BY p.event_type, p.week
+                                ORDER BY p.profile_d2 DESC, p.pos) AS rn
+      FROM profile p
+      JOIN sub s ON s.event_type = p.event_type AND s.week = p.week
+                AND s.pos = p.pos
+    )
+    SELECT event_type, CAST(epoch_us(week) AS BIGINT) AS week_us,
+           CAST(pos AS BIGINT) AS discord_pos,
+           CAST(epoch_us(start_ts) AS BIGINT) AS start_us,
+           profile_d2
+    FROM ranked WHERE rn = 1
+    """,
+)
+def weekly_shape_discords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matrix-profile-style discord discovery per (event_type, ISO week):
+    the length-8 subsequence with the largest nearest-neighbor distance^2
+    (trivial-match exclusion zone = m) is the week's most unusual SHAPE —
+    the pattern-anomaly primitive pointwise scorers can't see
+    (`operators/timeseries.py:weekly_discords`)."""
+    ev = load_table(spark, sf_dir, "events")
+    return timeseries.weekly_discords(
+        ev, key_col="event_type", ts_col="ts", value_col="value",
+        tiebreak_col="event_id", m=_DISCORD_M,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness-window rotation.
 #
@@ -6458,6 +6520,7 @@ _PENDING_NEXT = [
     "holt_forecast_anomaly",  # new in round 3 (forecast anomalies)
     "near_dup_triangles",  # new in round 3 (graph family)
     "bigram_pmi_collocations",  # new in round 3 (collocations)
+    "weekly_shape_discords",  # new in round 3 (matrix-profile family)
 ]
 
 

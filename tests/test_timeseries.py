@@ -244,3 +244,35 @@ def test_seasonal_robust_flags_planted_spike(spark):
     # T0 is 2024-01-01 00:00 (Monday): dow=1 in the 0=Sunday convention
     assert out[(1, 0)]["n_anomalous"] == 1
     assert out[(1, 2)]["n_anomalous"] == 0  # constant cell, MAD=0 guard
+
+
+def test_weekly_discords_finds_planted_shape(spark):
+    """A strictly repeating sawtooth with ONE inverted-shape window: the
+    discord must land on (or overlap) the planted position, even though
+    the anomalous values stay inside the normal value range."""
+    import datetime as dt
+
+    from anomaly_detection_in_time_series_data_spark.operators import timeseries
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    for i in range(336):  # two weeks hourly
+        v = float(i % 8)  # period-8 sawtooth, range 0..7
+        if 100 <= i < 108:
+            v = float(7 - (i % 8))  # inverted ramp: same values, wrong shape
+        rows.append(("a", t0 + dt.timedelta(hours=i), i, v))
+    df = spark.createDataFrame(
+        rows, "event_type string, ts timestamp, event_id long, value double"
+    )
+    out = timeseries.weekly_discords(
+        df, key_col="event_type", ts_col="ts", value_col="value",
+        tiebreak_col="event_id", m=8,
+    ).collect()
+    # week 1 contains the plant; its discord window must overlap [100, 108)
+    week1 = [r for r in out if r["discord_pos"] >= 1 and r["discord_pos"] <= 168]
+    assert week1, "no discord row for the planted week"
+    plant = [r for r in week1 if 100 - 8 < (r["discord_pos"] - 1) < 108]
+    assert plant, f"discord missed the planted shape: {week1}"
+    # an un-planted week's profile must be (near) zero — perfect repeats
+    week2 = [r for r in out if r["discord_pos"] > 168]
+    assert week2 and all(r["profile_d2"] == 0.0 for r in week2)
