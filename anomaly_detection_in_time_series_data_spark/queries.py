@@ -6407,6 +6407,55 @@ def weekly_shape_discords(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "cep_click_click_purchase",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, event_type, ts, event_id,
+             lead(event_type, 1) OVER w AS e1,
+             lead(event_type, 2) OVER w AS e2,
+             lead(ts, 2) OVER w AS t2
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_matches,
+           CAST(min(epoch_us(ts)) AS BIGINT) AS first_match_us
+    FROM s
+    WHERE event_type = 'click' AND e1 = 'click' AND e2 = 'purchase'
+      AND epoch_us(t2) - epoch_us(ts) <= 86400000000
+    GROUP BY user_id
+    """,
+)
+def cep_click_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CEP-style STRICT-contiguity sequence matching (Flink MATCH_RECOGNIZE
+    / CEP `next` semantics, public API surface): click -> click ->
+    purchase with no intervening event, completing within 24 hours.
+    Expressed as two `lead` window functions over each user's timeline —
+    one shuffle to co-locate the user's events, zero joins, and the
+    pattern predicate is a scan over the windowed projection. Longer
+    fixed patterns stay O(pattern_len) lead columns; relaxed-contiguity
+    patterns are the `event_funnel_counts` shape instead."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select(
+        "user_id", "event_type", "ts",
+        F.lead("event_type", 1).over(w).alias("e1"),
+        F.lead("event_type", 2).over(w).alias("e2"),
+        F.lead("ts", 2).over(w).alias("t2"),
+    )
+    matches = s.filter(
+        (F.col("event_type") == "click")
+        & (F.col("e1") == "click")
+        & (F.col("e2") == "purchase")
+        & (F.unix_micros("t2") - F.unix_micros("ts") <= 86_400_000_000)
+    )
+    return matches.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("n_matches"),
+        F.min(F.unix_micros("ts")).alias("first_match_us"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness-window rotation.
 #
@@ -6521,6 +6570,7 @@ _PENDING_NEXT = [
     "near_dup_triangles",  # new in round 3 (graph family)
     "bigram_pmi_collocations",  # new in round 3 (collocations)
     "weekly_shape_discords",  # new in round 3 (matrix-profile family)
+    "cep_click_click_purchase",  # new in round 3 (CEP sequence matching)
 ]
 
 
