@@ -495,3 +495,162 @@ def weekly_discords(
             "profile_d2",
         )
     )
+
+
+def global_discords_gemm(
+    df: DataFrame,
+    *,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak_col: str = "event_id",
+    m: int = 8,
+    exclusion: int | None = None,
+    grid: int | None = None,
+    top_k: int = 1,
+) -> DataFrame:
+    """GLOBAL (unwindowed) matrix-profile discords — the 100 TB path that
+    `weekly_discords` documents: z-normalized subsequences are unit
+    vectors, so min z-norm distance == max cosine, and the all-pairs work
+    runs as the same distributed grid-blocked GEMM shape as
+    `similarity.cosine_near_pairs_gemm` (shuffle 2*N*grid*(m+…) doubles,
+    per-cell memory (N/grid)*m*2, BLAS inside each cell, no driver
+    collect).
+
+    Per cell, each row-side subsequence keeps its max cosine against the
+    cell's column block (excluding same-key trivial matches
+    |pos_i - pos_j| < ``exclusion``); a final groupBy-max merges cells.
+    Constant windows (zero variance) have no defined z-shape and are
+    dropped, as in the standard matrix-profile treatment. Returns the
+    ``top_k`` discords per key: highest profile distance^2
+    (= 2*m*(1 - max_cos)) with position tiebreak.
+    """
+    import math
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    if exclusion is None:
+        exclusion = m
+    spark = df.sparkSession
+    if grid is None:
+        grid = max(2, int(math.ceil(math.sqrt(spark.sparkContext.defaultParallelism))))
+
+    kw = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
+    sub = (
+        df.select(key_col, ts_col, value_col, tiebreak_col)
+        .withColumn("pos", F.row_number().over(kw))
+        .withColumn("arr", F.collect_list(value_col).over(kw.rowsBetween(0, m - 1)))
+        .filter(F.size("arr") == m)
+        .select(key_col, "pos", F.col(ts_col).alias("start_ts"), "arr")
+    )
+    # z-normalize JVM-side: mean/std over the fixed-size array via
+    # expression aggregates (exact per-element math; no Python).
+    mean = F.aggregate("arr", F.lit(0.0), lambda a, v: a + v) / F.lit(float(m))
+    var = (
+        F.aggregate(
+            F.transform("arr", lambda v: (v - F.col("_mu")) * (v - F.col("_mu"))),
+            F.lit(0.0),
+            lambda a, v: a + v,
+        )
+        / F.lit(float(m))
+    )
+    z = (
+        sub.withColumn("_mu", mean)
+        .withColumn("_var", var)
+        .filter(F.col("_var") > 1e-18)  # constant windows: no z-shape
+        # unit-normalized z-vector: (x - mu) / (sqrt(var) * sqrt(m))
+        .withColumn(
+            "zv",
+            F.transform(
+                "arr",
+                lambda v: (v - F.col("_mu"))
+                / (F.sqrt(F.col("_var")) * F.sqrt(F.lit(float(m)))),
+            ),
+        )
+        .select(key_col, "pos", "start_ts", "zv")
+    )
+    # Grid-block WITHIN each key: the profile is a per-series statistic
+    # (a neighbor in a different series is meaningless), so cells are
+    # (key, row-block, col-block) and total pair work is sum_k n_k^2 —
+    # never the cross-key N^2.
+    blk = F.pmod(F.xxhash64("pos"), F.lit(grid)).cast("int")
+    zb = z.withColumn("_blk", blk)
+    cells = F.explode(F.sequence(F.lit(0), F.lit(grid - 1)))
+    rows_side = zb.select(
+        F.col(key_col).alias("_k"), "pos", "zv",
+        F.col("_blk").alias("_ra"), cells.alias("_cb"),
+        F.lit(0).alias("_side"),
+    )
+    cols_side = zb.select(
+        F.col(key_col).alias("_k"), "pos", "zv",
+        cells.alias("_ra"), F.col("_blk").alias("_cb"),
+        F.lit(1).alias("_side"),
+    )
+    both = rows_side.unionByName(cols_side)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("key", T.StringType()),
+            T.StructField("pos", T.LongType()),
+            T.StructField("cell_max_cos", T.DoubleType()),
+        ]
+    )
+
+    def cell_max(pdf: pd.DataFrame) -> pd.DataFrame:
+        pa = pdf[pdf["_side"] == 0]
+        pb = pdf[pdf["_side"] == 1]
+        if pa.empty or pb.empty:
+            return pd.DataFrame(
+                {"key": pd.Series([], dtype=object),
+                 "pos": pd.Series([], dtype="int64"),
+                 "cell_max_cos": pd.Series([], dtype="float64")}
+            )
+        A = np.vstack(pa["zv"].to_numpy())
+        B = np.vstack(pb["zv"].to_numpy())
+        ka = pa["_k"].to_numpy()
+        posa = pa["pos"].to_numpy()
+        posb = pb["pos"].to_numpy()
+        # Row-chunked GEMM: the full |A|x|B| score matrix is O((n_k/grid)^2)
+        # doubles per cell — compute in 512-row slabs and keep only the
+        # per-row running max (memory bounded ~O(512 * n_k/grid) per task).
+        # The whole cell shares one key, so the trivial-match mask is a
+        # single int-vectorized |pos_i - pos_j| compare (no string/object
+        # comparisons — those measured 40s vs 2s at sf0.1).
+        mx = np.empty(len(A))
+        step = 512
+        for lo in range(0, len(A), step):
+            hi = min(lo + step, len(A))
+            S = A[lo:hi] @ B.T  # cosine: rows are unit vectors
+            near = np.abs(posa[lo:hi, None] - posb[None, :]) < EXCLUSION
+            S[near] = -np.inf
+            mx[lo:hi] = S.max(axis=1)
+        keep = mx > -np.inf
+        return pd.DataFrame(
+            {"key": ka[keep], "pos": posa[keep], "cell_max_cos": mx[keep]}
+        )
+
+    EXCLUSION = exclusion  # closure constant
+
+    per_cell = both.groupBy("_k", "_ra", "_cb").applyInPandas(
+        cell_max, schema=out_schema
+    )
+    merged = per_cell.groupBy("key", "pos").agg(
+        F.max("cell_max_cos").alias("max_cos")
+    )
+    meta = z.select(F.col(key_col).alias("key"), "pos", "start_ts")
+    scored = merged.join(meta, ["key", "pos"]).withColumn(
+        "profile_d2", 2.0 * float(m) * (F.lit(1.0) - F.col("max_cos"))
+    )
+    dw = Window.partitionBy("key").orderBy(F.col("profile_d2").desc(), F.col("pos"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(dw))
+        .filter(F.col("_rn") <= top_k)
+        .select(
+            F.col("key").alias(key_col),
+            F.col("pos").cast("bigint").alias("discord_pos"),
+            F.unix_micros("start_ts").alias("start_us"),
+            "profile_d2",
+        )
+    )

@@ -6456,6 +6456,24 @@ def cep_click_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Rows-only: the per-cell GEMM reduces in BLAS order, which has no
+# bit-exact SQL twin; position-level exactness is unit-asserted against an
+# in-test numpy brute force (tests/test_timeseries.py).
+@query("global_shape_discords")
+def global_shape_discords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GLOBAL matrix-profile discords via the distributed grid-blocked
+    GEMM (`operators/timeseries.py:global_discords_gemm`): z-normalized
+    subsequences are unit vectors, so the all-pairs min-distance search is
+    a max-cosine search — same shuffle/memory envelope as
+    `similarity.cosine_near_pairs_gemm`, BLAS inside each grid cell, no
+    driver collect. The scale path `weekly_shape_discords` documents."""
+    ev = load_table(spark, sf_dir, "events")
+    return timeseries.global_discords_gemm(
+        ev, key_col="event_type", ts_col="ts", value_col="value",
+        tiebreak_col="event_id", m=8, top_k=3,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness-window rotation.
 #

@@ -276,3 +276,54 @@ def test_weekly_discords_finds_planted_shape(spark):
     # an un-planted week's profile must be (near) zero — perfect repeats
     week2 = [r for r in out if r["discord_pos"] > 168]
     assert week2 and all(r["profile_d2"] == 0.0 for r in week2)
+
+
+def test_global_discords_gemm_matches_bruteforce(spark):
+    """The GEMM scale path must find the identical discord position as an
+    in-test numpy brute force (same z-normalization, same exclusion)."""
+    import datetime as dt
+
+    import numpy as np
+
+    from anomaly_detection_in_time_series_data_spark.operators import timeseries
+
+    rng = np.random.RandomState(5)
+    t0 = dt.datetime(2024, 1, 1)
+    m = 8
+    series = {
+        "a": np.tile([0, 1, 2, 3, 4, 3, 2, 1], 30).astype(float) + rng.rand(240) * 0.01,
+        "b": rng.rand(200) * 4.0,
+    }
+    series["a"][100:108] = series["a"][100:108][::-1]  # planted inverted shape
+    rows = []
+    for k, xs in series.items():
+        for i, v in enumerate(xs):
+            rows.append((k, t0 + dt.timedelta(hours=i), i, float(v)))
+    df = spark.createDataFrame(
+        rows, "event_type string, ts timestamp, event_id long, value double"
+    )
+    got = {
+        r["event_type"]: (r["discord_pos"], r["profile_d2"])
+        for r in timeseries.global_discords_gemm(
+            df, m=m, grid=3, top_k=1
+        ).collect()
+    }
+
+    def brute(xs):
+        n = len(xs) - m + 1
+        Z = np.empty((n, m))
+        for i in range(n):
+            w = xs[i : i + m]
+            Z[i] = (w - w.mean()) / (w.std() * np.sqrt(m))
+        S = Z @ Z.T
+        for i in range(n):
+            lo, hi = max(0, i - m + 1), min(n, i + m)
+            S[i, lo:hi] = -np.inf
+        mx = S.max(axis=1)
+        best = int(np.argmax(2.0 * m * (1.0 - mx)))
+        return best + 1  # 1-based pos
+
+    for k, xs in series.items():
+        assert got[k][0] == brute(xs), k
+    # the planted inverted window must be the global discord for key a
+    assert 100 - m < (got["a"][0] - 1) < 108
