@@ -6474,6 +6474,66 @@ def global_shape_discords(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "streaming_rollup_cascade",
+    # Same oracle as rollup_cascade_daily: direct raw->day aggregation. The
+    # hash match therefore proves the STREAMING-maintained minute layer
+    # merges exactly into the batch day layer — the incremental
+    # continuous-aggregate contract end-to-end.
+    oracle="""
+    WITH d AS (
+      SELECT event_type, date_trunc('day', ts) AS day,
+             count(*) AS n,
+             sum(CAST(value AS DECIMAL(18,2))) AS s,
+             sum(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2)))
+               AS ss,
+             min(value) AS mn, max(value) AS mx
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type,
+           CAST(epoch_us(day) AS BIGINT) AS bucket_us,
+           CAST(n AS BIGINT) AS n_events,
+           CAST(s AS DOUBLE) AS sum_value,
+           CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS avg_value,
+           CASE WHEN n > 1 THEN sqrt(greatest(
+                (CAST(ss AS DOUBLE)
+                 - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                / (CAST(n AS DOUBLE) - 1.0), 0.0)) END AS std_value,
+           mn AS min_value, mx AS max_value
+    FROM d
+    """,
+)
+def streaming_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The continuous-aggregate pattern with the minute layer maintained BY
+    Structured Streaming (file source -> 1-minute windowed mergeable
+    partials -> complete-mode memory sink, availableNow) and the day layer
+    produced by a BATCH merge over those streamed partials
+    (`operators/rollup.py:merge_rollup` / `finalize_stats`). In production
+    the stream upserts minute partials continuously and coarser rollups
+    read partials only — this query proves that hand-off is exact
+    (hash-identical to a direct raw->day aggregation)."""
+    stream, _ = _read_events_stream(spark, sf_dir)
+    v = F.col("value").cast("decimal(18,2)")
+    minute = (
+        stream.groupBy(
+            "event_type", F.window("ts", "1 minute").getField("start").alias(
+                "bucket_start"
+            )
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(v).alias("s"),
+            F.sum(v * v).alias("ss"),
+            F.min("value").alias("mn"),
+            F.max("value").alias("mx"),
+        )
+    )
+    qname = _run_to_memory(minute, "stream_rollup", "complete")
+    streamed_minute = spark.table(qname)
+    day = rollup.merge_rollup(streamed_minute, "event_type", "1 day")
+    return rollup.finalize_stats(day, "event_type")
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness-window rotation.
 #
@@ -6589,6 +6649,7 @@ _PENDING_NEXT = [
     "bigram_pmi_collocations",  # new in round 3 (collocations)
     "weekly_shape_discords",  # new in round 3 (matrix-profile family)
     "cep_click_click_purchase",  # new in round 3 (CEP sequence matching)
+    "streaming_rollup_cascade",  # new in round 3 (streaming continuous aggregate)
 ]
 
 
