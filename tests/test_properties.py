@@ -130,3 +130,81 @@ def test_region_boundary_bound_is_a_true_lower_bound(
     )
     dist = 2 * 6371000.0 * math.asin(math.sqrt(a))
     assert bound <= dist + 1e-6
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries merge: the candidate-superset guarantee the two-pass heavy
+# hitter relies on must hold for EVERY stream and EVERY batch split.
+# ---------------------------------------------------------------------------
+
+from anomaly_detection_in_time_series_data_spark.operators import sketches as sk  # noqa: E402
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=30), min_size=1, max_size=400),
+    st.integers(min_value=3, max_value=12),
+    st.integers(min_value=1, max_value=50),
+)
+@settings(max_examples=200, deadline=None)
+def test_mg_merge_superset_guarantee(stream, capacity, batch_size):
+    counters: dict = {}
+    for i in range(0, len(stream), batch_size):
+        batch: dict = {}
+        for k in stream[i : i + batch_size]:
+            batch[k] = batch.get(k, 0) + 1
+        counters = sk._mg_merge(counters, batch, capacity)
+        assert len(counters) <= capacity
+    n = len(stream)
+    from collections import Counter
+
+    true = Counter(stream)
+    for k, c in true.items():
+        if c * (capacity + 1) > n:  # freq > N/(capacity+1) must survive
+            assert k in counters, (k, c, n, capacity)
+        if k in counters:  # MG never overcounts
+            assert counters[k] <= c
+
+
+# ---------------------------------------------------------------------------
+# Rollup partials: merging is invariant under ANY split of the rows into
+# sub-aggregations (associativity/commutativity of the carried summaries).
+# ---------------------------------------------------------------------------
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),  # minute bucket within the day
+            st.integers(min_value=-99999, max_value=99999),  # value in cents
+        ),
+        min_size=2,
+        max_size=60,
+    ),
+    st.randoms(),
+)
+@settings(max_examples=30, deadline=None)
+def test_rollup_merge_split_invariance(rows, rng):
+    """Pure-Python model of the decimal partial merge: any grouping of rows
+    into partial summaries merges to the identical (n, s, ss, mn, mx)."""
+    from decimal import Decimal
+
+    def partial(rs):
+        n = len(rs)
+        s = sum(Decimal(v) / 100 for _, v in rs)
+        ss = sum((Decimal(v) / 100) ** 2 for _, v in rs)
+        mn = min(v / 100.0 for _, v in rs)
+        mx = max(v / 100.0 for _, v in rs)
+        return (n, s, ss, mn, mx)
+
+    def merge(a, b):
+        return (
+            a[0] + b[0], a[1] + b[1], a[2] + b[2],
+            min(a[3], b[3]), max(a[4], b[4]),
+        )
+
+    direct = partial(rows)
+    shuffled = rows[:]
+    rng.shuffle(shuffled)
+    cut = rng.randrange(1, len(shuffled))
+    merged = merge(partial(shuffled[:cut]), partial(shuffled[cut:]))
+    assert merged == direct
