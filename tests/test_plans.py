@@ -357,3 +357,49 @@ def test_join_strategy_hints_are_honored(spark, sf_dir):
     for hint, node in cases.items():
         df = li.join(orders.hint(hint), li.l_orderkey == orders.o_orderkey)
         assert node in plans.executed_plan(df), hint
+
+
+def test_heavy_hitter_recount_is_broadcast_semi(spark, sf_dir):
+    """Two-pass heavy hitters: the exact recount must semi-join the raw
+    stream against BROADCAST candidates (never shuffle the stream on the
+    key), and the full-key-space groupBy must not appear before the
+    semi-join prune."""
+    df = q.QUERIES["heavy_hitter_bigrams"](spark, sf_dir)
+    plan = plans.executed_plan(df)
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_rollup_cascade_merges_partials_only(spark, sf_dir):
+    """raw -> minute -> hour -> day must be one raw scan + 2 partial-merge
+    aggregations; with minute/hour/day all keyed by (event_type, bucket)
+    AQE keeps every merge on the already-shuffled partials (no extra raw
+    scans; exchange count stays bounded)."""
+    df = q.QUERIES["rollup_cascade_daily"](spark, sf_dir)
+    plan = plans.executed_plan(df)
+    assert plan.count("Scan parquet") == 1  # one raw scan for the cascade
+    assert "SortMergeJoin" not in plan and "Cartesian" not in plan
+
+
+def test_cep_pattern_single_exchange_no_join(spark, sf_dir):
+    df = q.QUERIES["cep_click_click_purchase"](spark, sf_dir)
+    plan = plans.executed_plan(df)
+    assert "Join" not in plan  # pattern is pure window work
+    # one shuffle to co-locate user timelines + the final groupBy reuses it
+    assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_weekly_discords_pairs_are_equi_join(spark, sf_dir):
+    """The O(n^2) matrix-profile pair work must be an EQUI join on
+    (key, week) — never a cartesian/nested-loop across groups."""
+    df = q.QUERIES["weekly_shape_discords"](spark, sf_dir)
+    plan = plans.executed_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_triangle_degree_joins_broadcast(spark, sf_dir):
+    df = q.QUERIES["near_dup_triangles"](spark, sf_dir)
+    plan = plans.executed_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
