@@ -76,6 +76,91 @@ def mg_candidates(
     return df.select(key_col).mapInPandas(part, schema=schema).distinct()
 
 
+def cms_sketch(df: DataFrame, key_col: str, depth: int = 3, width: int = 64) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan 2005) as a tiny DataFrame.
+
+    One scan of the input: each row contributes ``depth`` (row, bucket)
+    increments via an explode over the hash rows; the groupBy's map-side
+    partial aggregation collapses everything to at most ``depth * width``
+    rows per partition before the shuffle, so the shuffle volume is
+    O(partitions * depth * width) — independent of N and of the key
+    cardinality. Sketches are mergeable by construction (counts add
+    per (row, bucket)), which is what makes per-day / per-shard sketch
+    maintenance work at 100 TB.
+
+    The bucket function is md5-derived (first 8 hex chars as an integer,
+    mod width) so a DuckDB oracle can compute the identical sketch:
+    ``('0x' || substr(md5('cms' || i || '|' || key), 1, 8))::UBIGINT % width``.
+    """
+    rows = F.array(*[F.lit(i) for i in range(depth)])
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("cms"), F.col("i").cast("string"), F.lit("|"), F.col(key_col))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % width
+    )
+    return (
+        df.select(F.col(key_col), F.explode(rows).alias("i"))
+        .select("i", bucket.alias("b"))
+        .groupBy("i", "b")
+        .agg(F.count("*").alias("c"))
+    )
+
+
+def cms_estimate_report(
+    df: DataFrame, key_col: str, depth: int = 3, width: int = 64
+) -> DataFrame:
+    """Per-key CMS estimate next to the exact count (the accuracy report a
+    pipeline runs before trusting sketch-only counting at full scale).
+
+    The sketch is ≤ depth*width rows, so the probe joins broadcast it; the
+    only O(N) work is the one sketch-building scan and the exact groupBy
+    (which the report needs anyway for the error column). CMS guarantees
+    estimate ≥ exact for every key; a unit test asserts it and the
+    mergeability identity.
+    """
+    sketch = cms_sketch(df, key_col, depth, width)
+    exact = df.groupBy(key_col).agg(F.count("*").cast("bigint").alias("exact_count"))
+    probes = exact.select(key_col).withColumn(
+        "i", F.explode(F.array(*[F.lit(i) for i in range(depth)]))
+    )
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("cms"), F.col("i").cast("string"), F.lit("|"), F.col(key_col))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % width
+    )
+    est = (
+        probes.withColumn("b", bucket)
+        .join(F.broadcast(sketch), ["i", "b"])
+        .groupBy(key_col)
+        .agg(F.min("c").cast("bigint").alias("cms_estimate"))
+    )
+    return (
+        exact.join(est, key_col)
+        .select(
+            key_col,
+            "cms_estimate",
+            "exact_count",
+            (F.col("cms_estimate") - F.col("exact_count"))
+            .cast("bigint")
+            .alias("overcount"),
+        )
+    )
+
+
 def heavy_hitters_exact(
     df: DataFrame, key_col: str, phi: float, capacity: int | None = None
 ) -> DataFrame:

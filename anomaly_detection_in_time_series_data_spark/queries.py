@@ -2590,6 +2590,55 @@ def kll_median_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "cms_event_type_counts",
+    oracle="""
+    WITH hashrows AS (SELECT unnest([0, 1, 2]) AS i),
+    sketch AS (
+      SELECT h.i,
+             ('0x' || substr(md5('cms' || h.i || '|' || e.event_type), 1, 8))::UBIGINT
+               % 64 AS b,
+             count(*) AS c
+      FROM events e, hashrows h
+      GROUP BY 1, 2
+    ),
+    exact AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS exact_count
+      FROM events GROUP BY 1
+    ),
+    probe AS (
+      SELECT e.event_type, h.i,
+             ('0x' || substr(md5('cms' || h.i || '|' || e.event_type), 1, 8))::UBIGINT
+               % 64 AS b
+      FROM exact e, hashrows h
+    ),
+    est AS (
+      SELECT p.event_type, CAST(min(s.c) AS BIGINT) AS cms_estimate
+      FROM probe p JOIN sketch s ON s.i = p.i AND s.b = p.b
+      GROUP BY 1
+    )
+    SELECT e.event_type, est.cms_estimate, e.exact_count,
+           CAST(est.cms_estimate - e.exact_count AS BIGINT) AS overcount
+    FROM exact e JOIN est USING (event_type)
+    """,
+)
+def cms_event_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch frequency estimation (Cormode-Muthukrishnan),
+    closing the mergeable-summary family (HLL distinct / theta overlap /
+    KLL quantile / Misra-Gries heavy hitters / CMS point counts). One scan
+    builds a depth=3 x width=64 sketch whose shuffle is O(partitions *
+    depth * width) — independent of N and key cardinality; per-shard
+    sketches merge by (row, bucket) addition, so at 100 TB each ingest
+    partition maintains its own sketch and rollups never revisit raw data.
+    The md5-derived bucket function is engine-portable, so the DuckDB
+    oracle rebuilds the IDENTICAL sketch — estimates match bit-for-bit,
+    and the `overcount` column exposes the collision error directly
+    (always >= 0 by the CMS guarantee; a unit test asserts it and the
+    split-merge identity)."""
+    ev = load_table(spark, sf_dir, "events")
+    return sketches.cms_estimate_report(ev, "event_type", depth=3, width=64)
+
+
 @query("multimodal_image_features")
 def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal binary-column pipeline (rows-only: payloads are
@@ -6650,6 +6699,7 @@ _PENDING_NEXT = [
     "weekly_shape_discords",  # new in round 3 (matrix-profile family)
     "cep_click_click_purchase",  # new in round 3 (CEP sequence matching)
     "streaming_rollup_cascade",  # new in round 3 (streaming continuous aggregate)
+    "cms_event_type_counts",  # new in round 3 (count-min sketch)
 ]
 
 

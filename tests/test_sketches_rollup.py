@@ -183,3 +183,42 @@ def test_holt_flags_spike_not_trend(spark):
     # but nothing before it
     assert all(ts >= spike_ts for ts in flagged)
     assert len(flagged) <= 5
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch
+# ---------------------------------------------------------------------------
+
+
+def test_cms_estimate_never_undercounts_and_collisions_overcount(spark):
+    # 300 distinct keys into width=16 buckets forces collisions, so some
+    # estimates MUST overcount — and none may ever undercount (the CMS
+    # one-sided guarantee).
+    rows = [(f"k{i % 300}",) for i in range(3000)]
+    df = spark.createDataFrame(rows, ["k"]).repartition(8)
+    rep = sketches.cms_estimate_report(df, "k", depth=3, width=16).collect()
+    assert len(rep) == 300
+    assert all(r["overcount"] >= 0 for r in rep)
+    assert any(r["overcount"] > 0 for r in rep)  # collisions are real at w=16
+    assert all(r["cms_estimate"] == r["exact_count"] + r["overcount"] for r in rep)
+
+
+def test_cms_sketch_is_mergeable_across_splits(spark):
+    # sketch(A) + sketch(B) summed per (row, bucket) == sketch(A union B):
+    # the property that lets per-shard sketches roll up without raw data.
+    rows = [(f"k{i % 40}",) for i in range(800)]
+    df = spark.createDataFrame(rows, ["k"]).withColumn(
+        "half", F.monotonically_increasing_id() % 2
+    )
+    whole = {
+        (r["i"], r["b"]): r["c"]
+        for r in sketches.cms_sketch(df, "k", depth=3, width=16).collect()
+    }
+    merged: dict = {}
+    for h in (0, 1):
+        part = sketches.cms_sketch(
+            df.filter(F.col("half") == h), "k", depth=3, width=16
+        )
+        for r in part.collect():
+            merged[(r["i"], r["b"])] = merged.get((r["i"], r["b"]), 0) + r["c"]
+    assert merged == whole
