@@ -3161,6 +3161,140 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_RRF_TERMS = ("window", "join", "stream")
+_RRF_K = 60  # standard RRF damping constant (Cormack et al. 2009)
+
+
+@query(
+    "rrf_hybrid_retrieval",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+      FROM documents WHERE length(trim(text)) > 0
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+           WHERE term IN ('window', 'join', 'stream') GROUP BY doc_id, term),
+    dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks
+              WHERE term IN ('window', 'join', 'stream') GROUP BY term),
+    nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM toks),
+    lex AS (
+      SELECT doc_id,
+             row_number() OVER (
+               ORDER BY round(sum(t.tf * ln(CAST(n_docs AS DOUBLE) / d.df)), 6)
+                          DESC,
+                        doc_id
+             ) AS lex_rank
+      FROM tf t JOIN dfreq d USING (term) CROSS JOIN nd
+      GROUP BY doc_id, n_docs
+    ),
+    lex20 AS (SELECT * FROM lex WHERE lex_rank <= 20),
+    c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    p AS (SELECT v FROM c WHERE vec_id = 0),
+    vec AS (
+      SELECT c.vec_id AS doc_id,
+             row_number() OVER (
+               ORDER BY round(list_cosine_similarity(p.v, c.v), 6) DESC, c.vec_id
+             ) AS vec_rank
+      FROM c CROSS JOIN p WHERE c.vec_id <> 0
+    ),
+    vec20 AS (SELECT * FROM vec WHERE vec_rank <= 20),
+    fused AS (
+      SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id,
+             l.lex_rank, v.vec_rank,
+             COALESCE(1.0 / ({_RRF_K} + l.lex_rank), CAST(0.0 AS DOUBLE))
+               + COALESCE(1.0 / ({_RRF_K} + v.vec_rank), CAST(0.0 AS DOUBLE))
+               AS rrf
+      FROM lex20 l FULL OUTER JOIN vec20 v ON l.doc_id = v.doc_id
+    )
+    SELECT doc_id,
+           CAST(lex_rank AS BIGINT) AS lex_rank,
+           CAST(vec_rank AS BIGINT) AS vec_rank,
+           CAST(row_number() OVER (ORDER BY rrf DESC, doc_id) AS BIGINT)
+             AS rrf_rank
+    FROM fused
+    QUALIFY rrf_rank <= 10
+    """,
+)
+def rrf_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid lexical+vector retrieval fused with reciprocal-rank fusion
+    (RRF, Cormack et al. 2009) — the standard way a training-data /
+    RAG pipeline combines BM25-ish keyword search with embedding ANN
+    without calibrating score scales. Lexical side: the 3-term query is a
+    broadcast semi-filter on the exploded token stream (only matching
+    terms survive the scan), tf-idf summed per doc. Vector side: cosine
+    against one probe vector (the IVF/LSH ANN operators are the 100 TB
+    drop-in for this brute-force stage). Both per-side scores are rounded
+    to 6dp before ranking (docs with identical tf-vectors are exact
+    mathematical ties whose float sums can differ by summation order;
+    rounding collapses ulp noise so both engines fall through to the
+    doc_id tiebreak). Fusion joins two <=20-row rank lists —
+    driver-trivial, engine-exact: RRF scores are sums of 1/(60+rank) over
+    INTEGER ranks, bit-identical doubles in both engines. Hash-carried
+    columns are all ranks (bigint); null lex/vec rank means the doc
+    surfaced on one side only."""
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    toks = (
+        docs.filter(F.length(F.trim("text")) > 0)
+        .select("doc_id", F.explode(text.tokens(F.lower(F.col("text")))).alias("term"))
+    )
+    qtoks = toks.filter(F.col("term").isin(*_RRF_TERMS))
+    tf = qtoks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = qtoks.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+    n_docs = toks.agg(F.count_distinct("doc_id").alias("n_docs"))
+    lex = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df"))
+                ),
+                6,
+            ).alias("_score")
+        )
+        .withColumn(
+            "lex_rank",
+            F.row_number().over(Window.orderBy(F.desc("_score"), "doc_id")),
+        )
+        .filter(F.col("lex_rank") <= 20)
+        .select("doc_id", "lex_rank")
+    )
+    probe_vec = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    probe = F.array(*[F.lit(float(x)) for x in probe_vec])
+    sim = F.round(similarity.cosine(F.col("embedding").cast("array<double>"), probe), 6)
+    vec = (
+        emb.filter(F.col("vec_id") != 0)
+        .select(F.col("vec_id").alias("doc_id"), sim.alias("_sim"))
+        .withColumn(
+            "vec_rank",
+            F.row_number().over(Window.orderBy(F.desc("_sim"), "doc_id")),
+        )
+        .filter(F.col("vec_rank") <= 20)
+        .select("doc_id", "vec_rank")
+    )
+    fused = (
+        lex.join(vec, "doc_id", "full_outer")
+        .withColumn(
+            "_rrf",
+            F.coalesce(1.0 / (_RRF_K + F.col("lex_rank")), F.lit(0.0))
+            + F.coalesce(1.0 / (_RRF_K + F.col("vec_rank")), F.lit(0.0)),
+        )
+        .withColumn(
+            "rrf_rank",
+            F.row_number().over(Window.orderBy(F.desc("_rrf"), "doc_id")),
+        )
+        .filter(F.col("rrf_rank") <= 10)
+    )
+    return fused.select(
+        "doc_id",
+        F.col("lex_rank").cast("bigint").alias("lex_rank"),
+        F.col("vec_rank").cast("bigint").alias("vec_rank"),
+        F.col("rrf_rank").cast("bigint").alias("rrf_rank"),
+    )
+
+
 @query(
     "unpivot_part_measures",
     oracle="""
@@ -6700,6 +6834,7 @@ _PENDING_NEXT = [
     "cep_click_click_purchase",  # new in round 3 (CEP sequence matching)
     "streaming_rollup_cascade",  # new in round 3 (streaming continuous aggregate)
     "cms_event_type_counts",  # new in round 3 (count-min sketch)
+    "rrf_hybrid_retrieval",  # new in round 3 (hybrid lexical+vector fusion)
 ]
 
 
