@@ -98,3 +98,55 @@ def mixture_plan(
         .withColumn("expected_kept", F.col("rate") * F.col("n_docs").cast("double"))
         .select(strata_col, "n_docs", "weight", "rate", "expected_kept")
     )
+
+
+def contrastive_pairs(
+    df: DataFrame, label_col: str = "label", id_col: str = "vec_id"
+) -> DataFrame:
+    """Deterministic contrastive-pair mining: per label, anchor/positive are
+    the two lowest salted-hash members; the negative is the globally lowest
+    'neg'-salted id belonging to a DIFFERENT label.
+
+    No RNG — the same content-hash discipline as the samplers above, so
+    pair assignments are identical across runs, engines, and
+    partitionings. The cross-label negative needs only TWO global
+    candidates: the overall salted-hash minimum, and the minimum among
+    rows whose label DIFFERS from the first's (so every label is
+    guaranteed a candidate from another label, even if the raw global
+    top-2 shares one label). The plan is one per-label rank window plus
+    two TakeOrderedAndProject(1) passes and a 2-row literal — never a
+    per-label pass over the corpus. Labels with a single member are
+    dropped (no positive exists).
+    """
+    h = F.md5(F.concat(F.lit("cp|"), F.col(id_col).cast("string")))
+    w = Window.partitionBy(label_col).orderBy(h, id_col)
+    ranked = df.select(label_col, id_col).withColumn("rn", F.row_number().over(w))
+    anchors = (
+        ranked.filter(F.col("rn") <= 2)
+        .groupBy(label_col)
+        .agg(
+            F.min(F.when(F.col("rn") == 1, F.col(id_col))).alias("anchor_id"),
+            F.min(F.when(F.col("rn") == 2, F.col(id_col))).alias("positive_id"),
+        )
+        .filter(F.col("positive_id").isNotNull())
+    )
+    gh = F.md5(F.concat(F.lit("neg|"), F.col(id_col).cast("string")))
+    base = df.select(label_col, id_col, gh.alias("_h"))
+    g1 = base.orderBy("_h", id_col).limit(1).collect()[0]
+    g2_rows = (
+        base.filter(F.col(label_col) != g1[label_col])
+        .orderBy("_h", id_col)
+        .limit(1)
+        .collect()
+    )
+    # single-label corpus: no cross-label negative exists -> null
+    g2_id = F.lit(g2_rows[0][id_col]) if g2_rows else F.lit(None)
+    neg = F.when(
+        F.lit(g1[label_col]) != F.col(label_col), F.lit(g1[id_col])
+    ).otherwise(g2_id)
+    return anchors.select(
+        label_col,
+        F.col("anchor_id").cast("bigint").alias("anchor_id"),
+        F.col("positive_id").cast("bigint").alias("positive_id"),
+        neg.cast("bigint").alias("negative_id"),
+    )

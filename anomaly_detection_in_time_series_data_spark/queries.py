@@ -3295,6 +3295,198 @@ def rrf_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Round-3 training-pipeline additions: batch-padding economics, deterministic
+# contrastive pair mining, incremental-ingest dedup triage
+# ---------------------------------------------------------------------------
+
+_LEN_BUCKET_SQL = """CASE WHEN n <= 64 THEN 64 WHEN n <= 128 THEN 128
+             WHEN n <= 256 THEN 256 WHEN n <= 512 THEN 512
+             WHEN n <= 1024 THEN 1024 ELSE 2048 END"""
+
+
+@query(
+    "length_bucket_padding_stats",
+    oracle=f"""
+    WITH counted AS (
+      SELECT CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(string_split_regex(trim(text), '\\s+')) END AS n
+      FROM documents
+    ),
+    bucketed AS (
+      SELECT {_LEN_BUCKET_SQL} AS bucket_max, n FROM counted WHERE n > 0
+    )
+    SELECT CAST(bucket_max AS BIGINT) AS bucket_max,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n) AS BIGINT) AS sum_tokens,
+           CAST(count(*) * bucket_max AS BIGINT) AS padded_tokens,
+           CAST(1.0 AS DOUBLE)
+             - CAST(sum(n) AS DOUBLE) / CAST(count(*) * bucket_max AS DOUBLE)
+             AS padding_waste_frac
+    FROM bucketed GROUP BY bucket_max
+    """,
+)
+def length_bucket_padding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-length bucketing for batch-padding economics: docs are
+    assigned to power-of-two token-length buckets and each bucket reports
+    how many tokens padding-to-bucket-max would waste — the report that
+    decides bucket boundaries before batched training. The bucket bound is
+    a scalar CASE chain (exact integer comparisons — no log2 float round
+    trip, which mis-buckets exact powers of two); the scan's only shuffle
+    is the <=6-row groupBy. Waste fractions are single bigint divisions,
+    bit-identical across engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    n = text.token_count("text")
+    bucket = (
+        F.when(n <= 64, 64)
+        .when(n <= 128, 128)
+        .when(n <= 256, 256)
+        .when(n <= 512, 512)
+        .when(n <= 1024, 1024)
+        .otherwise(2048)
+    )
+    return (
+        docs.select(n.alias("n"), bucket.alias("bucket_max"))
+        .filter(F.col("n") > 0)
+        .groupBy("bucket_max")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n").cast("bigint").alias("sum_tokens"),
+            (F.count("*") * F.col("bucket_max")).cast("bigint").alias("padded_tokens"),
+        )
+        .select(
+            F.col("bucket_max").cast("bigint").alias("bucket_max"),
+            "n_docs",
+            "sum_tokens",
+            "padded_tokens",
+            (
+                F.lit(1.0)
+                - F.col("sum_tokens").cast("double")
+                / F.col("padded_tokens").cast("double")
+            ).alias("padding_waste_frac"),
+        )
+    )
+
+
+@query(
+    "contrastive_pairs_plan",
+    oracle="""
+    WITH hashed AS (
+      SELECT label, vec_id,
+             md5('cp|' || vec_id) AS h,
+             row_number() OVER (PARTITION BY label
+                                ORDER BY md5('cp|' || vec_id), vec_id) AS rn
+      FROM embeddings
+    ),
+    eligible AS (
+      SELECT label FROM hashed GROUP BY label HAVING count(*) >= 2
+    ),
+    anchors AS (
+      SELECT label,
+             min(CASE WHEN rn = 1 THEN vec_id END) AS anchor_id,
+             min(CASE WHEN rn = 2 THEN vec_id END) AS positive_id
+      FROM hashed WHERE rn <= 2 GROUP BY label
+    ),
+    g1 AS (
+      SELECT label, vec_id FROM embeddings
+      ORDER BY md5('neg|' || vec_id), vec_id LIMIT 1
+    ),
+    g2 AS (
+      SELECT label, vec_id FROM embeddings
+      WHERE label <> (SELECT label FROM g1)
+      ORDER BY md5('neg|' || vec_id), vec_id LIMIT 1
+    )
+    SELECT a.label,
+           CAST(a.anchor_id AS BIGINT) AS anchor_id,
+           CAST(a.positive_id AS BIGINT) AS positive_id,
+           CAST(CASE WHEN (SELECT label FROM g1) <> a.label
+                     THEN (SELECT vec_id FROM g1)
+                     ELSE (SELECT vec_id FROM g2) END
+                AS BIGINT) AS negative_id
+    FROM anchors a JOIN eligible USING (label)
+    """,
+)
+def contrastive_pairs_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic contrastive-pair mining for embedding training: per
+    label the anchor/positive are the two lowest salted-hash members
+    (reproducible across runs, engines, and partitionings — no RNG), and
+    the negative is the globally lowest 'neg'-salted vector from a
+    DIFFERENT label (two TakeOrderedAndProject(1) passes — the overall
+    minimum plus the minimum over other labels, so even a label that owns
+    the global minimum gets a cross-label negative). Never a per-label
+    pass over the corpus; see ``operators/sampling.py:contrastive_pairs``."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sampling.contrastive_pairs(emb, "label", "vec_id")
+
+
+@query(
+    "incremental_dedup_report",
+    oracle="""
+    WITH hashed AS (
+      SELECT source, md5(text) AS h,
+             md5('inc|' || text) >= 'e0' AS incoming
+      FROM documents
+    ),
+    existing AS (SELECT DISTINCT h FROM hashed WHERE NOT incoming),
+    inc AS (
+      SELECT source, h,
+             count(*) AS n_copies,
+             max(CASE WHEN h IN (SELECT h FROM existing) THEN 1 ELSE 0 END)
+               AS hits_existing
+      FROM hashed WHERE incoming GROUP BY source, h
+    )
+    SELECT source,
+           CAST(sum(n_copies) AS BIGINT) AS n_incoming,
+           CAST(sum(CASE WHEN hits_existing = 1 THEN n_copies ELSE 0 END)
+                AS BIGINT) AS n_dup_of_existing,
+           CAST(sum(CASE WHEN hits_existing = 0 THEN n_copies - 1 ELSE 0 END)
+                AS BIGINT) AS n_dup_within_batch,
+           CAST(sum(CASE WHEN hits_existing = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel
+    FROM inc GROUP BY source
+    """,
+)
+def incremental_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest dedup triage: a deterministic hash split stands
+    in for 'today's batch' (~12.5% of docs) vs the standing corpus, and
+    each incoming doc is classified exact-duplicate-of-existing /
+    duplicate-within-batch / novel — the decision report a daily ingest
+    job emits before appending to a 100 TB corpus. Everything keys on
+    md5(text), so the comparison is a content-hash anti/semi join (shuffle
+    carries 16-byte digests, never text); within-batch dups collapse in
+    the same groupBy that counts copies."""
+    docs = load_table(spark, sf_dir, "documents")
+    hashed = docs.select(
+        "source",
+        F.md5("text").alias("h"),
+        (F.md5(F.concat(F.lit("inc|"), F.col("text"))) >= "e0").alias("incoming"),
+    )
+    existing = hashed.filter(~F.col("incoming")).select("h").distinct()
+    inc = (
+        hashed.filter(F.col("incoming"))
+        .join(existing.withColumn("_hit", F.lit(1)), "h", "left")
+        .groupBy("source", "h")
+        .agg(
+            F.count("*").alias("n_copies"),
+            F.max(F.coalesce(F.col("_hit"), F.lit(0))).alias("hits_existing"),
+        )
+    )
+    return inc.groupBy("source").agg(
+        F.sum("n_copies").cast("bigint").alias("n_incoming"),
+        F.sum(F.when(F.col("hits_existing") == 1, F.col("n_copies")).otherwise(0))
+        .cast("bigint")
+        .alias("n_dup_of_existing"),
+        F.sum(
+            F.when(F.col("hits_existing") == 0, F.col("n_copies") - 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_dup_within_batch"),
+        F.sum(F.when(F.col("hits_existing") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_novel"),
+    )
+
+
 @query(
     "unpivot_part_measures",
     oracle="""
@@ -6835,6 +7027,9 @@ _PENDING_NEXT = [
     "streaming_rollup_cascade",  # new in round 3 (streaming continuous aggregate)
     "cms_event_type_counts",  # new in round 3 (count-min sketch)
     "rrf_hybrid_retrieval",  # new in round 3 (hybrid lexical+vector fusion)
+    "length_bucket_padding_stats",  # new in round 3 (batch-padding economics)
+    "contrastive_pairs_plan",  # new in round 3 (deterministic pair mining)
+    "incremental_dedup_report",  # new in round 3 (ingest dedup triage)
 ]
 
 

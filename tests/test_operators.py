@@ -558,3 +558,55 @@ def test_observation_metrics_single_pass(spark, sf_dir):
     assert got["n_rows"] >= n_out
     assert got["n_null_text"] == 0
     assert got["n_tiny_docs"] >= 0
+
+
+# ---------------------------------------------------------------------------
+# Contrastive pair mining (round 3)
+# ---------------------------------------------------------------------------
+
+
+def _cp_expected(rows):
+    """Pure-Python replication of contrastive_pairs for planted data."""
+    import hashlib
+
+    def h(salt, i):
+        return hashlib.md5(f"{salt}{i}".encode()).hexdigest()
+
+    by_label: dict = {}
+    for lab, i in rows:
+        by_label.setdefault(lab, []).append(i)
+    g1 = min(rows, key=lambda r: (h("neg|", r[1]), r[1]))
+    others = [r for r in rows if r[0] != g1[0]]
+    g2 = min(others, key=lambda r: (h("neg|", r[1]), r[1])) if others else None
+    out = {}
+    for lab, ids in by_label.items():
+        if len(ids) < 2:
+            continue
+        ranked = sorted(ids, key=lambda i: (h("cp|", i), i))
+        neg = g1[1] if g1[0] != lab else (g2[1] if g2 else None)
+        out[lab] = (ranked[0], ranked[1], neg)
+    return out
+
+
+def test_contrastive_pairs_deterministic_and_cross_label(spark):
+    rows = [("a", i) for i in range(10)] + [("b", i) for i in range(10, 18)] + [
+        ("solo", 99)
+    ]
+    df = spark.createDataFrame(rows, ["label", "vec_id"]).repartition(7)
+    got = {
+        r["label"]: (r["anchor_id"], r["positive_id"], r["negative_id"])
+        for r in sampling.contrastive_pairs(df, "label", "vec_id").collect()
+    }
+    assert got == _cp_expected(rows)
+    assert "solo" not in got  # single-member labels have no positive
+    # the negative NEVER shares the anchor's label — including for the
+    # label that owns the global salted-hash minimum
+    id2label = dict((i, l) for l, i in rows)
+    for lab, (_, _, neg) in got.items():
+        assert id2label[neg] != lab
+
+
+def test_contrastive_pairs_single_label_yields_null_negative(spark):
+    df = spark.createDataFrame([("only", i) for i in range(4)], ["label", "vec_id"])
+    rows = sampling.contrastive_pairs(df, "label", "vec_id").collect()
+    assert len(rows) == 1 and rows[0]["negative_id"] is None
