@@ -69,6 +69,12 @@ HEADLINE = [
     "heavy_hitter_bigrams",
     "rollup_cascade_daily",
     "holt_forecast_anomaly",
+    "cep_click_click_purchase",
+    "weekly_shape_discords",
+    "cms_event_type_counts",
+    "rrf_hybrid_retrieval",
+    "length_bucket_padding_stats",
+    "incremental_dedup_report",
 ]
 
 
