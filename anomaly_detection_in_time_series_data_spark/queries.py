@@ -3254,11 +3254,14 @@ def rrf_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("_score")
         )
+        # TakeOrderedAndProject(20) — per-partition top-20 then a 20-row
+        # driver merge, NOT a single-partition global row_number sort
+        .orderBy(F.desc("_score"), "doc_id")
+        .limit(20)
         .withColumn(
             "lex_rank",
             F.row_number().over(Window.orderBy(F.desc("_score"), "doc_id")),
         )
-        .filter(F.col("lex_rank") <= 20)
         .select("doc_id", "lex_rank")
     )
     probe_vec = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
@@ -3267,11 +3270,12 @@ def rrf_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     vec = (
         emb.filter(F.col("vec_id") != 0)
         .select(F.col("vec_id").alias("doc_id"), sim.alias("_sim"))
+        .orderBy(F.desc("_sim"), "doc_id")
+        .limit(20)
         .withColumn(
             "vec_rank",
             F.row_number().over(Window.orderBy(F.desc("_sim"), "doc_id")),
         )
-        .filter(F.col("vec_rank") <= 20)
         .select("doc_id", "vec_rank")
     )
     fused = (
