@@ -3299,6 +3299,79 @@ def rrf_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "unigram_logprob_quality",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+      FROM documents WHERE length(trim(text)) > 0
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+    c AS (SELECT term, count(*) AS c FROM toks GROUP BY term),
+    tot AS (SELECT CAST(count(*) AS DOUBLE) AS t FROM toks),
+    per_doc AS (
+      SELECT tf.doc_id,
+             CAST(sum(tf.tf) AS BIGINT) AS n_tokens,
+             list(CAST(tf.tf AS DOUBLE) * ln(CAST(c.c AS DOUBLE) / tot.t)
+                  ORDER BY tf.term) AS lps
+      FROM tf JOIN c USING (term) CROSS JOIN tot
+      GROUP BY tf.doc_id
+    )
+    SELECT doc_id, n_tokens,
+           round(list_reduce(lps, (a, b) -> a + b)
+                 / CAST(n_tokens AS DOUBLE), 4) AS avg_logprob
+    FROM per_doc
+    """,
+)
+def unigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model scoring — the perplexity-style quality filter
+    of a pretraining pipeline (docs whose average token log-probability
+    under the corpus unigram model is anomalously low are boilerplate/noise
+    candidates). Scale shape: token explode -> (doc, term) tf agg -> term
+    counts broadcast back; the per-doc score needs NO per-token state —
+    only the distinct-terms-per-doc rows. Determinism: the per-doc sum is
+    an explicit LEFT FOLD over the term-sorted contribution list (Spark
+    ``aggregate`` over ``sort_array``; DuckDB ``list_reduce`` over an
+    ORDER BY term list) — both engines add in the identical order, so the
+    double is bit-identical before the final 4dp rounding (same ln-parity
+    discipline as ``bigram_pmi_collocations``)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (
+        docs.filter(F.length(F.trim("text")) > 0)
+        .select("doc_id", F.explode(text.tokens(F.lower(F.col("text")))).alias("term"))
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    c = toks.groupBy("term").agg(F.count("*").alias("c"))
+    tot = toks.agg(F.count("*").cast("double").alias("t"))
+    contrib = (
+        tf.join(F.broadcast(c), "term")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            (
+                F.col("tf").cast("double")
+                * F.log(F.col("c").cast("double") / F.col("t"))
+            ).alias("lp"),
+        )
+    )
+    per_doc = contrib.groupBy("doc_id").agg(
+        F.sum("tf").cast("bigint").alias("n_tokens"),
+        F.sort_array(F.collect_list(F.struct("term", "lp"))).alias("_arr"),
+    )
+    folded = F.aggregate(
+        F.transform(F.col("_arr"), lambda x: x["lp"]),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_tokens",
+        F.round(folded / F.col("n_tokens").cast("double"), 4).alias("avg_logprob"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Round-3 training-pipeline additions: batch-padding economics, deterministic
 # contrastive pair mining, incremental-ingest dedup triage
@@ -7034,6 +7107,7 @@ _PENDING_NEXT = [
     "length_bucket_padding_stats",  # new in round 3 (batch-padding economics)
     "contrastive_pairs_plan",  # new in round 3 (deterministic pair mining)
     "incremental_dedup_report",  # new in round 3 (ingest dedup triage)
+    "unigram_logprob_quality",  # new in round 3 (perplexity-style LM filter)
 ]
 
 
