@@ -3300,6 +3300,45 @@ def rrf_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "equi_depth_value_bins",
+    oracle="""
+    WITH binned AS (
+      SELECT event_type, value,
+             ntile(10) OVER (PARTITION BY event_type
+                             ORDER BY value, event_id) AS bin
+      FROM events
+    )
+    SELECT event_type, CAST(bin AS BIGINT) AS bin,
+           CAST(count(*) AS BIGINT) AS n,
+           min(value) AS lo, max(value) AS hi
+    FROM binned GROUP BY event_type, bin
+    """,
+)
+def equi_depth_value_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (quantile) binning — the skew-robust discretizer for
+    feature engineering (equal-population bins, unlike the fixed-width
+    `value_histogram`). ntile is deterministic given a total order, so the
+    (value, event_id) tiebreak makes bin assignment engine-exact; the
+    reported per-bin [lo, hi] boundaries are raw data values, no float
+    arithmetic at all. One shuffle on event_type; at 100 TB the same
+    report comes from the mergeable KLL sketch (`kll_median_bounds`) when
+    exact boundaries aren't required."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return (
+        ev.select("event_type", "value", "event_id")
+        .withColumn("bin", F.ntile(10).over(w))
+        .groupBy("event_type", "bin")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.min("value").alias("lo"),
+            F.max("value").alias("hi"),
+        )
+        .select("event_type", F.col("bin").cast("bigint").alias("bin"), "n", "lo", "hi")
+    )
+
+
+@query(
     "unigram_logprob_quality",
     oracle="""
     WITH toks AS (
@@ -7108,6 +7147,7 @@ _PENDING_NEXT = [
     "contrastive_pairs_plan",  # new in round 3 (deterministic pair mining)
     "incremental_dedup_report",  # new in round 3 (ingest dedup triage)
     "unigram_logprob_quality",  # new in round 3 (perplexity-style LM filter)
+    "equi_depth_value_bins",  # new in round 3 (quantile discretizer)
 ]
 
 
