@@ -3300,6 +3300,108 @@ def rrf_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "snake_sharding_plan",
+    oracle="""
+    WITH counted AS (
+      SELECT doc_id,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(string_split_regex(trim(text), '\\s+')) END AS n
+      FROM documents
+    ),
+    ranked AS (
+      SELECT doc_id, n,
+             row_number() OVER (ORDER BY n DESC, doc_id) - 1 AS r
+      FROM counted
+    ),
+    assigned AS (
+      SELECT doc_id, n,
+             CASE WHEN (r // 8) % 2 = 0 THEN r % 8 ELSE 7 - (r % 8) END
+               AS shard
+      FROM ranked
+    ),
+    per_shard AS (
+      SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n) AS BIGINT) AS sum_tokens
+      FROM assigned GROUP BY shard
+    )
+    SELECT CAST(shard AS BIGINT) AS shard, n_docs, sum_tokens,
+           CAST(sum_tokens AS DOUBLE)
+             / (CAST(sum(sum_tokens) OVER () AS DOUBLE) / 8) AS load_ratio
+    FROM per_shard
+    """,
+)
+def snake_sharding_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-balanced output sharding for training-data writers: docs
+    ranked by token count descending, then dealt to 8 shards in a SNAKE
+    (boustrophedon) pattern — 0..7, 7..0, ... — which upper-bounds shard
+    imbalance by one max-size doc without the sequential least-loaded
+    (LPT) loop. Pure modular arithmetic on the rank: deterministic,
+    SQL-expressible, and embarrassingly parallel (the only global step is
+    the rank itself — at 100 TB replace exact row_number with a
+    distributed range-partitioned sort, same assignment). Reports per-
+    shard doc/token loads and the load ratio vs the ideal 1/8."""
+    docs = load_table(spark, sf_dir, "documents")
+    n = text.token_count("text")
+    ranked = (
+        docs.select("doc_id", n.alias("n"))
+        .withColumn(
+            "r", F.row_number().over(Window.orderBy(F.desc("n"), "doc_id")) - 1
+        )
+    )
+    shard = F.when(
+        F.expr("r div 8") % 2 == 0, F.col("r") % 8
+    ).otherwise(7 - (F.col("r") % 8))
+    per_shard = (
+        ranked.withColumn("shard", shard)
+        .groupBy("shard")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n").cast("bigint").alias("sum_tokens"),
+        )
+    )
+    total = Window.partitionBy()  # 8 rows only — bounded
+    return per_shard.select(
+        F.col("shard").cast("bigint").alias("shard"),
+        "n_docs",
+        "sum_tokens",
+        (
+            F.col("sum_tokens").cast("double")
+            / (F.sum("sum_tokens").over(total).cast("double") / 8)
+        ).alias("load_ratio"),
+    )
+
+
+@query(
+    "exact_k_stratified_sample",
+    oracle="""
+    SELECT lang, doc_id, CAST(rn AS BIGINT) AS sample_rank
+    FROM (
+      SELECT lang, doc_id,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY md5('k1|' || text), doc_id) AS rn
+      FROM documents
+    ) WHERE rn <= 10
+    """,
+)
+def exact_k_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-k-per-stratum sampling (the companion to the rate-based
+    ``stratified_sample_counts``): each language keeps exactly its 10
+    lowest salted-content-hash docs. Content hashing instead of RNG makes
+    the sample identical across runs/engines/partitionings; the rank
+    window is per-stratum, so at scale this is the standard grouped top-k
+    (in-partition heap + single shuffle on the stratum key)."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.md5(F.concat(F.lit("k1|"), F.col("text")))
+    w = Window.partitionBy("lang").orderBy("_h", "doc_id")
+    return (
+        docs.select("lang", "doc_id", h.alias("_h"))
+        .withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= 10)
+        .select("lang", "doc_id", F.col("sample_rank").cast("bigint").alias("sample_rank"))
+    )
+
+
+@query(
     "equi_depth_value_bins",
     oracle="""
     WITH binned AS (
@@ -7148,6 +7250,8 @@ _PENDING_NEXT = [
     "incremental_dedup_report",  # new in round 3 (ingest dedup triage)
     "unigram_logprob_quality",  # new in round 3 (perplexity-style LM filter)
     "equi_depth_value_bins",  # new in round 3 (quantile discretizer)
+    "snake_sharding_plan",  # new in round 3 (token-balanced output shards)
+    "exact_k_stratified_sample",  # new in round 3 (exact-k per stratum)
 ]
 
 
