@@ -96,3 +96,64 @@ def node_triangle_counts(
             ).otherwise(F.lit(0.0)),
         )
     )
+
+
+def pagerank_sorted_fold(
+    edges: DataFrame,
+    a: str = "id_a",
+    b: str = "id_b",
+    iters: int = 3,
+    damping: float = 0.85,
+) -> DataFrame:
+    """PageRank over an undirected edge list — the canonical ITERATIVE
+    join-aggregate pattern on Spark (each iteration: contribution join +
+    per-node reduce; Catalyst/AQE replan each round, the rank frame stays
+    partitioned by node so only the edge join shuffles).
+
+    Determinism discipline: a node's incoming contributions are summed as
+    an explicit LEFT FOLD over the source-sorted contribution list
+    (``aggregate`` over ``sort_array(collect_list(...))``) instead of an
+    engine-ordered float sum, so every iteration's doubles are
+    bit-identical to a DuckDB twin that folds ``list(... ORDER BY src)``
+    with ``list_reduce`` — hash-exact after any number of iterations.
+    On an undirected graph every node has out-degree >= 1, so there is no
+    dangling-mass term.
+
+    Returns (node, degree, pr). Fixed ``iters`` keeps the oracle an
+    unrolled CTE; convergence looping at scale would instead check the
+    L1 delta between iterations (same plan per round).
+    """
+    und = edges.select(F.col(a).alias("src"), F.col(b).alias("dst")).unionAll(
+        edges.select(F.col(b).alias("src"), F.col(a).alias("dst"))
+    )
+    deg = und.groupBy("src").agg(F.count("*").alias("degree"))
+    n = deg.count()  # scalar fetch: node count only
+    pr = deg.select(
+        F.col("src").alias("node"), "degree", F.lit(1.0 / n).alias("pr")
+    )
+    for _ in range(iters):
+        contrib = und.join(
+            pr.withColumnRenamed("node", "src"), "src"
+        ).select(
+            F.col("dst").alias("node"),
+            F.struct(
+                F.col("src"), (F.col("pr") / F.col("degree")).alias("c")
+            ).alias("sc"),
+        )
+        folded = contrib.groupBy("node").agg(
+            F.aggregate(
+                F.transform(
+                    F.sort_array(F.collect_list("sc")), lambda x: x["c"]
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("_in")
+        )
+        pr = folded.join(deg.withColumnRenamed("src", "node"), "node").select(
+            "node",
+            "degree",
+            (F.lit((1.0 - damping) / n) + F.lit(damping) * F.col("_in")).alias(
+                "pr"
+            ),
+        )
+    return pr

@@ -3299,6 +3299,83 @@ def rrf_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PR_EDGES_SQL = """
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(generate_series(1, len(toks) - 2),
+                           i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))
+               AS shingles
+      FROM (SELECT doc_id, string_split(trim(lower(text)), ' ') AS toks
+            FROM documents WHERE length(trim(text)) > 0)
+      WHERE len(toks) >= 3
+    ),
+    edges AS (
+      SELECT a.doc_id AS ida, b.doc_id AS idb
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+            / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.5
+    ),
+    und AS (
+      SELECT ida AS a, idb AS b FROM edges
+      UNION ALL SELECT idb, ida FROM edges
+    )"""
+
+_PR_ITER_SQL = """
+    p{k} AS (
+      SELECT f.node, d.degree,
+             (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n
+               + CAST(0.85 AS DOUBLE) * f.inflow AS pr
+      FROM (
+        SELECT u.b AS node,
+               list_reduce(list(p.pr / p.degree ORDER BY u.a),
+                           (x, y) -> x + y) AS inflow
+        FROM und u JOIN p{j} p ON u.a = p.node
+        GROUP BY u.b
+      ) f JOIN deg d ON d.node = f.node CROSS JOIN nn
+    )"""
+
+
+@query(
+    "near_dup_pagerank",
+    oracle="WITH "
+    + _PR_EDGES_SQL
+    + """,
+    deg AS (SELECT a AS node, count(*) AS degree FROM und GROUP BY a),
+    nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM deg),
+    p0 AS (
+      SELECT node, degree, CAST(1.0 AS DOUBLE) / nn.n AS pr
+      FROM deg CROSS JOIN nn
+    ),"""
+    + _PR_ITER_SQL.format(k=1, j=0)
+    + ","
+    + _PR_ITER_SQL.format(k=2, j=1)
+    + ","
+    + _PR_ITER_SQL.format(k=3, j=2)
+    + """
+    SELECT node AS doc_id, CAST(degree AS BIGINT) AS degree,
+           round(pr, 8) AS pagerank
+    FROM p3
+    """,
+)
+def near_dup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (3 iterations, damping 0.85) over the exact-Jaccard
+    near-dup graph — the canonical ITERATIVE join-aggregate pattern
+    (`operators/graph.py:pagerank_sorted_fold`); high-rank nodes are the
+    template/boilerplate hubs that stitch unrelated docs into one
+    component, the next thing a curation pipeline inspects after
+    `near_dup_components`. Each iteration is one edge join + one per-node
+    reduce; the reduce is an explicit source-sorted left fold, so all
+    three iterations' doubles are bit-identical to the unrolled-CTE
+    DuckDB twin (same discipline as `unigram_logprob_quality`)."""
+    docs = load_table(spark, sf_dir, "documents")
+    edges = dedup.exact_jaccard_edges(docs, threshold=0.5).select("id_a", "id_b")
+    return graph.pagerank_sorted_fold(edges, iters=3, damping=0.85).select(
+        F.col("node").alias("doc_id"),
+        F.col("degree").cast("bigint").alias("degree"),
+        F.round("pr", 8).alias("pagerank"),
+    )
+
+
 @query(
     "snake_sharding_plan",
     oracle="""
@@ -7252,6 +7329,7 @@ _PENDING_NEXT = [
     "equi_depth_value_bins",  # new in round 3 (quantile discretizer)
     "snake_sharding_plan",  # new in round 3 (token-balanced output shards)
     "exact_k_stratified_sample",  # new in round 3 (exact-k per stratum)
+    "near_dup_pagerank",  # new in round 3 (iterative join-agg pattern)
 ]
 
 

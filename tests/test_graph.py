@@ -57,3 +57,50 @@ def test_triangle_free_graph(spark):
     pairs = [(i, (i + 1) % 5) for i in range(5)]
     rows = graph.node_triangle_counts(_edges_df(spark, pairs)).collect()
     assert all(r["n_triangles"] == 0 and r["degree"] == 2 for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# PageRank (sorted-fold iterative pattern)
+# ---------------------------------------------------------------------------
+
+
+def _naive_pagerank(pairs, iters=3, damping=0.85):
+    und = {}
+    for a, b in pairs:
+        und.setdefault(a, set()).add(b)
+        und.setdefault(b, set()).add(a)
+    n = len(und)
+    pr = {v: 1.0 / n for v in und}
+    for _ in range(iters):
+        nxt = {}
+        for v in und:
+            # source-sorted left fold, exactly like the operator
+            acc = 0.0
+            for u in sorted(u for u in und if v in und[u]):
+                acc = acc + pr[u] / len(und[u])
+            nxt[v] = (1.0 - damping) / n + damping * acc
+        pr = nxt
+    return pr
+
+
+def test_pagerank_matches_naive_fold_bitexact(spark):
+    # star (hub 0) + a pendant path: asymmetric degrees, so ranks differ
+    pairs = [(0, i) for i in range(1, 6)] + [(5, 6), (6, 7)]
+    got = {
+        r["node"]: r["pr"]
+        for r in graph.pagerank_sorted_fold(_edges_df(spark, pairs)).collect()
+    }
+    want = _naive_pagerank(pairs)
+    assert set(got) == set(want)
+    for v in want:  # bit-exact: identical fold order, identical arithmetic
+        assert got[v] == want[v], (v, got[v], want[v])
+    # hub outranks leaves
+    assert got[0] == max(got.values())
+
+
+def test_pagerank_mass_and_isolated_pair(spark):
+    # two disjoint K2s: symmetric, every node ends at exactly 1/4
+    pairs = [(1, 2), (3, 4)]
+    rows = graph.pagerank_sorted_fold(_edges_df(spark, pairs)).collect()
+    assert len(rows) == 4
+    assert all(abs(r["pr"] - 0.25) < 1e-15 for r in rows)
