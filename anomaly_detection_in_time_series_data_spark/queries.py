@@ -3518,6 +3518,83 @@ def equi_depth_value_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "hampel_filter_anomaly",
+    oracle="""
+    WITH w AS (
+      SELECT event_id, event_type, value,
+             list(value) OVER (PARTITION BY event_type
+                               ORDER BY ts, event_id
+                               ROWS BETWEEN 10 PRECEDING AND 10 FOLLOWING)
+               AS arr
+      FROM events
+    ),
+    m AS (
+      SELECT event_id, event_type, value, arr,
+             list_sort(arr)[(len(arr) + 1) // 2] AS med
+      FROM w
+    ),
+    d AS (
+      SELECT event_id, event_type, value, med,
+             list_sort(list_transform(arr, x -> abs(x - med)))
+               [(len(arr) + 1) // 2] AS mad
+      FROM m
+    )
+    SELECT event_id, event_type, value, med,
+           (mad > 0 AND abs(value - med)
+              > CAST(3.0 AS DOUBLE) * CAST(1.4826 AS DOUBLE) * mad)
+             AS is_outlier
+    FROM d
+    """,
+)
+def hampel_filter_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hampel filter — the rolling-median/MAD outlier detector that
+    completes the robust-anomaly family (global MAD, seasonal-cell MAD,
+    and now a sliding robust window): a point is flagged when it deviates
+    from its +/-10-row neighborhood median by more than 3 scaled MADs.
+    Spark has no native windowed median, so the frame is materialized as
+    a bounded 21-element array (collect_list over a ROWS frame) and the
+    median/MAD are exact ELEMENT PICKS from sorted copies — no float
+    aggregation at all, so both engines agree bit-for-bit regardless of
+    frame-collection order. State is O(frame) per row; parallelism is the
+    usual keys x time-chunks story (`anomaly.rolling_zscore_chunked`)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-10, 10)
+    )
+    mid = F.expr("(size(arr) + 1) div 2").cast("int")
+    med = F.element_at(F.array_sort("arr"), mid)
+    out = (
+        ev.select("event_id", "event_type", "value", "ts")
+        .withColumn("arr", F.collect_list("value").over(w))
+        .withColumn("med", med)
+        .withColumn(
+            "mad",
+            F.element_at(
+                F.array_sort(
+                    F.transform(F.col("arr"), lambda x: F.abs(x - F.col("med")))
+                ),
+                mid,
+            ),
+        )
+    )
+    return out.select(
+        "event_id",
+        "event_type",
+        "value",
+        "med",
+        (
+            (F.col("mad") > 0)
+            & (
+                F.abs(F.col("value") - F.col("med"))
+                > F.lit(3.0) * F.lit(1.4826) * F.col("mad")
+            )
+        ).alias("is_outlier"),
+    )
+
+
+@query(
     "unigram_logprob_quality",
     oracle="""
     WITH toks AS (
@@ -7330,6 +7407,7 @@ _PENDING_NEXT = [
     "snake_sharding_plan",  # new in round 3 (token-balanced output shards)
     "exact_k_stratified_sample",  # new in round 3 (exact-k per stratum)
     "near_dup_pagerank",  # new in round 3 (iterative join-agg pattern)
+    "hampel_filter_anomaly",  # new in round 3 (rolling median/MAD)
 ]
 
 
