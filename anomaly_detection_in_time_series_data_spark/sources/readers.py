@@ -144,3 +144,23 @@ def read_orc(spark: SparkSession, path: str) -> DataFrame:
     """ORC scan — columnar like parquet (schema from the file footer,
     predicate pushdown + column pruning native)."""
     return spark.read.orc(path)
+
+
+def read_xml(
+    spark: SparkSession,
+    path: str,
+    *,
+    row_tag: str = "row",
+    schema: T.StructType | None = None,
+) -> DataFrame:
+    """XML scan (Spark 4 native, the spark-xml lineage upstreamed): one
+    DataFrame row per ``row_tag`` element. Explicit schema preferred (same
+    schema-on-read policy as CSV/JSONL); without one Spark samples the
+    files for inference. XML rounds out the interchange formats next to
+    CSV — like CSV it is a row-tag text format with no pushdown/pruning,
+    so it stays an EDGE format: land it, convert to parquet/ORC, query
+    those."""
+    r = spark.read.format("xml").option("rowTag", row_tag)
+    if schema is not None:
+        r = r.schema(schema)
+    return r.load(path)

@@ -144,3 +144,22 @@ def write_orc(df: DataFrame, path: str, *, mode: str = "overwrite") -> None:
     """ORC write — second columnar rest format; same partitionBy/codec
     surface as parquet."""
     df.write.mode(mode).orc(path)
+
+
+def write_xml(
+    df: DataFrame,
+    path: str,
+    *,
+    mode: str = "overwrite",
+    root_tag: str = "rows",
+    row_tag: str = "row",
+) -> None:
+    """XML write (Spark 4 native) — interchange/edge format only; nested
+    structs/arrays serialize as nested elements."""
+    (
+        df.write.mode(mode)
+        .format("xml")
+        .option("rootTag", root_tag)
+        .option("rowTag", row_tag)
+        .save(path)
+    )

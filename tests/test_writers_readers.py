@@ -132,6 +132,30 @@ def test_orc_roundtrip(spark, tmp_path):
     assert back.agg({"dbl": "sum"}).collect()[0][0] == sum(i * 2 for i in range(100))
 
 
+def test_xml_roundtrip_flat_and_nested(spark, tmp_path):
+    from anomaly_detection_in_time_series_data_spark.sources.readers import read_xml
+    from anomaly_detection_in_time_series_data_spark.sources.writers import write_xml
+
+    src = spark.createDataFrame(
+        [(1, "a", (10, "x")), (2, "b", (20, "y"))],
+        "id bigint, v string, nest struct<n: bigint, s: string>",
+    )
+    path = str(tmp_path / "xml_out")
+    write_xml(src, path, row_tag="rec")
+    back = read_xml(spark, str(path), row_tag="rec")
+    rows = {r["id"]: r for r in back.collect()}
+    assert rows[1]["v"] == "a" and rows[2]["nest"]["s"] == "y"
+    # explicit-schema read (schema-on-read policy) pins types with no sampling
+    import pyspark.sql.types as T
+
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("v", T.StringType())]
+    )
+    pinned = read_xml(spark, str(path), row_tag="rec", schema=schema)
+    assert [f.dataType for f in pinned.schema.fields] == [T.LongType(), T.StringType()]
+    assert pinned.count() == 2
+
+
 def test_proto_wire_format_known_answer():
     """Hand-computed wire bytes per the protobuf spec: field1 varint ->
     0x08, field2 len-delim -> 0x12, field8 bool -> 0x40."""
