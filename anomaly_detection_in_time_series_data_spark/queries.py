@@ -3377,6 +3377,58 @@ def near_dup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "near_dup_bfs_hops",
+    oracle="WITH RECURSIVE "
+    + _PR_EDGES_SQL
+    + """,
+    seed AS (SELECT a AS s FROM und GROUP BY a ORDER BY count(*) DESC, a LIMIT 1),
+    walk(node, hop) AS (
+      SELECT s, 0 FROM seed
+      UNION ALL
+      SELECT u.b, w.hop + 1
+      FROM walk w JOIN und u ON u.a = w.node
+      WHERE w.hop < 3
+    )
+    SELECT node AS doc_id, CAST(min(hop) AS BIGINT) AS hop
+    FROM walk GROUP BY node
+    """,
+)
+def near_dup_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-depth BFS over the near-dup graph via Spark 4's NATIVE
+    recursive CTE (``WITH RECURSIVE``) — min hop distance from the
+    highest-degree node (min-id tiebreak) within 3 hops. Spark's recursion currently supports UNION ALL
+    only, so termination comes from the explicit hop cap (path
+    multiplicity is collapsed by the final ``min(hop)`` group-by — the
+    standard depth-capped frontier formulation); the unbounded-closure
+    variant remains the DataFrame loop in ``dedup.connected_components``.
+    The recursion text is the SAME SQL in both engines; only the edge
+    derivation differs (DataFrame inverted-index join vs the shingle
+    CTE)."""
+    docs = load_table(spark, sf_dir, "documents")
+    edges = dedup.exact_jaccard_edges(docs, threshold=0.5)
+    und = edges.select(
+        F.col("id_a").alias("a"), F.col("id_b").alias("b")
+    ).unionAll(edges.select(F.col("id_b").alias("a"), F.col("id_a").alias("b")))
+    und.createOrReplaceTempView("_bfs_und")
+    return spark.sql(
+        """
+        WITH RECURSIVE
+        seed AS (SELECT a AS s FROM _bfs_und
+                 GROUP BY a ORDER BY count(*) DESC, a LIMIT 1),
+        walk(node, hop) AS (
+          SELECT s, 0 FROM seed
+          UNION ALL
+          SELECT u.b, w.hop + 1
+          FROM walk w JOIN _bfs_und u ON u.a = w.node
+          WHERE w.hop < 3
+        )
+        SELECT node AS doc_id, CAST(min(hop) AS BIGINT) AS hop
+        FROM walk GROUP BY node
+        """
+    )
+
+
+@query(
     "snake_sharding_plan",
     oracle="""
     WITH counted AS (
@@ -7408,6 +7460,7 @@ _PENDING_NEXT = [
     "exact_k_stratified_sample",  # new in round 3 (exact-k per stratum)
     "near_dup_pagerank",  # new in round 3 (iterative join-agg pattern)
     "hampel_filter_anomaly",  # new in round 3 (rolling median/MAD)
+    "near_dup_bfs_hops",  # new in round 3 (native recursive CTE)
 ]
 
 
