@@ -75,6 +75,9 @@ HEADLINE = [
     "rrf_hybrid_retrieval",
     "length_bucket_padding_stats",
     "incremental_dedup_report",
+    "unigram_logprob_quality",
+    "hampel_filter_anomaly",
+    "near_dup_pagerank",
 ]
 
 
