@@ -69,3 +69,22 @@ def test_pending_rotation_list_is_consistent():
     assert not unknown, f"unknown queries in _PENDING_NEXT: {unknown}"
     no_sql = sorted(n for n in pending if n not in q.ORACLE)
     assert not no_sql, f"_PENDING_NEXT entries without oracle SQL: {no_sql}"
+
+
+def test_bench_headliners_are_registered_queries():
+    """A typo in bench.py's HEADLINE list would crash the driver's bench
+    run (KeyError at the first missing name) — fail here in seconds
+    instead."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "bench", os.path.join(os.path.dirname(__file__), "..", "bench.py")
+    )
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+    from anomaly_detection_in_time_series_data_spark.queries import QUERIES
+
+    missing = [n for n in bench.HEADLINE if n not in QUERIES]
+    assert not missing, f"bench headliners not in QUERIES: {missing}"
+    assert len(set(bench.HEADLINE)) == len(bench.HEADLINE), "duplicate headliner"
