@@ -27,6 +27,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 _DEC = "decimal(18,6)"
 
@@ -423,6 +424,7 @@ def weekly_discords(
     tiebreak_col: str = "event_id",
     m: int = 8,
     exclusion: int | None = None,
+    impl: str = "chunked",
 ) -> DataFrame:
     """Matrix-profile-style discord discovery, windowed by ISO week.
 
@@ -467,6 +469,8 @@ def weekly_discords(
         .withColumn("week", F.date_trunc("week", F.col(ts_col)))
         .select(key_col, "week", "pos", F.col(ts_col).alias("start_ts"), "arr")
     )
+    if impl == "chunked":
+        return _weekly_discords_chunked(sub, key_col=key_col, m=m, exclusion=exclusion)
     a = sub.alias("a")
     b = sub.alias("b")
     d2 = None
@@ -654,3 +658,97 @@ def global_discords_gemm(
             "profile_d2",
         )
     )
+
+
+def _weekly_discords_chunked(
+    sub: DataFrame, *, key_col: str, m: int, exclusion: int
+) -> DataFrame:
+    """Chunked numpy kernel for the per-(key, week) matrix profile.
+
+    The self-join formulation shuffles O(n_group^2) PAIR ROWS per group —
+    ~200M rows at sf0.1 and quadratic from there (measured 54s; the join
+    was the whole bench line). This kernel keeps the identical semantics
+    and bit-identical floats but does the pair work as arithmetic instead
+    of rows: each (key, week) group lands in one applyInPandas call,
+    distances accumulate over the m lag positions in the SAME
+    left-to-right order as the SQL/Column expression chain
+    ``((t1^2 + t2^2) + t3^2) ...`` (numpy float64 IEEE ops, sequential
+    loop over m, vectorized over pairs), trivial matches are masked to
+    +inf, and only the argmax row leaves the worker. Memory is bounded by
+    row-chunking the candidate axis (chunk x n doubles), the same dial as
+    ``similarity.all_pairs_cosine``'s grid. Shuffle volume: one row per
+    subsequence in, ONE ROW PER GROUP out.
+    """
+    schema = T.StructType(
+        [
+            T.StructField(key_col, T.StringType()),
+            T.StructField("week_us", T.LongType()),
+            T.StructField("discord_pos", T.LongType()),
+            T.StructField("start_us", T.LongType()),
+            T.StructField("profile_d2", T.DoubleType()),
+        ]
+    )
+
+    def one_group(pdf):
+        import numpy as np
+        import pandas as pd
+
+        pdf = pdf.sort_values("pos").reset_index(drop=True)
+        n = len(pdf)
+        vals = np.asarray([np.asarray(a, dtype=np.float64) for a in pdf["arr"]])
+        pos = pdf["pos"].to_numpy()
+        profile = np.full(n, np.inf)
+        # cache-tiled in-place accumulation: full-width chunk rows are
+        # DRAM-bandwidth-bound (every one of the m passes re-streams a
+        # rows x n buffer; measured 2.4s/group at n=4700), while a
+        # 128x1024 tile keeps the working set in cache across the m
+        # passes (0.48s/group). Neither tiling nor in-place ops change
+        # the per-pair k=0..m-1 accumulation order, so bit-parity with
+        # the SQL chain is untouched; tile mins merge via exact
+        # np.minimum (min-of-mins, order-free).
+        ti, tj = 128, 1024
+        cols = [np.ascontiguousarray(vals[:, i]) for i in range(m)]
+        t_buf = np.empty((ti, tj))
+        acc = np.empty((ti, tj))
+        for li in range(0, n, ti):
+            hi = min(li + ti, n)
+            ci = hi - li
+            prow = np.full(ci, np.inf)
+            for lj in range(0, n, tj):
+                hj = min(lj + tj, n)
+                cj = hj - lj
+                tb, ac = t_buf[:ci, :cj], acc[:ci, :cj]
+                for i in range(m):  # fixed-order accumulation == SQL chain
+                    np.subtract(
+                        cols[i][li:hi, None], cols[i][None, lj:hj], out=tb
+                    )
+                    np.multiply(tb, tb, out=tb)
+                    if i == 0:
+                        ac[:] = tb
+                    else:
+                        ac += tb
+                invalid = (
+                    np.abs(pos[li:hi, None] - pos[None, lj:hj]) < exclusion
+                )
+                ac[invalid] = np.inf
+                np.minimum(prow, ac.min(axis=1), out=prow)
+            profile[li:hi] = prow
+        ok = np.isfinite(profile)
+        if not ok.any():
+            return pd.DataFrame(columns=[f.name for f in schema.fields])
+        # argmax by (profile desc, pos asc) — exact float compare, like rn=1
+        best = max(
+            (i for i in range(n) if ok[i]), key=lambda i: (profile[i], -pos[i])
+        )
+        row = pdf.iloc[best]
+        return pd.DataFrame(
+            {
+                key_col: [row[key_col]],
+                "week_us": [int(row["week"].value // 1000)],
+                "discord_pos": [int(row["pos"])],
+                "start_us": [int(row["start_ts"].value // 1000)],
+                "profile_d2": [float(profile[best])],
+            }
+        )
+
+    return sub.groupBy(key_col, "week").applyInPandas(one_group, schema=schema)

@@ -7405,6 +7405,12 @@ _ROUND2_FRONT = [
 # Oracle-bearing queries with no driver correctness row that are NOT in the
 # current front window — rotate these to the front in round 4.  (Everything
 # else that was pending after round 2 is in _ROUND3_FRONT below.)
+#
+# ROUND-4 BUILDER: this list now exceeds the 50-query driver window. Build
+# _ROUND4_FRONT = _PENDING_NEXT[:50] (it is already priority-ordered:
+# r1 leftovers first, then round-3 families in the order they landed),
+# move the overflow to the top of the next pending list, and call
+# _rotate_front(_ROUND4_FRONT) in place of the round-3 call below.
 _PENDING_NEXT = [
     "listagg_order_priorities",
     "percentile_disc_totalprice",

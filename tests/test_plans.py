@@ -389,13 +389,23 @@ def test_cep_pattern_single_exchange_no_join(spark, sf_dir):
     assert plan.count("Exchange hashpartitioning") <= 2
 
 
-def test_weekly_discords_pairs_are_equi_join(spark, sf_dir):
-    """The O(n^2) matrix-profile pair work must be an EQUI join on
-    (key, week) — never a cartesian/nested-loop across groups."""
+def test_weekly_discords_default_is_join_free(spark, sf_dir):
+    """The default (chunked-kernel) discord path must carry NO join at
+    all — the pair work is arithmetic inside applyInPandas, one output
+    row per group — and the legacy join formulation must stay an EQUI
+    join on (key, week), never a cartesian/nested-loop."""
     df = q.QUERIES["weekly_shape_discords"](spark, sf_dir)
     plan = plans.executed_plan(df)
-    assert "CartesianProduct" not in plan
-    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Join" not in plan
+    assert "FlatMapGroupsInPandas" in plan or "ArrowEvalPython" in plan
+
+    from anomaly_detection_in_time_series_data_spark.tables import load_table
+    from anomaly_detection_in_time_series_data_spark.operators import timeseries
+
+    ev = load_table(spark, sf_dir, "events")
+    legacy = plans.executed_plan(timeseries.weekly_discords(ev, impl="join"))
+    assert "CartesianProduct" not in legacy
+    assert "BroadcastNestedLoopJoin" not in legacy
 
 
 def test_triangle_degree_joins_broadcast(spark, sf_dir):

@@ -278,6 +278,38 @@ def test_weekly_discords_finds_planted_shape(spark):
     assert week2 and all(r["profile_d2"] == 0.0 for r in week2)
 
 
+def test_weekly_discords_chunked_bitexact_vs_join(spark):
+    """The chunked numpy kernel must reproduce the self-join formulation
+    BIT-FOR-BIT (same left-to-right distance accumulation), on data with
+    ties and multiple keys/weeks."""
+    import datetime as dt
+
+    from anomaly_detection_in_time_series_data_spark.operators import timeseries
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    for k in ("a", "b"):
+        for i in range(340):  # two+ weeks hourly, irrational-ish values
+            v = float((i * 37 % 113) / 7.0) + (3.0 if k == "b" else 0.0)
+            rows.append((k, t0 + dt.timedelta(hours=i), i, v))
+    df = spark.createDataFrame(
+        rows, "event_type string, ts timestamp, event_id long, value double"
+    )
+    kw = dict(
+        key_col="event_type", ts_col="ts", value_col="value",
+        tiebreak_col="event_id", m=8,
+    )
+    fast = {
+        (r["event_type"], r["week_us"]): (r["discord_pos"], r["start_us"], r["profile_d2"])
+        for r in timeseries.weekly_discords(df, impl="chunked", **kw).collect()
+    }
+    slow = {
+        (r["event_type"], r["week_us"]): (r["discord_pos"], r["start_us"], r["profile_d2"])
+        for r in timeseries.weekly_discords(df, impl="join", **kw).collect()
+    }
+    assert fast == slow  # includes exact float equality on profile_d2
+
+
 def test_global_discords_gemm_matches_bruteforce(spark):
     """The GEMM scale path must find the identical discord position as an
     in-test numpy brute force (same z-normalization, same exclusion)."""
