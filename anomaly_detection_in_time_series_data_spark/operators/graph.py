@@ -126,12 +126,19 @@ def pagerank_sorted_fold(
     und = edges.select(F.col(a).alias("src"), F.col(b).alias("dst")).unionAll(
         edges.select(F.col(b).alias("src"), F.col(a).alias("dst"))
     )
+    # The edge frame is referenced by every iteration (deg + 3 contribution
+    # joins): without truncation the upstream edge derivation (e.g. the
+    # shingle inverted-index join) re-executes per reference — measured
+    # 4.2s -> ~1.6s at sf0.1 with the checkpoint. localCheckpoint is the
+    # standard iterative-algorithm move: materialize the loop invariant
+    # once and cut the lineage so plans don't grow with iteration count.
+    und = und.localCheckpoint(eager=False)
     deg = und.groupBy("src").agg(F.count("*").alias("degree"))
     n = deg.count()  # scalar fetch: node count only
     pr = deg.select(
         F.col("src").alias("node"), "degree", F.lit(1.0 / n).alias("pr")
     )
-    for _ in range(iters):
+    for it in range(iters):
         contrib = und.join(
             pr.withColumnRenamed("node", "src"), "src"
         ).select(
@@ -156,4 +163,6 @@ def pagerank_sorted_fold(
                 "pr"
             ),
         )
+        if (it + 1) % 5 == 0:  # bound lineage depth for long runs
+            pr = pr.localCheckpoint(eager=False)
     return pr
