@@ -3570,6 +3570,66 @@ def equi_depth_value_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "token_entropy_quality",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+      FROM documents WHERE length(trim(text)) > 0
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+    tot AS (SELECT doc_id, sum(tf) AS n FROM tf GROUP BY doc_id),
+    per_doc AS (
+      SELECT tf.doc_id,
+             CAST(t.n AS BIGINT) AS n_tokens,
+             CAST(count(*) AS BIGINT) AS n_distinct,
+             list((CAST(tf.tf AS DOUBLE) / t.n)
+                  * ln(CAST(tf.tf AS DOUBLE) / t.n)
+                  ORDER BY tf.term) AS hs
+      FROM tf JOIN tot t USING (doc_id)
+      GROUP BY tf.doc_id, t.n
+    )
+    SELECT doc_id, n_tokens, n_distinct,
+           round(-list_reduce(hs, (a, b) -> a + b), 4) AS token_entropy
+    FROM per_doc
+    """,
+)
+def token_entropy_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon token entropy per document — low-entropy docs (one phrase
+    repeated) are the spam/boilerplate end of the quality spectrum,
+    complementary to the unigram-LM score (which flags docs unlikely
+    under the CORPUS model; entropy flags docs degenerate under their OWN
+    distribution). Same determinism discipline as
+    ``unigram_logprob_quality``: -sum(p ln p) over the doc's term
+    distribution is folded left-associatively in term-sorted order in
+    both engines, bit-identical before the 4dp rounding."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (
+        docs.filter(F.length(F.trim("text")) > 0)
+        .select("doc_id", F.explode(text.tokens(F.lower(F.col("text")))).alias("term"))
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    wdoc = Window.partitionBy("doc_id")
+    p = F.col("tf").cast("double") / F.sum("tf").over(wdoc)
+    contrib = tf.withColumn("h", p * F.log(p))
+    per_doc = contrib.groupBy("doc_id").agg(
+        F.sum("tf").cast("bigint").alias("n_tokens"),
+        F.count("*").cast("bigint").alias("n_distinct"),
+        F.sort_array(F.collect_list(F.struct("term", "h"))).alias("_arr"),
+    )
+    folded = F.aggregate(
+        F.transform(F.col("_arr"), lambda x: x["h"]),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct",
+        F.round(-folded, 4).alias("token_entropy"),
+    )
+
+
+@query(
     "hampel_filter_anomaly",
     oracle="""
     WITH w AS (
@@ -7467,6 +7527,7 @@ _PENDING_NEXT = [
     "near_dup_pagerank",  # new in round 3 (iterative join-agg pattern)
     "hampel_filter_anomaly",  # new in round 3 (rolling median/MAD)
     "near_dup_bfs_hops",  # new in round 3 (native recursive CTE)
+    "token_entropy_quality",  # new in round 3 (own-distribution degeneracy)
 ]
 
 
