@@ -751,4 +751,15 @@ def _weekly_discords_chunked(
             }
         )
 
-    return sub.groupBy(key_col, "week").applyInPandas(one_group, schema=schema)
+    # The group data is tiny (~10 MB at sf0.1) but the per-group KERNEL is
+    # CPU-heavy, so AQE's size-based shuffle coalescing would fold every
+    # group into one task and serialize the kernels (measured 8.2s -> 2.3s
+    # restoring #groups-way parallelism). An explicit numbered repartition
+    # on the group keys is AQE-stable and satisfies applyInPandas's
+    # required distribution, so no second exchange is added.
+    parts = sub.sparkSession.sparkContext.defaultParallelism
+    return (
+        sub.repartition(parts, key_col, "week")
+        .groupBy(key_col, "week")
+        .applyInPandas(one_group, schema=schema)
+    )
