@@ -637,8 +637,17 @@ def global_discords_gemm(
 
     EXCLUSION = exclusion  # closure constant
 
-    per_cell = both.groupBy("_k", "_ra", "_cb").applyInPandas(
-        cell_max, schema=out_schema
+    # Explicit numbered repartition on the cell keys: the replicated frame
+    # is byte-light but every cell runs a BLAS GEMM, and AQE's size-based
+    # coalescing would fold the cells into a couple of tasks and serialize
+    # them (same lesson as _weekly_discords_chunked; measured 14.9s ->
+    # 7.8s at sf0.1). AQE preserves user-numbered repartitions, and the
+    # groupBy reuses the distribution — no second exchange.
+    parts = both.sparkSession.sparkContext.defaultParallelism
+    per_cell = (
+        both.repartition(parts, "_k", "_ra", "_cb")
+        .groupBy("_k", "_ra", "_cb")
+        .applyInPandas(cell_max, schema=out_schema)
     )
     merged = per_cell.groupBy("key", "pos").agg(
         F.max("cell_max_cos").alias("max_cos")
