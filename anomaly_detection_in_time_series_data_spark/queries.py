@@ -7315,6 +7315,79 @@ def cep_click_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "cep_abandoned_cart",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, event_type, ts, event_id,
+             min(CASE WHEN event_type = 'purchase' THEN ts END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+               AS next_purchase_ts
+      FROM events
+    ),
+    clicks AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CASE WHEN next_purchase_ts IS NOT NULL
+                       AND epoch_us(next_purchase_ts) - epoch_us(ts)
+                           <= 3600000000
+                  THEN 1 ELSE 0 END AS converted
+      FROM s WHERE event_type = 'click'
+    )
+    SELECT CAST(epoch_us(CAST(day AS TIMESTAMP)) AS BIGINT) AS day_us,
+           CAST(count(*) AS BIGINT) AS n_clicks,
+           CAST(sum(converted) AS BIGINT) AS n_converted,
+           CAST(count(*) - sum(converted) AS BIGINT) AS n_abandoned
+    FROM clicks GROUP BY day
+    """,
+)
+def cep_abandoned_cart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CEP ABSENCE detection (the `notFollowedBy` semantics of Flink CEP —
+    the pattern family the strict-contiguity matcher can't express): a
+    click is 'abandoned' when the SAME user shows NO purchase within the
+    following hour. Rather than an anti-join against the future (a
+    time-band self-join), each event carries its user's NEXT purchase
+    timestamp via a forward-looking conditional min window — one shuffle
+    to co-locate user timelines, zero joins, and the absence predicate
+    becomes a scalar comparison. All-integer outputs per day."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    next_purchase = F.min(
+        F.when(F.col("event_type") == "purchase", F.col("ts"))
+    ).over(w)
+    clicks = (
+        ev.withColumn("next_purchase_ts", next_purchase)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.to_date("ts").alias("day"),
+            F.when(
+                F.col("next_purchase_ts").isNotNull()
+                & (
+                    F.unix_micros("next_purchase_ts") - F.unix_micros("ts")
+                    <= 3_600_000_000
+                ),
+                1,
+            )
+            .otherwise(0)
+            .alias("converted"),
+        )
+    )
+    return clicks.groupBy("day").agg(
+        F.count("*").cast("bigint").alias("n_clicks"),
+        F.sum("converted").cast("bigint").alias("n_converted"),
+        (F.count("*") - F.sum("converted")).cast("bigint").alias("n_abandoned"),
+    ).select(
+        F.unix_micros(F.col("day").cast("timestamp")).alias("day_us"),
+        "n_clicks",
+        "n_converted",
+        "n_abandoned",
+    )
+
+
 # Rows-only: the per-cell GEMM reduces in BLAS order, which has no
 # bit-exact SQL twin; position-level exactness is unit-asserted against an
 # in-test numpy brute force (tests/test_timeseries.py).
@@ -7528,6 +7601,7 @@ _PENDING_NEXT = [
     "hampel_filter_anomaly",  # new in round 3 (rolling median/MAD)
     "near_dup_bfs_hops",  # new in round 3 (native recursive CTE)
     "token_entropy_quality",  # new in round 3 (own-distribution degeneracy)
+    "cep_abandoned_cart",  # new in round 3 (CEP absence / notFollowedBy)
 ]
 
 
