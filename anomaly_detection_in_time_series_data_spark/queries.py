@@ -7316,6 +7316,56 @@ def cep_click_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "journey_prefix_counts",
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id, CAST(ts AS DATE) AS day, event_type,
+             row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    paths AS (
+      SELECT user_id, day,
+             string_agg(event_type, '>' ORDER BY rn) AS path
+      FROM ranked WHERE rn <= 3 GROUP BY user_id, day
+    )
+    SELECT path,
+           CAST(count(*) AS BIGINT) AS n_user_days,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM paths GROUP BY path
+    """,
+)
+def journey_prefix_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-journey path analysis — the distribution of each user-day's
+    FIRST THREE event types as an ordered path string ('click>view>
+    purchase'), the standard entry-flow report next to the funnel and
+    cohort operators. One ranked window per (user, day), prefix rows
+    collected into a sorted array (rank order, engine-exact), then a
+    global path count — all strings and integers, nothing float."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", F.to_date("ts")).orderBy("ts", "event_id")
+    ranked = ev.select(
+        "user_id",
+        F.to_date("ts").alias("day"),
+        "event_type",
+        F.row_number().over(w).alias("rn"),
+    ).filter(F.col("rn") <= 3)
+    paths = ranked.groupBy("user_id", "day").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("rn", "event_type"))),
+                lambda x: x["event_type"],
+            ),
+            ">",
+        ).alias("path")
+    )
+    return paths.groupBy("path").agg(
+        F.count("*").cast("bigint").alias("n_user_days"),
+        F.count_distinct("user_id").cast("bigint").alias("n_users"),
+    )
+
+
+@query(
     "cep_abandoned_cart",
     oracle="""
     WITH s AS (
@@ -7602,6 +7652,7 @@ _PENDING_NEXT = [
     "near_dup_bfs_hops",  # new in round 3 (native recursive CTE)
     "token_entropy_quality",  # new in round 3 (own-distribution degeneracy)
     "cep_abandoned_cart",  # new in round 3 (CEP absence / notFollowedBy)
+    "journey_prefix_counts",  # new in round 3 (entry-flow path analysis)
 ]
 
 
