@@ -27,6 +27,17 @@ from .text import tokens
 _MERSENNE_P = (1 << 31) - 1
 
 
+def md5_long(col: F.Column, nchars: int = 15) -> F.Column:
+    """Engine-portable bigint hash: the first ``nchars`` hex chars of md5
+    read as a base-16 integer. Bit-identical in any engine with a standard
+    md5 (DuckDB twin: ``('0x' || substr(md5(x),1,nchars))::BIGINT``), which
+    is what makes the ``portable=True`` minhash/simhash paths fully
+    oracle-checkable. ``nchars<=15`` (60 bits) keeps the value positive and
+    inside a signed bigint everywhere. md5 costs ~3-4x xxhash64 per call,
+    so the xxhash64 paths stay the at-scale default."""
+    return F.conv(F.substring(F.md5(col), 1, nchars), 16, 10).cast("long")
+
+
 def with_content_hash(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Exact-dup key: md5 of whitespace-normalized lowercased text."""
     return df.withColumn(
@@ -134,6 +145,7 @@ def minhash_signature(
     text_col: str = "text",
     num_hashes: int = 64,
     shingle_n: int = 3,
+    portable: bool = False,
 ) -> DataFrame:
     """(id, signature: array<bigint>) — minhash over word shingles.
 
@@ -147,10 +159,19 @@ def minhash_signature(
 
     Documents with no shingles (fewer than ``shingle_n`` tokens) produce no
     signature row — they can have no LSH candidates.
+
+    ``portable=True`` swaps the per-shingle xxhash64 for the md5-derived
+    ``md5_long`` so the whole signature is reproducible in any engine
+    (DuckDB oracle parity); the xxhash64 default stays the scale path
+    (cheaper hash, same algorithm — both modes share the planted-recall
+    unit tests).
     """
     exploded = _explode_shingles(df, id_col, text_col, shingle_n)
+    sh_hash = (
+        md5_long(F.col("_sh"), 8) if portable else F.xxhash64("_sh")
+    )
     hashed = exploded.select(
-        id_col, F.pmod(F.xxhash64("_sh"), F.lit(_MERSENNE_P)).alias("_h")
+        id_col, F.pmod(sh_hash, F.lit(_MERSENNE_P)).alias("_h")
     )
     aggs = [
         F.min(F.pmod(F.col("_h") * F.lit(a) + F.lit(b), F.lit(_MERSENNE_P))).alias(
@@ -175,28 +196,35 @@ def lsh_candidate_pairs(
     num_hashes: int = 64,
     bands: int = 16,
     shingle_n: int = 3,
+    portable: bool = False,
 ) -> DataFrame:
     """MinHash-LSH candidate pairs: (id_a, id_b) with id_a < id_b.
 
     Band i hashes signature[i*r:(i+1)*r] into a bucket key; docs sharing any
     (band, bucket) are candidates. The self-join is an equi-join on the
     bucket key — linear in bucket sizes, never all-pairs.
+
+    ``portable=True`` derives the bucket from md5 of the comma-joined band
+    slice (still an 8-byte bigint key) and a portable signature, making the
+    entire candidate set reproducible in DuckDB for oracle checking.
     """
     rows_per_band = num_hashes // bands
-    sig = minhash_signature(df, id_col, text_col, num_hashes, shingle_n)
-    # Bucket key is xxhash64 over the band's signature slice: a single
-    # 8-byte long (vs a 32-char md5 hex string) — cheaper to compute and a
-    # 4x narrower shuffle/join key. A 64-bit collision only creates a
-    # spurious candidate, which the exact-Jaccard verify then rejects.
+    sig = minhash_signature(df, id_col, text_col, num_hashes, shingle_n, portable)
+    # Bucket key is a single 8-byte long (vs a 32-char md5 hex string) —
+    # cheaper to compute and a 4x narrower shuffle/join key. A 64-bit (or
+    # 60-bit portable) collision only creates a spurious candidate, which
+    # the exact-Jaccard verify then rejects.
+    def _bucket(b: int) -> F.Column:
+        cols = [
+            F.col("signature")[b * rows_per_band + r] for r in range(rows_per_band)
+        ]
+        if portable:
+            return md5_long(F.concat_ws(",", *[c.cast("string") for c in cols]), 15)
+        return F.xxhash64(*cols)
+
     band_structs = F.array(
         *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.xxhash64(*[
-                    F.col("signature")[b * rows_per_band + r]
-                    for r in range(rows_per_band)
-                ]).alias("bucket"),
-            )
+            F.struct(F.lit(b).alias("band"), _bucket(b).alias("bucket"))
             for b in range(bands)
         ]
     )
@@ -339,6 +367,7 @@ def simhash_signatures(
     id_col: str = "doc_id",
     text_col: str = "text",
     shingle_n: int = 2,
+    portable: bool = False,
 ) -> DataFrame:
     """(id, simhash: bigint) — the scale formulation of ``simhash64``.
 
@@ -347,11 +376,20 @@ def simhash_signatures(
     column-expression variant (``simhash64``) nests 64 aggregate() calls and
     pays a large codegen cost; this shape is linear work per shingle and one
     narrow shuffle row per document. Documents with no shingles get simhash 0.
+
+    ``portable=True`` is a 60-bit SimHash over the md5-derived
+    ``md5_long`` shingle hash (bits 0..59, all values positive): every
+    operation — hash, bit tests, reassembly, xor/bit_count hamming — is
+    then reproducible in DuckDB, so the signatures and near-pair results
+    are oracle-checkable. 60 vs 64 bits costs <7% hamming resolution; the
+    banding pigeonhole (4 bands, hamming<=3) is unchanged.
     """
+    nbits = 60 if portable else 64
     exploded = _explode_shingles(df, id_col, text_col, shingle_n)
-    hashed = exploded.select(id_col, F.xxhash64("_sh").alias("_h"))
+    sh_hash = md5_long(F.col("_sh"), 15) if portable else F.xxhash64("_sh")
+    hashed = exploded.select(id_col, sh_hash.alias("_h"))
     aggs = []
-    for bit in range(64):
+    for bit in range(nbits):
         mask = (1 << bit) if bit < 63 else -(1 << 63)
         aggs.append(
             F.sum(
@@ -361,7 +399,7 @@ def simhash_signatures(
         )
     summed = hashed.groupBy(id_col).agg(*aggs)
     total = F.lit(0).cast("long")
-    for bit in range(64):
+    for bit in range(nbits):
         mask = (1 << bit) if bit < 63 else -(1 << 63)
         total = total.bitwiseOR(
             F.when(F.col(f"_b{bit}") > 0, F.lit(mask).cast("long")).otherwise(
@@ -380,14 +418,21 @@ def simhash_near_pairs(
     max_hamming: int = 3,
     shingle_n: int = 2,
     prefix_bits: int = 16,
+    portable: bool = False,
 ) -> DataFrame:
     """Near-dup pairs by SimHash: block on each of 4 16-bit bands (two docs
     within hamming distance 3 of each other share at least one identical
     band by pigeonhole), then verify exact hamming distance via bit_count.
     Candidate generation is equi-join on (band_index, band_value) — never
-    all-pairs."""
-    sigs = simhash_signatures(df, id_col, text_col, shingle_n)
-    n_bands = 64 // prefix_bits
+    all-pairs.
+
+    ``portable=True`` uses the 60-bit portable signature with 4 bands of
+    15 bits (same pigeonhole guarantee at hamming<=3) so the pair set is
+    DuckDB-reproducible."""
+    if portable and prefix_bits == 16:
+        prefix_bits = 15
+    sigs = simhash_signatures(df, id_col, text_col, shingle_n, portable)
+    n_bands = (60 if portable else 64) // prefix_bits
     bands = F.array(
         *[
             F.struct(

@@ -135,6 +135,14 @@ def pagerank_sorted_fold(
     und = und.localCheckpoint(eager=False)
     deg = und.groupBy("src").agg(F.count("*").alias("degree"))
     n = deg.count()  # scalar fetch: node count only
+    if n == 0:
+        # empty graph (e.g. no near-dup pairs above threshold): return an
+        # empty (node, degree, pr) frame instead of dividing by zero
+        return deg.select(
+            F.col("src").alias("node"),
+            "degree",
+            F.lit(0.0).alias("pr"),
+        )
     pr = deg.select(
         F.col("src").alias("node"), "degree", F.lit(1.0 / n).alias("pr")
     )

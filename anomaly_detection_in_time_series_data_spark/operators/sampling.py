@@ -132,7 +132,16 @@ def contrastive_pairs(
     )
     gh = F.md5(F.concat(F.lit("neg|"), F.col(id_col).cast("string")))
     base = df.select(label_col, id_col, gh.alias("_h"))
-    g1 = base.orderBy("_h", id_col).limit(1).collect()[0]
+    g1_rows = base.orderBy("_h", id_col).limit(1).collect()
+    if not g1_rows:
+        # empty input: no anchors exist either -> empty result frame
+        return anchors.select(
+            label_col,
+            F.col("anchor_id").cast("bigint").alias("anchor_id"),
+            F.col("positive_id").cast("bigint").alias("positive_id"),
+            F.lit(None).cast("bigint").alias("negative_id"),
+        )
+    g1 = g1_rows[0]
     g2_rows = (
         base.filter(F.col(label_col) != g1[label_col])
         .orderBy("_h", id_col)

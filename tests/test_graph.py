@@ -104,3 +104,21 @@ def test_pagerank_mass_and_isolated_pair(spark):
     rows = graph.pagerank_sorted_fold(_edges_df(spark, pairs)).collect()
     assert len(rows) == 4
     assert all(abs(r["pr"] - 0.25) < 1e-15 for r in rows)
+
+
+def test_pagerank_empty_edges_returns_empty(spark):
+    # ADVICE r3: an empty near-dup graph must yield an empty frame, not
+    # ZeroDivisionError from 1/n
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    out = graph.pagerank_sorted_fold(empty)
+    assert out.columns == ["node", "degree", "pr"]
+    assert out.count() == 0
+
+
+def test_pagerank_iters5_checkpoint_branch(spark):
+    # exercises the (it+1) % 5 == 0 lineage-bounding localCheckpoint branch
+    # (dead at the default iters=3); mass is conserved regardless
+    pairs = [(0, i) for i in range(1, 5)] + [(4, 5)]
+    rows = graph.pagerank_sorted_fold(_edges_df(spark, pairs), iters=5).collect()
+    assert len(rows) == 6
+    assert abs(sum(r["pr"] for r in rows) - 1.0) < 1e-9

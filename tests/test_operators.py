@@ -610,3 +610,12 @@ def test_contrastive_pairs_single_label_yields_null_negative(spark):
     df = spark.createDataFrame([("only", i) for i in range(4)], ["label", "vec_id"])
     rows = sampling.contrastive_pairs(df, "label", "vec_id").collect()
     assert len(rows) == 1 and rows[0]["negative_id"] is None
+
+
+def test_contrastive_pairs_empty_input_yields_empty(spark):
+    # ADVICE r3: empty input must return an empty frame, not IndexError
+    # from the global-negative collect
+    df = spark.createDataFrame([], "label string, vec_id long")
+    out = sampling.contrastive_pairs(df, "label", "vec_id")
+    assert out.columns == ["label", "anchor_id", "positive_id", "negative_id"]
+    assert out.count() == 0
