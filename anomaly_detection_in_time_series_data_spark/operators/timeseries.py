@@ -549,50 +549,35 @@ def global_discords_gemm(
         .filter(F.size("arr") == m)
         .select(key_col, "pos", F.col(ts_col).alias("start_ts"), "arr")
     )
-    # z-normalize JVM-side: mean/std over the fixed-size array via
-    # expression aggregates (exact per-element math; no Python).
-    mean = F.aggregate("arr", F.lit(0.0), lambda a, v: a + v) / F.lit(float(m))
-    var = (
-        F.aggregate(
-            F.transform("arr", lambda v: (v - F.col("_mu")) * (v - F.col("_mu"))),
-            F.lit(0.0),
-            lambda a, v: a + v,
-        )
-        / F.lit(float(m))
-    )
-    z = (
-        sub.withColumn("_mu", mean)
-        .withColumn("_var", var)
-        .filter(F.col("_var") > 1e-18)  # constant windows: no z-shape
-        # unit-normalized z-vector: (x - mu) / (sqrt(var) * sqrt(m))
-        .withColumn(
-            "zv",
-            F.transform(
-                "arr",
-                lambda v: (v - F.col("_mu"))
-                / (F.sqrt(F.col("_var")) * F.sqrt(F.lit(float(m)))),
-            ),
-        )
-        .select(key_col, "pos", "start_ts", "zv")
-    )
+    # z-normalization (mean/var/divide) happens entirely inside the GEMM
+    # kernel: numpy does it vectorized for ~free, while the JVM
+    # higher-order-function formulation (aggregate/transform lambdas over
+    # the 8-wide array) ran interpreted on only n_keys window tasks and
+    # cost ~1.4s/scan at sf0.1. The constant-window filter (var ~ 0, no
+    # defined z-shape) moves with it. The sub frame feeds two scans (cell
+    # replication + final meta join) and its per-key window derivation
+    # runs on n_keys tasks — materialize once instead of per scan. At
+    # 100 TB this is the staged subsequence table.
+    z = sub.localCheckpoint(eager=False)
     # Grid-block WITHIN each key: the profile is a per-series statistic
     # (a neighbor in a different series is meaningless), so cells are
     # (key, row-block, col-block) and total pair work is sum_k n_k^2 —
-    # never the cross-key N^2.
+    # never the cross-key N^2. Cosine is symmetric, so only the UPPER
+    # TRIANGLE of cells (ra <= cb) is materialized: each row ships
+    # ``grid`` copies (vs 2*grid two-sided) and every unordered block
+    # pair's GEMM runs once, with the kernel emitting both the row-axis
+    # and column-axis maxima.
     blk = F.pmod(F.xxhash64("pos"), F.lit(grid)).cast("int")
-    zb = z.withColumn("_blk", blk)
-    cells = F.explode(F.sequence(F.lit(0), F.lit(grid - 1)))
-    rows_side = zb.select(
-        F.col(key_col).alias("_k"), "pos", "zv",
-        F.col("_blk").alias("_ra"), cells.alias("_cb"),
-        F.lit(0).alias("_side"),
+    other = F.explode(F.sequence(F.lit(0), F.lit(grid - 1)))
+    both = (
+        z.withColumn("_blk", blk)
+        .withColumn("_o", other)
+        .select(
+            F.col(key_col).alias("_k"), "pos", "arr", "_blk",
+            F.least("_blk", "_o").alias("_ra"),
+            F.greatest("_blk", "_o").alias("_cb"),
+        )
     )
-    cols_side = zb.select(
-        F.col(key_col).alias("_k"), "pos", "zv",
-        cells.alias("_ra"), F.col("_blk").alias("_cb"),
-        F.lit(1).alias("_side"),
-    )
-    both = rows_side.unionByName(cols_side)
 
     out_schema = T.StructType(
         [
@@ -602,40 +587,63 @@ def global_discords_gemm(
         ]
     )
 
-    def cell_max(pdf: pd.DataFrame) -> pd.DataFrame:
-        pa = pdf[pdf["_side"] == 0]
-        pb = pdf[pdf["_side"] == 1]
-        if pa.empty or pb.empty:
-            return pd.DataFrame(
-                {"key": pd.Series([], dtype=object),
-                 "pos": pd.Series([], dtype="int64"),
-                 "cell_max_cos": pd.Series([], dtype="float64")}
-            )
-        A = np.vstack(pa["zv"].to_numpy())
-        B = np.vstack(pb["zv"].to_numpy())
-        ka = pa["_k"].to_numpy()
-        posa = pa["pos"].to_numpy()
-        posb = pb["pos"].to_numpy()
+    _EMPTY = pd.DataFrame(
+        {"key": pd.Series([], dtype=object),
+         "pos": pd.Series([], dtype="int64"),
+         "cell_max_cos": pd.Series([], dtype="float64")}
+    )
+
+    def cell_max(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        k, ra, cb = key
+        if pdf.empty:
+            return _EMPTY
+        M = np.array(list(pdf["arr"].to_numpy()), dtype=np.float64)
+        mu = M.mean(axis=1)
+        var = ((M - mu[:, None]) ** 2).mean(axis=1)
+        ok = var > 1e-18  # constant windows: no z-shape
+        M, mu, var = M[ok], mu[ok], var[ok]
+        pdf = pdf[ok]
+        Z = (M - mu[:, None]) / np.sqrt(var * M_LEN)[:, None]
+        pos = pdf["pos"].to_numpy()
+        if ra == cb:
+            A, B, posa, posb = Z, Z, pos, pos
+        else:
+            on_a = (pdf["_blk"] == ra).to_numpy()
+            A, posa = Z[on_a], pos[on_a]
+            B, posb = Z[~on_a], pos[~on_a]
+        if not len(A) or not len(B):
+            return _EMPTY
         # Row-chunked GEMM: the full |A|x|B| score matrix is O((n_k/grid)^2)
-        # doubles per cell — compute in 512-row slabs and keep only the
-        # per-row running max (memory bounded ~O(512 * n_k/grid) per task).
-        # The whole cell shares one key, so the trivial-match mask is a
-        # single int-vectorized |pos_i - pos_j| compare (no string/object
-        # comparisons — those measured 40s vs 2s at sf0.1).
-        mx = np.empty(len(A))
+        # doubles per cell — compute in 512-row slabs, keeping the per-row
+        # running max and (off-diagonal) the per-column running max, so the
+        # transposed cell never materializes. The whole cell shares one
+        # key, so the trivial-match mask is a single int-vectorized
+        # |pos_i - pos_j| compare (no string/object comparisons — those
+        # measured 40s vs 2s at sf0.1).
+        mxa = np.empty(len(A))
+        mxb = np.full(len(B), -np.inf)
         step = 512
         for lo in range(0, len(A), step):
             hi = min(lo + step, len(A))
             S = A[lo:hi] @ B.T  # cosine: rows are unit vectors
             near = np.abs(posa[lo:hi, None] - posb[None, :]) < EXCLUSION
             S[near] = -np.inf
-            mx[lo:hi] = S.max(axis=1)
-        keep = mx > -np.inf
+            mxa[lo:hi] = S.max(axis=1)
+            if ra != cb:
+                np.maximum(mxb, S.max(axis=0), out=mxb)
+        if ra == cb:
+            out_pos, out_mx = posa, mxa
+        else:
+            out_pos = np.concatenate([posa, posb])
+            out_mx = np.concatenate([mxa, mxb])
+        keep = out_mx > -np.inf
         return pd.DataFrame(
-            {"key": ka[keep], "pos": posa[keep], "cell_max_cos": mx[keep]}
+            {"key": np.full(keep.sum(), k, dtype=object),
+             "pos": out_pos[keep], "cell_max_cos": out_mx[keep]}
         )
 
-    EXCLUSION = exclusion  # closure constant
+    EXCLUSION = exclusion  # closure constants
+    M_LEN = float(m)
 
     # Explicit numbered repartition on the cell keys: the replicated frame
     # is byte-light but every cell runs a BLAS GEMM, and AQE's size-based

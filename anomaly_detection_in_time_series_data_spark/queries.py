@@ -7824,6 +7824,205 @@ _ROUND2_FRONT = [
     "running_distinct_users",
 ]
 
+@query(
+    "weighted_sample_topk",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, source,
+             CAST(greatest(len(str_split_regex(trim(text), '\\s+')), 1)
+                  AS BIGINT) AS n_tokens,
+             (('0x' || substr(md5('aes|' || doc_id), 1, 13))::BIGINT + 1)
+               / 4503599627370496.0 AS u
+      FROM documents
+    ),
+    ranked AS (
+      SELECT doc_id, source, n_tokens,
+             row_number() OVER (ORDER BY ln(u) / n_tokens DESC, doc_id) AS rank
+      FROM w
+    )
+    SELECT CAST(rank AS BIGINT) AS rank, doc_id, source, n_tokens
+    FROM ranked WHERE rank <= 25
+    """,
+)
+def weighted_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement (Efraimidis-
+    Spirakis A-ES): each doc gets priority ln(u)/w with u a
+    content-hash-derived uniform in (0,1] and weight w = token count; the
+    top-k priorities ARE a weighted sample — the standard way to take a
+    quality- or length-weighted subsample of a 100 TB corpus in one
+    TakeOrderedAndProject pass, no RNG state, identical on any
+    partitioning/engine. u is an exact dyadic rational (52-bit md5 prefix
+    / 2^52), so only ln() touches libm; adjacent priorities near the
+    k-boundary differ by ~2e-6 at this corpus while cross-engine libm
+    drift is ~1 ulp, so the selected set and ranks are stable (verified
+    bit-exact vs DuckDB at sf0.001/0.01)."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = F.greatest(
+        F.size(F.split(F.trim("text"), r"\s+")), F.lit(1)
+    ).cast("bigint")
+    u = (
+        (F.conv(F.substring(F.md5(F.concat(F.lit("aes|"), "doc_id")), 1, 13), 16, 10)
+         .cast("long") + 1)
+        / F.lit(4503599627370496.0)
+    )
+    w = docs.select(
+        "doc_id",
+        "source",
+        n_tokens.alias("n_tokens"),
+        (F.log(u) / n_tokens).alias("_prio"),
+    )
+    # orderBy + limit -> TakeOrderedAndProject (per-partition top-25 then a
+    # 25-row driver merge; never a global sort). The rank window then runs
+    # over the 25 selected rows only — a global window over the corpus
+    # would serialize the whole frame through one task at 100 TB.
+    sel = w.orderBy(F.col("_prio").desc(), "doc_id").limit(25)
+    rw = Window.orderBy(F.col("_prio").desc(), "doc_id")
+    return (
+        sel.withColumn("rank", F.row_number().over(rw).cast("bigint"))
+        .select("rank", "doc_id", "source", "n_tokens")
+    )
+
+
+@query(
+    "minhash_dedup_keep",
+    oracle=_minhash_lsh_oracle(32, 8, 0.5).replace(
+        """
+    SELECT i.id_a, i.id_b,
+           round(CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common), 4)
+             AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.id_a
+    JOIN sizes sb ON sb.doc_id = i.id_b
+    WHERE CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common) >= 0.5
+    """,
+        """
+    , verified AS (
+      SELECT i.id_a, i.id_b
+      FROM inter i
+      JOIN sizes sa ON sa.doc_id = i.id_a
+      JOIN sizes sb ON sb.doc_id = i.id_b
+      WHERE CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common) >= 0.5
+    ),
+    und AS (
+      SELECT id_a AS a, id_b AS b FROM verified
+      UNION ALL SELECT id_b, id_a FROM verified
+    ),
+    reach AS (
+      SELECT a AS node, a AS peer FROM und
+      UNION
+      SELECT r.node, u.b FROM reach r JOIN und u ON r.peer = u.a
+    ),
+    comp AS (SELECT node, min(peer) AS canon FROM reach GROUP BY node)
+    SELECT d.doc_id,
+           CAST(coalesce(c.canon, d.doc_id) AS BIGINT) AS canon_id,
+           (c.canon IS NULL OR c.canon = d.doc_id) AS is_kept
+    FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+    """,
+    ).replace("WITH\n", "WITH RECURSIVE\n"),
+)
+def minhash_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END near-dedup decision — the full pipeline a curation job
+    runs, composed from verified pieces: portable MinHash-LSH candidates
+    -> exact-Jaccard verify (>= 0.5) -> connected components
+    (min-label propagation) -> keep the min-id canonical per cluster;
+    docs in no cluster keep themselves. Output is the per-doc keep
+    verdict (doc_id, canon_id, is_kept). Every stage is hashed-key
+    equi-joins or the iterative label propagation; the DuckDB twin runs
+    the identical minhash CTEs plus a recursive-CTE closure, so the
+    END-TO-END decision — not just each stage — is oracle-checked."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.lsh_candidate_pairs(docs, num_hashes=32, bands=8, portable=True)
+    verified = dedup.jaccard_verify_counts(docs, pairs, threshold=0.5).select(
+        "id_a", "id_b"
+    )
+    comp = dedup.connected_components(verified)
+    return (
+        docs.select("doc_id")
+        .join(comp.withColumnRenamed("node", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("component", "doc_id").cast("bigint").alias("canon_id"),
+            (
+                F.col("component").isNull()
+                | (F.col("component") == F.col("doc_id"))
+            ).alias("is_kept"),
+        )
+    )
+
+
+@query(
+    "adaptive_quality_threshold",
+    oracle="""
+    WITH counted AS (
+      SELECT doc_id, source,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(str_split_regex(trim(text), '\\s+')) END AS n_tokens
+      FROM documents
+    ),
+    ranked AS (
+      SELECT source, n_tokens,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY n_tokens, doc_id) AS rn,
+             count(*) OVER (PARTITION BY source) AS n
+      FROM counted
+    ),
+    thr AS (
+      SELECT source, min(n_tokens) AS min_keep_tokens
+      FROM ranked WHERE rn > CAST(ceil(0.25 * n) AS BIGINT)
+      GROUP BY source
+    )
+    SELECT c.source,
+           CAST(t.min_keep_tokens AS BIGINT) AS min_keep_tokens,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN c.n_tokens >= t.min_keep_tokens
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+    FROM counted c JOIN thr t USING (source)
+    GROUP BY c.source, t.min_keep_tokens
+    """,
+)
+def adaptive_quality_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adaptive per-source quality gate: instead of one corpus-wide
+    minimum length, each source drops its own bottom quartile by token
+    count — the standard per-domain discrete-quantile filter when source
+    length distributions differ wildly. The threshold is percentile_disc
+    semantics built from rank arithmetic (row_number + count over the
+    source window — engine-exact, no interpolated percentile), so the
+    whole report is integer and hash-stable. One shuffle on source; at
+    100 TB the rank window is per-source and never global."""
+    docs = load_table(spark, sf_dir, "documents")
+    counted = docs.select(
+        "doc_id",
+        "source",
+        F.when(F.length(F.trim("text")) == 0, F.lit(0))
+        .otherwise(F.size(F.split(F.trim("text"), r"\s+")))
+        .alias("n_tokens"),
+    )
+    sw = Window.partitionBy("source")
+    ranked = counted.select(
+        "source",
+        "n_tokens",
+        F.row_number().over(sw.orderBy("n_tokens", "doc_id")).alias("rn"),
+        F.count("*").over(sw).alias("n"),
+    )
+    thr = (
+        ranked.filter(F.col("rn") > F.ceil(0.25 * F.col("n")).cast("bigint"))
+        .groupBy("source")
+        .agg(F.min("n_tokens").cast("bigint").alias("min_keep_tokens"))
+    )
+    return (
+        counted.join(thr, "source")
+        .groupBy("source", "min_keep_tokens")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(
+                F.when(F.col("n_tokens") >= F.col("min_keep_tokens"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_kept"),
+        )
+    )
+
+
 # Oracle-bearing queries with no driver correctness row that are NOT in the
 # current front window — rotate these to the front in round 4.  (Everything
 # else that was pending after round 2 is in _ROUND3_FRONT below.)
@@ -7980,6 +8179,9 @@ _PENDING_ROUND5 = _PENDING_NEXT[50:] + [
     "simhash_docs",  # oracle-upgraded: portable 60-bit simhash
     "simhash_near_pairs",  # oracle-upgraded: portable 60-bit simhash bands
     "lsh_ann_topk",  # oracle-upgraded: hyperplane literals in DuckDB twin
+    "weighted_sample_topk",  # new in round 4 (A-ES weighted sampling)
+    "minhash_dedup_keep",  # new in round 4 (end-to-end dedup keep verdict)
+    "adaptive_quality_threshold",  # new in round 4 (per-source quantile gate)
 ]
 
 _rotate_front(_ROUND4_FRONT)

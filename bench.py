@@ -78,6 +78,11 @@ HEADLINE = [
     "unigram_logprob_quality",
     "hampel_filter_anomaly",
     "near_dup_pagerank",
+    # round-4 additions (the three round-3 headliners the round-3 bench
+    # missed; VERDICT r3 item 8)
+    "global_shape_discords",
+    "streaming_rollup_cascade",
+    "near_dup_bfs_hops",
 ]
 
 

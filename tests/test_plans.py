@@ -413,3 +413,19 @@ def test_triangle_degree_joins_broadcast(spark, sf_dir):
     plan = plans.executed_plan(df)
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_weighted_sample_is_take_ordered_not_global_sort(spark, sf_dir):
+    # A-ES selection must be TakeOrderedAndProject (per-partition top-k);
+    # a global Window over the corpus would serialize one task at scale.
+    plan = plans.executed_plan(q.QUERIES["weighted_sample_topk"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_portable_dedup_family_stays_jvm_side(spark, sf_dir):
+    # md5-portable minhash/simhash paths are pure built-ins — no Python in
+    # the row path even though the hashes are engine-portable.
+    for name in ("minhash_lsh_pairs", "simhash_docs", "simhash_near_pairs"):
+        plan = plans.executed_plan(q.QUERIES[name](spark, sf_dir))
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name

@@ -258,3 +258,61 @@ def test_parquet_schema_evolution_merge_on_read(spark, tmp_path):
     old = df.filter("p = 1")
     assert old.filter(F.col("b").isNull()).count() == 10
     assert df.filter("p = 2").filter(F.col("b") == "new").count() == 10
+
+
+def test_proto_routes_sharded_write_matches_single_blob(spark, tmp_path):
+    """W5 scale fix (VERDICT r3): executor-side size-capped shards whose
+    concatenated decode equals the single-message decode, and the
+    driver-collect path refuses frames above its row gate."""
+    import pytest
+
+    from anomaly_detection_in_time_series_data_spark.sources.proto_routes import (
+        decode_routes,
+        routes_to_proto_bytes,
+        write_routes_proto_shards,
+    )
+
+    rows = [
+        {
+            "route": {
+                "airline": {"airline_id": i, "name": f"A{i}", "active": i % 2 == 0},
+                "src_airport": {"airport_id": i, "name": f"S{i}",
+                                "latitude": 1.0 + i, "longitude": 2.0 + i},
+                "dst_airport": {"airport_id": i + 1, "name": f"D{i}",
+                                "latitude": 3.0 + i, "longitude": 4.0 + i},
+                "codeshare": False,
+                "stops": i % 3,
+                "equipment": [f"E{i}"],
+            }
+        }
+        for i in range(20)
+    ]
+    schema = (
+        "route struct<"
+        "airline: struct<airline_id: int, name: string, active: boolean>, "
+        "src_airport: struct<airport_id: int, name: string, latitude: double, "
+        "longitude: double>, "
+        "dst_airport: struct<airport_id: int, name: string, latitude: double, "
+        "longitude: double>, "
+        "codeshare: boolean, stops: int, equipment: array<string>>"
+    )
+    df = spark.createDataFrame(rows, schema).repartition(3)
+    blob = routes_to_proto_bytes(df)
+
+    out = tmp_path / "shards"
+    # ~70-byte records + a 150-byte cap -> every partition rolls shards
+    meta = write_routes_proto_shards(df, str(out), max_shard_bytes=150)
+    assert len(meta) > 3, "cap did not force multiple shards per partition"
+    assert sum(m["n_rows"] for m in meta) == 20
+    concat = b"".join(open(m["path"], "rb").read() for m in sorted(
+        meta, key=lambda m: m["path"]
+    ))
+    assert sum(m["n_bytes"] for m in meta) == len(concat) == len(blob)
+    # decode equivalence is order-insensitive by route identity
+    key = lambda r: r["airline"]["airline_id"]  # noqa: E731
+    assert sorted(decode_routes(concat), key=key) == sorted(
+        decode_routes(blob), key=key
+    )
+
+    with pytest.raises(ValueError, match="max_rows"):
+        routes_to_proto_bytes(df, max_rows=5)
