@@ -1717,7 +1717,15 @@ def histogram_rarity_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF coarse-quantizer ANN (KMeans cells + nprobe search); the second
     scale path next to lsh_ann_topk. Recall vs brute force asserted in
-    tests."""
+    tests.
+
+    No oracle BY DESIGN: the coarse quantizer is MLlib KMeans — an
+    iterative solver whose centroids depend on BLAS reduction order, so no
+    SQL twin can reproduce the cell assignment (unlike lsh_ann_topk, whose
+    deterministic hyperplanes made it oracle-checkable in round 4). The
+    driver records a rows-only check; correctness lives in the recall
+    unit test plus the shared cosine re-rank path that similarity_topk
+    verifies bit-exactly."""
     emb = load_table(spark, sf_dir, "embeddings")
     probes = emb.filter(F.col("vec_id") < 20)
     res = similarity.ivf_topk(emb, probes, k=5, nlist=16, nprobe=4)
@@ -8023,6 +8031,123 @@ def adaptive_quality_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "bpe_merge_candidates",
+    oracle="""
+    WITH words AS (
+      SELECT word, CAST(count(*) AS BIGINT) AS freq
+      FROM (
+        SELECT unnest(str_split_regex(trim(lower(text)), '\\s+')) AS word
+        FROM documents WHERE length(trim(text)) > 0
+      ) WHERE length(word) >= 2
+      GROUP BY word
+    ),
+    pairs AS (
+      SELECT substr(word, i, 2) AS pair, freq
+      FROM words, unnest(generate_series(1, length(word) - 1)) AS t(i)
+    )
+    SELECT pair, CAST(sum(freq) AS BIGINT) AS n
+    FROM pairs GROUP BY pair
+    ORDER BY n DESC, pair LIMIT 20
+    """,
+)
+def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One BPE-training merge round at the character stage: adjacent
+    symbol-pair counts over the DISTINCT-word vocabulary weighted by word
+    frequency (the quantity byte-pair-encoding maximizes per merge; ties
+    broken by pair text so the chosen merge is deterministic). The
+    pipeline-shaped part is the two-level aggregation — raw tokens
+    collapse to the (word, freq) vocab FIRST, so the expensive pair
+    explosion runs once per distinct word, not once per occurrence; at
+    100 TB the vocab is orders of magnitude smaller than the corpus.
+    Top-20 via TakeOrderedAndProject."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.filter(F.length(F.trim("text")) > 0)
+        .select(
+            F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("word")
+        )
+        .filter(F.length("word") >= 2)
+        .groupBy("word")
+        .agg(F.count("*").cast("bigint").alias("freq"))
+    )
+    pairs = words.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(word) - 1),"
+                   " i -> substring(word, i, 2))")
+        ).alias("pair"),
+        "freq",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("freq").cast("bigint").alias("n"))
+        .orderBy(F.col("n").desc(), "pair")
+        .limit(20)
+    )
+
+
+@query(
+    "vocab_coverage_by_source",
+    oracle="""
+    WITH toks AS (
+      SELECT source, unnest(str_split_regex(trim(lower(text)), '\\s+')) AS word
+      FROM documents WHERE length(trim(text)) > 0
+    ),
+    vocab AS (
+      SELECT word FROM (
+        SELECT word, row_number() OVER (
+          ORDER BY count(*) DESC, word
+        ) AS r
+        FROM toks GROUP BY word
+      ) WHERE r <= 100
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN v.word IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_in_vocab,
+           CAST(sum(CASE WHEN v.word IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*) AS coverage
+    FROM toks t LEFT JOIN vocab v USING (word)
+    GROUP BY source
+    """,
+)
+def vocab_coverage_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-QA coverage report: what fraction of each source's token
+    occurrences falls inside the top-100 corpus vocabulary (the OOV-rate
+    check run after building any vocab/tokenizer, sliced by domain so a
+    domain whose text the tokenizer fragments shows up immediately). The
+    vocab is a rank top-k (count desc, word tiebreak) and joins back
+    BROADCAST — at 100 TB the corpus side is scanned once and never
+    shuffled on word; coverage is an exact int/int division."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (
+        docs.filter(F.length(F.trim("text")) > 0)
+        .select(
+            "source",
+            F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("word"),
+        )
+    )
+    vocab = (
+        toks.groupBy("word")
+        .agg(F.count("*").alias("_n"))
+        .orderBy(F.col("_n").desc(), "word")
+        .limit(100)
+        .select("word", F.lit(1).alias("_hit"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "word", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            F.sum(F.coalesce("_hit", F.lit(0))).cast("bigint").alias("n_in_vocab"),
+            (
+                F.sum(F.coalesce("_hit", F.lit(0))).cast("double")
+                / F.count("*").cast("double")
+            ).alias("coverage"),
+        )
+    )
+
+
 # Oracle-bearing queries with no driver correctness row that are NOT in the
 # current front window — rotate these to the front in round 4.  (Everything
 # else that was pending after round 2 is in _ROUND3_FRONT below.)
@@ -8182,6 +8307,8 @@ _PENDING_ROUND5 = _PENDING_NEXT[50:] + [
     "weighted_sample_topk",  # new in round 4 (A-ES weighted sampling)
     "minhash_dedup_keep",  # new in round 4 (end-to-end dedup keep verdict)
     "adaptive_quality_threshold",  # new in round 4 (per-source quantile gate)
+    "bpe_merge_candidates",  # new in round 4 (tokenizer construction)
+    "vocab_coverage_by_source",  # new in round 4 (tokenizer OOV-rate QA)
 ]
 
 _rotate_front(_ROUND4_FRONT)

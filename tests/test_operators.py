@@ -89,9 +89,14 @@ def test_minhash_lsh_finds_planted_near_dups(spark):
     df = spark.createDataFrame(
         [(1, base), (2, near), (3, far)], ["doc_id", "text"]
     )
-    pairs = dedup.lsh_candidate_pairs(df, num_hashes=32, bands=16)
-    verified = dedup.jaccard_pairs(df, pairs, threshold=0.5).collect()
-    assert {(r.id_a, r.id_b) for r in verified} == {(1, 2)}
+    # both hash modes must recall the planted pair (xxhash64 = scale
+    # default; md5 portable = the oracle-checked path)
+    for portable in (False, True):
+        pairs = dedup.lsh_candidate_pairs(
+            df, num_hashes=32, bands=16, portable=portable
+        )
+        verified = dedup.jaccard_pairs(df, pairs, threshold=0.5).collect()
+        assert {(r.id_a, r.id_b) for r in verified} == {(1, 2)}, portable
 
 
 def test_jaccard_verify_counts_matches_array_verify(spark):
@@ -387,9 +392,10 @@ def test_simhash_near_pairs_blocking(spark):
     near = base.replace("kappa ", "kappa! ", 1)  # tiny perturbation
     far = "one two three four five six seven eight nine ten eleven twelve"
     df = spark.createDataFrame([(1, base), (2, near), (3, far)], ["doc_id", "text"])
-    pairs = dedup.simhash_near_pairs(df, max_hamming=8)
-    got = {(r.id_a, r.id_b) for r in pairs.collect()}
-    assert (1, 2) in got and (1, 3) not in got and (2, 3) not in got
+    for portable in (False, True):
+        pairs = dedup.simhash_near_pairs(df, max_hamming=8, portable=portable)
+        got = {(r.id_a, r.id_b) for r in pairs.collect()}
+        assert (1, 2) in got and (1, 3) not in got and (2, 3) not in got, portable
 
 
 def test_lsh_topk_recall_against_bruteforce(spark, sf_dir):
