@@ -2864,6 +2864,55 @@ def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("multimodal_av_features")
+def multimodal_av_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio + video legs of the multimodal pipeline (rows-only for the
+    same reason as ``multimodal_image_features``: payloads are
+    deterministic synthetic media behind the codec gate; the Spark
+    plumbing — binary column + typed metadata struct, Arrow mapInPandas
+    decode, one-row-to-many frame explode — is real). Audio rows yield
+    RMS / zero-crossing-rate / duration from the pcm16 payload; video rows
+    are frame-sampled (every 2nd raw frame) and each sampled frame reduced
+    to its mean brightness. Both legs stay narrow (no shuffle) until the
+    final per-media frame aggregation, which shuffles only (media_id,
+    frame stats) — never payload bytes."""
+    from .operators.multimodal import (
+        audio_features,
+        sample_frames,
+        synthetic_media,
+    )
+
+    media = synthetic_media(spark, n=48)
+    audio = audio_features(media).select(
+        "media_id",
+        F.lit("audio").alias("kind"),
+        F.round("rms", 6).alias("feat_a"),
+        F.round("zero_crossing_rate", 6).alias("feat_b"),
+        F.round("duration_s", 6).alias("feat_c"),
+    )
+    frames = sample_frames(media, every_k=2)
+    video = (
+        frames.select(
+            "media_id",
+            # mean brightness of the raw8 frame = avg over unsigned bytes
+            F.expr(
+                "aggregate(transform("
+                "  filter(split(hex(frame), '(?<=\\\\G..)'), h -> h <> ''),"
+                "  h -> cast(conv(h, 16, 10) as double)),"
+                " 0D, (acc, x) -> acc + x) / octet_length(frame)"
+            ).alias("brightness"),
+        )
+        .groupBy("media_id")
+        .agg(
+            F.lit("video").alias("kind"),
+            F.round(F.avg("brightness"), 6).alias("feat_a"),
+            F.round(F.min("brightness"), 6).alias("feat_b"),
+            F.round(F.max("brightness"), 6).alias("feat_c"),
+        )
+    )
+    return audio.unionByName(video)
+
+
 @query(
     "udtf_text_chunks",
     oracle="""
@@ -8148,6 +8197,91 @@ def vocab_coverage_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "scd2_event_type_history",
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id, event_type, ts, weekofyear(ts) AS wk,
+             row_number() OVER (PARTITION BY user_id, weekofyear(ts)
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ),
+    latest AS (SELECT user_id, event_type, ts, wk FROM ranked WHERE rn = 1),
+    flagged AS (
+      SELECT *, lag(event_type) OVER (PARTITION BY user_id ORDER BY wk)
+                  AS prev
+      FROM latest
+    ),
+    changes AS (
+      SELECT user_id, event_type, ts, wk FROM flagged
+      WHERE prev IS NULL OR prev <> event_type
+    )
+    SELECT user_id, event_type,
+           CAST(epoch_us(ts) AS BIGINT) AS from_us,
+           CAST(epoch_us(lead(ts) OVER (PARTITION BY user_id ORDER BY wk))
+                AS BIGINT) AS to_us
+    FROM changes
+    """,
+)
+def scd2_event_type_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing-dimension maintenance, driven end-to-end
+    through ``cdc.scd2_merge``: the event log is replayed as five weekly
+    CDC batches (latest state per user per ISO week), each folded into the
+    dimension table in order — unseen keys open a version, unchanged
+    re-deliveries are no-ops, changes close the open row at the update
+    timestamp and insert a new open version. The final table is the full
+    point-in-time-joinable history (``to_us`` NULL = currently open). The
+    oracle reconstructs the same history declaratively with window
+    functions, so the fold's merge semantics (not just one batch) are
+    hash-checked. At 100 TB each merge is one shuffle on the key and
+    closed history passes through untouched; batch replay is how a real
+    dimension table is maintained, so the per-batch operator — not a
+    monolithic window over all history — is the scale shape."""
+    from .operators.cdc import scd2_merge
+
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "wk").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    latest = (
+        events.withColumn("wk", F.weekofyear("ts"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", "ts", "wk")
+    )
+    current = spark.createDataFrame(
+        [],
+        schema="user_id bigint, event_type string, "
+        "valid_from timestamp, valid_to timestamp",
+    )
+    # events span ISO weeks 1-5 of Jan 2024 (static batch list: the fold
+    # depth must not depend on a driver-side collect)
+    for b in (1, 2, 3, 4, 5):
+        upd = latest.filter(F.col("wk") == b).select(
+            "user_id", "event_type", "ts"
+        )
+        current = scd2_merge(
+            current, upd, keys=["user_id"], tracked=["event_type"], ts_col="ts"
+        )
+        # scd2_merge fans the incoming table into four branches (untouched /
+        # unchanged / closed-out / new-open), so an unchecked 5-deep fold
+        # re-plans week 1 O(4^5) times. Materializing each batch bounds the
+        # plan to one merge — exactly how a real nightly CDC job persists
+        # the dimension table between batches. The repartition keeps the
+        # materialized batch at a handful of key-hashed partitions instead
+        # of the 4-branch union's ~4x shuffle-partition fan-out (hundreds
+        # of near-empty tasks per fold at fixture scale; at 100 TB a real
+        # job would instead size spark.sql.shuffle.partitions to the
+        # dimension table and skip this).
+        current = current.repartition(4, "user_id").localCheckpoint(eager=True)
+    return current.select(
+        "user_id",
+        "event_type",
+        F.unix_micros("valid_from").alias("from_us"),
+        F.unix_micros("valid_to").alias("to_us"),
+    )
+
+
 # Oracle-bearing queries with no driver correctness row that are NOT in the
 # current front window — rotate these to the front in round 4.  (Everything
 # else that was pending after round 2 is in _ROUND3_FRONT below.)
@@ -8309,6 +8443,7 @@ _PENDING_ROUND5 = _PENDING_NEXT[50:] + [
     "adaptive_quality_threshold",  # new in round 4 (per-source quantile gate)
     "bpe_merge_candidates",  # new in round 4 (tokenizer construction)
     "vocab_coverage_by_source",  # new in round 4 (tokenizer OOV-rate QA)
+    "scd2_event_type_history",  # new in round 4 (CDC type-2 dimension fold)
 ]
 
 _rotate_front(_ROUND4_FRONT)

@@ -70,3 +70,19 @@ def test_metadata_scan_prunes_payload(spark, media, tmp_path):
     plan = scan._jdf.queryExecution().executedPlan().toString()
     assert "payload" not in plan  # column pruning drops the binary column
     assert scan.count() == 12
+
+
+def test_multimodal_av_features_query(spark):
+    import __spark_entry__ as entry
+
+    rows = entry.queries()["multimodal_av_features"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    kinds = {r.kind for r in rows}
+    assert kinds == {"audio", "video"}
+    for r in rows:
+        if r.kind == "audio":
+            assert r.feat_a > 1000 and r.feat_c == 1.0  # rms, duration
+        else:
+            # per-frame mean brightness of uniform-random bytes
+            assert 0 <= r.feat_b <= r.feat_a <= r.feat_c <= 255
