@@ -952,12 +952,13 @@ def _shingle_ctes(n: int) -> str:
     ex AS (SELECT doc_id, unnest(s) AS sh FROM shl)"""
 
 
-def _minhash_lsh_oracle(num_hashes: int, bands: int, threshold: float) -> str:
-    """DuckDB twin of the portable MinHash-LSH pipeline: same md5-derived
-    shingle hash, same (a*h+b) mod p permutations (fixed seeds from
-    ``dedup._hash_params``), same md5-derived band buckets, same
-    count-based exact-Jaccard verify. Every value is integer or an exact
-    int/int division, so parity is bit-exact."""
+def _minhash_cte_body(num_hashes: int, bands: int) -> str:
+    """Shared WITH-body of the portable MinHash-LSH DuckDB twins: same
+    md5-derived shingle hash, same (a*h+b) mod p permutations (fixed seeds
+    from ``dedup._hash_params``), same md5-derived band buckets, same
+    count-based exact-Jaccard intersection counts. Ends at CTEs ``sig``
+    (per-doc minhash components m0..mN), ``inter`` (per-candidate-pair
+    shingle co-occurrence counts) and ``sizes``."""
     from .operators.dedup import _MERSENNE_P, _hash_params
 
     r = num_hashes // bands
@@ -974,7 +975,6 @@ def _minhash_lsh_oracle(num_hashes: int, bands: int, threshold: float) -> str:
         for b in range(bands)
     )
     return f"""
-    WITH
     {_shingle_ctes(3)},
     hashed AS (
       SELECT doc_id, ('0x' || substr(md5(sh),1,8))::BIGINT % {_MERSENNE_P} AS h
@@ -1000,7 +1000,16 @@ def _minhash_lsh_oracle(num_hashes: int, bands: int, threshold: float) -> str:
       JOIN ex eb ON eb.doc_id = c.id_b AND eb.sh = ea.sh
       GROUP BY c.id_a, c.id_b
     ),
-    sizes AS (SELECT doc_id, len(s) AS sz FROM shl)
+    sizes AS (SELECT doc_id, len(s) AS sz FROM shl)"""
+
+
+def _minhash_lsh_oracle(num_hashes: int, bands: int, threshold: float) -> str:
+    """DuckDB twin of the portable MinHash-LSH pipeline (see
+    ``_minhash_cte_body``). Every value is integer or an exact int/int
+    division, so parity is bit-exact."""
+    return f"""
+    WITH
+    {_minhash_cte_body(num_hashes, bands)}
     SELECT i.id_a, i.id_b,
            round(CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common), 4)
              AS jaccard
@@ -1008,6 +1017,35 @@ def _minhash_lsh_oracle(num_hashes: int, bands: int, threshold: float) -> str:
     JOIN sizes sa ON sa.doc_id = i.id_a
     JOIN sizes sb ON sb.doc_id = i.id_b
     WHERE CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common) >= {threshold}
+    """
+
+
+def _minhash_err_oracle(num_hashes: int, bands: int, threshold: float) -> str:
+    """DuckDB twin of the minhash estimator-accuracy report: the exact
+    Jaccard from co-occurrence counts, the minhash ESTIMATE from component
+    agreement (matching m_i fraction), and their absolute gap. The error
+    column is one subtraction of two single divisions — identical IEEE
+    arithmetic in both engines."""
+    matches = " + ".join(
+        f"CASE WHEN sga.m{i} = sgb.m{i} THEN 1 ELSE 0 END"
+        for i in range(num_hashes)
+    )
+    exact = "CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common)"
+    est = f"CAST({matches} AS DOUBLE) / {num_hashes}"
+    return f"""
+    WITH
+    {_minhash_cte_body(num_hashes, bands)}
+    SELECT i.id_a, i.id_b,
+           CAST({matches} AS BIGINT) AS n_sig_match,
+           round({est}, 4) AS est_jaccard,
+           round({exact}, 4) AS exact_jaccard,
+           round(abs({est} - {exact}), 4) AS abs_err
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.id_a
+    JOIN sizes sb ON sb.doc_id = i.id_b
+    JOIN sig sga ON sga.doc_id = i.id_a
+    JOIN sig sgb ON sgb.doc_id = i.id_b
+    WHERE {exact} >= {threshold}
     """
 
 
@@ -1031,6 +1069,43 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = dedup.lsh_candidate_pairs(docs, num_hashes=32, bands=8, portable=True)
     return dedup.jaccard_verify_counts(docs, pairs, threshold=0.5).select(
         "id_a", "id_b", F.round("jaccard", 4).alias("jaccard")
+    )
+
+
+@query("minhash_estimate_error", oracle=_minhash_err_oracle(32, 8, 0.2))
+def minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-accuracy QA for the minhash estimator: per verified candidate
+    pair, the EXACT shingle Jaccard (integer co-occurrence counts), the
+    minhash ESTIMATE (fraction of agreeing signature components — the
+    quantity LSH banding actually thresholds on), and their absolute gap.
+    This is the check a pipeline owner runs before trusting a (num_hashes,
+    bands) configuration at 100 TB: the error distribution tells you
+    whether 32 hashes is enough for the corpus' similarity profile, on the
+    corpus itself rather than on a synthetic benchmark. Shares the
+    portable signature/candidate derivation with ``minhash_lsh_pairs``
+    (bit-exact DuckDB twin); one extra broadcast-sized join against the
+    32-component signatures."""
+    docs = load_table(spark, sf_dir, "documents")
+    sig = dedup.minhash_signature(docs, num_hashes=32, portable=True)
+    pairs = dedup.lsh_candidate_pairs(docs, num_hashes=32, bands=8, portable=True)
+    verified = dedup.jaccard_verify_counts(docs, pairs, threshold=0.2)
+    sa = sig.select(F.col("doc_id").alias("id_a"), F.col("signature").alias("_sa"))
+    sb = sig.select(F.col("doc_id").alias("id_b"), F.col("signature").alias("_sb"))
+    matches = F.expr(
+        "size(filter(zip_with(_sa, _sb, (x, y) -> x = y), b -> b))"
+    ).cast("bigint")
+    est = matches.cast("double") / F.lit(32.0)
+    return (
+        verified.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            matches.alias("n_sig_match"),
+            F.round(est, 4).alias("est_jaccard"),
+            F.round("jaccard", 4).alias("exact_jaccard"),
+            F.round(F.abs(est - F.col("jaccard")), 4).alias("abs_err"),
+        )
     )
 
 
@@ -8444,6 +8519,7 @@ _PENDING_ROUND5 = _PENDING_NEXT[50:] + [
     "bpe_merge_candidates",  # new in round 4 (tokenizer construction)
     "vocab_coverage_by_source",  # new in round 4 (tokenizer OOV-rate QA)
     "scd2_event_type_history",  # new in round 4 (CDC type-2 dimension fold)
+    "minhash_estimate_error",  # new in round 4 (sketch-accuracy QA)
 ]
 
 _rotate_front(_ROUND4_FRONT)
