@@ -5923,6 +5923,81 @@ def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "source_shingle_overlap",
+    oracle=f"""
+    WITH
+    {{ctes}},
+    sv AS (
+      SELECT DISTINCT d.source, e.sh
+      FROM ex e JOIN documents d USING (doc_id)
+    ),
+    sizes AS (SELECT source, count(*) AS n FROM sv GROUP BY source),
+    shared AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             count(*) AS n_shared
+      FROM sv a JOIN sv b ON a.sh = b.sh AND a.source < b.source
+      GROUP BY a.source, b.source
+    )
+    SELECT source_a, source_b,
+           CAST(n_shared AS BIGINT) AS n_shared,
+           round(CAST(n_shared AS DOUBLE) / (sa.n + sb.n - n_shared), 4)
+             AS vocab_jaccard
+    FROM shared
+    JOIN sizes sa ON sa.source = shared.source_a
+    JOIN sizes sb ON sb.source = shared.source_b
+    """.replace("{ctes}", _shingle_ctes(3)),
+)
+def source_shingle_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source content-overlap matrix: for every unordered source
+    pair, the count and Jaccard of shared distinct word-3-shingles — the
+    curation diagnostic for "which crawls/domains are near-copies of each
+    other" when exact hashes find nothing (this fixture has zero exact
+    cross-source dups; shingle-vocabulary overlap still discriminates).
+    One equi-join on the shingle key, group by source pair: linear in
+    shared-shingle occurrences, never all-pairs over documents. At 100 TB
+    the join key becomes an 8-byte shingle hash and the per-source vocab
+    is the (much smaller) distinct-collapsed frame — same plan shape."""
+    from .operators.dedup import shingles_of
+    from .operators.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    # same staged tokenize->shingle projections as dedup.with_shingles,
+    # keeping the source column in flight
+    toked = docs.select(
+        "source", tokens(F.lower(F.col("text"))).alias("_toks")
+    )
+    sv = (
+        toked.select("source", F.explode(shingles_of(F.col("_toks"), 3)).alias("sh"))
+        .distinct()
+    )
+    sizes = sv.groupBy("source").agg(F.count("*").alias("n"))
+    a = sv.select(F.col("source").alias("source_a"), "sh")
+    b = sv.select(F.col("source").alias("source_b"), "sh")
+    shared = (
+        a.join(b, "sh")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").cast("bigint").alias("n_shared"))
+    )
+    sa = sizes.select(F.col("source").alias("source_a"), F.col("n").alias("_na"))
+    sb = sizes.select(F.col("source").alias("source_b"), F.col("n").alias("_nb"))
+    return (
+        shared.join(F.broadcast(sa), "source_a")
+        .join(F.broadcast(sb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared",
+            F.round(
+                F.col("n_shared").cast("double")
+                / (F.col("_na") + F.col("_nb") - F.col("n_shared")),
+                4,
+            ).alias("vocab_jaccard"),
+        )
+    )
+
+
+@query(
     "centroid_per_label",
     oracle="""
     SELECT label, pos,
@@ -8606,6 +8681,7 @@ _PENDING_ROUND5 = _PENDING_NEXT[50:] + [
     "scd2_event_type_history",  # new in round 4 (CDC type-2 dimension fold)
     "minhash_estimate_error",  # new in round 4 (sketch-accuracy QA)
     "quantized_ann_topk",  # new in round 4 (int8 symmetric-quantized ANN)
+    "source_shingle_overlap",  # new in round 4 (cross-source overlap matrix)
 ]
 
 _rotate_front(_ROUND4_FRONT)
