@@ -83,6 +83,13 @@ HEADLINE = [
     "global_shape_discords",
     "streaming_rollup_cascade",
     "near_dup_bfs_hops",
+    # round-4 new operators
+    "quantized_ann_topk",
+    "bpe_merge_candidates",
+    "vocab_coverage_by_source",
+    "source_shingle_overlap",
+    "minhash_estimate_error",
+    "scd2_event_type_history",
 ]
 
 

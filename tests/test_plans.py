@@ -429,3 +429,41 @@ def test_portable_dedup_family_stays_jvm_side(spark, sf_dir):
     for name in ("minhash_lsh_pairs", "simhash_docs", "simhash_near_pairs"):
         plan = plans.executed_plan(q.QUERIES[name](spark, sf_dir))
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+
+
+def test_quantized_ann_probe_broadcast_all_jvm(spark, sf_dir):
+    """Corpus codes are scanned once and never shuffled for scoring: the
+    20-row probe side broadcasts (nested-loop for the != predicate) and
+    the integer zip_with fold stays JVM-side."""
+    df = q.QUERIES["quantized_ann_topk"](spark, sf_dir)
+    p = plans.executed_plan(df)
+    assert "BroadcastNestedLoopJoin" in p
+    assert "BatchEvalPython" not in p
+
+
+def test_vocab_coverage_vocab_is_topk_and_broadcast(spark, sf_dir):
+    """The top-100 vocab is a TakeOrderedAndProject (never a global sort)
+    and joins back to the token stream broadcast — the corpus is never
+    shuffled on word for the coverage join."""
+    df = q.QUERIES["vocab_coverage_by_source"](spark, sf_dir)
+    p = plans.executed_plan(df)
+    assert plans.has_take_ordered(df)
+    assert "BroadcastHashJoin" in p
+    assert "BatchEvalPython" not in p
+
+
+def test_source_overlap_size_joins_broadcast(spark, sf_dir):
+    """The per-source vocab sizes join the 190-row pair matrix broadcast;
+    only the shingle equi-join moves co-occurrence rows."""
+    df = q.QUERIES["source_shingle_overlap"](spark, sf_dir)
+    p = plans.executed_plan(df)
+    assert p.count("BroadcastHashJoin") >= 2
+    assert "BatchEvalPython" not in p
+
+
+def test_scd2_fold_is_materialized_per_batch(spark, sf_dir):
+    """Each CDC batch is checkpointed (the plan bottoms out at an RDD scan
+    instead of a 5-deep 4-branch join tree — the O(4^n) fold guard)."""
+    df = q.QUERIES["scd2_event_type_history"](spark, sf_dir)
+    p = plans.executed_plan(df)
+    assert "ExistingRDD" in p or "Scan ExistingRDD" in p
