@@ -8483,6 +8483,10 @@ def scd2_event_type_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select("user_id", "event_type", "ts", "wk")
+        # referenced by all five folds — derive the batch stream once
+        # (one event scan + window), not once per merge
+        .repartition(4, "user_id")
+        .localCheckpoint(eager=True)
     )
     current = spark.createDataFrame(
         [],
