@@ -1409,6 +1409,12 @@ def lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("kmeans_anomaly_scores")
 def kmeans_anomaly_scores_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """No oracle BY DESIGN: MLlib KMeans is an iterative solver whose
+    centroids depend on BLAS reduction order — no SQL twin can reproduce
+    the fit (same exemption as ``ivf_ann_topk``). The driver records a
+    rows-only check; correctness lives in the unit tests (fit/score
+    identity after model save/load, planted-outlier detection) and the
+    deterministic distance/threshold arithmetic downstream of the fit."""
     from .operators import models
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -1418,6 +1424,11 @@ def kmeans_anomaly_scores_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("gmm_anomaly_scores")
 def gmm_anomaly_scores_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """No oracle BY DESIGN: MLlib GaussianMixture is EM-iterative (random
+    init + float reduction order), so no SQL twin exists — rows-only
+    driver check; semantics are unit-tested (log-likelihood monotonicity
+    on planted clusters). See ``kmeans_anomaly_scores``/``ivf_ann_topk``
+    for the same exemption class."""
     from .operators import models
 
     # Full-covariance GMM needs points >> dims per component; the 500-row
@@ -7979,7 +7990,12 @@ def global_shape_discords(spark: SparkSession, sf_dir: str) -> DataFrame:
     subsequences are unit vectors, so the all-pairs min-distance search is
     a max-cosine search — same shuffle/memory envelope as
     `similarity.cosine_near_pairs_gemm`, BLAS inside each grid cell, no
-    driver collect. The scale path `weekly_shape_discords` documents."""
+    driver collect. The scale path `weekly_shape_discords` documents.
+
+    No oracle BY DESIGN: the per-cell numpy GEMM reduces in BLAS order, so
+    last-ulp float ties are engine-specific; correctness is pinned by the
+    brute-force-equivalence unit test (bit-identical to the O(n^2) numpy
+    reference on the same data) rather than a SQL twin."""
     ev = load_table(spark, sf_dir, "events")
     return timeseries.global_discords_gemm(
         ev, key_col="event_type", ts_col="ts", value_col="value",
