@@ -8704,4 +8704,15 @@ _PENDING_ROUND5 = _PENDING_NEXT[50:] + [
     "source_shingle_overlap",  # new in round 4 (cross-source overlap matrix)
 ]
 
+# ROUND-5 BUILDER: build the round-5 window as
+#   _ROUND5_FRONT = _PENDING_ROUND5 + <enough already-green names to reach
+#   exactly 50>
+# (every other oracle-bearing query already has a tri-green driver row in
+# CORRECTNESS_r01..r04 — re-verifying recent high-churn families such as
+# the portable minhash/simhash line is the best use of the filler slots),
+# then call _rotate_front(_ROUND5_FRONT) in place of the round-4 call
+# below, rename this list's overflow/new-query accumulator to
+# _PENDING_ROUND6, and update tests/test_coverage_claims.py's
+# test_round4_front_window_is_exact to point at the new window.
+
 _rotate_front(_ROUND4_FRONT)
