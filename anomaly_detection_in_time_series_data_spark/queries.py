@@ -8537,6 +8537,152 @@ def scd2_event_type_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "psi_value_drift",
+    oracle="""
+    WITH ev AS (
+      SELECT event_type, value, weekofyear(ts) AS wk FROM events
+    ),
+    stats AS (
+      SELECT event_type, min(value) AS lo, max(value) AS hi,
+             count(*) AS n_base
+      FROM ev WHERE wk <= 2 GROUP BY event_type
+    ),
+    curn AS (
+      SELECT e.event_type, count(*) AS n_cur
+      FROM ev e JOIN stats s USING (event_type)
+      WHERE e.wk >= 4 GROUP BY e.event_type
+    ),
+    binned AS (
+      SELECT e.event_type, e.wk,
+             CASE WHEN s.hi = s.lo THEN 0
+                  ELSE CAST(greatest(least(floor(((e.value - s.lo) * 10.0)
+                                                 / (s.hi - s.lo)), 9), 0)
+                            AS INT)
+             END AS bin
+      FROM ev e JOIN stats s USING (event_type)
+      WHERE e.wk <= 2 OR e.wk >= 4
+    ),
+    cells AS (
+      SELECT s.event_type, t.bin
+      FROM stats s, LATERAL unnest(generate_series(0, 9)) AS t(bin)
+    ),
+    counts AS (
+      SELECT c.event_type, c.bin,
+             coalesce(sum(CASE WHEN b.wk <= 2 THEN 1 ELSE 0 END), 0) AS cb,
+             coalesce(sum(CASE WHEN b.wk >= 4 THEN 1 ELSE 0 END), 0) AS cc
+      FROM cells c
+      LEFT JOIN binned b ON b.event_type = c.event_type AND b.bin = c.bin
+      GROUP BY c.event_type, c.bin
+    ),
+    terms AS (
+      SELECT co.event_type,
+             CAST(s.n_base AS BIGINT) AS n_base,
+             CAST(cn.n_cur AS BIGINT) AS n_cur,
+             list((CAST(cc + 1 AS DOUBLE) / (cn.n_cur + 10)
+                   - CAST(cb + 1 AS DOUBLE) / (s.n_base + 10))
+                  * ln((CAST(cc + 1 AS DOUBLE) / (cn.n_cur + 10))
+                       / (CAST(cb + 1 AS DOUBLE) / (s.n_base + 10)))
+                  ORDER BY co.bin) AS ts
+      FROM counts co
+      JOIN stats s USING (event_type)
+      JOIN curn cn USING (event_type)
+      GROUP BY co.event_type, s.n_base, cn.n_cur
+    )
+    SELECT event_type, n_base, n_cur,
+           round(list_reduce(ts, (a, b) -> a + b), 4) AS psi
+    FROM terms
+    """,
+)
+def psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability-index drift monitor — the production check a
+    pipeline runs between training snapshots: per event_type, bin `value`
+    into 10 equal-width bins over the BASELINE (weeks 1-2) range, clamp
+    the CURRENT window (weeks 4-5) into the edge bins, Laplace-smooth the
+    shares ((c+1)/(n+10), so empty bins never divide by zero), and
+    PSI = sum (q-p) ln(q/p). PSI < 0.1 is stable, > 0.25 is actionable
+    drift. Determinism discipline: every share is one int/int division,
+    all 10 bins are enumerated explicitly on both engines, and the
+    10-term sum folds in bin order (the repo's sorted-fold idiom) —
+    bit-identical before the 4dp rounding. One shuffle per side's
+    bin count; the 5-row stats/cell frames broadcast."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "value", F.weekofyear("ts").alias("wk")
+    )
+    stats = (
+        ev.filter(F.col("wk") <= 2)
+        .groupBy("event_type")
+        .agg(
+            F.min("value").alias("lo"),
+            F.max("value").alias("hi"),
+            F.count("*").alias("n_base"),
+        )
+    )
+    curn = (
+        ev.filter(F.col("wk") >= 4)
+        .join(F.broadcast(stats.select("event_type")), "event_type")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_cur"))
+    )
+    binned = (
+        ev.filter((F.col("wk") <= 2) | (F.col("wk") >= 4))
+        .join(F.broadcast(stats), "event_type")
+        .select(
+            "event_type",
+            "wk",
+            F.when(F.col("hi") == F.col("lo"), F.lit(0))
+            .otherwise(
+                F.greatest(
+                    F.least(
+                        F.floor(
+                            ((F.col("value") - F.col("lo")) * F.lit(10.0))
+                            / (F.col("hi") - F.col("lo"))
+                        ),
+                        F.lit(9).cast("bigint"),
+                    ),
+                    F.lit(0).cast("bigint"),
+                )
+            )
+            .cast("int")
+            .alias("bin"),
+        )
+    )
+    cells = stats.select(
+        "event_type", F.explode(F.sequence(F.lit(0), F.lit(9))).alias("bin")
+    )
+    counts = (
+        cells.join(binned, ["event_type", "bin"], "left")
+        .groupBy("event_type", "bin")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("wk") <= 2, 1).otherwise(0)), F.lit(0)
+            ).alias("cb"),
+            F.coalesce(
+                F.sum(F.when(F.col("wk") >= 4, 1).otherwise(0)), F.lit(0)
+            ).alias("cc"),
+        )
+    )
+    joined = counts.join(F.broadcast(stats.select("event_type", "n_base")), "event_type").join(
+        F.broadcast(curn), "event_type"
+    )
+    p = (F.col("cb") + 1).cast("double") / (F.col("n_base") + 10)
+    qv = (F.col("cc") + 1).cast("double") / (F.col("n_cur") + 10)
+    terms = joined.withColumn("t", (qv - p) * F.log(qv / p))
+    per_type = terms.groupBy("event_type").agg(
+        F.max("n_base").cast("bigint").alias("n_base"),
+        F.max("n_cur").cast("bigint").alias("n_cur"),
+        F.sort_array(F.collect_list(F.struct("bin", "t"))).alias("_arr"),
+    )
+    folded = F.aggregate(
+        F.transform(F.col("_arr"), lambda x: x["t"]),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return per_type.select(
+        "event_type", "n_base", "n_cur", F.round(folded, 4).alias("psi")
+    )
+
+
 # Oracle-bearing queries with no driver correctness row that are NOT in the
 # current front window — rotate these to the front in round 4.  (Everything
 # else that was pending after round 2 is in _ROUND3_FRONT below.)
@@ -8702,6 +8848,7 @@ _PENDING_ROUND5 = _PENDING_NEXT[50:] + [
     "minhash_estimate_error",  # new in round 4 (sketch-accuracy QA)
     "quantized_ann_topk",  # new in round 4 (int8 symmetric-quantized ANN)
     "source_shingle_overlap",  # new in round 4 (cross-source overlap matrix)
+    "psi_value_drift",  # new in round 4 (PSI distribution-drift monitor)
 ]
 
 # ROUND-5 BUILDER: build the round-5 window as
