@@ -8683,6 +8683,111 @@ def psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "ks_value_drift",
+    oracle="""
+    WITH ev AS (
+      SELECT event_type, value, weekofyear(ts) AS wk FROM events
+    ),
+    base_t AS (
+      SELECT event_type, count(*) AS n_base
+      FROM ev WHERE wk <= 2 GROUP BY event_type
+    ),
+    cur_t AS (
+      SELECT e.event_type, count(*) AS n_cur
+      FROM ev e JOIN base_t USING (event_type)
+      WHERE e.wk >= 4 GROUP BY e.event_type
+    ),
+    per_value AS (
+      SELECT e.event_type, e.value,
+             sum(CASE WHEN e.wk <= 2 THEN 1 ELSE 0 END) AS cb,
+             sum(CASE WHEN e.wk >= 4 THEN 1 ELSE 0 END) AS cc
+      FROM ev e JOIN base_t USING (event_type) JOIN cur_t USING (event_type)
+      WHERE e.wk <= 2 OR e.wk >= 4
+      GROUP BY e.event_type, e.value
+    ),
+    ecdf AS (
+      SELECT event_type,
+             sum(cb) OVER (PARTITION BY event_type ORDER BY value
+                           ROWS UNBOUNDED PRECEDING) AS cum_b,
+             sum(cc) OVER (PARTITION BY event_type ORDER BY value
+                           ROWS UNBOUNDED PRECEDING) AS cum_c
+      FROM per_value
+    )
+    SELECT e.event_type,
+           CAST(b.n_base AS BIGINT) AS n_base,
+           CAST(c.n_cur AS BIGINT) AS n_cur,
+           round(max(abs(CAST(cum_b AS DOUBLE) / b.n_base
+                         - CAST(cum_c AS DOUBLE) / c.n_cur)), 4) AS ks
+    FROM ecdf e
+    JOIN base_t b USING (event_type)
+    JOIN cur_t c USING (event_type)
+    GROUP BY e.event_type, b.n_base, c.n_cur
+    """,
+)
+def ks_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift statistic — PSI's
+    binning-free companion: per event_type, the max vertical gap between
+    the baseline (weeks 1-2) and current (weeks 4-5) empirical CDFs of
+    `value`. Fully exact arithmetic: integer cumulative counts from one
+    ranked window per event_type, each ECDF point one int/int division,
+    max over identical IEEE doubles — no bin-choice sensitivity, no
+    fold-order discipline needed. One shuffle (the per-value group-by
+    shares the window's partitioning); totals broadcast."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "value", F.weekofyear("ts").alias("wk")
+    )
+    base_t = (
+        ev.filter(F.col("wk") <= 2)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_base"))
+    )
+    cur_t = (
+        ev.filter(F.col("wk") >= 4)
+        .join(F.broadcast(base_t.select("event_type")), "event_type")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_cur"))
+    )
+    per_value = (
+        ev.filter((F.col("wk") <= 2) | (F.col("wk") >= 4))
+        .join(F.broadcast(base_t.select("event_type")), "event_type")
+        .join(F.broadcast(cur_t.select("event_type")), "event_type")
+        .groupBy("event_type", "value")
+        .agg(
+            F.sum(F.when(F.col("wk") <= 2, 1).otherwise(0)).alias("cb"),
+            F.sum(F.when(F.col("wk") >= 4, 1).otherwise(0)).alias("cc"),
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ecdf = per_value.select(
+        "event_type",
+        F.sum("cb").over(w).alias("cum_b"),
+        F.sum("cc").over(w).alias("cum_c"),
+    )
+    return (
+        ecdf.join(F.broadcast(base_t), "event_type")
+        .join(F.broadcast(cur_t), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.max("n_base").cast("bigint").alias("n_base"),
+            F.max("n_cur").cast("bigint").alias("n_cur"),
+            F.round(
+                F.max(
+                    F.abs(
+                        F.col("cum_b").cast("double") / F.col("n_base")
+                        - F.col("cum_c").cast("double") / F.col("n_cur")
+                    )
+                ),
+                4,
+            ).alias("ks"),
+        )
+    )
+
+
 # Oracle-bearing queries with no driver correctness row that are NOT in the
 # current front window — rotate these to the front in round 4.  (Everything
 # else that was pending after round 2 is in _ROUND3_FRONT below.)
@@ -8849,6 +8954,7 @@ _PENDING_ROUND5 = _PENDING_NEXT[50:] + [
     "quantized_ann_topk",  # new in round 4 (int8 symmetric-quantized ANN)
     "source_shingle_overlap",  # new in round 4 (cross-source overlap matrix)
     "psi_value_drift",  # new in round 4 (PSI distribution-drift monitor)
+    "ks_value_drift",  # new in round 4 (exact two-sample KS statistic)
 ]
 
 # ROUND-5 BUILDER: build the round-5 window as
