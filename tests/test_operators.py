@@ -641,3 +641,18 @@ def test_contrastive_pairs_empty_input_yields_empty(spark):
     out = sampling.contrastive_pairs(df, "label", "vec_id")
     assert out.columns == ["label", "anchor_id", "positive_id", "negative_id"]
     assert out.count() == 0
+
+
+def test_drift_statistics_invariants(spark, sf_dir):
+    """PSI is a sum of (q-p)ln(q/p) terms, each >= 0, so the statistic is
+    non-negative; the KS statistic is a max of absolute ECDF gaps in
+    [0, 1]. Both must cover every baseline event_type with current rows."""
+    import __spark_entry__ as entry
+
+    psi = entry.queries()["psi_value_drift"](spark, sf_dir).collect()
+    ks = entry.queries()["ks_value_drift"](spark, sf_dir).collect()
+    assert len(psi) == len(ks) > 0
+    for r in psi:
+        assert r.psi >= 0.0 and r.n_base > 0 and r.n_cur > 0
+    for r in ks:
+        assert 0.0 <= r.ks <= 1.0
