@@ -8537,9 +8537,7 @@ def scd2_event_type_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "psi_value_drift",
-    oracle="""
+_PSI_ORACLE = """
     WITH ev AS (
       SELECT event_type, value, weekofyear(ts) AS wk FROM events
     ),
@@ -8592,24 +8590,12 @@ def scd2_event_type_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type, n_base, n_cur,
            round(list_reduce(ts, (a, b) -> a + b), 4) AS psi
     FROM terms
-    """,
-)
-def psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Population-stability-index drift monitor — the production check a
-    pipeline runs between training snapshots: per event_type, bin `value`
-    into 10 equal-width bins over the BASELINE (weeks 1-2) range, clamp
-    the CURRENT window (weeks 4-5) into the edge bins, Laplace-smooth the
-    shares ((c+1)/(n+10), so empty bins never divide by zero), and
-    PSI = sum (q-p) ln(q/p). PSI < 0.1 is stable, > 0.25 is actionable
-    drift. Determinism discipline: every share is one int/int division,
-    all 10 bins are enumerated explicitly on both engines, and the
-    10-term sum folds in bin order (the repo's sorted-fold idiom) —
-    bit-identical before the 4dp rounding. One shuffle per side's
-    bin count; the 5-row stats/cell frames broadcast."""
-    ev = load_table(spark, sf_dir, "events").select(
-        "event_type", "value", F.weekofyear("ts").alias("wk")
-    )
-    stats = (
+    """
+
+
+def _psi_baseline_stats(ev: DataFrame) -> DataFrame:
+    """Per-event_type baseline (weeks 1-2) bin range + count."""
+    return (
         ev.filter(F.col("wk") <= 2)
         .groupBy("event_type")
         .agg(
@@ -8618,53 +8604,56 @@ def psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_base"),
         )
     )
-    curn = (
-        ev.filter(F.col("wk") >= 4)
-        .join(F.broadcast(stats.select("event_type")), "event_type")
-        .groupBy("event_type")
-        .agg(F.count("*").alias("n_cur"))
-    )
-    binned = (
-        ev.filter((F.col("wk") <= 2) | (F.col("wk") >= 4))
-        .join(F.broadcast(stats), "event_type")
-        .select(
-            "event_type",
-            "wk",
-            F.when(F.col("hi") == F.col("lo"), F.lit(0))
-            .otherwise(
-                F.greatest(
-                    F.least(
-                        F.floor(
-                            ((F.col("value") - F.col("lo")) * F.lit(10.0))
-                            / (F.col("hi") - F.col("lo"))
-                        ),
-                        F.lit(9).cast("bigint"),
+
+
+def _psi_bin(stats_joined: DataFrame) -> F.Column:
+    """Equal-width bin index over the baseline range, current rows clamped
+    into the edge bins — identical arithmetic order to the oracle."""
+    return (
+        F.when(F.col("hi") == F.col("lo"), F.lit(0))
+        .otherwise(
+            F.greatest(
+                F.least(
+                    F.floor(
+                        ((F.col("value") - F.col("lo")) * F.lit(10.0))
+                        / (F.col("hi") - F.col("lo"))
                     ),
-                    F.lit(0).cast("bigint"),
-                )
+                    F.lit(9).cast("bigint"),
+                ),
+                F.lit(0).cast("bigint"),
             )
-            .cast("int")
-            .alias("bin"),
         )
+        .cast("int")
     )
+
+
+def _psi_report(
+    stats: DataFrame, base_counts: DataFrame, cur_counts: DataFrame
+) -> DataFrame:
+    """Fold smoothed bin shares into the PSI report. ``base_counts`` /
+    ``cur_counts``: (event_type, bin, n) partial counts — mergeable, so
+    the current side can come from a streaming aggregation."""
+    curn = cur_counts.groupBy("event_type").agg(F.sum("n").alias("n_cur"))
     cells = stats.select(
         "event_type", F.explode(F.sequence(F.lit(0), F.lit(9))).alias("bin")
     )
     counts = (
-        cells.join(binned, ["event_type", "bin"], "left")
-        .groupBy("event_type", "bin")
-        .agg(
-            F.coalesce(
-                F.sum(F.when(F.col("wk") <= 2, 1).otherwise(0)), F.lit(0)
-            ).alias("cb"),
-            F.coalesce(
-                F.sum(F.when(F.col("wk") >= 4, 1).otherwise(0)), F.lit(0)
-            ).alias("cc"),
+        cells.join(
+            base_counts.withColumnRenamed("n", "cb"), ["event_type", "bin"], "left"
+        )
+        .join(
+            cur_counts.withColumnRenamed("n", "cc"), ["event_type", "bin"], "left"
+        )
+        .select(
+            "event_type",
+            "bin",
+            F.coalesce("cb", F.lit(0)).alias("cb"),
+            F.coalesce("cc", F.lit(0)).alias("cc"),
         )
     )
-    joined = counts.join(F.broadcast(stats.select("event_type", "n_base")), "event_type").join(
-        F.broadcast(curn), "event_type"
-    )
+    joined = counts.join(
+        F.broadcast(stats.select("event_type", "n_base")), "event_type"
+    ).join(F.broadcast(curn), "event_type")
     p = (F.col("cb") + 1).cast("double") / (F.col("n_base") + 10)
     qv = (F.col("cc") + 1).cast("double") / (F.col("n_cur") + 10)
     terms = joined.withColumn("t", (qv - p) * F.log(qv / p))
@@ -8681,6 +8670,76 @@ def psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_type.select(
         "event_type", "n_base", "n_cur", F.round(folded, 4).alias("psi")
     )
+
+
+@query("psi_value_drift", oracle=_PSI_ORACLE)
+def psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability-index drift monitor — the production check a
+    pipeline runs between training snapshots: per event_type, bin `value`
+    into 10 equal-width bins over the BASELINE (weeks 1-2) range, clamp
+    the CURRENT window (weeks 4-5) into the edge bins, Laplace-smooth the
+    shares ((c+1)/(n+10), so empty bins never divide by zero), and
+    PSI = sum (q-p) ln(q/p). PSI < 0.1 is stable, > 0.25 is actionable
+    drift. Determinism discipline: every share is one int/int division,
+    all 10 bins are enumerated explicitly on both engines, and the
+    10-term sum folds in bin order (the repo's sorted-fold idiom) —
+    bit-identical before the 4dp rounding. One shuffle per side's
+    bin count; the 5-row stats/cell frames broadcast."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "value", F.weekofyear("ts").alias("wk")
+    )
+    stats = _psi_baseline_stats(ev)
+    binned = ev.filter((F.col("wk") <= 2) | (F.col("wk") >= 4)).join(
+        F.broadcast(stats), "event_type"
+    )
+    binned = binned.select("event_type", "wk", _psi_bin(binned).alias("bin"))
+    base_counts = (
+        binned.filter(F.col("wk") <= 2)
+        .groupBy("event_type", "bin")
+        .agg(F.count("*").alias("n"))
+    )
+    cur_counts = (
+        binned.filter(F.col("wk") >= 4)
+        .groupBy("event_type", "bin")
+        .agg(F.count("*").alias("n"))
+    )
+    return _psi_report(stats, base_counts, cur_counts)
+
+
+@query("streaming_psi_drift", oracle=_PSI_ORACLE)
+def streaming_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PSI drift monitor run AS A STREAM — the deployment shape of
+    ``psi_value_drift``: the current window arrives as a Structured
+    Streaming file source, stream-static-joins the broadcast baseline
+    stats (range + count per event_type, computed batch-side from weeks
+    1-2), bins in-flight, and aggregates (event_type, bin) counts in the
+    engine's state store (complete-mode memory sink, availableNow). The
+    tiny 50-row fold to the final PSI numbers is batch post-processing of
+    the sink table via the same ``_psi_report`` as the batch twin, so the
+    streaming run is hash-checked against the identical oracle SQL. At
+    100 TB/day the bin counts are the only state the stream carries —
+    O(types x 10) rows regardless of input rate."""
+    stream, batch = _read_events_stream(spark, sf_dir)
+    ev_b = batch.select(
+        "event_type", "value", F.weekofyear("ts").alias("wk")
+    )
+    stats = _psi_baseline_stats(ev_b)
+    base_binned = ev_b.filter(F.col("wk") <= 2).join(
+        F.broadcast(stats), "event_type"
+    )
+    base_counts = (
+        base_binned.select("event_type", _psi_bin(base_binned).alias("bin"))
+        .groupBy("event_type", "bin")
+        .agg(F.count("*").alias("n"))
+    )
+    s = stream.select(
+        "event_type", "value", F.weekofyear("ts").alias("wk")
+    ).filter(F.col("wk") >= 4)
+    sj = s.join(F.broadcast(stats), "event_type")
+    sb = sj.select("event_type", _psi_bin(sj).alias("bin"))
+    agg = sb.groupBy("event_type", "bin").agg(F.count("*").alias("n"))
+    qname = _run_to_memory(agg, "stream_psi", "complete")
+    return _psi_report(stats, base_counts, spark.table(qname))
 
 
 @query(
@@ -8955,6 +9014,7 @@ _PENDING_ROUND5 = _PENDING_NEXT[50:] + [
     "source_shingle_overlap",  # new in round 4 (cross-source overlap matrix)
     "psi_value_drift",  # new in round 4 (PSI distribution-drift monitor)
     "ks_value_drift",  # new in round 4 (exact two-sample KS statistic)
+    "streaming_psi_drift",  # new in round 4 (PSI as a Structured Stream)
 ]
 
 # ROUND-5 BUILDER: build the round-5 window as
