@@ -90,6 +90,9 @@ HEADLINE = [
     "source_shingle_overlap",
     "minhash_estimate_error",
     "scd2_event_type_history",
+    "psi_value_drift",
+    "ks_value_drift",
+    "streaming_psi_drift",
 ]
 
 

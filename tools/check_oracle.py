@@ -4,6 +4,13 @@ and order-insensitive values. Reports per-query PASS/FAIL plus max float
 deltas so float-determinism risk is visible.
 
 Usage: python tools/check_oracle.py [sf_dir] [query ...]
+
+Scale note: the six recursive-CTE oracles (ewma_anomaly_scores,
+holt_forecast_anomaly, near_dup_components, near_dup_bfs_hops,
+greedy_pack_assignments, minhash_dedup_keep) are O(iterations x rows)
+MATERIALIZED per step in DuckDB — fine at the driver's sf0.01 gate,
+impractically slow at sf0.1+ (the ORACLE is the bottleneck, not the
+engine). Exclude them when sweeping larger SFs.
 """
 
 from __future__ import annotations
