@@ -5,12 +5,18 @@ deltas so float-determinism risk is visible.
 
 Usage: python tools/check_oracle.py [sf_dir] [query ...]
 
-Scale note: the six recursive-CTE oracles (ewma_anomaly_scores,
-holt_forecast_anomaly, near_dup_components, near_dup_bfs_hops,
-greedy_pack_assignments, minhash_dedup_keep) are O(iterations x rows)
-MATERIALIZED per step in DuckDB — fine at the driver's sf0.01 gate,
-impractically slow at sf0.1+ (the ORACLE is the bottleneck, not the
-engine). Exclude them when sweeping larger SFs.
+Scale note: two oracle families are impractically slow in DuckDB beyond
+the driver's sf0.01 gate (the ORACLE is the bottleneck, not the engine —
+the Spark side of each passes its bench budget at sf0.1):
+- recursive-CTE oracles (ewma_anomaly_scores, holt_forecast_anomaly,
+  near_dup_components, near_dup_bfs_hops, greedy_pack_assignments,
+  minhash_dedup_keep): O(iterations x rows) MATERIALIZED per step;
+- all-pairs edge-derivation oracles (near_dup_triangles,
+  near_dup_pagerank, embedding_near_dup_pairs): the graph twins rebuild
+  exact-Jaccard edges without LSH pre-filtering (deliberately independent
+  of the banding under test), which is quadratic in documents.
+Exclude both when sweeping larger SFs; everything else passes at sf0.1
+(see the round-4 sweep note in SCALING.md).
 """
 
 from __future__ import annotations
