@@ -37,7 +37,10 @@ def asof_join(
     earliest right row at-or-after it. Both are the same single-shuffle
     union+window formulation — forward just scans the per-key timeline in
     descending order (no second join strategy to maintain)."""
-    lcols = [c for c in left.columns if c not in keys]
+    # left_ts is returned via the _asof_ts rename — carrying it in lcols
+    # too would emit a DUPLICATE column of that name, making any
+    # downstream reference to it ambiguous.
+    lcols = [c for c in left.columns if c not in keys and c != left_ts]
     rcols = [c for c in right.columns if c not in keys and c != right_ts]
     l_tagged = left.select(
         *keys,

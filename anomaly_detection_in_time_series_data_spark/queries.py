@@ -8847,6 +8847,80 @@ def ks_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "pit_dimension_join",
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id, event_type, ts, weekofyear(ts) AS wk,
+             row_number() OVER (PARTITION BY user_id, weekofyear(ts)
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ),
+    latest AS (SELECT user_id, event_type, ts, wk FROM ranked WHERE rn = 1),
+    flagged AS (
+      SELECT *, lag(event_type) OVER (PARTITION BY user_id ORDER BY wk)
+                  AS prev
+      FROM latest
+    ),
+    changes AS (
+      SELECT user_id, event_type AS state, ts AS vf FROM flagged
+      WHERE prev IS NULL OR prev <> event_type
+    )
+    SELECT e.event_id, e.user_id,
+           CAST(epoch_us(e.ts) AS BIGINT) AS event_us,
+           (SELECT c.state FROM changes c
+            WHERE c.user_id = e.user_id AND c.vf <= e.ts
+            ORDER BY c.vf DESC LIMIT 1) AS state_at_event
+    FROM events e
+    """,
+)
+def pit_dimension_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (AS OF) join against the SCD2 dimension — the
+    feature-store correctness pattern that closes the CDC loop opened by
+    ``scd2_event_type_history``: every fact row is labeled with the
+    dimension version valid AT ITS OWN timestamp (inclusive), never a
+    later one — the join discipline that prevents feature/label leakage
+    when training data is assembled from revised metadata. Executed as the
+    single-shuffle union+window as-of formulation (``joins.asof_join``):
+    facts and dimension versions merge into one per-key timeline, state
+    carries forward via last(ignorenulls) — no range join, no per-row
+    subquery. Events before a user's first version come back null (left
+    semantics). The oracle is the correlated most-recent-version subquery
+    — the textbook definition the merge formulation must reproduce."""
+    from .operators import joins as joinops
+
+    events = load_table(spark, sf_dir, "events")
+    w1 = Window.partitionBy("user_id", "wk").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    latest = (
+        events.withColumn("wk", F.weekofyear("ts"))
+        .withColumn("rn", F.row_number().over(w1))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", "ts", "wk")
+    )
+    w2 = Window.partitionBy("user_id").orderBy("wk")
+    changes = (
+        latest.withColumn("prev", F.lag("event_type").over(w2))
+        .filter(F.col("prev").isNull() | (F.col("prev") != F.col("event_type")))
+        .select(
+            "user_id",
+            F.col("event_type").alias("state_at_event"),
+            F.col("ts").alias("vf"),
+        )
+    )
+    facts = events.select("user_id", "event_id", "ts")
+    out = joinops.asof_join(
+        facts, changes, keys=["user_id"], left_ts="ts", right_ts="vf"
+    )
+    return out.select(
+        F.col("event_id").cast("bigint").alias("event_id"),
+        "user_id",
+        F.unix_micros("ts").alias("event_us"),
+        "state_at_event",
+    )
+
+
 # Oracle-bearing queries with no driver correctness row that are NOT in the
 # current front window — rotate these to the front in round 4.  (Everything
 # else that was pending after round 2 is in _ROUND3_FRONT below.)
@@ -9015,6 +9089,7 @@ _PENDING_ROUND5 = _PENDING_NEXT[50:] + [
     "psi_value_drift",  # new in round 4 (PSI distribution-drift monitor)
     "ks_value_drift",  # new in round 4 (exact two-sample KS statistic)
     "streaming_psi_drift",  # new in round 4 (PSI as a Structured Stream)
+    "pit_dimension_join",  # new in round 4 (feature-store point-in-time join)
 ]
 
 # ROUND-5 BUILDER: build the round-5 window as
