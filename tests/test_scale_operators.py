@@ -94,6 +94,13 @@ def test_asof_join_semantics(spark):
     }
     assert out == {"e1": 104, "e2": 100, "e3": 203, "e4": None}
 
+    # left_ts must come back exactly once (a duplicate made any downstream
+    # reference to it ambiguous — round-4 fix, pinned here)
+    cols = asof_join(
+        left, right, keys=["k"], left_ts="ts", right_ts="rts"
+    ).columns
+    assert cols.count("ts") == 1
+
     # forward direction: earliest right row at-or-after each left ts
     fwd = {
         r.eid: r.rv
