@@ -93,6 +93,7 @@ HEADLINE = [
     "psi_value_drift",
     "ks_value_drift",
     "streaming_psi_drift",
+    "pit_dimension_join",
 ]
 
 
