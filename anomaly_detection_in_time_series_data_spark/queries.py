@@ -1414,7 +1414,9 @@ def kmeans_anomaly_scores_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     the fit (same exemption as ``ivf_ann_topk``). The driver records a
     rows-only check; correctness lives in the unit tests (fit/score
     identity after model save/load, planted-outlier detection) and the
-    deterministic distance/threshold arithmetic downstream of the fit."""
+    deterministic distance/threshold arithmetic downstream of the fit.
+    ``kmeans_micro_lloyd`` is the fully-deterministic relational Lloyd's
+    the repo DOES oracle-check — this query stays as the MLlib seam."""
     from .operators import models
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -8921,6 +8923,140 @@ def pit_dimension_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _kmeans_micro_oracle(k: int, iters: int) -> str:
+    """DuckDB twin of the all-integer Lloyd's KMeans: floor-micro
+    quantized components, md5-ranked seeds, truncating integer-division
+    centroids (`//` and Spark's `div` both truncate toward zero), exact
+    bigint squared distances, (dist, cid) lexicographic argmin. Iterations
+    unrolled as CTE pairs."""
+    body = f"""
+    WITH xm AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))
+               AS xm
+      FROM embeddings
+    ),
+    xu AS (
+      SELECT vec_id, CAST(i - 1 AS BIGINT) AS dim, xm[i] AS v
+      FROM xm, LATERAL unnest(generate_series(1, len(xm))) AS t(i)
+    ),
+    seeds AS (
+      SELECT vec_id,
+             row_number() OVER (ORDER BY md5('km|' || vec_id), vec_id) AS rk
+      FROM xm
+    ),
+    c0 AS (
+      SELECT CAST(s.rk - 1 AS BIGINT) AS cid, x.dim, x.v AS c
+      FROM seeds s JOIN xu x USING (vec_id)
+      WHERE s.rk <= {k}
+    )"""
+    prev = "c0"
+    for it in range(1, iters + 1):
+        body += f""",
+    d{it} AS (
+      SELECT x.vec_id, c.cid, sum((x.v - c.c) * (x.v - c.c)) AS dist
+      FROM xu x JOIN {prev} c ON c.dim = x.dim
+      GROUP BY x.vec_id, c.cid
+    ),
+    a{it} AS (
+      SELECT vec_id, cid FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY dist, cid) AS rn
+        FROM d{it}
+      ) WHERE rn = 1
+    ),
+    c{it} AS (
+      SELECT a.cid, x.dim, sum(x.v) // count(*) AS c
+      FROM a{it} a JOIN xu x USING (vec_id)
+      GROUP BY a.cid, x.dim
+    )"""
+        prev = f"c{it}"
+    final = iters + 1
+    body += f""",
+    d{final} AS (
+      SELECT x.vec_id, c.cid, sum((x.v - c.c) * (x.v - c.c)) AS dist
+      FROM xu x JOIN {prev} c ON c.dim = x.dim
+      GROUP BY x.vec_id, c.cid
+    )
+    SELECT vec_id, CAST(cid AS BIGINT) AS cluster,
+           CAST(dist AS BIGINT) AS dist
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY dist, cid) AS rn
+      FROM d{final}
+    ) WHERE rn = 1
+    """
+    return body
+
+
+@query("kmeans_micro_lloyd", oracle=_kmeans_micro_oracle(4, 2))
+def kmeans_micro_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd's KMeans made ORACLE-CHECKABLE — the deterministic
+    counterpart to the MLlib-backed ``kmeans_anomaly_scores`` exemption:
+    components floor-quantized to integer micros (the
+    ``centroid_per_label`` idiom), seeds = the k=4 vectors ranked by
+    md5('km|'||vec_id) (content-derived, no RNG), two Lloyd iterations
+    with truncating integer-division centroids, and (dist, cid)
+    lexicographic argmin — every quantity a bigint, so the unrolled
+    DuckDB CTE twin is bit-exact. The distributed shape per iteration:
+    the k x 64 centroid table broadcasts, assignment is one zip_with
+    integer fold per (vector, centroid) with no corpus shuffle, and the
+    centroid update shuffles only (cid, dim, partial-sum) rows with full
+    map-side combine — the same envelope MLlib's trainer uses, expressed
+    relationally. An empty cluster simply drops out of the centroid
+    table (documented; both engines agree by construction)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    xm = emb.select(
+        "vec_id",
+        F.expr(
+            "transform(embedding,"
+            " x -> cast(floor(cast(x as double) * 1000000.0) as bigint))"
+        ).alias("xm"),
+    ).localCheckpoint(eager=True)
+    wseed = Window.orderBy(
+        F.md5(F.concat(F.lit("km|"), F.col("vec_id").cast("string"))), "vec_id"
+    )
+    cents = (
+        xm.withColumn("rk", F.row_number().over(wseed))
+        .filter(F.col("rk") <= 4)
+        .select((F.col("rk") - 1).cast("bigint").alias("cid"), F.col("xm").alias("cm"))
+    )
+
+    def assign(centroids: DataFrame) -> DataFrame:
+        dist = F.expr(
+            "aggregate(zip_with(xm, cm, (x, c) -> (x - c) * (x - c)),"
+            " 0L, (acc, t) -> acc + t)"
+        )
+        w = Window.partitionBy("vec_id").orderBy("dist", "cid")
+        return (
+            xm.crossJoin(F.broadcast(centroids))
+            .select("vec_id", "cid", "xm", dist.alias("dist"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "cid", "xm", "dist")
+        )
+
+    for _ in range(2):
+        asg = assign(cents)
+        cents = (
+            asg.select("cid", F.posexplode("xm").alias("dim", "v"))
+            .groupBy("cid", "dim")
+            .agg(F.expr("sum(v) div count(*)").alias("c"))
+            .groupBy("cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "c"))),
+                    lambda s: s["c"],
+                ).alias("cm")
+            )
+            .localCheckpoint(eager=True)
+        )
+    return assign(cents).select(
+        "vec_id", F.col("cid").alias("cluster"), "dist"
+    )
+
+
 # Oracle-bearing queries with no driver correctness row that are NOT in the
 # current front window — rotate these to the front in round 4.  (Everything
 # else that was pending after round 2 is in _ROUND3_FRONT below.)
@@ -9090,6 +9226,7 @@ _PENDING_ROUND5 = _PENDING_NEXT[50:] + [
     "ks_value_drift",  # new in round 4 (exact two-sample KS statistic)
     "streaming_psi_drift",  # new in round 4 (PSI as a Structured Stream)
     "pit_dimension_join",  # new in round 4 (feature-store point-in-time join)
+    "kmeans_micro_lloyd",  # new in round 4 (oracle-checked integer Lloyd's)
 ]
 
 # ROUND-5 BUILDER: build the round-5 window as

@@ -94,6 +94,7 @@ HEADLINE = [
     "ks_value_drift",
     "streaming_psi_drift",
     "pit_dimension_join",
+    "kmeans_micro_lloyd",
 ]
 
 
