@@ -8923,6 +8923,78 @@ def pit_dimension_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "categorical_drift_contributions",
+    oracle="""
+    WITH ev AS (SELECT event_type, weekofyear(ts) AS wk FROM events),
+    b AS (
+      SELECT event_type, count(*) AS nb FROM ev WHERE wk <= 2
+      GROUP BY event_type
+    ),
+    c AS (
+      SELECT event_type, count(*) AS nc FROM ev WHERE wk >= 4
+      GROUP BY event_type
+    ),
+    tot AS (
+      SELECT (SELECT sum(nb) FROM b) AS tb, (SELECT sum(nc) FROM c) AS tc
+    )
+    SELECT b.event_type,
+           CAST(b.nb AS BIGINT) AS n_base,
+           CAST(coalesce(c.nc, 0) AS BIGINT) AS n_cur,
+           round(CAST(tot.tc AS DOUBLE) * (CAST(b.nb AS DOUBLE) / tot.tb), 4)
+             AS expected,
+           round(
+             (coalesce(c.nc, 0)
+               - CAST(tot.tc AS DOUBLE) * (CAST(b.nb AS DOUBLE) / tot.tb))
+             * (coalesce(c.nc, 0)
+               - CAST(tot.tc AS DOUBLE) * (CAST(b.nb AS DOUBLE) / tot.tb))
+             / (CAST(tot.tc AS DOUBLE) * (CAST(b.nb AS DOUBLE) / tot.tb)),
+             4) AS chi2_contribution
+    FROM b LEFT JOIN c USING (event_type), tot
+    """,
+)
+def categorical_drift_contributions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square drift decomposition for the CATEGORICAL axis (the
+    event-type mix), completing the drift family (PSI/KS cover the value
+    distribution): per baseline category, observed current count vs the
+    count expected under the baseline mix, and its chi-square
+    contribution — the per-category attribution a dashboard surfaces when
+    the mix shifts. Per-row arithmetic only (counts, two divisions, one
+    square) — no sum across rows, so no fold-order discipline is needed;
+    the two scalar totals broadcast."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.weekofyear("ts").alias("wk")
+    )
+    b = (
+        ev.filter(F.col("wk") <= 2)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("nb"))
+    )
+    c = (
+        ev.filter(F.col("wk") >= 4)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("nc"))
+    )
+    tot = b.agg(F.sum("nb").alias("tb")).crossJoin(
+        c.agg(F.sum("nc").alias("tc"))
+    )
+    e = F.col("tc").cast("double") * (
+        F.col("nb").cast("double") / F.col("tb")
+    )
+    o = F.coalesce("nc", F.lit(0))
+    return (
+        b.join(c, "event_type", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "event_type",
+            F.col("nb").cast("bigint").alias("n_base"),
+            o.cast("bigint").alias("n_cur"),
+            F.round(e, 4).alias("expected"),
+            F.round((o - e) * (o - e) / e, 4).alias("chi2_contribution"),
+        )
+    )
+
+
 def _kmeans_micro_oracle(k: int, iters: int) -> str:
     """DuckDB twin of the all-integer Lloyd's KMeans: floor-micro
     quantized components, md5-ranked seeds, truncating integer-division
@@ -9227,6 +9299,7 @@ _PENDING_ROUND5 = _PENDING_NEXT[50:] + [
     "streaming_psi_drift",  # new in round 4 (PSI as a Structured Stream)
     "pit_dimension_join",  # new in round 4 (feature-store point-in-time join)
     "kmeans_micro_lloyd",  # new in round 4 (oracle-checked integer Lloyd's)
+    "categorical_drift_contributions",  # new in round 4 (chi-square mix drift)
 ]
 
 # ROUND-5 BUILDER: build the round-5 window as
