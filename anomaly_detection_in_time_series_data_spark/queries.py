@@ -1430,7 +1430,9 @@ def gmm_anomaly_scores_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     init + float reduction order), so no SQL twin exists — rows-only
     driver check; semantics are unit-tested (log-likelihood monotonicity
     on planted clusters). See ``kmeans_anomaly_scores``/``ivf_ann_topk``
-    for the same exemption class."""
+    for the same exemption class. ``gaussian_nll_anomalies`` is the
+    fully-deterministic per-label diagonal-Gaussian scorer the repo DOES
+    oracle-check — this query stays as the MLlib seam."""
     from .operators import models
 
     # Full-covariance GMM needs points >> dims per component; the 500-row
@@ -8995,6 +8997,102 @@ def categorical_drift_contributions(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+@query(
+    "gaussian_nll_anomalies",
+    oracle="""
+    WITH xu AS (
+      SELECT vec_id, label, CAST(i - 1 AS BIGINT) AS dim,
+             CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT)
+               AS v
+      FROM embeddings,
+           LATERAL unnest(generate_series(1, len(embedding))) AS t(i)
+    ),
+    m AS (
+      SELECT label, dim, count(*) AS n,
+             sum(v) AS s1, sum(v * v) AS s2
+      FROM xu GROUP BY label, dim
+    ),
+    t AS (
+      SELECT x.vec_id, x.label, x.dim,
+             (x.v - CAST(m.s1 AS DOUBLE) / m.n)
+               * (x.v - CAST(m.s1 AS DOUBLE) / m.n)
+               / greatest(CAST(m.s2 AS DOUBLE) / m.n
+                          - (CAST(m.s1 AS DOUBLE) / m.n)
+                            * (CAST(m.s1 AS DOUBLE) / m.n), 0.000001)
+             + ln(greatest(CAST(m.s2 AS DOUBLE) / m.n
+                           - (CAST(m.s1 AS DOUBLE) / m.n)
+                             * (CAST(m.s1 AS DOUBLE) / m.n), 0.000001))
+               AS term
+      FROM xu x JOIN m ON m.label = x.label AND m.dim = x.dim
+    ),
+    per AS (
+      SELECT vec_id, label, list(term ORDER BY dim) AS ts
+      FROM t GROUP BY vec_id, label
+    ),
+    nll AS (
+      SELECT vec_id, label, list_reduce(ts, (a, b) -> a + b) AS nll
+      FROM per
+    )
+    SELECT label, vec_id, round(nll, 4) AS nll, CAST(rk AS BIGINT) AS rank
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY label
+                                   ORDER BY nll DESC, vec_id) AS rk
+      FROM nll
+    ) WHERE rk <= 5
+    """,
+)
+def gaussian_nll_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label diagonal-Gaussian negative-log-likelihood anomaly
+    scoring — the deterministic relational analog to the EM-fitted
+    ``gmm_anomaly_scores`` exemption (same exemption-upgrade move as
+    ``kmeans_micro_lloyd`` vs MLlib KMeans): per (label, dim) moments
+    from EXACT integer micro sums (order-independent bigint arithmetic),
+    mean/variance as single divisions, per-vector NLL folded in dim order
+    (the sorted-fold idiom), top-5 highest-NLL vectors per label. Every
+    float op has one fixed order in both engines — bit-exact twin. The
+    moments table is k x dims rows (broadcastable at any corpus size);
+    the score pass is one equi-join + fold, no corpus self-join."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    xu = emb.select(
+        "vec_id", "label", F.posexplode("embedding").alias("dim", "x")
+    ).select(
+        "vec_id",
+        "label",
+        F.col("dim").cast("bigint").alias("dim"),
+        F.floor(F.col("x").cast("double") * F.lit(1000000.0))
+        .cast("bigint")
+        .alias("v"),
+    )
+    m = xu.groupBy("label", "dim").agg(
+        F.count("*").alias("n"),
+        F.sum("v").alias("s1"),
+        F.sum(F.col("v") * F.col("v")).alias("s2"),
+    )
+    mu = F.col("s1").cast("double") / F.col("n")
+    var = F.greatest(
+        F.col("s2").cast("double") / F.col("n") - mu * mu, F.lit(0.000001)
+    )
+    term = (F.col("v") - mu) * (F.col("v") - mu) / var + F.log(var)
+    t = xu.join(F.broadcast(m), ["label", "dim"]).select(
+        "vec_id", "label", "dim", term.alias("term")
+    )
+    per = t.groupBy("vec_id", "label").agg(
+        F.sort_array(F.collect_list(F.struct("dim", "term"))).alias("_arr")
+    )
+    folded = F.aggregate(
+        F.transform(F.col("_arr"), lambda s: s["term"]),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    nll = per.select("vec_id", "label", folded.alias("nll"))
+    w = Window.partitionBy("label").orderBy(F.col("nll").desc(), "vec_id")
+    return (
+        nll.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= 5)
+        .select("label", "vec_id", F.round("nll", 4).alias("nll"), "rank")
+    )
+
+
 def _kmeans_micro_oracle(k: int, iters: int) -> str:
     """DuckDB twin of the all-integer Lloyd's KMeans: floor-micro
     quantized components, md5-ranked seeds, truncating integer-division
@@ -9300,6 +9398,7 @@ _PENDING_ROUND5 = _PENDING_NEXT[50:] + [
     "pit_dimension_join",  # new in round 4 (feature-store point-in-time join)
     "kmeans_micro_lloyd",  # new in round 4 (oracle-checked integer Lloyd's)
     "categorical_drift_contributions",  # new in round 4 (chi-square mix drift)
+    "gaussian_nll_anomalies",  # new in round 4 (deterministic Gaussian NLL)
 ]
 
 # ROUND-5 BUILDER: build the round-5 window as
