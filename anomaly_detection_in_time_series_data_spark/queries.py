@@ -3752,6 +3752,126 @@ def rrf_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+@query(
+    "bm25_retrieval",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+      FROM documents WHERE length(trim(text)) > 0
+    ),
+    dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM toks
+           GROUP BY doc_id),
+    nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                  CAST(sum(dl) AS BIGINT) AS sum_dl FROM dl),
+    tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM toks
+           WHERE term IN ('window', 'join', 'stream') GROUP BY doc_id, term),
+    dfreq AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+              FROM tf GROUP BY term),
+    ts AS (
+      SELECT t.doc_id, t.term,
+             ln((CAST(n_docs AS DOUBLE) - d.df + 0.5) / (d.df + 0.5) + 1.0)
+             * (CAST(t.tf AS DOUBLE) * ({_BM25_K1} + 1.0))
+             / (CAST(t.tf AS DOUBLE)
+                + {_BM25_K1} * (1.0 - {_BM25_B}
+                   + {_BM25_B} * CAST(l.dl AS DOUBLE)
+                     / (CAST(sum_dl AS DOUBLE) / n_docs))) AS s
+      FROM tf t JOIN dfreq d USING (term)
+                JOIN dl l USING (doc_id) CROSS JOIN nd
+    ),
+    agg AS (
+      SELECT doc_id,
+             list_reduce(list(s ORDER BY term), (a, b) -> a + b) AS score,
+             CAST(count(*) AS BIGINT) AS n_terms
+      FROM ts GROUP BY doc_id
+    )
+    SELECT doc_id, round(score, 6) AS bm25, n_terms,
+           CAST(rk AS BIGINT) AS rank
+    FROM (
+      SELECT *, row_number() OVER (ORDER BY round(score, 6) DESC, doc_id)
+                  AS rk
+      FROM agg
+    ) WHERE rk <= 10
+    """,
+)
+def bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 ranking for the 3-term query (k1=1.2, b=0.75, the
+    Lucene-style +1 idf) — completes the lexical-retrieval family
+    (tf-idf, RRF fusion): length-normalized saturation scoring is what an
+    actual training-data retrieval stage runs. Determinism discipline:
+    idf/avgdl come from exact bigint counts through single divisions, the
+    per-(doc, term) score is one fixed IEEE expression, and the per-doc
+    sum is the term-ordered sorted fold (never an unordered float SUM),
+    then rounded to 6dp before the rank window so both engines sort the
+    identical double. Shape: query terms are a broadcast-filter on the
+    exploded token stream (the scan prunes to matching rows), doc-length
+    and corpus stats are two map-side-combinable aggs, the final top-10
+    is TakeOrderedAndProject — no global sort, no all-pairs."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (
+        docs.filter(F.length(F.trim("text")) > 0)
+        .select(
+            "doc_id",
+            F.explode(text.tokens(F.lower(F.col("text")))).alias("term"),
+        )
+    )
+    dl = toks.groupBy("doc_id").agg(F.count("*").cast("bigint").alias("dl"))
+    nd = dl.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("dl").cast("bigint").alias("sum_dl"),
+    )
+    tf = (
+        toks.filter(F.col("term").isin(*_RRF_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").cast("bigint").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(
+        F.count_distinct("doc_id").cast("bigint").alias("df")
+    )
+    idf = F.log(
+        (F.col("n_docs").cast("double") - F.col("df") + 0.5)
+        / (F.col("df") + 0.5)
+        + 1.0
+    )
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")
+    s = idf * (F.col("tf").cast("double") * (_BM25_K1 + 1.0)) / (
+        F.col("tf").cast("double")
+        + _BM25_K1
+        * (1.0 - _BM25_B + _BM25_B * F.col("dl").cast("double") / avgdl)
+    )
+    ts_ = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(nd))
+        .select("doc_id", "term", s.alias("s"))
+    )
+    agg = ts_.groupBy("doc_id").agg(
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("term", "s"))),
+                lambda st: st["s"],
+            ),
+            F.lit(0.0),
+            lambda a, b: a + b,
+        ).alias("score"),
+        F.count("*").cast("bigint").alias("n_terms"),
+    )
+    w = Window.orderBy(F.round("score", 6).desc(), "doc_id")
+    return (
+        agg.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= 10)
+        .select(
+            "doc_id",
+            F.round("score", 6).alias("bm25"),
+            "n_terms",
+            "rank",
+        )
+    )
+
+
 _PR_EDGES_SQL = """
     sh AS (
       SELECT doc_id,
@@ -9227,6 +9347,614 @@ def kmeans_micro_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BENFORD = [
+    (1, 0.30103),
+    (2, 0.176091),
+    (3, 0.124939),
+    (4, 0.09691),
+    (5, 0.079181),
+    (6, 0.066947),
+    (7, 0.057992),
+    (8, 0.051153),
+    (9, 0.045757),
+]
+
+
+@query(
+    "benford_digit_drift",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(substr(CAST(CAST(floor(o_totalprice * 100.0) AS BIGINT)
+                              AS VARCHAR), 1, 1) AS INT) AS digit
+      FROM orders
+    ),
+    c AS (SELECT digit, count(*) AS n FROM d GROUP BY digit),
+    t AS (SELECT sum(n) AS total FROM c),
+    e(digit, expected) AS (VALUES
+      (1, 0.30103), (2, 0.176091), (3, 0.124939), (4, 0.09691),
+      (5, 0.079181), (6, 0.066947), (7, 0.057992), (8, 0.051153),
+      (9, 0.045757))
+    SELECT e.digit,
+           CAST(coalesce(c.n, 0) AS BIGINT) AS n,
+           round(CAST(coalesce(c.n, 0) AS DOUBLE) / t.total, 6) AS frac,
+           e.expected AS expected,
+           round(CAST(coalesce(c.n, 0) AS DOUBLE) / t.total - e.expected, 6)
+             AS dev,
+           round((CAST(coalesce(c.n, 0) AS DOUBLE) / t.total - e.expected)
+                 * (CAST(coalesce(c.n, 0) AS DOUBLE) / t.total - e.expected)
+                 / e.expected, 8) AS chi_term
+    FROM e LEFT JOIN c USING (digit) CROSS JOIN t
+    ORDER BY e.digit
+    """,
+)
+def benford_digit_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-significant-digit drift on order totals — the
+    classic financial data-quality / fraud screen, here as a relational
+    monitor. The leading digit is extracted EXACTLY (first character of
+    the integer cents string — no log10 on doubles, whose libm rounding
+    differs across engines), the expected Benford mass ln(1+1/d)/ln(10)
+    is embedded as shared 6dp literals, and the observed fraction is one
+    division of exact bigint counts, so dev and the chi-square term are
+    bit-identical doubles in both engines. One scan, one 9-row groupBy —
+    the total re-broadcasts as a 1-row frame; nothing here grows with
+    data volume beyond the scan."""
+    ords = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100.0).cast("bigint")
+    digit = F.substring(cents.cast("string"), 1, 1).cast("int")
+    c = ords.select(digit.alias("digit")).groupBy("digit").agg(
+        F.count("*").alias("n")
+    )
+    e = spark.createDataFrame(_BENFORD, "digit int, expected double")
+    joined = (
+        e.join(F.broadcast(c), "digit", "left")
+        .withColumn("n", F.coalesce("n", F.lit(0)))
+        .crossJoin(F.broadcast(c.agg(F.sum("n").alias("total"))))
+    )
+    fr = F.col("n").cast("double") / F.col("total")
+    return joined.select(
+        "digit",
+        F.col("n").cast("bigint").alias("n"),
+        F.round(fr, 6).alias("frac"),
+        "expected",
+        F.round(fr - F.col("expected"), 6).alias("dev"),
+        F.round(
+            (fr - F.col("expected")) * (fr - F.col("expected"))
+            / F.col("expected"),
+            8,
+        ).alias("chi_term"),
+    )
+
+
+@query(
+    "ols_trend_residuals",
+    oracle="""
+    WITH b AS (
+      SELECT event_type, event_id,
+             CAST(epoch_us(ts) AS BIGINT) AS us,
+             CAST(floor(value * 1000000.0) AS BIGINT) AS v
+      FROM events
+    ),
+    m AS (SELECT event_type, min(us) AS us0 FROM b GROUP BY event_type),
+    x AS (
+      SELECT b.event_type, b.event_id,
+             (b.us - m.us0) // 3600000000 AS x, b.v
+      FROM b JOIN m USING (event_type)
+    ),
+    s AS (
+      SELECT event_type, count(*) AS n, sum(x) AS sx, sum(v) AS sv,
+             sum(x * x) AS sxx, sum(x * v) AS sxv
+      FROM x GROUP BY event_type
+    ),
+    r AS (
+      SELECT x.event_type, x.event_id,
+             (CAST(sxv AS DOUBLE) / n
+              - (CAST(sx AS DOUBLE) / n) * (CAST(sv AS DOUBLE) / n))
+             / greatest(CAST(sxx AS DOUBLE) / n
+                        - (CAST(sx AS DOUBLE) / n)
+                          * (CAST(sx AS DOUBLE) / n), 0.000000001) AS slope,
+             CAST(x.v AS DOUBLE) - CAST(sv AS DOUBLE) / n AS dv,
+             CAST(x.x AS DOUBLE) - CAST(sx AS DOUBLE) / n AS dx
+      FROM x JOIN s USING (event_type)
+    ),
+    r2 AS (
+      SELECT event_type, event_id, slope, dv - slope * dx AS resid
+      FROM r
+    )
+    SELECT event_type, event_id,
+           round(slope, 6) AS slope_micro_per_hr,
+           round(resid, 2) AS resid_micro,
+           CAST(rk AS BIGINT) AS rank
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY event_type
+                                   ORDER BY abs(resid) DESC, event_id) AS rk
+      FROM r2
+    ) WHERE rk <= 5
+    """,
+)
+def ols_trend_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form OLS trend fit per event type with top-5 residual
+    anomalies — detrended outlier detection (the regression analog of the
+    flagship z-score). All five regression sums are EXACT bigints
+    (relative-hour x, floor-micro value; at the 30-day fixture span the
+    largest term x*v is ~4e11, leaving >7 orders of bigint headroom at
+    sf=10), the slope is assembled from single divisions in one fixed
+    expression order, and residuals use the centered form
+    (v - mu_v) - slope*(x - mu_x) so both engines execute the identical
+    IEEE sequence. Distributed shape: one groupBy for per-type minima
+    (broadcast back), one for the sums (broadcast back), then a scan-wide
+    projection + per-type top-5 window — no self-joins, no collect."""
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.select(
+        "event_type",
+        "event_id",
+        F.unix_micros("ts").alias("us"),
+        F.floor(F.col("value") * 1000000.0).cast("bigint").alias("v"),
+    )
+    m = b.groupBy("event_type").agg(F.min("us").alias("us0"))
+    x = b.join(F.broadcast(m), "event_type").select(
+        "event_type",
+        "event_id",
+        F.expr("(us - us0) div 3600000000").alias("x"),
+        "v",
+    )
+    s = x.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("v").alias("sv"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("v")).alias("sxv"),
+    )
+    n = F.col("n")
+    mu_x = F.col("sx").cast("double") / n
+    mu_v = F.col("sv").cast("double") / n
+    slope = (F.col("sxv").cast("double") / n - mu_x * mu_v) / F.greatest(
+        F.col("sxx").cast("double") / n - mu_x * mu_x, F.lit(0.000000001)
+    )
+    r = x.join(F.broadcast(s), "event_type").select(
+        "event_type",
+        "event_id",
+        slope.alias("slope"),
+        (F.col("v").cast("double") - mu_v).alias("dv"),
+        (F.col("x").cast("double") - mu_x).alias("dx"),
+    )
+    r2 = r.select(
+        "event_type",
+        "event_id",
+        "slope",
+        (F.col("dv") - F.col("slope") * F.col("dx")).alias("resid"),
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.abs(F.col("resid")).desc(), "event_id"
+    )
+    return (
+        r2.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= 5)
+        .select(
+            "event_type",
+            "event_id",
+            F.round("slope", 6).alias("slope_micro_per_hr"),
+            F.round("resid", 2).alias("resid_micro"),
+            "rank",
+        )
+    )
+
+
+@query(
+    "anomaly_ensemble_votes",
+    oracle="""
+    WITH b AS (
+      SELECT event_type, event_id,
+             CAST(floor(value * 1000.0) AS BIGINT) AS v
+      FROM events
+    ),
+    s1 AS (
+      SELECT event_type, count(*) AS n, sum(v) AS sv, sum(v * v) AS s2,
+             quantile_cont(v, 0.5) AS med,
+             quantile_cont(v, 0.25) AS q1,
+             quantile_cont(v, 0.75) AS q3
+      FROM b GROUP BY event_type
+    ),
+    s2 AS (
+      SELECT b.event_type,
+             quantile_cont(abs(CAST(b.v AS DOUBLE) - s1.med), 0.5) AS mad
+      FROM b JOIN s1 USING (event_type)
+      GROUP BY b.event_type
+    ),
+    f AS (
+      SELECT b.event_type,
+             CASE WHEN abs(CAST(b.v AS DOUBLE) - CAST(s1.sv AS DOUBLE) / s1.n)
+                  > 3.0 * sqrt(greatest(CAST(s1.s2 AS DOUBLE) / s1.n
+                       - (CAST(s1.sv AS DOUBLE) / s1.n)
+                         * (CAST(s1.sv AS DOUBLE) / s1.n), 0.000001))
+                  THEN 1 ELSE 0 END AS fz,
+             CASE WHEN abs(CAST(b.v AS DOUBLE) - s1.med)
+                  > 3.0 * 1.4826 * greatest(s2.mad, 0.000001)
+                  THEN 1 ELSE 0 END AS fm,
+             CASE WHEN CAST(b.v AS DOUBLE) < s1.q1 - 1.5 * (s1.q3 - s1.q1)
+                    OR CAST(b.v AS DOUBLE) > s1.q3 + 1.5 * (s1.q3 - s1.q1)
+                  THEN 1 ELSE 0 END AS fi
+      FROM b JOIN s1 USING (event_type) JOIN s2 USING (event_type)
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(fz) AS BIGINT) AS n_zscore,
+           CAST(sum(fm) AS BIGINT) AS n_mad,
+           CAST(sum(fi) AS BIGINT) AS n_iqr,
+           CAST(sum(CASE WHEN fz + fm + fi >= 2 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_consensus
+    FROM f GROUP BY event_type
+    """,
+)
+def anomaly_ensemble_votes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-detector anomaly ENSEMBLE with majority consensus — the
+    standard production guard against any single detector's blind spot
+    (z-score misses under heavy tails, MAD under symmetric bimodality,
+    Tukey fences under skew). All three thresholds derive from exact
+    arithmetic: mean/std from integer MILLI sums (milli, not micro:
+    sum(v*v) must stay inside bigint — at |v|<=5.6e5 milli the squared
+    sum has headroom to sf~100; single divisions, one sqrt),
+    median/quartiles/MAD from the exact interpolated percentile
+    both engines share, and each flag is a strict comparison of
+    identically-ordered IEEE expressions — so the per-type vote counts
+    hash-match. Distributed shape: two aggregate passes (stats, then MAD
+    over deviations) each broadcast back to an embarrassingly parallel
+    flag scan; per-type state is O(1)."""
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.select(
+        "event_type",
+        "event_id",
+        F.floor(F.col("value") * 1000.0).cast("bigint").alias("v"),
+    )
+    s1 = b.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("v").alias("sv"),
+        F.sum(F.col("v") * F.col("v")).alias("s2"),
+        F.percentile("v", 0.5).alias("med"),
+        F.percentile("v", 0.25).alias("q1"),
+        F.percentile("v", 0.75).alias("q3"),
+    )
+    withs1 = b.join(F.broadcast(s1), "event_type")
+    s2 = withs1.groupBy("event_type").agg(
+        F.percentile(
+            F.abs(F.col("v").cast("double") - F.col("med")), 0.5
+        ).alias("mad")
+    )
+    vd = F.col("v").cast("double")
+    mu = F.col("sv").cast("double") / F.col("n")
+    sigma = F.sqrt(
+        F.greatest(
+            F.col("s2").cast("double") / F.col("n") - mu * mu,
+            F.lit(0.000001),
+        )
+    )
+    iqr = F.col("q3") - F.col("q1")
+    fz = (F.abs(vd - mu) > 3.0 * sigma).cast("int")
+    fm = (
+        F.abs(vd - F.col("med"))
+        > 3.0 * 1.4826 * F.greatest(F.col("mad"), F.lit(0.000001))
+    ).cast("int")
+    fi = (
+        (vd < F.col("q1") - 1.5 * iqr) | (vd > F.col("q3") + 1.5 * iqr)
+    ).cast("int")
+    f = withs1.join(F.broadcast(s2), "event_type").select(
+        "event_type", fz.alias("fz"), fm.alias("fm"), fi.alias("fi")
+    )
+    return f.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("fz").cast("bigint").alias("n_zscore"),
+        F.sum("fm").cast("bigint").alias("n_mad"),
+        F.sum("fi").cast("bigint").alias("n_iqr"),
+        F.sum(
+            (F.col("fz") + F.col("fm") + F.col("fi") >= 2).cast("int")
+        )
+        .cast("bigint")
+        .alias("n_consensus"),
+    )
+
+
+@query(
+    "user_burst_scores",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, date_trunc('hour', ts) AS hr,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM events GROUP BY user_id, date_trunc('hour', ts)
+    ),
+    u AS (
+      SELECT user_id, sum(cnt) AS tot, count(*) AS nh
+      FROM c GROUP BY user_id
+    ),
+    s AS (
+      SELECT c.user_id, c.hr, c.cnt,
+             (CAST(c.cnt AS DOUBLE) - CAST(u.tot AS DOUBLE) / u.nh)
+             / sqrt(greatest(CAST(u.tot AS DOUBLE) / u.nh, 0.000000001))
+               AS burst
+      FROM c JOIN u USING (user_id)
+      WHERE u.nh >= 5
+    )
+    SELECT user_id, hr, cnt, round(burst, 6) AS burst
+    FROM s
+    ORDER BY round(burst, 6) DESC, user_id, hr
+    LIMIT 20
+    """,
+)
+def user_burst_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user activity-burst detection: each user's hourly event count
+    against their own mean active-hour rate, scored as a Poisson-normal
+    surprise (c - rate)/sqrt(rate), top-20 bursts globally. Users with
+    fewer than 5 active hours are excluded (a rate from 1-2 hours is
+    noise). The rate is one exact int/int division and the score one
+    fixed IEEE expression, so ordering and values hash-match; the final
+    ordering key is the ROUNDED score (both engines sort the identical
+    6dp double). Shape: two hashed aggregations (map-side combinable) and
+    a global top-20 via TakeOrderedAndProject — no window over the full
+    corpus, no skew pressure beyond the per-user count itself."""
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("hr")
+    ).agg(F.count("*").cast("bigint").alias("cnt"))
+    u = c.groupBy("user_id").agg(
+        F.sum("cnt").alias("tot"), F.count("*").alias("nh")
+    )
+    rate = F.col("tot").cast("double") / F.col("nh")
+    burst = (F.col("cnt").cast("double") - rate) / F.sqrt(
+        F.greatest(rate, F.lit(0.000000001))
+    )
+    s = (
+        c.join(u.filter(F.col("nh") >= 5), "user_id")
+        .select("user_id", "hr", "cnt", F.round(burst, 6).alias("burst"))
+    )
+    return s.orderBy(F.col("burst").desc(), "user_id", "hr").limit(20)
+
+
+@query(
+    "event_rate_changepoint",
+    oracle="""
+    WITH h AS (
+      SELECT event_type, date_trunc('hour', ts) AS hr,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY event_type, date_trunc('hour', ts)
+    ),
+    p AS (
+      SELECT event_type, hr, c,
+             row_number() OVER w AS i,
+             sum(c) OVER w AS cs1,
+             sum(c * c) OVER w AS cs2,
+             count(*) OVER (PARTITION BY event_type) AS t,
+             sum(c) OVER (PARTITION BY event_type) AS s1,
+             sum(c * c) OVER (PARTITION BY event_type) AS s2
+      FROM h
+      WINDOW w AS (PARTITION BY event_type ORDER BY hr
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    sse AS (
+      SELECT event_type, hr, i, t,
+             CAST(s2 AS DOUBLE)
+               - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / t AS sse0,
+             (CAST(cs2 AS DOUBLE)
+               - CAST(cs1 AS DOUBLE) * CAST(cs1 AS DOUBLE) / i)
+             + (CAST(s2 - cs2 AS DOUBLE)
+               - CAST(s1 - cs1 AS DOUBLE) * CAST(s1 - cs1 AS DOUBLE)
+                 / (t - i)) AS sse_split
+      FROM p WHERE i < t
+    )
+    SELECT event_type, hr AS split_end_hr,
+           round(sse0, 4) AS sse_total,
+           round(sse_split, 4) AS sse_best,
+           round(sse0 - sse_split, 4) AS reduction
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY event_type
+                                   ORDER BY sse_split, hr) AS rk
+      FROM sse
+    ) WHERE rk = 1
+    """,
+)
+def event_rate_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline OPTIMAL single changepoint per event type (binary-
+    segmentation step): the split of the hourly-count series minimizing
+    total within-segment SSE — the exact counterpart to the sequential
+    CUSUM detector. The O(T^2) naive scan collapses to O(T) with
+    cumulative integer prefix sums (counts and squared counts stay
+    bigint; each candidate's SSE is two single divisions), and the argmin
+    is a (sse, hr) lexicographic window — all doubles produced in one
+    fixed order, hash-exact. Scale: T = series length per type after the
+    hourly pre-aggregation, so the window state is tiny regardless of raw
+    event volume; the only full-data pass is the map-side-combined
+    count."""
+    ev = load_table(spark, sf_dir, "events")
+    h = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hr")
+    ).agg(F.count("*").cast("bigint").alias("c"))
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("hr")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("event_type")
+    p = h.select(
+        "event_type",
+        "hr",
+        F.row_number()
+        .over(Window.partitionBy("event_type").orderBy("hr"))
+        .alias("i"),
+        F.sum("c").over(wcum).alias("cs1"),
+        F.sum(F.col("c") * F.col("c")).over(wcum).alias("cs2"),
+        F.count("*").over(wall).alias("t"),
+        F.sum("c").over(wall).alias("s1"),
+        F.sum(F.col("c") * F.col("c")).over(wall).alias("s2"),
+    )
+    i, t = F.col("i"), F.col("t")
+    sse0 = F.col("s2").cast("double") - F.col("s1").cast("double") * F.col(
+        "s1"
+    ).cast("double") / t
+    left = F.col("cs2").cast("double") - F.col("cs1").cast("double") * F.col(
+        "cs1"
+    ).cast("double") / i
+    right = (F.col("s2") - F.col("cs2")).cast("double") - (
+        F.col("s1") - F.col("cs1")
+    ).cast("double") * (F.col("s1") - F.col("cs1")).cast("double") / (t - i)
+    sse = p.filter(i < t).select(
+        "event_type",
+        "hr",
+        sse0.alias("sse0"),
+        (left + right).alias("sse_split"),
+    )
+    wmin = Window.partitionBy("event_type").orderBy("sse_split", "hr")
+    return (
+        sse.withColumn("rk", F.row_number().over(wmin))
+        .filter(F.col("rk") == 1)
+        .select(
+            "event_type",
+            F.col("hr").alias("split_end_hr"),
+            F.round("sse0", 4).alias("sse_total"),
+            F.round("sse_split", 4).alias("sse_best"),
+            F.round(F.col("sse0") - F.col("sse_split"), 4).alias("reduction"),
+        )
+    )
+
+
+_BLOOM_M = 131072  # bits (2^17); size for the expected build-side key count
+_BLOOM_K = 4  # hash functions
+
+
+@query(
+    "bloom_prejoin_fpr",
+    oracle=f"""
+    WITH keys AS (
+      SELECT DISTINCT o_custkey AS k FROM orders
+      WHERE o_totalprice > 450000.0
+    ),
+    hi(i) AS (VALUES (0), (1), (2), (3)),
+    bits AS (
+      SELECT DISTINCT
+        ('0x' || substr(md5('bf' || CAST(hi.i AS VARCHAR) || '|'
+                             || CAST(keys.k AS VARCHAR)), 1, 8))::BIGINT
+          % {_BLOOM_M} AS pos
+      FROM keys CROSS JOIN hi
+    ),
+    probes AS (SELECT c_custkey AS k FROM customer),
+    pp AS (
+      SELECT p.k,
+        ('0x' || substr(md5('bf' || CAST(hi.i AS VARCHAR) || '|'
+                             || CAST(p.k AS VARCHAR)), 1, 8))::BIGINT
+          % {_BLOOM_M} AS pos
+      FROM probes p CROSS JOIN hi
+    ),
+    cand AS (
+      SELECT pp.k,
+             CAST(sum(CASE WHEN b.pos IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS matched
+      FROM pp LEFT JOIN bits b USING (pos) GROUP BY pp.k
+    ),
+    flagged AS (
+      SELECT c.k,
+             CASE WHEN c.matched = {_BLOOM_K} THEN 1 ELSE 0 END AS is_cand,
+             CASE WHEN keys.k IS NOT NULL THEN 1 ELSE 0 END AS is_member
+      FROM cand c LEFT JOIN keys ON keys.k = c.k
+    )
+    SELECT
+      (SELECT CAST(count(*) AS BIGINT) FROM keys) AS n_keys,
+      (SELECT CAST(count(*) AS BIGINT) FROM bits) AS n_bits_set,
+      CAST(count(*) AS BIGINT) AS n_probes,
+      CAST(sum(is_cand) AS BIGINT) AS n_candidates,
+      CAST(sum(is_member) AS BIGINT) AS n_members,
+      CAST(sum(CASE WHEN is_cand = 1 AND is_member = 0 THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_false_pos,
+      round(CAST(sum(CASE WHEN is_cand = 1 AND is_member = 0
+                          THEN 1 ELSE 0 END) AS DOUBLE)
+            / (count(*) - sum(is_member)), 6) AS fp_rate
+    FROM flagged
+    """,
+)
+def bloom_prejoin_fpr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter pre-join membership screen with MEASURED false-positive
+    rate — the relational rendering of Spark's runtime bloom-filter join
+    pruning (`spark.sql.optimizer.runtime.bloomFilter.enabled`): build an
+    m=2^17-bit, k=4 filter over the small filtered build side (high-value
+    order custkeys), probe every customer, and score candidates against
+    exact membership. The filter itself is a <=m-row DISTINCT position
+    frame — broadcastable at any corpus size (16 KiB as a bitmap) — and
+    the probe side never shuffles: each probe key joins the broadcast bit
+    set and is a candidate iff all k positions hit. Hashing is the
+    engine-portable md5-prefix bigint (`dedup.md5_long` idiom), so the
+    DuckDB twin is bit-exact including the fp_rate division. At 100 TB
+    this is the pattern that turns a shuffle-heavy semi-join into a
+    broadcast pre-filter that drops ~99% of probe rows before the
+    shuffle; the fp_rate column is the QA that validates m/k sizing."""
+    ords = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    hi = spark.range(_BLOOM_K).select(F.col("id").cast("int").alias("i"))
+
+    def pos(key: Column, i: Column) -> Column:
+        h = F.md5(
+            F.concat(
+                F.lit("bf"), i.cast("string"), F.lit("|"), key.cast("string")
+            )
+        )
+        return (F.conv(F.substring(h, 1, 8), 16, 10).cast("long")) % _BLOOM_M
+
+    keys = (
+        ords.filter(F.col("o_totalprice") > 450000.0)
+        .select(F.col("o_custkey").alias("k"))
+        .distinct()
+    )
+    bits = (
+        keys.crossJoin(F.broadcast(hi))
+        .select(pos(F.col("k"), F.col("i")).alias("pos"))
+        .distinct()
+    )
+    probes = cust.select(F.col("c_custkey").alias("k"))
+    pp = probes.crossJoin(F.broadcast(hi)).select(
+        "k", pos(F.col("k"), F.col("i")).alias("pos")
+    )
+    cand = (
+        pp.join(
+            F.broadcast(bits.withColumn("hit", F.lit(1))), "pos", "left"
+        )
+        .groupBy("k")
+        .agg(F.sum(F.coalesce("hit", F.lit(0))).cast("bigint").alias("matched"))
+    )
+    flagged = cand.join(
+        F.broadcast(keys.withColumn("mem", F.lit(1))), "k", "left"
+    ).select(
+        (F.col("matched") == _BLOOM_K).cast("int").alias("is_cand"),
+        F.coalesce("mem", F.lit(0)).alias("is_member"),
+    )
+    totals = flagged.agg(
+        F.count("*").cast("bigint").alias("n_probes"),
+        F.sum("is_cand").cast("bigint").alias("n_candidates"),
+        F.sum("is_member").cast("bigint").alias("n_members"),
+        F.sum(
+            ((F.col("is_cand") == 1) & (F.col("is_member") == 0)).cast("int")
+        )
+        .cast("bigint")
+        .alias("n_false_pos"),
+    )
+    return (
+        totals.crossJoin(
+            F.broadcast(keys.agg(F.count("*").cast("bigint").alias("n_keys")))
+        )
+        .crossJoin(
+            F.broadcast(
+                bits.agg(F.count("*").cast("bigint").alias("n_bits_set"))
+            )
+        )
+        .select(
+            "n_keys",
+            "n_bits_set",
+            "n_probes",
+            "n_candidates",
+            "n_members",
+            "n_false_pos",
+            F.round(
+                F.col("n_false_pos").cast("double")
+                / (F.col("n_probes") - F.col("n_members")),
+                6,
+            ).alias("fp_rate"),
+        )
+    )
+
+
 # Oracle-bearing queries with no driver correctness row that are NOT in the
 # current front window — rotate these to the front in round 4.  (Everything
 # else that was pending after round 2 is in _ROUND3_FRONT below.)
@@ -9399,6 +10127,13 @@ _PENDING_ROUND5 = _PENDING_NEXT[50:] + [
     "kmeans_micro_lloyd",  # new in round 4 (oracle-checked integer Lloyd's)
     "categorical_drift_contributions",  # new in round 4 (chi-square mix drift)
     "gaussian_nll_anomalies",  # new in round 4 (deterministic Gaussian NLL)
+    "benford_digit_drift",  # new in round 4 (first-digit financial QA)
+    "ols_trend_residuals",  # new in round 4 (closed-form OLS detrend anomaly)
+    "anomaly_ensemble_votes",  # new in round 4 (3-detector majority ensemble)
+    "user_burst_scores",  # new in round 4 (per-user Poisson-surprise bursts)
+    "event_rate_changepoint",  # new in round 4 (optimal SSE split per type)
+    "bm25_retrieval",  # new in round 4 (Okapi BM25 lexical ranking)
+    "bloom_prejoin_fpr",  # new in round 4 (bloom pre-join fp-rate QA)
 ]
 
 # ROUND-5 BUILDER: build the round-5 window as
