@@ -9955,6 +9955,224 @@ def bloom_prejoin_fpr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "referential_integrity_audit",
+    oracle="""
+    SELECT 'customers_without_orders' AS check_name,
+           CAST(count(*) AS BIGINT) AS n_violations
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    UNION ALL
+    SELECT 'orders_orphan_custkey',
+           CAST(count(*) AS BIGINT)
+    FROM orders o
+    WHERE NOT EXISTS (SELECT 1 FROM customer c
+                      WHERE c.c_custkey = o.o_custkey)
+    UNION ALL
+    SELECT 'lineitems_orphan_orderkey',
+           CAST(count(*) AS BIGINT)
+    FROM lineitem l
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_orderkey = l.l_orderkey)
+    UNION ALL
+    SELECT 'orders_without_lineitems',
+           CAST(count(*) AS BIGINT)
+    FROM orders o
+    WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey)
+    UNION ALL
+    SELECT 'duplicate_order_keys',
+           CAST(coalesce(sum(n - 1), 0) AS BIGINT)
+    FROM (SELECT o_orderkey, count(*) AS n FROM orders
+          GROUP BY o_orderkey HAVING count(*) > 1)
+    """,
+)
+def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table referential-integrity audit — the ingest gate a
+    100 TB warehouse runs before promoting a snapshot: orphaned foreign
+    keys in both directions (customer<->orders, orders<->lineitem) plus a
+    primary-key duplication check, one row per check. Every check is an
+    anti-join (left_anti; Catalyst broadcasts the smaller distinct-key
+    side) or a HAVING>1 aggregate — no full-table materialization, and
+    each violation count is an exact bigint. The five checks share no
+    state, so at scale they run as independent parallel stages off cached
+    key projections."""
+    cust = load_table(spark, sf_dir, "customer")
+    ords = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def chk(name: str, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("check_name"),
+            F.count("*").cast("bigint").alias("n_violations"),
+        )
+
+    cust_no_ord = cust.join(
+        ords, cust["c_custkey"] == ords["o_custkey"], "left_anti"
+    )
+    ord_orphan = ords.join(
+        cust, ords["o_custkey"] == cust["c_custkey"], "left_anti"
+    )
+    li_orphan = li.join(
+        ords, li["l_orderkey"] == ords["o_orderkey"], "left_anti"
+    )
+    ord_no_li = ords.join(
+        li, ords["o_orderkey"] == li["l_orderkey"], "left_anti"
+    )
+    dup_keys = (
+        ords.groupBy("o_orderkey")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") > 1)
+        .agg(
+            F.lit("duplicate_order_keys").alias("check_name"),
+            F.coalesce(F.sum(F.col("n") - 1), F.lit(0))
+            .cast("bigint")
+            .alias("n_violations"),
+        )
+    )
+    return (
+        chk("customers_without_orders", cust_no_ord)
+        .unionAll(chk("orders_orphan_custkey", ord_orphan))
+        .unionAll(chk("lineitems_orphan_orderkey", li_orphan))
+        .unionAll(chk("orders_without_lineitems", ord_no_li))
+        .unionAll(dup_keys)
+    )
+
+
+@query(
+    "weighted_median_price",
+    oracle="""
+    WITH b AS (
+      SELECT l_returnflag,
+             CAST(floor(l_extendedprice * 100.0) AS BIGINT) AS cents,
+             CAST(l_quantity AS BIGINT) AS w,
+             l_orderkey, l_linenumber
+      FROM lineitem
+    ),
+    c AS (
+      SELECT l_returnflag, cents, w,
+             sum(w) OVER (PARTITION BY l_returnflag
+                          ORDER BY cents, l_orderkey, l_linenumber
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cumw,
+             sum(w) OVER (PARTITION BY l_returnflag) AS total_w
+      FROM b
+    )
+    SELECT l_returnflag,
+           CAST(min(cents) AS BIGINT) AS w_median_cents,
+           CAST(min(total_w) AS BIGINT) AS total_weight
+    FROM c WHERE 2 * cumw >= total_w
+    GROUP BY l_returnflag
+    """,
+)
+def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact QUANTITY-WEIGHTED median price per return flag — an operator
+    neither engine ships natively (percentile/quantile_cont are
+    unweighted), composed from the cumulative-weight window: sort each
+    group by (cents, orderkey, linenumber), running sum of weights, and
+    the weighted median is the first value whose cumulative weight
+    reaches half the total. Everything is bigint (integer cents, integer
+    quantities), so the twin is hash-exact with no float anywhere. Scale:
+    one shuffle on the group key; within-group sort is the window's
+    standard spill-safe sort — no collect, no iterative passes. The
+    deliberately small group count here exercises the operator; a
+    high-cardinality group key changes nothing structurally."""
+    li = load_table(spark, sf_dir, "lineitem")
+    b = li.select(
+        "l_returnflag",
+        F.floor(F.col("l_extendedprice") * 100.0).cast("bigint").alias("cents"),
+        F.col("l_quantity").cast("bigint").alias("w"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    wcum = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("cents", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("l_returnflag")
+    c = b.select(
+        "l_returnflag",
+        "cents",
+        F.sum("w").over(wcum).alias("cumw"),
+        F.sum("w").over(wall).alias("total_w"),
+    )
+    return (
+        c.filter(2 * F.col("cumw") >= F.col("total_w"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.min("cents").cast("bigint").alias("w_median_cents"),
+            F.min("total_w").cast("bigint").alias("total_weight"),
+        )
+    )
+
+
+@query(
+    "theil_sen_trend",
+    oracle="""
+    WITH h AS (
+      SELECT event_type, date_trunc('hour', ts) AS hr,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY event_type, date_trunc('hour', ts)
+    ),
+    x AS (
+      SELECT event_type, c,
+             CAST(epoch_us(hr) AS BIGINT) // 3600000000 AS xh
+      FROM h
+    ),
+    slopes AS (
+      SELECT a.event_type,
+             CAST(b.c - a.c AS DOUBLE) / (b.xh - a.xh) AS s
+      FROM x a JOIN x b
+        ON a.event_type = b.event_type AND a.xh < b.xh
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           round(quantile_cont(s, 0.5), 6) AS theil_sen_slope
+    FROM slopes GROUP BY event_type
+    """,
+)
+def theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend estimator per event type — the
+    breakdown-resistant complement to `ols_trend_residuals` (a single
+    corrupted hour cannot move the median of pairwise slopes the way it
+    moves OLS). The estimator runs on the PRE-AGGREGATED hourly series,
+    so the pair join is T^2 in series length (T<=720 for the 30-day
+    span — ~260k pairs/type regardless of raw event volume), never in
+    row count; the raw scan is one map-side-combined count. Each slope
+    is a single integer-difference division (identical IEEE op both
+    engines) and the median is the shared exact interpolated percentile,
+    rounded at 6dp. For multi-year series the documented scale path is
+    the standard windowed Theil-Sen (slopes within a bounded hour lag),
+    which this plan expresses by adding one band predicate to the
+    self-join."""
+    ev = load_table(spark, sf_dir, "events")
+    h = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hr")
+    ).agg(F.count("*").cast("bigint").alias("c"))
+    x = h.select(
+        "event_type",
+        "c",
+        F.expr("unix_micros(hr) div 3600000000").alias("xh"),
+    )
+    a, bb = x.alias("a"), x.alias("b")
+    slopes = a.join(
+        bb,
+        (F.col("a.event_type") == F.col("b.event_type"))
+        & (F.col("a.xh") < F.col("b.xh")),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        (
+            (F.col("b.c") - F.col("a.c")).cast("double")
+            / (F.col("b.xh") - F.col("a.xh"))
+        ).alias("s"),
+    )
+    return slopes.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_pairs"),
+        F.round(F.percentile("s", 0.5), 6).alias("theil_sen_slope"),
+    )
+
+
 # Oracle-bearing queries with no driver correctness row that are NOT in the
 # current front window — rotate these to the front in round 4.  (Everything
 # else that was pending after round 2 is in _ROUND3_FRONT below.)
@@ -10134,6 +10352,9 @@ _PENDING_ROUND5 = _PENDING_NEXT[50:] + [
     "event_rate_changepoint",  # new in round 4 (optimal SSE split per type)
     "bm25_retrieval",  # new in round 4 (Okapi BM25 lexical ranking)
     "bloom_prejoin_fpr",  # new in round 4 (bloom pre-join fp-rate QA)
+    "referential_integrity_audit",  # new in round 4 (cross-table FK audit)
+    "weighted_median_price",  # new in round 4 (exact weighted median)
+    "theil_sen_trend",  # new in round 4 (robust pairwise-slope trend)
 ]
 
 # ROUND-5 BUILDER: build the round-5 window as

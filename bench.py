@@ -95,6 +95,12 @@ HEADLINE = [
     "streaming_psi_drift",
     "pit_dimension_join",
     "kmeans_micro_lloyd",
+    "anomaly_ensemble_votes",
+    "event_rate_changepoint",
+    "bm25_retrieval",
+    "bloom_prejoin_fpr",
+    "weighted_median_price",
+    "theil_sen_trend",
 ]
 
 
