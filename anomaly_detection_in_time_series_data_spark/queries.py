@@ -39,6 +39,7 @@ from .operators import (
     sampling,
     similarity,
     sketches,
+    skew,
     text,
     timeseries,
 )
@@ -10173,6 +10174,57 @@ def theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "salted_hot_key_agg",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(floor(value * 1000.0) AS BIGINT)) AS BIGINT)
+             AS total_milli,
+           CAST(max(CAST(floor(value * 1000.0) AS BIGINT)) AS BIGINT)
+             AS max_milli,
+           CAST(min(user_id) AS BIGINT) AS min_user
+    FROM events GROUP BY event_type
+    """,
+)
+def salted_hot_key_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key aggregation routed through the two-phase SALTED aggregate
+    operator (`operators/skew.py:salted_agg`) — the explicit skew
+    mitigation for group-bys whose key space is tiny relative to row
+    count (here 5 event types over the whole corpus: every key is hot).
+    Phase 1 groups by (key, salt16) so no partial-aggregate partition
+    exceeds ~1/16 of a hot key's rows; phase 2 combines the 16 partials
+    per key. The oracle is the PLAIN group-by — the salt must never
+    change results, only placement — and every aggregate is a
+    decomposable bigint (count/sum/max/min), so the equality is exact.
+    This is the query that proves the documented 100 TB skew story
+    end-to-end rather than leaving it as a unit-tested helper."""
+    ev = load_table(spark, sf_dir, "events")
+    src = ev.select(
+        "event_type",
+        "user_id",
+        F.floor(F.col("value") * 1000.0).cast("bigint").alias("vm"),
+    )
+    out = skew.salted_agg(
+        src,
+        ["event_type"],
+        {
+            "n": (F.count("*"), "sum"),
+            "total_milli": (F.sum("vm"), "sum"),
+            "max_milli": (F.max("vm"), "max"),
+            "min_user": (F.min("user_id"), "min"),
+        },
+        salt_buckets=16,
+    )
+    return out.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n"),
+        F.col("total_milli").cast("bigint").alias("total_milli"),
+        F.col("max_milli").cast("bigint").alias("max_milli"),
+        F.col("min_user").cast("bigint").alias("min_user"),
+    )
+
+
 # Oracle-bearing queries with no driver correctness row that are NOT in the
 # current front window — rotate these to the front in round 4.  (Everything
 # else that was pending after round 2 is in _ROUND3_FRONT below.)
@@ -10355,6 +10407,7 @@ _PENDING_ROUND5 = _PENDING_NEXT[50:] + [
     "referential_integrity_audit",  # new in round 4 (cross-table FK audit)
     "weighted_median_price",  # new in round 4 (exact weighted median)
     "theil_sen_trend",  # new in round 4 (robust pairwise-slope trend)
+    "salted_hot_key_agg",  # new in round 4 (two-phase salted skew agg)
 ]
 
 # ROUND-5 BUILDER: build the round-5 window as

@@ -1,0 +1,151 @@
+"""Round-4 operator invariants that the value-hash oracles cannot express:
+bloom no-false-negatives, weighted-median definition, Theil-Sen breakdown
+resistance, changepoint optimality vs a brute-force split scan."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from anomaly_detection_in_time_series_data_spark import queries as q
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_bloom_has_no_false_negatives(spark, sf_dir):
+    """Every true member must be a candidate — a bloom filter may only
+    err toward false positives. n_candidates >= n_members and every
+    member key individually passes all-k-hit candidacy by construction
+    (same hash on both sides); check the aggregate implication."""
+    row = q.QUERIES["bloom_prejoin_fpr"](spark, sf_dir).collect()[0]
+    assert row.n_candidates >= row.n_members
+    assert row.n_false_pos == row.n_candidates - row.n_members
+    assert 0 <= row.fp_rate <= 1.0
+    # the filter can't set more bits than keys*k or the bitmap size
+    assert row.n_bits_set <= min(row.n_keys * 4, 131072)
+
+
+def test_weighted_median_definition(spark, sf_dir):
+    """The weighted median w_m must satisfy the defining property:
+    total weight at values <= w_m reaches half the total, and weight at
+    values < w_m stays below half."""
+    out = {
+        r.l_returnflag: (r.w_median_cents, r.total_weight)
+        for r in q.QUERIES["weighted_median_price"](spark, sf_dir).collect()
+    }
+    li = (
+        __import__(
+            "anomaly_detection_in_time_series_data_spark.tables",
+            fromlist=["load_table"],
+        )
+        .load_table(spark, sf_dir, "lineitem")
+        .select(
+            "l_returnflag",
+            F.floor(F.col("l_extendedprice") * 100.0)
+            .cast("bigint")
+            .alias("cents"),
+            F.col("l_quantity").cast("bigint").alias("w"),
+        )
+    )
+    rows = li.collect()
+    for flag, (wm, total) in out.items():
+        grp = [(r.cents, r.w) for r in rows if r.l_returnflag == flag]
+        assert total == sum(w for _, w in grp)
+        at_or_below = sum(w for c, w in grp if c <= wm)
+        below = sum(w for c, w in grp if c < wm)
+        assert 2 * at_or_below >= total
+        assert 2 * below < total
+
+
+def test_theil_sen_resists_single_outlier(spark):
+    """Corrupting ONE point of a clean linear series must leave the
+    Theil-Sen slope on the true value while OLS moves: the estimator's
+    whole reason to exist. Build a synthetic hourly series through the
+    registered query's internals via a temp view is overkill — exercise
+    the math shape directly with the same percentile-of-pair-slopes
+    formulation."""
+    pts = [(float(i), 2.0 * i + 1.0) for i in range(50)]
+    pts[25] = (25.0, 1e6)  # one corrupted hour
+    df = spark.createDataFrame(pts, ["x", "y"])
+    a, b = df.alias("a"), df.alias("b")
+    slopes = a.join(b, F.col("a.x") < F.col("b.x")).select(
+        (
+            (F.col("b.y") - F.col("a.y")) / (F.col("b.x") - F.col("a.x"))
+        ).alias("s")
+    )
+    ts = slopes.agg(F.percentile("s", 0.5)).collect()[0][0]
+    assert abs(ts - 2.0) < 1e-6
+    # OLS on the same data is pulled far off the true slope
+    n = 50
+    sx = sum(p[0] for p in pts)
+    sy = sum(p[1] for p in pts)
+    sxx = sum(p[0] * p[0] for p in pts)
+    sxy = sum(p[0] * p[1] for p in pts)
+    ols = (sxy / n - (sx / n) * (sy / n)) / (sxx / n - (sx / n) ** 2)
+    assert abs(ols - 2.0) > 10
+
+
+def test_changepoint_split_is_optimal(spark, sf_dir):
+    """The O(T) prefix-sum argmin must equal the brute-force best split:
+    recompute SSE for every candidate split of every type's hourly
+    series in Python and compare."""
+    best = {
+        r.event_type: (r.split_end_hr, round(r.sse_best, 4))
+        for r in q.QUERIES["event_rate_changepoint"](spark, sf_dir).collect()
+    }
+    ev = (
+        __import__(
+            "anomaly_detection_in_time_series_data_spark.tables",
+            fromlist=["load_table"],
+        )
+        .load_table(spark, sf_dir, "events")
+        .groupBy("event_type", F.date_trunc("hour", "ts").alias("hr"))
+        .agg(F.count("*").alias("c"))
+        .collect()
+    )
+    series: dict[str, list[tuple]] = {}
+    for r in ev:
+        series.setdefault(r.event_type, []).append((r.hr, r.c))
+    for et, pts in series.items():
+        pts.sort()
+        cs = [c for _, c in pts]
+
+        def sse(xs):
+            n = len(xs)
+            s1, s2 = sum(xs), sum(x * x for x in xs)
+            return s2 - s1 * s1 / n
+
+        cands = [
+            (sse(cs[: i + 1]) + sse(cs[i + 1 :]), pts[i][0])
+            for i in range(len(cs) - 1)
+        ]
+        bf = min(cands)
+        assert best[et][0] == bf[1]
+        assert abs(best[et][1] - round(bf[0], 4)) < 1e-6
+
+
+def test_salted_query_matches_plain_groupby(spark, sf_dir):
+    """salted_hot_key_agg must equal the unsalted groupBy exactly."""
+    ev = __import__(
+        "anomaly_detection_in_time_series_data_spark.tables",
+        fromlist=["load_table"],
+    ).load_table(spark, sf_dir, "events")
+    plain = {
+        r.event_type: (r.n, r.total_milli, r.max_milli, r.min_user)
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.floor(F.col("value") * 1000.0).cast("bigint")).alias(
+                "total_milli"
+            ),
+            F.max(F.floor(F.col("value") * 1000.0).cast("bigint")).alias(
+                "max_milli"
+            ),
+            F.min("user_id").alias("min_user"),
+        )
+        .collect()
+    }
+    salted = {
+        r.event_type: (r.n, r.total_milli, r.max_milli, r.min_user)
+        for r in q.QUERIES["salted_hot_key_agg"](spark, sf_dir).collect()
+    }
+    assert plain == salted
