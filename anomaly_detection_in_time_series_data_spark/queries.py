@@ -10225,6 +10225,232 @@ def salted_hot_key_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "lead_lag_correlation",
+    oracle="""
+    WITH h AS (
+      SELECT event_type, CAST(epoch_us(date_trunc('hour', ts)) AS BIGINT)
+               // 3600000000 AS xh,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY event_type, date_trunc('hour', ts)
+    ),
+    lags AS (SELECT unnest(generate_series(-6, 6)) AS lag),
+    p AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b, l.lag,
+             count(*) AS n,
+             sum(a.c) AS sx, sum(b.c) AS sy,
+             sum(a.c * a.c) AS sxx, sum(b.c * b.c) AS syy,
+             sum(a.c * b.c) AS sxy
+      FROM h a CROSS JOIN lags l
+      JOIN h b ON b.event_type <> a.event_type AND b.xh = a.xh + l.lag
+      GROUP BY a.event_type, b.event_type, l.lag
+    ),
+    corr AS (
+      SELECT type_a, type_b, lag, n,
+             CAST(n * sxy - sx * sy AS DOUBLE)
+             / sqrt(greatest(CAST(n * sxx - sx * sx AS DOUBLE)
+                             * CAST(n * syy - sy * sy AS DOUBLE), 0.000001))
+               AS r
+      FROM p WHERE n >= 24
+    )
+    SELECT type_a, type_b,
+           CAST(lag AS BIGINT) AS best_lag_hr,
+           CAST(n AS BIGINT) AS n_overlap,
+           round(r, 6) AS best_corr
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY type_a, type_b
+                                   ORDER BY r DESC, lag) AS rk
+      FROM corr
+    ) WHERE rk = 1
+    """,
+)
+def lead_lag_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lead-lag detection between event-type signals: Pearson correlation
+    of the hourly count series at every lag in [-6h, +6h], reporting the
+    best lag per ordered type pair — the operator that finds "signups
+    follow clicks by 2 hours" dependencies. All five correlation sums are
+    exact bigints on the PRE-AGGREGATED series (the lag join is T x 13 in
+    series length, never raw rows; T is fixed by the time span, not data
+    volume), the numerator/denominator stay in exact integer arithmetic
+    to the final single division + sqrt, and the argmax is an (r desc,
+    lag) window. Pairs with under 24 overlapping hours are dropped (a
+    correlation over a day of overlap is noise)."""
+    ev = load_table(spark, sf_dir, "events")
+    h = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hr")
+    ).agg(F.count("*").cast("bigint").alias("c"))
+    h = h.select(
+        "event_type", F.expr("unix_micros(hr) div 3600000000").alias("xh"), "c"
+    )
+    lags = spark.range(-6, 7).select(F.col("id").alias("lag"))
+    a = h.alias("a").crossJoin(F.broadcast(lags))
+    b = h.alias("b")
+    p = (
+        a.join(
+            b,
+            (F.col("b.event_type") != F.col("a.event_type"))
+            & (F.col("b.xh") == F.col("a.xh") + F.col("lag")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+            "lag",
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("a.c").alias("sx"),
+            F.sum("b.c").alias("sy"),
+            F.sum(F.col("a.c") * F.col("a.c")).alias("sxx"),
+            F.sum(F.col("b.c") * F.col("b.c")).alias("syy"),
+            F.sum(F.col("a.c") * F.col("b.c")).alias("sxy"),
+        )
+    )
+    n = F.col("n")
+    num = (n * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    da = (n * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    db = (n * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    r = num / F.sqrt(F.greatest(da * db, F.lit(0.000001)))
+    corr = p.filter(n >= 24).select(
+        "type_a", "type_b", "lag", "n", r.alias("r")
+    )
+    w = Window.partitionBy("type_a", "type_b").orderBy(F.desc("r"), "lag")
+    return (
+        corr.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "type_a",
+            "type_b",
+            F.col("lag").cast("bigint").alias("best_lag_hr"),
+            F.col("n").cast("bigint").alias("n_overlap"),
+            F.round("r", 6).alias("best_corr"),
+        )
+    )
+
+
+@query(
+    "trimmed_mean_stats",
+    oracle="""
+    WITH b AS (
+      SELECT event_type, CAST(floor(value * 1000.0) AS BIGINT) AS v
+      FROM events
+    ),
+    q AS (
+      SELECT event_type,
+             quantile_cont(v, 0.05) AS lo, quantile_cont(v, 0.95) AS hi
+      FROM b GROUP BY event_type
+    )
+    SELECT b.event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(CAST(sum(b.v) AS DOUBLE) / count(*), 6) AS mean_milli,
+           round(CAST(sum(CASE WHEN CAST(b.v AS DOUBLE) >= q.lo
+                               AND CAST(b.v AS DOUBLE) <= q.hi
+                               THEN b.v ELSE 0 END) AS DOUBLE)
+                 / sum(CASE WHEN CAST(b.v AS DOUBLE) >= q.lo
+                            AND CAST(b.v AS DOUBLE) <= q.hi
+                            THEN 1 ELSE 0 END), 6) AS trimmed_mean_milli,
+           CAST(sum(CASE WHEN CAST(b.v AS DOUBLE) < q.lo
+                         OR CAST(b.v AS DOUBLE) > q.hi
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_trimmed
+    FROM b JOIN q USING (event_type)
+    GROUP BY b.event_type
+    """,
+)
+def trimmed_mean_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5%-trimmed mean per event type — the robust location estimate that
+    survives the tail contamination a plain mean absorbs (the metric a
+    quality pipeline reports next to the median). Trim bounds come from
+    the shared exact interpolated percentile, membership is a strict
+    comparison, and both means are exact bigint sums through one closing
+    division — hash-exact. One aggregate for bounds (broadcast back),
+    one conditional aggregate for the means: two map-side-combinable
+    passes, no sort of the raw data."""
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.select(
+        "event_type",
+        F.floor(F.col("value") * 1000.0).cast("bigint").alias("v"),
+    )
+    qb = b.groupBy("event_type").agg(
+        F.percentile("v", 0.05).alias("lo"),
+        F.percentile("v", 0.95).alias("hi"),
+    )
+    vd = F.col("v").cast("double")
+    inb = (vd >= F.col("lo")) & (vd <= F.col("hi"))
+    j = b.join(F.broadcast(qb), "event_type")
+    return j.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.round(F.sum("v").cast("double") / F.count("*"), 6).alias(
+            "mean_milli"
+        ),
+        F.round(
+            F.sum(F.when(inb, F.col("v")).otherwise(F.lit(0))).cast("double")
+            / F.sum(inb.cast("int")),
+            6,
+        ).alias("trimmed_mean_milli"),
+        F.sum((~inb).cast("int")).cast("bigint").alias("n_trimmed"),
+    )
+
+
+@query(
+    "user_activity_gini",
+    oracle="""
+    WITH u AS (
+      SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY event_type, user_id
+    ),
+    r AS (
+      SELECT event_type, c,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY c, user_id) AS i
+      FROM u
+    ),
+    s AS (
+      SELECT event_type, count(*) AS n, sum(c) AS sc, sum(i * c) AS sic
+      FROM r GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n_users,
+           CAST(sc AS BIGINT) AS n_events,
+           round(2.0 * CAST(sic AS DOUBLE)
+                   / (CAST(n AS DOUBLE) * CAST(sc AS DOUBLE))
+                 - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE), 6)
+             AS gini
+    FROM s
+    """,
+)
+def user_activity_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini concentration of per-user activity by event type — the
+    inequality metric a curation pipeline watches to catch a handful of
+    users (or domains) dominating a source. Uses the exact rank
+    formulation G = 2*sum(i*c_i)/(n*sum(c)) - (n+1)/n over counts sorted
+    ascending with user_id tiebreak: rank products and both sums stay in
+    bigint, then two single divisions — hash-exact. One shuffle for the
+    per-user counts, one rank window over users (not raw events), one
+    tiny final aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("event_type", "user_id").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    w = Window.partitionBy("event_type").orderBy("c", "user_id")
+    r = u.select(
+        "event_type", "c", F.row_number().over(w).cast("bigint").alias("i")
+    )
+    s = r.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("c").alias("sc"),
+        F.sum(F.col("i") * F.col("c")).alias("sic"),
+    )
+    n_d = F.col("n").cast("double")
+    gini = 2.0 * F.col("sic").cast("double") / (
+        n_d * F.col("sc").cast("double")
+    ) - (n_d + 1.0) / n_d
+    return s.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n_users"),
+        F.col("sc").cast("bigint").alias("n_events"),
+        F.round(gini, 6).alias("gini"),
+    )
+
+
 # Oracle-bearing queries with no driver correctness row that are NOT in the
 # current front window — rotate these to the front in round 4.  (Everything
 # else that was pending after round 2 is in _ROUND3_FRONT below.)
@@ -10408,6 +10634,9 @@ _PENDING_ROUND5 = _PENDING_NEXT[50:] + [
     "weighted_median_price",  # new in round 4 (exact weighted median)
     "theil_sen_trend",  # new in round 4 (robust pairwise-slope trend)
     "salted_hot_key_agg",  # new in round 4 (two-phase salted skew agg)
+    "lead_lag_correlation",  # new in round 4 (best-lag Pearson per pair)
+    "trimmed_mean_stats",  # new in round 4 (5% trimmed robust mean)
+    "user_activity_gini",  # new in round 4 (rank-formula concentration)
 ]
 
 # ROUND-5 BUILDER: build the round-5 window as
