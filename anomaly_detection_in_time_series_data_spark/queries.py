@@ -10451,6 +10451,251 @@ def user_activity_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "order_reconciliation",
+    oracle="""
+    WITH li AS (
+      SELECT l_orderkey,
+             sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+                 * (CAST(1 AS DECIMAL(18,2)) + CAST(l_tax AS DECIMAL(18,2))))
+               AS li_total
+      FROM lineitem GROUP BY l_orderkey
+    ),
+    j AS (
+      SELECT o.o_orderkey,
+             CAST(o.o_totalprice AS DECIMAL(18,2)) AS o_total,
+             li.li_total
+      FROM orders o LEFT JOIN li ON li.l_orderkey = o.o_orderkey
+    ),
+    b AS (
+      SELECT CASE
+               WHEN li_total IS NULL THEN 'no_lineitems'
+               WHEN abs(CAST(li_total - o_total AS DOUBLE))
+                    <= 0.01 * CAST(o_total AS DOUBLE) THEN 'within_1pct'
+               WHEN abs(CAST(li_total - o_total AS DOUBLE))
+                    <= 0.05 * CAST(o_total AS DOUBLE) THEN 'within_5pct'
+               ELSE 'beyond_5pct'
+             END AS bucket
+      FROM j
+    )
+    SELECT bucket, CAST(count(*) AS BIGINT) AS n_orders
+    FROM b GROUP BY bucket
+    """,
+)
+def order_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table financial reconciliation: each order's header total vs
+    the recomputed lineitem total (extendedprice x (1-discount) x
+    (1+tax)), bucketed by relative deviation — the ledger-vs-detail
+    audit every finance pipeline runs at ingest. The recomputed total is
+    a DECIMAL sum (exact, order-independent — the money discipline used
+    across the TPC-H family), the tolerance test is a fixed-order double
+    comparison, and the output is four exact bucket counts. One lineitem
+    aggregation (map-side combinable on l_orderkey, the table's natural
+    clustering), one join to the header, no sorts."""
+    li = load_table(spark, sf_dir, "lineitem")
+    ords = load_table(spark, sf_dir, "orders")
+    one = F.lit(1).cast("decimal(18,2)")
+    li_tot = li.groupBy("l_orderkey").agg(
+        F.sum(
+            _dec("l_extendedprice")
+            * (one - _dec("l_discount"))
+            * (one + _dec("l_tax"))
+        ).alias("li_total")
+    )
+    j = ords.select(
+        "o_orderkey", _dec("o_totalprice").alias("o_total")
+    ).join(li_tot, ords["o_orderkey"] == li_tot["l_orderkey"], "left")
+    dev = F.abs((F.col("li_total") - F.col("o_total")).cast("double"))
+    ot = F.col("o_total").cast("double")
+    bucket = (
+        F.when(F.col("li_total").isNull(), F.lit("no_lineitems"))
+        .when(dev <= 0.01 * ot, F.lit("within_1pct"))
+        .when(dev <= 0.05 * ot, F.lit("within_5pct"))
+        .otherwise(F.lit("beyond_5pct"))
+    )
+    return (
+        j.select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").cast("bigint").alias("n_orders"))
+    )
+
+
+@query(
+    "attribution_click_window",
+    oracle="""
+    WITH p AS (
+      SELECT event_id AS purchase_id, user_id, ts AS pts
+      FROM events WHERE event_type = 'purchase'
+    ),
+    c AS (
+      SELECT user_id, ts AS cts FROM events WHERE event_type = 'click'
+    )
+    SELECT p.purchase_id,
+           CAST(count(c.cts) AS BIGINT) AS n_clicks_24h,
+           min(c.cts) AS first_click_ts,
+           max(c.cts) AS last_click_ts
+    FROM p LEFT JOIN c
+      ON c.user_id = p.user_id
+     AND c.cts < p.pts
+     AND c.cts >= p.pts - INTERVAL 24 HOURS
+    GROUP BY p.purchase_id
+    """,
+)
+def attribution_click_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch / last-touch click attribution per purchase: every
+    click by the same user in the 24 hours before the purchase,
+    reporting the window's click count and its first/last timestamps —
+    the marketing-attribution primitive. The band join is an equi-join
+    on user_id with the time band as a post-join predicate: per-user
+    event counts are small and AQE handles stragglers, and the
+    documented scale path for a hot-user corpus is the epoch-binned
+    range join (`binned_range_join_events` operator) which turns the
+    band into hash-join keys. Counts are exact bigints; min/max
+    timestamps are exact — no float anywhere."""
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("pts"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("cts")
+    )
+    j = p.join(
+        c,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("cts") < F.col("pts"))
+        & (F.col("cts") >= F.col("pts") - F.expr("INTERVAL 24 HOURS")),
+        "left",
+    )
+    return j.groupBy("purchase_id").agg(
+        F.count("cts").cast("bigint").alias("n_clicks_24h"),
+        F.min("cts").alias("first_click_ts"),
+        F.max("cts").alias("last_click_ts"),
+    )
+
+
+@query(
+    "session_running_value",
+    oracle="""
+    WITH b AS (
+      SELECT user_id, event_id, ts,
+             CAST(floor(value * 1000.0) AS BIGINT) AS vm,
+             CASE WHEN CAST(epoch_us(ts) AS BIGINT)
+                       - CAST(epoch_us(lag(ts) OVER w) AS BIGINT)
+                       > 1800000000
+                    OR lag(ts) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+      SELECT user_id, event_id, vm,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS session_seq,
+             ts
+      FROM b
+    )
+    SELECT user_id, event_id,
+           CAST(session_seq AS BIGINT) AS session_seq,
+           CAST(sum(vm) OVER (PARTITION BY user_id, session_seq
+                              ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS BIGINT) AS running_milli
+    FROM s
+    """,
+)
+def session_running_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESTARTABLE cumulative sum — the running total that resets at
+    every session boundary (30-min idle gap), the composition of the
+    gaps-and-islands session numbering with a within-island prefix sum.
+    This is the operator behind running cart value, per-session token
+    budgets, and meter-reset telemetry. Two window passes over one
+    user_id shuffle (the session_seq cumsum reuses the same partitioning
+    and sort order, so Catalyst plans a single exchange), all arithmetic
+    in exact milli bigints."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    b = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.floor(F.col("value") * 1000.0).cast("bigint").alias("vm"),
+        (
+            F.lag("ts").over(w).isNull()
+            | (
+                F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+                > 1800000000
+            )
+        )
+        .cast("int")
+        .alias("is_new"),
+    )
+    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    s = b.withColumn("session_seq", F.sum("is_new").over(wcum))
+    wrun = Window.partitionBy("user_id", "session_seq").orderBy(
+        "ts", "event_id"
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return s.select(
+        "user_id",
+        "event_id",
+        F.col("session_seq").cast("bigint").alias("session_seq"),
+        F.sum("vm").over(wrun).cast("bigint").alias("running_milli"),
+    )
+
+
+@query(
+    "daily_p95_slo_breaches",
+    oracle="""
+    WITH d AS (
+      SELECT event_type, date_trunc('day', ts) AS day,
+             quantile_cont(CAST(floor(value * 1000.0) AS BIGINT), 0.95)
+               AS p95
+      FROM events GROUP BY event_type, date_trunc('day', ts)
+    ),
+    m AS (
+      SELECT event_type, quantile_cont(p95, 0.5) AS med_p95
+      FROM d GROUP BY event_type
+    )
+    SELECT d.event_type, d.day,
+           round(d.p95, 4) AS p95_milli,
+           round(m.med_p95, 4) AS median_p95_milli,
+           CASE WHEN d.p95 > 1.25 * m.med_p95 THEN 1 ELSE 0 END AS breach
+    FROM d JOIN m USING (event_type)
+    """,
+)
+def daily_p95_slo_breaches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLO-style tail monitoring: the daily p95 of each event type's
+    value, flagged as a breach when it exceeds 1.25x the type's median
+    daily p95 — the latency-dashboard query every ops team runs, here
+    with a self-calibrating threshold instead of a hardcoded budget.
+    Both percentile layers are the shared exact interpolated quantile
+    over integer millis, the threshold is one fixed-order comparison,
+    and the breach flag is carried as an exact integer. Two aggregation
+    passes, the second over one row per (type, day) — the heavy scan
+    happens once."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(
+        F.percentile(
+            F.floor(F.col("value") * 1000.0).cast("bigint"), 0.95
+        ).alias("p95")
+    )
+    m = d.groupBy("event_type").agg(
+        F.percentile("p95", 0.5).alias("med_p95")
+    )
+    return d.join(F.broadcast(m), "event_type").select(
+        "event_type",
+        "day",
+        F.round("p95", 4).alias("p95_milli"),
+        F.round("med_p95", 4).alias("median_p95_milli"),
+        (F.col("p95") > 1.25 * F.col("med_p95")).cast("int").alias("breach"),
+    )
+
+
 # Oracle-bearing queries with no driver correctness row that are NOT in the
 # current front window — rotate these to the front in round 4.  (Everything
 # else that was pending after round 2 is in _ROUND3_FRONT below.)
@@ -10637,6 +10882,10 @@ _PENDING_ROUND5 = _PENDING_NEXT[50:] + [
     "lead_lag_correlation",  # new in round 4 (best-lag Pearson per pair)
     "trimmed_mean_stats",  # new in round 4 (5% trimmed robust mean)
     "user_activity_gini",  # new in round 4 (rank-formula concentration)
+    "order_reconciliation",  # new in round 4 (header-vs-detail ledger audit)
+    "attribution_click_window",  # new in round 4 (first/last-touch window)
+    "session_running_value",  # new in round 4 (restartable cumulative sum)
+    "daily_p95_slo_breaches",  # new in round 4 (self-calibrating tail SLO)
 ]
 
 # ROUND-5 BUILDER: build the round-5 window as
