@@ -10696,6 +10696,392 @@ def daily_p95_slo_breaches(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "mann_whitney_drift",
+    oracle="""
+    WITH b AS (
+      SELECT event_type,
+             CAST(floor(value * 1000.0) AS BIGINT) AS v,
+             CASE WHEN ts < TIMESTAMP '2024-01-15' THEN 1 ELSE 2 END AS grp
+      FROM events
+    ),
+    d AS (
+      SELECT event_type, v,
+             CAST(sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+             CAST(sum(CASE WHEN grp = 2 THEN 1 ELSE 0 END) AS BIGINT) AS c2
+      FROM b GROUP BY event_type, v
+    ),
+    c AS (
+      SELECT event_type, v, c1, c2,
+             coalesce(sum(c2) OVER (PARTITION BY event_type ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum2_less
+      FROM d
+    ),
+    s AS (
+      SELECT event_type,
+             sum(c1) AS n1, sum(c2) AS n2,
+             sum(c1 * (2 * cum2_less + c2)) AS u2,
+             sum((c1 + c2) * (c1 + c2) * (c1 + c2) - (c1 + c2)) AS tie3
+      FROM c GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(n1 AS BIGINT) AS n_base,
+           CAST(n2 AS BIGINT) AS n_cur,
+           round(CAST(u2 AS DOUBLE) / 2.0, 4) AS u_stat,
+           round((CAST(u2 AS DOUBLE) / 2.0
+                  - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 2.0)
+                 / sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0
+                        * (CAST(n1 + n2 + 1 AS DOUBLE)
+                           - CAST(tie3 AS DOUBLE)
+                             / (CAST(n1 + n2 AS DOUBLE)
+                                * CAST(n1 + n2 - 1 AS DOUBLE)))), 6) AS z
+    FROM s
+    """,
+)
+def mann_whitney_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U two-sample drift test (weeks 1-2 baseline vs the
+    rest) per event type — the rank-based nonparametric companion to the
+    KS statistic (sensitive to location shift where KS is sensitive to
+    any CDF gap). The U statistic is computed EXACTLY in integers via
+    the pair-counting identity: 2U = sum over distinct values of
+    c1*(2*cum2_less + c2), so no average-rank floats ever exist; the
+    tie-corrected normal z uses fixed-order single divisions and one
+    sqrt. Distributed shape: one (type, value) group-by collapses the
+    corpus to distinct values, the cumulative window runs over that small
+    frame, and the final fold is per-type — raw rows are scanned once."""
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.select(
+        "event_type",
+        F.floor(F.col("value") * 1000.0).cast("bigint").alias("v"),
+        F.when(F.col("ts") < F.lit("2024-01-15").cast("timestamp"), 1)
+        .otherwise(2)
+        .alias("grp"),
+    )
+    d = b.groupBy("event_type", "v").agg(
+        F.sum((F.col("grp") == 1).cast("int")).cast("bigint").alias("c1"),
+        F.sum((F.col("grp") == 2).cast("int")).cast("bigint").alias("c2"),
+    )
+    wless = (
+        Window.partitionBy("event_type")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    c = d.withColumn(
+        "cum2_less", F.coalesce(F.sum("c2").over(wless), F.lit(0))
+    )
+    t = F.col("c1") + F.col("c2")
+    s = c.groupBy("event_type").agg(
+        F.sum("c1").alias("n1"),
+        F.sum("c2").alias("n2"),
+        F.sum(F.col("c1") * (2 * F.col("cum2_less") + F.col("c2"))).alias(
+            "u2"
+        ),
+        F.sum(t * t * t - t).alias("tie3"),
+    )
+    n1d = F.col("n1").cast("double")
+    n2d = F.col("n2").cast("double")
+    nd = (F.col("n1") + F.col("n2")).cast("double")
+    u = F.col("u2").cast("double") / 2.0
+    sigma = F.sqrt(
+        n1d
+        * n2d
+        / 12.0
+        * (
+            (F.col("n1") + F.col("n2") + 1).cast("double")
+            - F.col("tie3").cast("double") / (nd * (nd - 1.0))
+        )
+    )
+    return s.select(
+        "event_type",
+        F.col("n1").cast("bigint").alias("n_base"),
+        F.col("n2").cast("bigint").alias("n_cur"),
+        F.round(u, 4).alias("u_stat"),
+        F.round((u - n1d * n2d / 2.0) / sigma, 6).alias("z"),
+    )
+
+
+_CONTINGENCY_SQL = """
+    o AS (
+      SELECT event_type, CAST(hour(ts) AS BIGINT) AS hr,
+             CAST(count(*) AS BIGINT) AS o
+      FROM events GROUP BY event_type, hour(ts)
+    ),
+    rt AS (SELECT event_type, sum(o) AS r FROM o GROUP BY event_type),
+    ct AS (SELECT hr, sum(o) AS c FROM o GROUP BY hr),
+    nt AS (SELECT sum(o) AS n FROM o)
+"""
+
+
+@query(
+    "cramers_v_association",
+    oracle=f"""
+    WITH {_CONTINGENCY_SQL},
+    cells AS (
+      SELECT o.event_type, o.hr,
+             (CAST(o.o AS DOUBLE)
+              - CAST(rt.r AS DOUBLE) * CAST(ct.c AS DOUBLE) / nt.n)
+             * (CAST(o.o AS DOUBLE)
+                - CAST(rt.r AS DOUBLE) * CAST(ct.c AS DOUBLE) / nt.n)
+             / (CAST(rt.r AS DOUBLE) * CAST(ct.c AS DOUBLE) / nt.n) AS term
+      FROM o JOIN rt USING (event_type) JOIN ct USING (hr) CROSS JOIN nt
+    ),
+    agg AS (
+      SELECT list_reduce(list(term ORDER BY event_type, hr),
+                         (a, b) -> a + b) AS chi2,
+             CAST(count(*) AS BIGINT) AS n_cells
+      FROM cells
+    )
+    SELECT round(chi2, 4) AS chi2, n_cells,
+           (SELECT CAST((count(DISTINCT event_type) - 1)
+                        * (count(DISTINCT hr) - 1) AS BIGINT) FROM o) AS df,
+           round(sqrt(chi2 / ((SELECT CAST(n AS DOUBLE) FROM nt)
+                 * (SELECT CAST(least(count(DISTINCT event_type),
+                                      count(DISTINCT hr)) - 1 AS DOUBLE)
+                    FROM o))), 6) AS cramers_v
+    FROM agg
+    """,
+)
+def cramers_v_association(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V association strength between event type and hour of
+    day — the normalized chi-square that answers "does traffic mix
+    depend on time of day" on a [0,1] scale. Cell expectations are
+    single divisions of exact bigint marginals, the chi-square is a
+    (type, hour)-ordered sorted fold over the 120-cell contingency
+    frame (never an unordered float SUM), and V is one closing
+    division + sqrt. The contingency table is the only aggregate over
+    raw rows; everything downstream is O(cells)."""
+    ev = load_table(spark, sf_dir, "events")
+    o = ev.groupBy(
+        "event_type", F.hour("ts").cast("bigint").alias("hr")
+    ).agg(F.count("*").cast("bigint").alias("o"))
+    rt = o.groupBy("event_type").agg(F.sum("o").alias("r"))
+    ct = o.groupBy("hr").agg(F.sum("o").alias("c"))
+    nt = o.agg(F.sum("o").alias("n"))
+    e = F.col("r").cast("double") * F.col("c").cast("double") / F.col("n")
+    term = (F.col("o").cast("double") - e) * (
+        F.col("o").cast("double") - e
+    ) / e
+    cells = (
+        o.join(F.broadcast(rt), "event_type")
+        .join(F.broadcast(ct), "hr")
+        .crossJoin(F.broadcast(nt))
+        .select("event_type", "hr", term.alias("term"))
+    )
+    folded = cells.agg(
+        F.aggregate(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("event_type", "hr", "term"))
+                ),
+                lambda s: s["term"],
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        ).alias("chi2"),
+        F.count("*").cast("bigint").alias("n_cells"),
+    )
+    dims = o.agg(
+        F.count_distinct("event_type").alias("nr"),
+        F.count_distinct("hr").alias("nc"),
+    )
+    return (
+        folded.crossJoin(F.broadcast(dims))
+        .crossJoin(F.broadcast(nt))
+        .select(
+            F.round("chi2", 4).alias("chi2"),
+            "n_cells",
+            ((F.col("nr") - 1) * (F.col("nc") - 1))
+            .cast("bigint")
+            .alias("df"),
+            F.round(
+                F.sqrt(
+                    F.col("chi2")
+                    / (
+                        F.col("n").cast("double")
+                        * (F.least("nr", "nc") - 1).cast("double")
+                    )
+                ),
+                6,
+            ).alias("cramers_v"),
+        )
+    )
+
+
+@query(
+    "event_mutual_information",
+    oracle=f"""
+    WITH {_CONTINGENCY_SQL},
+    cells AS (
+      SELECT o.event_type, o.hr,
+             CAST(o.o AS DOUBLE) / nt.n
+             * ln(CAST(o.o AS DOUBLE) * CAST(nt.n AS DOUBLE)
+                  / (CAST(rt.r AS DOUBLE) * CAST(ct.c AS DOUBLE))) AS term
+      FROM o JOIN rt USING (event_type) JOIN ct USING (hr) CROSS JOIN nt
+    ),
+    hrow AS (
+      SELECT list_reduce(
+               list(-(CAST(r AS DOUBLE) / (SELECT n FROM nt))
+                    * ln(CAST(r AS DOUBLE) / (SELECT n FROM nt))
+                    ORDER BY event_type), (a, b) -> a + b) AS h
+      FROM rt
+    ),
+    hcol AS (
+      SELECT list_reduce(
+               list(-(CAST(c AS DOUBLE) / (SELECT n FROM nt))
+                    * ln(CAST(c AS DOUBLE) / (SELECT n FROM nt))
+                    ORDER BY hr), (a, b) -> a + b) AS h
+      FROM ct
+    )
+    SELECT round((SELECT list_reduce(list(term ORDER BY event_type, hr),
+                                     (a, b) -> a + b) FROM cells), 6)
+             AS mi_nats,
+           round((SELECT h FROM hrow), 6) AS h_type_nats,
+           round((SELECT h FROM hcol), 6) AS h_hour_nats
+    """,
+)
+def event_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information I(event_type; hour-of-day) with both marginal
+    entropies — the information-theoretic feature-relevance score
+    (Cramér's V's model-free sibling; an MI near min(H) means hour
+    nearly determines type). Every probability is a single division of
+    exact bigint counts, each entropy/MI sum is a deterministically
+    ORDERED fold (cells by (type, hour), marginals by their key), and
+    ln parity between engines is already proven by the LM-quality and
+    Gaussian-NLL lines. O(cells) after one contingency aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    o = ev.groupBy(
+        "event_type", F.hour("ts").cast("bigint").alias("hr")
+    ).agg(F.count("*").cast("bigint").alias("o"))
+    rt = o.groupBy("event_type").agg(F.sum("o").alias("r"))
+    ct = o.groupBy("hr").agg(F.sum("o").alias("c"))
+    nt = o.agg(F.sum("o").alias("n"))
+
+    def fold(df: DataFrame, order_cols: list, term: Column) -> Column:
+        return F.aggregate(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(*order_cols, term.alias("t")))
+                ),
+                lambda s: s["t"],
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+
+    nn = F.col("n")
+    mi_term = (
+        F.col("o").cast("double")
+        / nn
+        * F.log(
+            F.col("o").cast("double")
+            * nn.cast("double")
+            / (F.col("r").cast("double") * F.col("c").cast("double"))
+        )
+    )
+    cells = (
+        o.join(F.broadcast(rt), "event_type")
+        .join(F.broadcast(ct), "hr")
+        .crossJoin(F.broadcast(nt))
+        .select("event_type", "hr", mi_term.alias("term"))
+    )
+    mi = cells.agg(
+        fold(cells, [F.col("event_type"), F.col("hr")], F.col("term")).alias(
+            "mi"
+        )
+    )
+    hr_term = -(F.col("r").cast("double") / nn) * F.log(
+        F.col("r").cast("double") / nn
+    )
+    hrow = (
+        rt.crossJoin(F.broadcast(nt))
+        .select("event_type", hr_term.alias("term"))
+    )
+    hrow = hrow.agg(
+        fold(hrow, [F.col("event_type")], F.col("term")).alias("h")
+    )
+    hc_term = -(F.col("c").cast("double") / nn) * F.log(
+        F.col("c").cast("double") / nn
+    )
+    hcol = ct.crossJoin(F.broadcast(nt)).select("hr", hc_term.alias("term"))
+    hcol = hcol.agg(fold(hcol, [F.col("hr")], F.col("term")).alias("h"))
+    return (
+        mi.crossJoin(F.broadcast(hrow))
+        .crossJoin(F.broadcast(hcol))
+        .select(
+            F.round("mi", 6).alias("mi_nats"),
+            F.round(hrow["h"], 6).alias("h_type_nats"),
+            F.round(hcol["h"], 6).alias("h_hour_nats"),
+        )
+    )
+
+
+@query(
+    "next_event_entropy",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, event_type, ts, event_id,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS nxt
+      FROM events
+    ),
+    t AS (
+      SELECT event_type, nxt, CAST(count(*) AS BIGINT) AS c
+      FROM s WHERE nxt IS NOT NULL GROUP BY event_type, nxt
+    ),
+    m AS (SELECT event_type, sum(c) AS tot FROM t GROUP BY event_type),
+    terms AS (
+      SELECT t.event_type, t.nxt,
+             -(CAST(t.c AS DOUBLE) / m.tot)
+               * ln(CAST(t.c AS DOUBLE) / m.tot) AS term
+      FROM t JOIN m USING (event_type)
+    )
+    SELECT event_type,
+           (SELECT CAST(tot AS BIGINT) FROM m
+            WHERE m.event_type = terms.event_type) AS n_transitions,
+           round(list_reduce(list(term ORDER BY nxt), (a, b) -> a + b), 6)
+             AS h_next_nats
+    FROM terms GROUP BY event_type
+    """,
+)
+def next_event_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional next-event entropy H(next | current) per event type
+    over each user's timeline — the predictability score of the Markov
+    transition matrix (`event_transition_counts`): low entropy means the
+    next action is nearly determined, high means the journey branches.
+    Transition counts are exact bigints from one lead() window over the
+    user shuffle, each conditional probability is a single division, and
+    the per-type entropy is a next-type-ORDERED fold over at most
+    |types| terms. O(types^2) after the transition aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("nxt")
+    ).filter(F.col("nxt").isNotNull())
+    t = s.groupBy("event_type", "nxt").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    m = t.groupBy("event_type").agg(F.sum("c").alias("tot"))
+    p = F.col("c").cast("double") / F.col("tot")
+    terms = t.join(F.broadcast(m), "event_type").select(
+        "event_type", "nxt", "tot", (-p * F.log(p)).alias("term")
+    )
+    return terms.groupBy("event_type").agg(
+        F.min("tot").cast("bigint").alias("n_transitions"),
+        F.round(
+            F.aggregate(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("nxt", "term"))),
+                    lambda st: st["term"],
+                ),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            ),
+            6,
+        ).alias("h_next_nats"),
+    )
+
+
 # Oracle-bearing queries with no driver correctness row that are NOT in the
 # current front window — rotate these to the front in round 4.  (Everything
 # else that was pending after round 2 is in _ROUND3_FRONT below.)
@@ -10886,17 +11272,22 @@ _PENDING_ROUND5 = _PENDING_NEXT[50:] + [
     "attribution_click_window",  # new in round 4 (first/last-touch window)
     "session_running_value",  # new in round 4 (restartable cumulative sum)
     "daily_p95_slo_breaches",  # new in round 4 (self-calibrating tail SLO)
+    "mann_whitney_drift",  # new in round 4 (integer-exact U drift test)
+    "cramers_v_association",  # new in round 4 (normalized chi-square)
+    "event_mutual_information",  # new in round 4 (MI + marginal entropies)
+    "next_event_entropy",  # new in round 4 (Markov predictability score)
 ]
 
-# ROUND-5 BUILDER: build the round-5 window as
-#   _ROUND5_FRONT = _PENDING_ROUND5 + <enough already-green names to reach
-#   exactly 50>
-# (every other oracle-bearing query already has a tri-green driver row in
-# CORRECTNESS_r01..r04 — re-verifying recent high-churn families such as
-# the portable minhash/simhash line is the best use of the filler slots),
+# ROUND-5 BUILDER: _PENDING_ROUND5 is now EXACTLY 50 names (the round-4
+# session deliberately filled it to the driver window size — every name
+# passes the local oracle gate at sf0.001/0.01/0.1, see the preflight log).
+# Build the round-5 window as
+#   _ROUND5_FRONT = list(_PENDING_ROUND5)
 # then call _rotate_front(_ROUND5_FRONT) in place of the round-4 call
-# below, rename this list's overflow/new-query accumulator to
-# _PENDING_ROUND6, and update tests/test_coverage_claims.py's
-# test_round4_front_window_is_exact to point at the new window.
+# below, start an empty _PENDING_ROUND6 accumulator for queries added in
+# round 5, and update tests/test_coverage_claims.py's
+# test_round4_front_window_is_exact to point at the new window. If you add
+# oracle-bearing queries BEFORE rotating, put them in _PENDING_ROUND6 —
+# do not grow this list past 50.
 
 _rotate_front(_ROUND4_FRONT)
