@@ -467,3 +467,48 @@ def test_scd2_fold_is_materialized_per_batch(spark, sf_dir):
     df = q.QUERIES["scd2_event_type_history"](spark, sf_dir)
     p = plans.executed_plan(df)
     assert "ExistingRDD" in p or "Scan ExistingRDD" in p
+
+
+def test_bloom_prejoin_bits_broadcast_probe_unshuffled(spark, sf_dir):
+    """The bloom bit-set frame reaches the probe side as a broadcast
+    (BroadcastHashJoin on pos); the customer probe scan must not
+    shuffle-exchange before candidacy is decided, and the whole screen
+    stays JVM-side."""
+    df = q.QUERIES["bloom_prejoin_fpr"](spark, sf_dir)
+    p = plans.executed_plan(df)
+    assert "BroadcastHashJoin" in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_salted_agg_is_two_phase(spark, sf_dir):
+    """The salted aggregate must show two HashAggregate pairs — the
+    (key, salt) partial phase and the per-key combine — and stay
+    JVM-side."""
+    df = q.QUERIES["salted_hot_key_agg"](spark, sf_dir)
+    p = plans.executed_plan(df)
+    assert p.count("HashAggregate") >= 4  # partial+final for each phase
+    assert "BatchEvalPython" not in p
+
+
+def test_bm25_ends_in_take_ordered_window_after_filter(spark, sf_dir):
+    """BM25's final top-10 is a bounded window; the query-term filter
+    must prune the exploded token stream before the tf aggregate (a
+    Filter above the explode/generate, not after the join), with no
+    Python in the row path."""
+    df = q.QUERIES["bm25_retrieval"](spark, sf_dir)
+    p = plans.executed_plan(df)
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "BroadcastHashJoin" in p  # dfreq + stats join back broadcast
+
+
+def test_theil_sen_pairs_only_on_aggregated_series(spark, sf_dir):
+    """The pair self-join must sit ABOVE the hourly aggregate: the plan
+    has the count aggregate below the join, so pair fan-out is T^2 in
+    series length, never raw events."""
+    df = q.QUERIES["theil_sen_trend"](spark, sf_dir)
+    p = plans.executed_plan(df)
+    assert "SortMergeJoin" in p or "BroadcastHashJoin" in p or "ShuffledHashJoin" in p
+    # the join input is the aggregated frame, so the raw scan appears
+    # exactly twice (once per join side), each under its own aggregate
+    assert p.count("Scan parquet") == 2
+    assert "BatchEvalPython" not in p
