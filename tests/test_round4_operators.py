@@ -149,3 +149,48 @@ def test_salted_query_matches_plain_groupby(spark, sf_dir):
         for r in q.QUERIES["salted_hot_key_agg"](spark, sf_dir).collect()
     }
     assert plain == salted
+
+
+def test_incremental_dedup_classifies_planted_duplicates(spark, tmp_path):
+    """ADVICE r3: the fixture corpus has no duplicate texts, so the
+    dup-of-existing and dup-within-batch classes were structurally
+    untested. Plant duplicates that straddle the incoming/existing
+    doc_id-salt boundary and assert both classes are counted exactly."""
+    import hashlib
+
+    def incoming(i: int) -> bool:
+        return hashlib.md5(f"inc|{i}".encode()).hexdigest() >= "8"
+
+    ids = list(range(400))
+    inc_ids = [i for i in ids if incoming(i)]
+    exist_ids = [i for i in ids if not incoming(i)]
+    assert len(inc_ids) >= 3 and len(exist_ids) >= 1
+    # T1: one existing copy + two incoming copies -> 2 dup_of_existing
+    # T2: two incoming copies only -> 1 novel (lowest id) + 1 within-batch
+    # T3: one unique incoming -> novel
+    t1 = "alpha " * 20
+    t2 = "bravo " * 20
+    t3 = "charlie " * 20
+    rows = [
+        (exist_ids[0], t1, "en", "s1", len(t1)),
+        (inc_ids[0], t1, "en", "s1", len(t1)),
+        (inc_ids[1], t1, "en", "s1", len(t1)),
+        (inc_ids[2], t2, "en", "s1", len(t2)),
+        (inc_ids[3], t2, "en", "s1", len(t2)),
+        (inc_ids[4], t3, "en", "s1", len(t3)),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    )
+    df.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    out = {
+        r.source: r
+        for r in q.QUERIES["incremental_dedup_report"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    r = out["s1"]
+    assert r.n_incoming == 5
+    assert r.n_dup_of_existing == 2
+    assert r.n_dup_within_batch == 1
+    assert r.n_novel == 2
