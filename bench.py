@@ -101,6 +101,9 @@ HEADLINE = [
     "bloom_prejoin_fpr",
     "weighted_median_price",
     "theil_sen_trend",
+    "mann_whitney_drift",
+    "lead_lag_correlation",
+    "session_running_value",
 ]
 
 
