@@ -120,6 +120,22 @@ def main() -> None:
     spark = get_spark("adts-bench")
     # Warm the JVM/codegen once so per-query numbers measure the plan.
     spark.range(1_000).selectExpr("sum(id)").collect()
+    # Host-speed calibration: a fixed data-independent CPU+shuffle probe,
+    # reported as calib_sec so cross-round comparisons can normalize for
+    # noisy-neighbor / throttling variance of the host VM (observed >1.4x
+    # wall swings on identical code between round-3 and round-4 runs).
+    spark.range(20_000_000).selectExpr("sum(id * 2 + 1)").collect()  # JIT
+    t0 = time.time()
+    (
+        spark.range(20_000_000)
+        .selectExpr("id % 97 AS k", "id * 2 + 1 AS v")
+        .groupBy("k")
+        .sum("v")
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
+    calib = round(time.time() - t0, 3)
     timings: dict[str, float] = {}
     total = 0.0
     for name in HEADLINE:
@@ -141,6 +157,7 @@ def main() -> None:
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": timings,
+                "calib_sec": calib,
                 "sf": sf,
             }
         )
