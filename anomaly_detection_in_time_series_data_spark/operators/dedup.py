@@ -197,6 +197,7 @@ def lsh_candidate_pairs(
     bands: int = 16,
     shingle_n: int = 3,
     portable: bool = False,
+    sig: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash-LSH candidate pairs: (id_a, id_b) with id_a < id_b.
 
@@ -207,9 +208,16 @@ def lsh_candidate_pairs(
     ``portable=True`` derives the bucket from md5 of the comma-joined band
     slice (still an 8-byte bigint key) and a portable signature, making the
     entire candidate set reproducible in DuckDB for oracle checking.
+
+    ``sig``: optionally pass a PRECOMPUTED (ideally materialized)
+    ``minhash_signature`` frame with matching ``num_hashes``/``portable``
+    settings, so callers that also consume the signatures directly (e.g.
+    the estimator-accuracy QA) derive the shingle->minhash stage once
+    instead of twice.
     """
     rows_per_band = num_hashes // bands
-    sig = minhash_signature(df, id_col, text_col, num_hashes, shingle_n, portable)
+    if sig is None:
+        sig = minhash_signature(df, id_col, text_col, num_hashes, shingle_n, portable)
     # Bucket key is a single 8-byte long (vs a 32-char md5 hex string) —
     # cheaper to compute and a 4x narrower shuffle/join key. A 64-bit (or
     # 60-bit portable) collision only creates a spurious candidate, which
