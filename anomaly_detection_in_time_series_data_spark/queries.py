@@ -3866,16 +3866,18 @@ def bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("score"),
         F.count("*").cast("bigint").alias("n_terms"),
     )
+    # orderBy + limit -> TakeOrderedAndProject (per-partition heap top-10,
+    # 10-row driver merge); the rank window then runs over 10 rows only —
+    # a global window over every scored doc would serialize one task.
+    sel = agg.orderBy(F.round("score", 6).desc(), "doc_id").limit(10)
     w = Window.orderBy(F.round("score", 6).desc(), "doc_id")
-    return (
-        agg.withColumn("rank", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rank") <= 10)
-        .select(
-            "doc_id",
-            F.round("score", 6).alias("bm25"),
-            "n_terms",
-            "rank",
-        )
+    return sel.withColumn(
+        "rank", F.row_number().over(w).cast("bigint")
+    ).select(
+        "doc_id",
+        F.round("score", 6).alias("bm25"),
+        "n_terms",
+        "rank",
     )
 
 
@@ -9311,12 +9313,18 @@ def kmeans_micro_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
             " x -> cast(floor(cast(x as double) * 1000000.0) as bigint))"
         ).alias("xm"),
     ).localCheckpoint(eager=True)
-    wseed = Window.orderBy(
-        F.md5(F.concat(F.lit("km|"), F.col("vec_id").cast("string"))), "vec_id"
+    # seed selection: top-4 by content hash via TakeOrderedAndProject
+    # (per-partition heap + 4-row merge), then rank the 4-row frame — a
+    # global row_number window over every vector would serialize one task
+    seedh = F.md5(F.concat(F.lit("km|"), F.col("vec_id").cast("string")))
+    sel = (
+        xm.select("vec_id", "xm", seedh.alias("_h"))
+        .orderBy("_h", "vec_id")
+        .limit(4)
     )
+    wseed = Window.orderBy("_h", "vec_id")
     cents = (
-        xm.withColumn("rk", F.row_number().over(wseed))
-        .filter(F.col("rk") <= 4)
+        sel.withColumn("rk", F.row_number().over(wseed))
         .select((F.col("rk") - 1).cast("bigint").alias("cid"), F.col("xm").alias("cm"))
     )
 

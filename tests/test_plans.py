@@ -512,3 +512,14 @@ def test_theil_sen_pairs_only_on_aggregated_series(spark, sf_dir):
     # exactly twice (once per join side), each under its own aggregate
     assert p.count("Scan parquet") == 2
     assert "BatchEvalPython" not in p
+
+
+def test_topk_rank_windows_run_on_limited_frames(spark, sf_dir):
+    """bm25's top-10 must be TakeOrderedAndProject (per-partition heap +
+    tiny merge) — a global row_number window over the full scored frame
+    would serialize one task at scale. (kmeans_micro_lloyd's seed top-4
+    uses the same orderBy+limit idiom, but its stage is pre-materialized
+    behind the iteration checkpoints so the final executed plan bottoms
+    out at ExistingRDD and can't be asserted here.)"""
+    p = plans.executed_plan(q.QUERIES["bm25_retrieval"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in p
