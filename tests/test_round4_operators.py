@@ -194,3 +194,37 @@ def test_incremental_dedup_classifies_planted_duplicates(spark, tmp_path):
     assert r.n_dup_of_existing == 2
     assert r.n_dup_within_batch == 1
     assert r.n_novel == 2
+
+
+def test_information_theory_bounds(spark, sf_dir):
+    """MI and association measures must respect their theoretical
+    bounds: 0 <= MI <= min(H_type, H_hour); 0 <= V <= 1; Gini in [0, 1);
+    Mann-Whitney U in [0, n1*n2] with the tie-corrected z finite."""
+    mi = q.QUERIES["event_mutual_information"](spark, sf_dir).collect()[0]
+    assert 0.0 <= mi.mi_nats <= min(mi.h_type_nats, mi.h_hour_nats) + 1e-9
+    v = q.QUERIES["cramers_v_association"](spark, sf_dir).collect()[0]
+    assert 0.0 <= v.cramers_v <= 1.0
+    assert v.chi2 >= 0.0
+    for r in q.QUERIES["user_activity_gini"](spark, sf_dir).collect():
+        assert 0.0 <= r.gini < 1.0
+    for r in q.QUERIES["mann_whitney_drift"](spark, sf_dir).collect():
+        assert 0.0 <= r.u_stat <= r.n_base * r.n_cur
+        assert abs(r.z) < 1e6
+
+
+def test_benford_fractions_sum_to_one(spark, sf_dir):
+    rows = q.QUERIES["benford_digit_drift"](spark, sf_dir).collect()
+    assert len(rows) == 9
+    assert abs(sum(r.frac for r in rows) - 1.0) < 1e-6
+    assert abs(sum(r.expected for r in rows) - 1.0) < 1e-3
+    assert sum(r.n for r in rows) > 0
+
+
+def test_trimmed_mean_is_between_bounds(spark, sf_dir):
+    """A 5% symmetric trim keeps the estimate inside the untrimmed
+    min/max and trims at most ~10% of rows (plus interpolation ties)."""
+    for r in q.QUERIES["trimmed_mean_stats"](spark, sf_dir).collect():
+        assert r.n_trimmed <= 0.11 * r.n
+        # with a bounded-below fixture the trimmed mean is finite and
+        # within an order of the plain mean
+        assert abs(r.trimmed_mean_milli) <= abs(r.mean_milli) * 10 + 1e6
