@@ -104,6 +104,9 @@ HEADLINE = [
     "mann_whitney_drift",
     "lead_lag_correlation",
     "session_running_value",
+    # round-5 additions
+    "ivf_ann_topk",
+    "bigram_pmi_collocations",
 ]
 
 
@@ -158,6 +161,10 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "calib_sec": calib,
+                # Host-speed-normalized total (VERDICT r4 item 7): divide
+                # by the calibration probe so round-over-round deltas are
+                # separable from noisy-neighbor variance of the host VM.
+                "value_per_calib": round(total / calib, 3) if calib else None,
                 "sf": sf,
             }
         )

