@@ -11233,6 +11233,506 @@ def next_event_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Round-5 wave: sequential-pattern mining, privacy audit, seasonal
+# decomposition, density clustering, leakage-safe CV folds, Markov
+# stationary distribution.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "user_journey_trigrams",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, event_type AS e1,
+             lead(event_type, 1) OVER w AS e2,
+             lead(event_type, 2) OVER w AS e3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    t AS (
+      SELECT e1, e2, e3, CAST(count(*) AS BIGINT) AS n,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+      FROM s WHERE e3 IS NOT NULL GROUP BY e1, e2, e3
+    )
+    SELECT e1, e2, e3, n, n_users, CAST(rank AS BIGINT) AS rank
+    FROM (
+      SELECT *, row_number() OVER (ORDER BY n DESC, e1, e2, e3) AS rank
+      FROM t
+    ) WHERE rank <= 20
+    """,
+)
+def user_journey_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential-pattern mining (PrefixSpan-lite): the top-20 length-3
+    event-type sequences across user timelines, with support count and
+    distinct-user reach — the journey n-grams a product/behavior model
+    trains on (generalizes the fixed-pattern ``cep_click_click_purchase``
+    to ALL patterns). One lead()x2 window over the user shuffle, one
+    count aggregate over at most |types|^3 groups, top-20 via
+    orderBy+limit (TakeOrderedAndProject — the rank window then runs on
+    20 rows, never a global sort). At 100 TB the only data-sized shuffle
+    is the user repartition the sessionization family already pays."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select(
+        "user_id",
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    ).filter(F.col("e3").isNotNull())
+    t = s.groupBy("e1", "e2", "e3").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.count_distinct("user_id").cast("bigint").alias("n_users"),
+    )
+    sel = t.orderBy(F.col("n").desc(), "e1", "e2", "e3").limit(20)
+    wr = Window.orderBy(F.col("n").desc(), "e1", "e2", "e3")
+    return sel.withColumn("rank", F.row_number().over(wr).cast("bigint"))
+
+
+@query(
+    "k_anonymity_audit",
+    oracle="""
+    WITH q AS (
+      SELECT lang, source, n_chars // 256 AS chars_bucket,
+             CAST(count(*) AS BIGINT) AS k
+      FROM documents GROUP BY 1, 2, 3
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents)
+    SELECT lang, source, CAST(chars_bucket AS BIGINT) AS chars_bucket, k,
+           CAST((SELECT sum(k) FROM q WHERE k < 20) AS BIGINT)
+             AS n_rows_at_risk,
+           (SELECT n FROM tot) AS n_rows_total
+    FROM q WHERE k < 20
+    """,
+)
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy/compliance audit before a corpus release: treat
+    (lang, source, size-bucket) as the quasi-identifier tuple and report
+    every combination whose group size k falls below the k=20 anonymity
+    floor, plus the corpus-wide count of rows sitting in such groups —
+    the re-identification surface a training-data pipeline must measure
+    (complements the PII regex scrub, which removes direct identifiers
+    but not quasi-identifier joins). One count aggregate over the
+    quasi-identifier key (map-side combinable), one 1-row risk total
+    broadcast back — no shuffle beyond the groupBy at any corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    q = docs.groupBy(
+        "lang",
+        "source",
+        F.expr("n_chars div 256").cast("bigint").alias("chars_bucket"),
+    ).agg(F.count("*").cast("bigint").alias("k"))
+    risk = q.filter(F.col("k") < 20).agg(
+        F.sum("k").cast("bigint").alias("n_rows_at_risk")
+    )
+    tot = docs.agg(F.count("*").cast("bigint").alias("n_rows_total"))
+    return (
+        q.filter(F.col("k") < 20)
+        .crossJoin(F.broadcast(risk))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "lang", "source", "chars_bucket", "k",
+            "n_rows_at_risk", "n_rows_total",
+        )
+    )
+
+
+@query(
+    "stl_lite_decomposition",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, date_trunc('day', ts) AS day,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    tr AS (
+      SELECT event_type, day, n,
+             CASE WHEN count(*) OVER w = 7
+                  THEN CAST(sum(n) OVER w AS DOUBLE) / 7.0
+             END AS trend
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ),
+    det AS (
+      SELECT event_type, day, n, trend,
+             CAST(dayofweek(day) AS BIGINT) AS dow,
+             CAST(n AS DOUBLE) - trend AS detr
+      FROM tr WHERE trend IS NOT NULL
+    ),
+    seas AS (
+      SELECT event_type, dow,
+             list_reduce(list(detr ORDER BY day), (a, b) -> a + b)
+               / count(*) AS seasonal
+      FROM det GROUP BY event_type, dow
+    )
+    SELECT d.event_type,
+           CAST(epoch_us(d.day) AS BIGINT) AS day_us,
+           d.n,
+           round(d.trend, 4) AS trend,
+           round(s.seasonal, 4) AS seasonal,
+           round(d.detr - s.seasonal, 4) AS resid
+    FROM det d JOIN seas s ON s.event_type = d.event_type AND s.dow = d.dow
+    """,
+)
+def stl_lite_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive seasonal-trend decomposition (STL-lite) of the per-type
+    daily count series: trend = centered 7-day moving average (emitted
+    only where the full 7-day window exists), seasonal = day-of-week mean
+    of the detrended series, residual = what the anomaly detectors should
+    score (a residual spike is a real anomaly; a seasonal dip is not) —
+    the decomposition view that complements ``holt_forecast_anomaly`` /
+    ``seasonal_count_anomaly``. Determinism: daily counts are exact
+    bigints, the MA is one int-sum/7 division, and the per-dow seasonal
+    mean folds the detrended values in day order (the sorted-fold idiom)
+    — bit-identical doubles in both engines before the 4dp rounding.
+    Scale: O(types x days) rows after the first aggregate; everything
+    downstream is window/broadcast arithmetic on the tiny series table."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count("*").cast("bigint").alias("n"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-3, 3)
+    )
+    tr = daily.select(
+        "event_type",
+        "day",
+        "n",
+        F.when(
+            F.count("*").over(w) == 7,
+            F.sum("n").over(w).cast("double") / 7.0,
+        ).alias("trend"),
+    )
+    det = tr.filter(F.col("trend").isNotNull()).select(
+        "event_type",
+        "day",
+        "n",
+        "trend",
+        F.dayofweek("day").cast("bigint").alias("dow"),
+        (F.col("n").cast("double") - F.col("trend")).alias("detr"),
+    )
+    seas = det.groupBy("event_type", "dow").agg(
+        (
+            F.aggregate(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("day", "detr"))),
+                    lambda s: s["detr"],
+                ),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )
+            / F.count("*")
+        ).alias("seasonal")
+    )
+    return det.join(F.broadcast(seas), ["event_type", "dow"]).select(
+        "event_type",
+        F.unix_micros("day").alias("day_us"),
+        "n",
+        F.round("trend", 4).alias("trend"),
+        F.round("seasonal", 4).alias("seasonal"),
+        F.round(F.col("detr") - F.col("seasonal"), 4).alias("resid"),
+    )
+
+
+_GRID_CW = 25000  # 0.025 in integer micros
+_GRID_MINPTS = 5
+
+
+@query(
+    "grid_density_clusters",
+    oracle=f"""
+    WITH RECURSIVE g AS (
+      SELECT vec_id,
+             CAST(floor(CAST(embedding[1] AS DOUBLE) * 1000000.0) AS BIGINT)
+               // {_GRID_CW} AS cx,
+             CAST(floor(CAST(embedding[2] AS DOUBLE) * 1000000.0) AS BIGINT)
+               // {_GRID_CW} AS cy
+      FROM embeddings
+    ),
+    cells AS (
+      SELECT cx, cy, cx * 100000 + cy AS cid, count(*) AS n
+      FROM g GROUP BY cx, cy
+    ),
+    core AS (SELECT * FROM cells WHERE n >= {_GRID_MINPTS}),
+    e AS (
+      SELECT a.cid AS ca, b.cid AS cb
+      FROM core a JOIN core b
+        ON abs(a.cx - b.cx) <= 1 AND abs(a.cy - b.cy) <= 1
+       AND a.cid < b.cid
+    ),
+    und AS (
+      SELECT ca AS a, cb AS b FROM e UNION ALL SELECT cb, ca FROM e
+    ),
+    reach AS (
+      SELECT a AS node, a AS peer FROM und
+      UNION
+      SELECT r.node, u.b FROM reach r JOIN und u ON r.peer = u.a
+    ),
+    comp AS (SELECT node, min(peer) AS canon FROM reach GROUP BY node)
+    SELECT g.vec_id,
+           CAST(g.cx AS BIGINT) AS cx, CAST(g.cy AS BIGINT) AS cy,
+           CAST(CASE WHEN co.cid IS NULL THEN -1
+                     ELSE coalesce(c.canon, co.cid) END AS BIGINT)
+             AS cluster_id
+    FROM g
+    LEFT JOIN core co ON co.cx = g.cx AND co.cy = g.cy
+    LEFT JOIN comp c ON c.node = co.cid
+    """,
+)
+def grid_density_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Density-based clustering (grid DBSCAN-lite) over the embedding
+    space: quantize the first two components to an integer-micro grid
+    (cell = 0.025), core cells = count >= {minPts}, clusters = connected
+    components of 8-neighbor-adjacent core cells (min-label propagation,
+    the ``near_dup_components`` machinery), vectors in non-core cells =
+    noise (cluster_id -1) — the density view KMeans can't give (no k, no
+    spherical assumption, noise is first-class). This is the standard
+    distributed DBSCAN shape: the grid aggregate is one map-side-combined
+    count, the adjacency join runs on the CELL table (thousands of rows
+    at any corpus size, broadcastable), and only the final cell->cluster
+    map joins back to the data — the vectors themselves never pairwise
+    join. Every quantity is a bigint; the cell CC fixpoint is unique, so
+    iteration count doesn't affect the answer and the recursive-CTE twin
+    is bit-exact."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    g = emb.select(
+        "vec_id",
+        F.expr(
+            "cast(floor(cast(embedding[0] as double) * 1000000.0) as bigint)"
+            f" div {_GRID_CW}"
+        ).alias("cx"),
+        F.expr(
+            "cast(floor(cast(embedding[1] as double) * 1000000.0) as bigint)"
+            f" div {_GRID_CW}"
+        ).alias("cy"),
+    )
+    cells = g.groupBy("cx", "cy").agg(F.count("*").alias("n"))
+    core = cells.filter(F.col("n") >= _GRID_MINPTS).select(
+        "cx", "cy", (F.col("cx") * 100000 + F.col("cy")).alias("cid")
+    )
+    a = core.alias("a")
+    b = core.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.abs(F.col("a.cx") - F.col("b.cx")) <= 1)
+            & (F.abs(F.col("a.cy") - F.col("b.cy")) <= 1)
+            & (F.col("a.cid") < F.col("b.cid")),
+        )
+        .select(F.col("a.cid").alias("id_a"), F.col("b.cid").alias("id_b"))
+    )
+    comp = dedup.connected_components(edges)
+    cmap = core.join(
+        comp.withColumnRenamed("node", "cid"), "cid", "left"
+    ).select(
+        "cx", "cy", F.coalesce("component", "cid").alias("cluster_id")
+    )
+    return (
+        g.join(F.broadcast(cmap), ["cx", "cy"], "left")
+        .select(
+            "vec_id",
+            F.col("cx").cast("bigint").alias("cx"),
+            F.col("cy").cast("bigint").alias("cy"),
+            F.coalesce("cluster_id", F.lit(-1)).cast("bigint").alias(
+                "cluster_id"
+            ),
+        )
+    )
+
+
+@query(
+    "markov_stationary_micro",
+    oracle="""
+    WITH s AS (
+      SELECT event_type AS e1,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS e2
+      FROM events
+    ),
+    t AS (SELECT e1, e2, CAST(count(*) AS BIGINT) AS c
+          FROM s WHERE e2 IS NOT NULL GROUP BY e1, e2),
+    r AS (SELECT e1, sum(c) AS rt FROM t GROUP BY e1),
+    k AS (SELECT count(*) AS k FROM r),
+    p0 AS (SELECT e1 AS e, 1000000 // (SELECT k FROM k) AS p FROM r),
+    p1 AS (SELECT t.e2 AS e, sum((p.p * t.c) // r.rt) AS p
+           FROM p0 p JOIN t ON t.e1 = p.e JOIN r ON r.e1 = p.e GROUP BY t.e2),
+    p2 AS (SELECT t.e2 AS e, sum((p.p * t.c) // r.rt) AS p
+           FROM p1 p JOIN t ON t.e1 = p.e JOIN r ON r.e1 = p.e GROUP BY t.e2),
+    p3 AS (SELECT t.e2 AS e, sum((p.p * t.c) // r.rt) AS p
+           FROM p2 p JOIN t ON t.e1 = p.e JOIN r ON r.e1 = p.e GROUP BY t.e2),
+    emp AS (
+      SELECT event_type, count(*) AS n FROM events GROUP BY event_type
+    ),
+    tot AS (SELECT sum(n) AS n FROM emp)
+    SELECT p3.e AS event_type, CAST(p3.p AS BIGINT) AS stationary_micro,
+           CAST((emp.n * 1000000) // (SELECT n FROM tot) AS BIGINT)
+             AS empirical_micro
+    FROM p3 JOIN emp ON emp.event_type = p3.e
+    """,
+)
+def markov_stationary_micro(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stationary distribution of the user-journey Markov chain by THREE
+    unrolled power-iteration steps in exact integer micro units — where
+    the per-type event mix settles if journeys run forever, next to the
+    observed mix (a gap flags absorbing/transient behavior the raw counts
+    hide). Transition counts come from one lead() window; each iteration
+    is p'_j = sum_i (p_i * c_ij) div r_i with truncating integer
+    division, so every intermediate is a bigint and the unrolled DuckDB
+    CTE twin is bit-exact (the ``kmeans_micro_lloyd`` fixed-iteration
+    idiom applied to a linear fixed point). Scale: the chain state is
+    |types| rows and the transition matrix |types|^2 — both broadcast;
+    only the initial count aggregate touches data volume."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select(
+        F.col("event_type").alias("e1"),
+        F.lead("event_type").over(w).alias("e2"),
+    ).filter(F.col("e2").isNotNull())
+    t = s.groupBy("e1", "e2").agg(F.count("*").cast("bigint").alias("c"))
+    r = t.groupBy("e1").agg(F.sum("c").alias("rt"))
+    k = r.agg(F.count("*").alias("k"))
+    p = (
+        r.crossJoin(F.broadcast(k))
+        .select(F.col("e1").alias("e"), F.expr("1000000 div k").alias("p"))
+        .localCheckpoint(eager=True)
+    )
+    tr = t.join(r, "e1").localCheckpoint(eager=True)
+    for _ in range(3):
+        p = (
+            p.join(F.broadcast(tr), p["e"] == tr["e1"])
+            .groupBy(F.col("e2").alias("e_next"))
+            .agg(F.sum(F.expr("(p * c) div rt")).alias("p"))
+            .select(F.col("e_next").alias("e"), "p")
+            .localCheckpoint(eager=True)
+        )
+    emp = ev.groupBy("event_type").agg(F.count("*").alias("n"))
+    tot = emp.agg(F.sum("n").alias("nt"))
+    return (
+        p.join(emp, p["e"] == emp["event_type"])
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "event_type",
+            F.col("p").cast("bigint").alias("stationary_micro"),
+            F.expr("(n * 1000000) div nt").cast("bigint").alias(
+                "empirical_micro"
+            ),
+        )
+    )
+
+
+@query(
+    "leakage_safe_folds",
+    oracle=_minhash_lsh_oracle(32, 8, 0.5).replace(
+        """
+    SELECT i.id_a, i.id_b,
+           round(CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common), 4)
+             AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.id_a
+    JOIN sizes sb ON sb.doc_id = i.id_b
+    WHERE CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common) >= 0.5
+    """,
+        """
+    , verified AS (
+      SELECT i.id_a, i.id_b
+      FROM inter i
+      JOIN sizes sa ON sa.doc_id = i.id_a
+      JOIN sizes sb ON sb.doc_id = i.id_b
+      WHERE CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common) >= 0.5
+    ),
+    und AS (
+      SELECT id_a AS a, id_b AS b FROM verified
+      UNION ALL SELECT id_b, id_a FROM verified
+    ),
+    reach AS (
+      SELECT a AS node, a AS peer FROM und
+      UNION
+      SELECT r.node, u.b FROM reach r JOIN und u ON r.peer = u.a
+    ),
+    comp AS (SELECT node, min(peer) AS canon FROM reach GROUP BY node),
+    assigned AS (
+      SELECT d.doc_id,
+             CAST(coalesce(c.canon, d.doc_id) AS BIGINT) AS canon,
+             CAST(('0x' || substr(md5('fold|'
+                                       || coalesce(c.canon, d.doc_id)),
+                                  1, 2))::BIGINT % 5 AS BIGINT) AS fold
+      FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+    ),
+    leak AS (
+      SELECT CAST(count(*) AS BIGINT) AS leaked_pairs
+      FROM verified v
+      JOIN assigned fa ON fa.doc_id = v.id_a
+      JOIN assigned fb ON fb.doc_id = v.id_b
+      WHERE fa.fold <> fb.fold
+    )
+    SELECT fold, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT canon) AS BIGINT) AS n_groups,
+           (SELECT leaked_pairs FROM leak) AS leaked_pairs
+    FROM assigned GROUP BY fold
+    """,
+    ).replace("WITH\n", "WITH RECURSIVE\n"),
+)
+def leakage_safe_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/validation fold assignment that cannot leak near-duplicates
+    across folds — the evaluation-hygiene primitive an LLM pipeline needs
+    BEFORE any split (a near-dup of a validation doc in train silently
+    inflates eval): hash the CANONICAL near-dup component id (portable
+    MinHash-LSH -> exact-Jaccard verify -> connected components, the
+    ``minhash_dedup_keep`` machinery) into 5 folds, so every member of a
+    dup group lands in the same fold BY CONSTRUCTION. Output is the
+    per-fold size/group count plus ``leaked_pairs`` — the number of
+    verified near-dup pairs straddling folds, computed (not assumed) as
+    the audit; folding on raw doc_id instead would make it nonzero.
+    Scale: fold assignment adds one md5 per doc on top of the dedup DAG;
+    the audit join carries only (doc_id, fold) pairs."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.lsh_candidate_pairs(docs, num_hashes=32, bands=8, portable=True)
+    verified = dedup.jaccard_verify_counts(docs, pairs, threshold=0.5).select(
+        "id_a", "id_b"
+    )
+    comp = dedup.connected_components(verified)
+    assigned = (
+        docs.select("doc_id")
+        .join(comp.withColumnRenamed("node", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("component", "doc_id").cast("bigint").alias("canon"),
+        )
+        .withColumn(
+            "fold",
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit("fold|"), F.col("canon"))), 1, 2
+                    ),
+                    16,
+                    10,
+                ).cast("bigint")
+                % 5
+            ),
+        )
+        .localCheckpoint(eager=True)  # folds feed both the audit and the report
+    )
+    fa = assigned.select(F.col("doc_id").alias("id_a"), F.col("fold").alias("fold_a"))
+    fb = assigned.select(F.col("doc_id").alias("id_b"), F.col("fold").alias("fold_b"))
+    leak = (
+        verified.join(fa, "id_a")
+        .join(fb, "id_b")
+        .filter(F.col("fold_a") != F.col("fold_b"))
+        .agg(F.count("*").cast("bigint").alias("leaked_pairs"))
+    )
+    return (
+        assigned.groupBy("fold")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.count_distinct("canon").cast("bigint").alias("n_groups"),
+        )
+        .crossJoin(F.broadcast(leak))
+    )
+
+
 # Oracle-bearing queries with no driver correctness row that are NOT in the
 # current front window — rotate these to the front in round 4.  (Everything
 # else that was pending after round 2 is in _ROUND3_FRONT below.)
@@ -11447,6 +11947,12 @@ _ROUND5_FRONT = ["bigram_pmi_collocations"] + [
 _PENDING_ROUND6 = [
     "next_event_entropy",  # deferred from round 5 (window held at 50)
     "ivf_ann_topk",  # oracle-upgraded in round 5 (micro-Lloyd quantizer)
+    "user_journey_trigrams",  # new in round 5 (sequential-pattern mining)
+    "k_anonymity_audit",  # new in round 5 (privacy/compliance audit)
+    "stl_lite_decomposition",  # new in round 5 (seasonal-trend-residual)
+    "grid_density_clusters",  # new in round 5 (grid DBSCAN-lite + cell CC)
+    "markov_stationary_micro",  # new in round 5 (integer power iteration)
+    "leakage_safe_folds",  # new in round 5 (dup-group-safe CV folds)
 ]
 
 # ROUND-6 BUILDER: build the next window from _PENDING_ROUND6 (pad with

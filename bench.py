@@ -107,6 +107,9 @@ HEADLINE = [
     # round-5 additions
     "ivf_ann_topk",
     "bigram_pmi_collocations",
+    "grid_density_clusters",
+    "leakage_safe_folds",
+    "stl_lite_decomposition",
 ]
 
 
