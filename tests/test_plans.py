@@ -523,3 +523,32 @@ def test_topk_rank_windows_run_on_limited_frames(spark, sf_dir):
     out at ExistingRDD and can't be asserted here.)"""
     p = plans.executed_plan(q.QUERIES["bm25_retrieval"](spark, sf_dir))
     assert "TakeOrderedAndProject" in p
+
+
+def test_round5_wave_stays_jvm_side(spark, sf_dir):
+    # The round-5 operators are pure relational/built-in expressions — no
+    # Python in any row path.
+    for name in (
+        "user_journey_trigrams",
+        "k_anonymity_audit",
+        "stl_lite_decomposition",
+        "grid_density_clusters",
+        "markov_stationary_micro",
+        "ivf_ann_topk",
+    ):
+        plan = plans.executed_plan(q.QUERIES[name](spark, sf_dir))
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+
+
+def test_journey_trigrams_topk_is_take_ordered(spark, sf_dir):
+    """Top-20 patterns via per-partition heap + 20-row merge; the rank
+    window then runs on 20 rows, never over every pattern."""
+    plan = plans.executed_plan(q.QUERIES["user_journey_trigrams"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_grid_density_cell_map_broadcasts(spark, sf_dir):
+    """The cell->cluster map joins back to the vector table broadcast —
+    the vectors themselves never shuffle for the clustering decision."""
+    plan = plans.executed_plan(q.QUERIES["grid_density_clusters"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan

@@ -228,3 +228,100 @@ def test_trimmed_mean_is_between_bounds(spark, sf_dir):
         # with a bounded-below fixture the trimmed mean is finite and
         # within an order of the plain mean
         assert abs(r.trimmed_mean_milli) <= abs(r.mean_milli) * 10 + 1e6
+
+
+# ---------------------------------------------------------------------------
+# Round-5 wave invariants
+# ---------------------------------------------------------------------------
+
+
+def test_grid_density_planted_blobs(spark):
+    """Two dense blobs separated by empty grid cells become two distinct
+    clusters; isolated points are noise (-1)."""
+    import random
+
+    from anomaly_detection_in_time_series_data_spark.queries import (
+        _GRID_CW,
+        _GRID_MINPTS,
+    )
+    from anomaly_detection_in_time_series_data_spark import queries as q
+
+    cw = _GRID_CW / 1_000_000.0  # cell width in float units
+    rows = []
+    vid = 0
+    # blob A centered in cell (4, 4); blob B in cell (40, 40) — far apart.
+    for cx, cy in [(4, 4), (40, 40)]:
+        for i in range(_GRID_MINPTS + 3):
+            rows.append(
+                (vid, [cx * cw + cw / 2 + i * 1e-9, cy * cw + cw / 2] + [0.0] * 62)
+            )
+            vid += 1
+    rows.append((vid, [100 * cw, 100 * cw] + [0.0] * 62))  # isolated noise
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+    import tempfile, os
+
+    with tempfile.TemporaryDirectory() as d:
+        emb.write.parquet(os.path.join(d, "embeddings.parquet"))
+        out = {r.vec_id: r.cluster_id for r in
+               q.QUERIES["grid_density_clusters"](spark, d).collect()}
+    a = {out[i] for i in range(_GRID_MINPTS + 3)}
+    b = {out[i] for i in range(_GRID_MINPTS + 3, 2 * (_GRID_MINPTS + 3))}
+    assert len(a) == 1 and len(b) == 1 and a != b  # two distinct clusters
+    assert out[vid] == -1  # the isolated point is noise
+
+
+def test_leakage_safe_folds_planted_dup_same_fold(spark):
+    """A planted near-dup pair must land in the SAME fold and the leakage
+    audit must stay zero."""
+    import os, tempfile
+
+    from anomaly_detection_in_time_series_data_spark import queries as q
+    from anomaly_detection_in_time_series_data_spark.operators import dedup
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while seventy "
+        "three engineers review the training corpus for duplicate text "
+        "and measure the exact jaccard similarity of every shingle set "
+    ) * 3
+    near = base.replace("lazy", "sleepy", 1)
+    docs = [(1, base, "en", "web", len(base)), (2, near, "en", "web", len(near))]
+    for i in range(3, 30):
+        docs.append((i, f"unique document number {i} " * 12, "en", "web", 200))
+    df = spark.createDataFrame(
+        docs, ["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(os.path.join(d, "documents.parquet"))
+        # the pair really is a candidate + verified near-dup
+        pairs = dedup.lsh_candidate_pairs(
+            df, num_hashes=32, bands=8, portable=True
+        )
+        verified = dedup.jaccard_verify_counts(df, pairs, threshold=0.5)
+        assert (1, 2) in {(r.id_a, r.id_b) for r in verified.collect()}
+        out = q.QUERIES["leakage_safe_folds"](spark, d).collect()
+    assert sum(r.n_docs for r in out) == 29
+    assert all(r.leaked_pairs == 0 for r in out)
+    # 29 docs but 28 groups: the dup pair shares one canonical
+    assert sum(r.n_groups for r in out) == 28
+
+
+def test_markov_stationary_mass_conserved_approximately(spark, sf_dir):
+    """Truncating integer division can only LOSE micro-mass, never create
+    it; three iterations on a 5-type chain stay within 5*3 micros of 1e6."""
+    from anomaly_detection_in_time_series_data_spark import queries as q
+
+    rows = q.QUERIES["markov_stationary_micro"](spark, sf_dir).collect()
+    total = sum(r.stationary_micro for r in rows)
+    assert 1_000_000 - 5 * 3 * 5 <= total <= 1_000_000
+    emp = sum(r.empirical_micro for r in rows)
+    assert 1_000_000 - 5 <= emp <= 1_000_000
+
+
+def test_stl_residual_reconstructs_series(spark, sf_dir):
+    """trend + seasonal + resid must reconstruct n exactly (up to the 4dp
+    output rounding) on every emitted day."""
+    from anomaly_detection_in_time_series_data_spark import queries as q
+
+    for r in q.QUERIES["stl_lite_decomposition"](spark, sf_dir).collect():
+        assert abs((r.trend + r.seasonal + r.resid) - r.n) < 2e-4, r
