@@ -11733,6 +11733,244 @@ def leakage_safe_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "km_survival_signup_to_purchase",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, min(date_trunc('day', ts)) AS t0
+      FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    p AS (
+      SELECT e.user_id, min(date_trunc('day', e.ts)) AS tp
+      FROM events e JOIN s ON s.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts >= s.t0
+      GROUP BY e.user_id
+    ),
+    horizon AS (SELECT max(date_trunc('day', ts)) AS h FROM events),
+    dur AS (
+      SELECT s.user_id,
+             CASE WHEN p.tp IS NULL
+                  THEN date_diff('day', s.t0, (SELECT h FROM horizon))
+                  ELSE date_diff('day', s.t0, p.tp) END AS d,
+             CASE WHEN p.tp IS NULL THEN 0 ELSE 1 END AS ev
+      FROM s LEFT JOIN p ON p.user_id = s.user_id
+    ),
+    days AS (
+      SELECT d AS day, CAST(sum(ev) AS BIGINT) AS n_events
+      FROM dur GROUP BY d HAVING sum(ev) > 0
+    ),
+    risk AS (
+      SELECT dy.day, dy.n_events,
+             CAST((SELECT count(*) FROM dur WHERE dur.d >= dy.day)
+                  AS BIGINT) AS n_risk
+      FROM days dy
+    ),
+    f AS (
+      SELECT day, n_events, n_risk,
+             1.0 - CAST(n_events AS DOUBLE) / n_risk AS factor
+      FROM risk
+    )
+    SELECT f1.day AS day, CAST(f1.n_risk AS BIGINT) AS n_risk,
+           CAST(f1.n_events AS BIGINT) AS n_events,
+           round(list_reduce(list(f2.factor ORDER BY f2.day),
+                             (a, b) -> a * b), 4) AS km_survival
+    FROM f f1 JOIN f f2 ON f2.day <= f1.day
+    GROUP BY f1.day, f1.n_risk, f1.n_events
+    """,
+)
+def km_survival_signup_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve for signup -> first purchase with
+    right-censoring at the observation horizon — the censored
+    time-to-event estimator (conversion-lag analytics) that a plain
+    conversion rate gets wrong when the window truncates slow users.
+    Per event-day d: n_risk = users whose (event or censor) time >= d,
+    factor = 1 - d_events/n_risk, S(d) = day-ordered product fold of all
+    factors <= d (exact single divisions; 1.0*x is IEEE-exact so the
+    Spark aggregate(1.0, *) fold and DuckDB list_reduce fold produce the
+    identical double before 4dp rounding). Scale: durations are one
+    groupBy per user; the curve itself lives on O(distinct days) rows —
+    the factor self-join is days x days, data-size-independent."""
+    ev = load_table(spark, sf_dir, "events")
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(F.date_trunc("day", "ts")).alias("t0"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s, "user_id")
+        .filter(F.col("ts") >= F.col("t0"))
+        .groupBy("user_id")
+        .agg(F.min(F.date_trunc("day", "ts")).alias("tp"))
+    )
+    horizon = ev.agg(F.max(F.date_trunc("day", "ts")).alias("h"))
+    dur = (
+        s.join(p, "user_id", "left")
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            "user_id",
+            F.when(
+                F.col("tp").isNull(), F.datediff("h", "t0")
+            ).otherwise(F.datediff("tp", "t0")).cast("bigint").alias("d"),
+            F.when(F.col("tp").isNull(), F.lit(0)).otherwise(F.lit(1)).alias("ev"),
+        )
+    )
+    days = (
+        dur.groupBy(F.col("d").alias("day"))
+        .agg(F.sum("ev").cast("bigint").alias("n_events"))
+        .filter(F.col("n_events") > 0)
+    )
+    # n_risk per event day: join the (tiny) day list against durations once
+    risk = (
+        F.broadcast(days)
+        .join(dur, dur["d"] >= days["day"])
+        .groupBy("day", "n_events")
+        .agg(F.count("*").cast("bigint").alias("n_risk"))
+    )
+    f = risk.select(
+        "day",
+        "n_events",
+        "n_risk",
+        (F.lit(1.0) - F.col("n_events").cast("double") / F.col("n_risk")).alias(
+            "factor"
+        ),
+    )
+    f1 = f.alias("f1")
+    f2 = f.alias("f2")
+    km = (
+        f1.join(F.broadcast(f2), F.col("f2.day") <= F.col("f1.day"))
+        .groupBy(
+            F.col("f1.day").alias("day"),
+            F.col("f1.n_risk").alias("n_risk"),
+            F.col("f1.n_events").alias("n_events"),
+        )
+        .agg(
+            F.round(
+                F.aggregate(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.struct(
+                                    F.col("f2.day").alias("day"),
+                                    F.col("f2.factor").alias("factor"),
+                                )
+                            )
+                        ),
+                        lambda st: st["factor"],
+                    ),
+                    F.lit(1.0),
+                    lambda a, x: a * x,
+                ),
+                4,
+            ).alias("km_survival")
+        )
+    )
+    return km.select("day", "n_risk", "n_events", "km_survival")
+
+
+@query(
+    "ab_test_two_proportion",
+    oracle="""
+    WITH u AS (
+      SELECT user_id,
+             CASE WHEN ('0x' || substr(md5('ab|' || user_id), 1, 2))::BIGINT
+                       % 2 = 0 THEN 'A' ELSE 'B' END AS arm,
+             max(CASE WHEN event_type = 'purchase' AND value >= 100.0
+                      THEN 1 ELSE 0 END) AS converted
+      FROM events GROUP BY user_id
+    ),
+    g AS (
+      SELECT arm, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(converted) AS BIGINT) AS conv
+      FROM u GROUP BY arm
+    ),
+    w AS (
+      SELECT a.n AS n_a, a.conv AS conv_a, b.n AS n_b, b.conv AS conv_b
+      FROM g a JOIN g b ON a.arm = 'A' AND b.arm = 'B'
+    ),
+    zz AS (
+      SELECT n_a, conv_a, n_b, conv_b,
+             CASE WHEN conv_a + conv_b = 0 OR conv_a + conv_b = n_a + n_b
+                  THEN 0.0
+                  ELSE (CAST(conv_a AS DOUBLE) / n_a
+                        - CAST(conv_b AS DOUBLE) / n_b)
+                       / sqrt((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                              * (1.0 - CAST(conv_a + conv_b AS DOUBLE)
+                                       / (n_a + n_b))
+                              * (1.0 / n_a + 1.0 / n_b)) END AS z
+      FROM w
+    )
+    SELECT n_a, conv_a, n_b, conv_b, round(z, 4) AS z,
+           abs(z) > 1.96 AS significant
+    FROM zz
+    """,
+)
+def ab_test_two_proportion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test on a deterministic hash split — the
+    experimentation primitive (does arm A convert differently from arm
+    B?) run exactly as a pipeline would: assignment = md5('ab|'||user_id)
+    parity (stable, engine-portable, no RNG), conversion = a high-value
+    purchase (value >= 100), pooled-variance z with the 1.96 two-sided
+    gate and the degenerate 0%/100% case pinned to z = 0. Every input to the
+    float expression is an exact bigint and the expression has one fixed
+    IEEE order (divisions + one sqrt, which IEEE requires correctly
+    rounded) — bit-identical z in both engines, so even the boolean gate
+    is hash-stable. One user-level aggregate, then 2-row arithmetic."""
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("value") >= 100.0),
+                1,
+            ).otherwise(0)
+        ).alias("converted")
+    ).select(
+        F.when(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("ab|"), F.col("user_id"))), 1, 2
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % 2
+            == 0,
+            F.lit("A"),
+        ).otherwise(F.lit("B")).alias("arm"),
+        "converted",
+    )
+    g = u.groupBy("arm").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("converted").cast("bigint").alias("conv"),
+    )
+    a = g.filter(F.col("arm") == "A").select(
+        F.col("n").alias("n_a"), F.col("conv").alias("conv_a")
+    )
+    b = g.filter(F.col("arm") == "B").select(
+        F.col("n").alias("n_b"), F.col("conv").alias("conv_b")
+    )
+    w = a.crossJoin(F.broadcast(b))
+    pa = F.col("conv_a").cast("double") / F.col("n_a")
+    pb = F.col("conv_b").cast("double") / F.col("n_b")
+    conv_t = F.col("conv_a") + F.col("conv_b")
+    n_t = F.col("n_a") + F.col("n_b")
+    pp = conv_t.cast("double") / n_t
+    # Degenerate pooled variance (0% or 100% conversion) -> no evidence,
+    # z = 0 by convention (and no ANSI divide-by-zero).
+    z = F.when((conv_t == 0) | (conv_t == n_t), F.lit(0.0)).otherwise(
+        (pa - pb)
+        / F.sqrt(
+            pp * (F.lit(1.0) - pp)
+            * (F.lit(1.0) / F.col("n_a") + F.lit(1.0) / F.col("n_b"))
+        )
+    )
+    return w.select(
+        "n_a", "conv_a", "n_b", "conv_b",
+        F.round(z, 4).alias("z"),
+        (F.abs(z) > 1.96).alias("significant"),
+    )
+
+
 # Oracle-bearing queries with no driver correctness row that are NOT in the
 # current front window — rotate these to the front in round 4.  (Everything
 # else that was pending after round 2 is in _ROUND3_FRONT below.)
@@ -11953,6 +12191,8 @@ _PENDING_ROUND6 = [
     "grid_density_clusters",  # new in round 5 (grid DBSCAN-lite + cell CC)
     "markov_stationary_micro",  # new in round 5 (integer power iteration)
     "leakage_safe_folds",  # new in round 5 (dup-group-safe CV folds)
+    "km_survival_signup_to_purchase",  # new in round 5 (censored KM curve)
+    "ab_test_two_proportion",  # new in round 5 (experimentation z-test)
 ]
 
 # ROUND-6 BUILDER: build the next window from _PENDING_ROUND6 (pad with
