@@ -11490,12 +11490,18 @@ def grid_density_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     noise (cluster_id -1) — the density view KMeans can't give (no k, no
     spherical assumption, noise is first-class). This is the standard
     distributed DBSCAN shape: the grid aggregate is one map-side-combined
-    count, the adjacency join runs on the CELL table (thousands of rows
-    at any corpus size, broadcastable), and only the final cell->cluster
-    map joins back to the data — the vectors themselves never pairwise
-    join. Every quantity is a bigint; the cell CC fixpoint is unique, so
-    iteration count doesn't affect the answer and the recursive-CTE twin
-    is bit-exact."""
+    count; everything downstream runs on the CELL table, whose size is
+    bounded by the embedding-space GEOMETRY ((range/cell_width)^2, a few
+    thousand rows no matter the corpus size), so — exactly like MLlib
+    holding KMeans centroids driver-side — the cell connected components
+    run as driver union-find over the collected cell list (min-label
+    canonical, result identical to distributed min-label propagation;
+    DATA-sized graphs like the near-dup graph keep the distributed
+    ``dedup.connected_components``, which cost 6 superstep rounds of pure
+    overhead here in round-5 bench), and the finished cell->cluster map
+    broadcasts back. The vectors themselves never pairwise join and never
+    shuffle for the clustering decision. Every quantity is a bigint; the
+    recursive-CTE twin is bit-exact."""
     emb = load_table(spark, sf_dir, "embeddings")
     g = emb.select(
         "vec_id",
@@ -11509,25 +11515,32 @@ def grid_density_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("cy"),
     )
     cells = g.groupBy("cx", "cy").agg(F.count("*").alias("n"))
-    core = cells.filter(F.col("n") >= _GRID_MINPTS).select(
-        "cx", "cy", (F.col("cx") * 100000 + F.col("cy")).alias("cid")
-    )
-    a = core.alias("a")
-    b = core.alias("b")
-    edges = (
-        a.join(
-            b,
-            (F.abs(F.col("a.cx") - F.col("b.cx")) <= 1)
-            & (F.abs(F.col("a.cy") - F.col("b.cy")) <= 1)
-            & (F.col("a.cid") < F.col("b.cid")),
-        )
-        .select(F.col("a.cid").alias("id_a"), F.col("b.cid").alias("id_b"))
-    )
-    comp = dedup.connected_components(edges)
-    cmap = core.join(
-        comp.withColumnRenamed("node", "cid"), "cid", "left"
-    ).select(
-        "cx", "cy", F.coalesce("component", "cid").alias("cluster_id")
+    core = [
+        (r.cx, r.cy, r.cx * 100000 + r.cy)
+        for r in cells.filter(F.col("n") >= _GRID_MINPTS).collect()
+    ]
+    # Driver union-find over the geometry-bounded core-cell graph
+    # (8-neighbor adjacency); canonical = min cid in the component.
+    parent = {cid: cid for _, _, cid in core}
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    by_pos = {(cx, cy): cid for cx, cy, cid in core}
+    for cx, cy, cid in core:
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                nb = by_pos.get((cx + dx, cy + dy))
+                if nb is not None and nb != cid:
+                    ra, rb = find(cid), find(nb)
+                    if ra != rb:
+                        parent[max(ra, rb)] = min(ra, rb)
+    cmap = spark.createDataFrame(
+        [(int(cx), int(cy), int(find(cid))) for cx, cy, cid in core],
+        "cx bigint, cy bigint, cluster_id bigint",
     )
     return (
         g.join(F.broadcast(cmap), ["cx", "cy"], "left")
