@@ -11984,6 +11984,108 @@ def ab_test_two_proportion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "conformal_interval_coverage",
+    oracle="""
+    WITH b AS (
+      SELECT event_type, hour(ts) AS hod, weekofyear(ts) AS wk,
+             CAST(floor(value * 1000.0) AS BIGINT) AS v
+      FROM events
+    ),
+    mu AS (
+      SELECT event_type, hod, CAST(sum(v) AS DOUBLE) / count(*) AS mu
+      FROM b WHERE wk <= 3 GROUP BY event_type, hod
+    ),
+    calres AS (
+      SELECT b.event_type, abs(b.v - mu.mu) AS r
+      FROM b JOIN mu USING (event_type, hod) WHERE wk <= 3
+    ),
+    q AS (
+      SELECT event_type, quantile_cont(r, 0.95) AS q95
+      FROM calres GROUP BY event_type
+    ),
+    t AS (
+      SELECT b.event_type, abs(b.v - mu.mu) AS r
+      FROM b JOIN mu USING (event_type, hod) WHERE wk >= 4
+    )
+    SELECT t.event_type,
+           CAST(count(*) AS BIGINT) AS n_test,
+           CAST(sum(CASE WHEN r <= q.q95 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_covered,
+           round(CAST(sum(CASE WHEN r <= q.q95 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 4) AS coverage,
+           round(q.q95, 4) AS q95_milli,
+           CAST(sum(CASE WHEN r <= q.q95 THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*) >= 0.9 AS coverage_ok
+    FROM t JOIN q ON q.event_type = t.event_type
+    GROUP BY t.event_type, q.q95
+    """,
+)
+def conformal_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction-interval QA — the distribution-free
+    uncertainty check a forecasting/serving pipeline runs: fit a simple
+    hour-of-day baseline on the CALIBRATION window (weeks 1-3), take the
+    95th percentile of calibration |residuals| as the conformal radius,
+    then measure EMPIRICAL coverage on the held-out window (weeks 4-5) —
+    under exchangeability coverage should be ~95%; the under-coverage
+    flag (< 0.9) is the drift/miscalibration alarm. Determinism: values
+    floor-quantized to integer millis, the baseline mean is one exact
+    int-sum/count division, residuals are fixed-order doubles, and both
+    engines share the exact interpolated-percentile semantics
+    (``F.percentile`` == ``quantile_cont``, the ``daily_p95`` idiom).
+    Scale: two aggregation passes over the scan plus a broadcast of the
+    (types x 24) baseline and (types) radius tables."""
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.select(
+        "event_type",
+        F.hour("ts").alias("hod"),
+        F.weekofyear("ts").alias("wk"),
+        F.floor(F.col("value") * 1000.0).cast("bigint").alias("v"),
+    )
+    mu = (
+        b.filter(F.col("wk") <= 3)
+        .groupBy("event_type", "hod")
+        .agg((F.sum("v").cast("double") / F.count("*")).alias("mu"))
+    )
+    calres = (
+        b.filter(F.col("wk") <= 3)
+        .join(F.broadcast(mu), ["event_type", "hod"])
+        .select("event_type", F.abs(F.col("v") - F.col("mu")).alias("r"))
+    )
+    qtab = calres.groupBy("event_type").agg(
+        F.percentile("r", 0.95).alias("q95")
+    )
+    t = (
+        b.filter(F.col("wk") >= 4)
+        .join(F.broadcast(mu), ["event_type", "hod"])
+        .select("event_type", F.abs(F.col("v") - F.col("mu")).alias("r"))
+    )
+    covered = F.sum(
+        F.when(F.col("r") <= F.col("q95"), 1).otherwise(0)
+    )
+    return (
+        t.join(F.broadcast(qtab), "event_type")
+        .groupBy("event_type", "q95")
+        .agg(
+            F.count("*").cast("bigint").alias("n_test"),
+            covered.cast("bigint").alias("n_covered"),
+            F.round(covered.cast("double") / F.count("*"), 4).alias(
+                "coverage"
+            ),
+        )
+        .select(
+            "event_type",
+            "n_test",
+            "n_covered",
+            "coverage",
+            F.round("q95", 4).alias("q95_milli"),
+            (
+                F.col("n_covered").cast("double") / F.col("n_test") >= 0.9
+            ).alias("coverage_ok"),
+        )
+    )
+
+
 # Oracle-bearing queries with no driver correctness row that are NOT in the
 # current front window — rotate these to the front in round 4.  (Everything
 # else that was pending after round 2 is in _ROUND3_FRONT below.)
@@ -12206,6 +12308,7 @@ _PENDING_ROUND6 = [
     "leakage_safe_folds",  # new in round 5 (dup-group-safe CV folds)
     "km_survival_signup_to_purchase",  # new in round 5 (censored KM curve)
     "ab_test_two_proportion",  # new in round 5 (experimentation z-test)
+    "conformal_interval_coverage",  # new in round 5 (split-conformal QA)
 ]
 
 # ROUND-6 BUILDER: build the next window from _PENDING_ROUND6 (pad with
