@@ -12086,6 +12086,193 @@ def conformal_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "event_type_lift",
+    oracle="""
+    WITH basket AS (
+      SELECT DISTINCT user_id, date_trunc('day', ts) AS day, event_type
+      FROM events
+    ),
+    nb AS (SELECT CAST(count(DISTINCT (user_id, day)) AS BIGINT) AS n
+           FROM basket),
+    item AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS c
+      FROM basket GROUP BY event_type
+    ),
+    pair AS (
+      SELECT a.event_type AS e_a, b.event_type AS e_b,
+             CAST(count(*) AS BIGINT) AS c_ab
+      FROM basket a
+      JOIN basket b ON a.user_id = b.user_id AND a.day = b.day
+                   AND a.event_type < b.event_type
+      GROUP BY a.event_type, b.event_type
+    )
+    SELECT p.e_a, p.e_b, p.c_ab, ia.c AS c_a, ib.c AS c_b,
+           (SELECT n FROM nb) AS n_baskets,
+           round(CAST(p.c_ab AS DOUBLE) * (SELECT n FROM nb)
+                 / (CAST(ia.c AS DOUBLE) * ib.c), 4) AS lift,
+           round(CAST(p.c_ab AS DOUBLE) / ia.c, 4) AS conf_a_to_b
+    FROM pair p
+    JOIN item ia ON ia.event_type = p.e_a
+    JOIN item ib ON ib.event_type = p.e_b
+    """,
+)
+def event_type_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules over (user, day) baskets: support,
+    confidence and LIFT for every event-type pair — the co-occurrence
+    mining class (Apriori's first level) that tells a growth team which
+    behaviors travel together beyond chance (lift > 1). Baskets are the
+    DISTINCT (user, day, type) triples, pair counts are one self-equi-join
+    on the basket key (|types| rows per basket, never the raw event rows),
+    and every emitted number is an exact bigint or a single fixed-order
+    division of bigints — hash-stable without any fold discipline. Scale:
+    the distinct triple table is the only data-sized frame; the pair join
+    fans out at most |types|^2 rows per basket and aggregates map-side."""
+    ev = load_table(spark, sf_dir, "events")
+    basket = ev.select(
+        "user_id", F.date_trunc("day", "ts").alias("day"), "event_type"
+    ).distinct()
+    nb = basket.select("user_id", "day").distinct().agg(
+        F.count("*").cast("bigint").alias("n_baskets")
+    )
+    item = basket.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    a = basket.alias("a")
+    b = basket.alias("b")
+    pair = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.day") == F.col("b.day"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("e_a"),
+            F.col("b.event_type").alias("e_b"),
+        )
+        .agg(F.count("*").cast("bigint").alias("c_ab"))
+    )
+    ia = item.select(F.col("event_type").alias("e_a"), F.col("c").alias("c_a"))
+    ib = item.select(F.col("event_type").alias("e_b"), F.col("c").alias("c_b"))
+    return (
+        pair.join(F.broadcast(ia), "e_a")
+        .join(F.broadcast(ib), "e_b")
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "e_a", "e_b", "c_ab", "c_a", "c_b", "n_baskets",
+            F.round(
+                F.col("c_ab").cast("double") * F.col("n_baskets")
+                / (F.col("c_a").cast("double") * F.col("c_b")),
+                4,
+            ).alias("lift"),
+            F.round(
+                F.col("c_ab").cast("double") / F.col("c_a"), 4
+            ).alias("conf_a_to_b"),
+        )
+    )
+
+
+@query(
+    "mahalanobis_outliers_2d",
+    oracle="""
+    WITH x AS (
+      SELECT vec_id,
+             CAST(floor(CAST(embedding[1] AS DOUBLE) * 1000000.0) AS BIGINT)
+               AS u,
+             CAST(floor(CAST(embedding[2] AS DOUBLE) * 1000000.0) AS BIGINT)
+               AS v
+      FROM embeddings
+    ),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(u) AS BIGINT) AS su, CAST(sum(v) AS BIGINT) AS sv,
+             CAST(sum(u * u) AS BIGINT) AS suu,
+             CAST(sum(v * v) AS BIGINT) AS svv,
+             CAST(sum(u * v) AS BIGINT) AS suv
+      FROM x
+    ),
+    c AS (
+      SELECT n,
+             CAST(su AS DOUBLE) / n AS mu,
+             CAST(sv AS DOUBLE) / n AS mv,
+             CAST(suu AS DOUBLE) / n
+               - (CAST(su AS DOUBLE) / n) * (CAST(su AS DOUBLE) / n) AS a,
+             CAST(svv AS DOUBLE) / n
+               - (CAST(sv AS DOUBLE) / n) * (CAST(sv AS DOUBLE) / n) AS d,
+             CAST(suv AS DOUBLE) / n
+               - (CAST(su AS DOUBLE) / n) * (CAST(sv AS DOUBLE) / n) AS bb
+      FROM m
+    ),
+    md AS (
+      SELECT x.vec_id,
+             ((x.u - c.mu) * (x.u - c.mu) * c.d
+              - 2.0 * (x.u - c.mu) * (x.v - c.mv) * c.bb
+              + (x.v - c.mv) * (x.v - c.mv) * c.a)
+             / (c.a * c.d - c.bb * c.bb) AS d2
+      FROM x, c
+    )
+    SELECT vec_id, round(d2, 4) AS md2, CAST(rk AS BIGINT) AS rank
+    FROM (
+      SELECT *, row_number() OVER (ORDER BY d2 DESC, vec_id) AS rk
+      FROM md
+    ) WHERE rk <= 15
+    """,
+)
+def mahalanobis_outliers_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multivariate (correlation-aware) outlier scoring: squared
+    Mahalanobis distance of each embedding's first two components from
+    the corpus mean under the CLOSED-FORM 2x2 inverse covariance —
+    catches points that per-dimension z-scores miss (plausible in each
+    coordinate, impossible jointly). Moments come from exact integer
+    micro sums (order-independent bigints), the covariance entries and
+    the adjugate/determinant inverse are fixed-order double expressions,
+    and top-15 is orderBy+limit then a 15-row rank window. One scan, one
+    1-row broadcast of the moment table — the scoring pass is
+    embarrassingly parallel at any corpus size."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    x = emb.select(
+        "vec_id",
+        F.expr(
+            "cast(floor(cast(embedding[0] as double) * 1000000.0) as bigint)"
+        ).alias("u"),
+        F.expr(
+            "cast(floor(cast(embedding[1] as double) * 1000000.0) as bigint)"
+        ).alias("v"),
+    )
+    m = x.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("u").cast("bigint").alias("su"),
+        F.sum("v").cast("bigint").alias("sv"),
+        F.sum(F.col("u") * F.col("u")).cast("bigint").alias("suu"),
+        F.sum(F.col("v") * F.col("v")).cast("bigint").alias("svv"),
+        F.sum(F.col("u") * F.col("v")).cast("bigint").alias("suv"),
+    )
+    mu = F.col("su").cast("double") / F.col("n")
+    mv = F.col("sv").cast("double") / F.col("n")
+    c = m.select(
+        mu.alias("mu"),
+        mv.alias("mv"),
+        (F.col("suu").cast("double") / F.col("n") - mu * mu).alias("a"),
+        (F.col("svv").cast("double") / F.col("n") - mv * mv).alias("d"),
+        (F.col("suv").cast("double") / F.col("n") - mu * mv).alias("bb"),
+    )
+    d2 = (
+        (F.col("u") - F.col("mu")) * (F.col("u") - F.col("mu")) * F.col("d")
+        - 2.0
+        * (F.col("u") - F.col("mu"))
+        * (F.col("v") - F.col("mv"))
+        * F.col("bb")
+        + (F.col("v") - F.col("mv")) * (F.col("v") - F.col("mv")) * F.col("a")
+    ) / (F.col("a") * F.col("d") - F.col("bb") * F.col("bb"))
+    md = x.crossJoin(F.broadcast(c)).select("vec_id", d2.alias("d2"))
+    sel = md.orderBy(F.col("d2").desc(), "vec_id").limit(15)
+    w = Window.orderBy(F.col("d2").desc(), "vec_id")
+    return sel.withColumn("rank", F.row_number().over(w).cast("bigint")).select(
+        "vec_id", F.round("d2", 4).alias("md2"), "rank"
+    )
+
+
 # Oracle-bearing queries with no driver correctness row that are NOT in the
 # current front window — rotate these to the front in round 4.  (Everything
 # else that was pending after round 2 is in _ROUND3_FRONT below.)
@@ -12309,6 +12496,8 @@ _PENDING_ROUND6 = [
     "km_survival_signup_to_purchase",  # new in round 5 (censored KM curve)
     "ab_test_two_proportion",  # new in round 5 (experimentation z-test)
     "conformal_interval_coverage",  # new in round 5 (split-conformal QA)
+    "event_type_lift",  # new in round 5 (market-basket association rules)
+    "mahalanobis_outliers_2d",  # new in round 5 (multivariate outliers)
 ]
 
 # ROUND-6 BUILDER: build the next window from _PENDING_ROUND6 (pad with
