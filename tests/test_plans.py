@@ -535,6 +535,11 @@ def test_round5_wave_stays_jvm_side(spark, sf_dir):
         "grid_density_clusters",
         "markov_stationary_micro",
         "ivf_ann_topk",
+        "km_survival_signup_to_purchase",
+        "ab_test_two_proportion",
+        "conformal_interval_coverage",
+        "event_type_lift",
+        "mahalanobis_outliers_2d",
     ):
         plan = plans.executed_plan(q.QUERIES[name](spark, sf_dir))
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
@@ -552,3 +557,10 @@ def test_grid_density_cell_map_broadcasts(spark, sf_dir):
     the vectors themselves never shuffle for the clustering decision."""
     plan = plans.executed_plan(q.QUERIES["grid_density_clusters"](spark, sf_dir))
     assert "BroadcastHashJoin" in plan
+
+
+def test_mahalanobis_topk_is_take_ordered(spark, sf_dir):
+    """Top-15 scores via per-partition heap + 15-row merge, not a global
+    rank window over every vector."""
+    plan = plans.executed_plan(q.QUERIES["mahalanobis_outliers_2d"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
