@@ -501,6 +501,71 @@ def weekly_discords(
     )
 
 
+def weekly_motifs(
+    df: DataFrame,
+    *,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak_col: str = "event_id",
+    m: int = 8,
+    exclusion: int | None = None,
+) -> DataFrame:
+    """Matrix-profile MOTIF discovery — the dual of ``weekly_discords``:
+    per (key, ISO week), the length-``m`` subsequence PAIR with the
+    SMALLEST Euclidean distance^2 (trivial matches |pos_a - pos_b| <
+    exclusion excluded, pair canonicalized as pos_a < pos_b) — the most
+    repeated shape, the primitive behind template mining and repeated-
+    failure-signature detection. Same execution and float-determinism
+    shape as the discord: one timeline shuffle, within-group pair join,
+    explicit left-associated distance chain; the per-group argmin is a
+    (d2, pos_a, pos_b) lexicographic rank."""
+    if exclusion is None:
+        exclusion = m
+    kw = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
+    sub = (
+        df.select(key_col, ts_col, value_col, tiebreak_col)
+        .withColumn("pos", F.row_number().over(kw))
+        .withColumn(
+            "arr",
+            F.collect_list(value_col).over(kw.rowsBetween(0, m - 1)),
+        )
+        .filter(F.size("arr") == m)
+        .withColumn("week", F.date_trunc("week", F.col(ts_col)))
+        .select(key_col, "week", "pos", "arr")
+    )
+    a = sub.alias("a")
+    b = sub.alias("b")
+    d2 = None
+    for i in range(m):
+        t = F.col("a.arr").getItem(i) - F.col("b.arr").getItem(i)
+        d2 = t * t if d2 is None else d2 + t * t
+    pairs = (
+        a.join(b, on=[key_col, "week"])
+        .filter(F.col("b.pos") - F.col("a.pos") >= exclusion)
+        .select(
+            key_col,
+            "week",
+            F.col("a.pos").alias("pos_a"),
+            F.col("b.pos").alias("pos_b"),
+            d2.alias("motif_d2"),
+        )
+    )
+    # Lexicographic struct-min: ONE hash aggregate (map-side combined)
+    # instead of a row_number window, which would SORT every within-group
+    # pair (O(n^2) rows per group) just to keep the first.
+    best = pairs.groupBy(key_col, "week").agg(
+        F.min(F.struct("motif_d2", "pos_a", "pos_b")).alias("best")
+    )
+    return best.select(
+        key_col,
+        F.unix_micros("week").alias("week_us"),
+        F.col("best.pos_a").cast("bigint").alias("pos_a"),
+        F.col("best.pos_b").cast("bigint").alias("pos_b"),
+        F.col("best.motif_d2").alias("motif_d2"),
+    )
+
+
 def global_discords_gemm(
     df: DataFrame,
     *,

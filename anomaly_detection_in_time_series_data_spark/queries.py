@@ -12273,6 +12273,57 @@ def mahalanobis_outliers_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "weekly_shape_motifs",
+    oracle=f"""
+    WITH ordered AS (
+      SELECT event_type, ts,
+             row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id)
+               AS pos,
+             list(CAST(value AS DOUBLE)) OVER (
+               PARTITION BY event_type ORDER BY ts, event_id
+               ROWS BETWEEN CURRENT ROW AND {_DISCORD_M - 1} FOLLOWING) AS arr
+      FROM events
+    ),
+    sub AS (
+      SELECT event_type, date_trunc('week', ts) AS week, pos, arr
+      FROM ordered WHERE len(arr) = {_DISCORD_M}
+    ),
+    pairs AS (
+      SELECT a.event_type, a.week, a.pos AS pos_a, b.pos AS pos_b,
+             {_DISCORD_D2_SQL} AS motif_d2
+      FROM sub a JOIN sub b
+        ON a.event_type = b.event_type AND a.week = b.week
+       AND b.pos - a.pos >= {_DISCORD_M}
+    )
+    SELECT event_type, CAST(epoch_us(week) AS BIGINT) AS week_us,
+           CAST(best.pos_a AS BIGINT) AS pos_a,
+           CAST(best.pos_b AS BIGINT) AS pos_b,
+           best.motif_d2 AS motif_d2
+    FROM (
+      SELECT event_type, week,
+             min({{'motif_d2': motif_d2, 'pos_a': pos_a, 'pos_b': pos_b}})
+               AS best
+      FROM pairs GROUP BY event_type, week
+    )
+    """,
+)
+def weekly_shape_motifs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matrix-profile MOTIF per (event_type, ISO week) — the dual of
+    ``weekly_shape_discords``: the closest length-8 subsequence pair
+    (trivial-match exclusion zone = m), i.e. the week's most REPEATED
+    shape — template mining / repeated-failure-signature detection
+    (`operators/timeseries.py:weekly_motifs`). Same within-group pair
+    join and explicit left-associated distance chain as the discord, so
+    the double is bit-identical to the oracle's textually parallel
+    expression."""
+    ev = load_table(spark, sf_dir, "events")
+    return timeseries.weekly_motifs(
+        ev, key_col="event_type", ts_col="ts", value_col="value",
+        tiebreak_col="event_id", m=_DISCORD_M,
+    )
+
+
 # Oracle-bearing queries with no driver correctness row that are NOT in the
 # current front window — rotate these to the front in round 4.  (Everything
 # else that was pending after round 2 is in _ROUND3_FRONT below.)
@@ -12498,6 +12549,7 @@ _PENDING_ROUND6 = [
     "conformal_interval_coverage",  # new in round 5 (split-conformal QA)
     "event_type_lift",  # new in round 5 (market-basket association rules)
     "mahalanobis_outliers_2d",  # new in round 5 (multivariate outliers)
+    "weekly_shape_motifs",  # new in round 5 (matrix-profile motif dual)
 ]
 
 # ROUND-6 BUILDER: build the next window from _PENDING_ROUND6 (pad with
