@@ -12324,6 +12324,104 @@ def weekly_shape_motifs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "mase_forecast_eval",
+    oracle="""
+    WITH h AS (
+      SELECT event_type,
+             epoch_us(ts) // 3600000000 AS hr,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY event_type, epoch_us(ts) // 3600000000
+    ),
+    s AS (
+      SELECT event_type, hr, n,
+             lag(n, 24) OVER (PARTITION BY event_type ORDER BY hr)
+               AS naive24,
+             CAST(hr % 24 AS BIGINT) AS hod
+      FROM h
+    ),
+    mu AS (
+      SELECT s.event_type, s.hod,
+             CAST(sum(s.n) AS DOUBLE) / count(*) AS mu
+      FROM s WHERE s.naive24 IS NOT NULL GROUP BY s.event_type, s.hod
+    ),
+    e AS (
+      SELECT s.event_type, s.hr,
+             abs(CAST(s.n AS DOUBLE) - m.mu) AS e_model,
+             abs(CAST(s.n AS DOUBLE) - s.naive24) AS e_naive
+      FROM s JOIN mu m ON m.event_type = s.event_type AND m.hod = s.hod
+      WHERE s.naive24 IS NOT NULL
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_points,
+           round(list_reduce(list(e_model ORDER BY hr), (a, b) -> a + b)
+                 / count(*), 4) AS mae_model,
+           round(list_reduce(list(e_naive ORDER BY hr), (a, b) -> a + b)
+                 / count(*), 4) AS mae_naive,
+           round(list_reduce(list(e_model ORDER BY hr), (a, b) -> a + b)
+                 / list_reduce(list(e_naive ORDER BY hr), (a, b) -> a + b),
+                 4) AS mase,
+           list_reduce(list(e_model ORDER BY hr), (a, b) -> a + b)
+             < list_reduce(list(e_naive ORDER BY hr), (a, b) -> a + b)
+             AS beats_naive
+    FROM e GROUP BY event_type
+    """,
+)
+def mase_forecast_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast-accuracy evaluation (MASE — mean absolute scaled error):
+    the hour-of-day mean model vs the seasonal-naive (t-24h) benchmark on
+    the hourly count series; MASE < 1 means the model beats the
+    textbook-mandated naive baseline — the metric that keeps a
+    forecasting pipeline honest (MAPE breaks on zero counts, plain MAE
+    is scale-blind). Determinism: hourly counts are exact bigints, each
+    |error| derives from them through one fixed-order expression, and
+    both engines sum the error series with the hr-ORDERED fold (the
+    sorted-fold idiom), so every MAE, the MASE ratio, and the
+    beats-naive boolean are bit-identical before 4dp rounding. Scale:
+    one count aggregate over the scan; everything after lives on the
+    O(types x hours) series with a broadcast hod-baseline join."""
+    ev = load_table(spark, sf_dir, "events")
+    h = ev.groupBy(
+        "event_type",
+        F.expr("unix_micros(ts) div 3600000000").alias("hr"),
+    ).agg(F.count("*").cast("bigint").alias("n"))
+    w = Window.partitionBy("event_type").orderBy("hr")
+    s = h.select(
+        "event_type",
+        "hr",
+        "n",
+        F.lag("n", 24).over(w).alias("naive24"),
+        (F.col("hr") % 24).cast("bigint").alias("hod"),
+    ).filter(F.col("naive24").isNotNull())
+    mu = s.groupBy("event_type", "hod").agg(
+        (F.sum("n").cast("double") / F.count("*")).alias("mu")
+    )
+    e = s.join(F.broadcast(mu), ["event_type", "hod"]).select(
+        "event_type",
+        "hr",
+        F.abs(F.col("n").cast("double") - F.col("mu")).alias("e_model"),
+        F.abs(F.col("n").cast("double") - F.col("naive24")).alias("e_naive"),
+    )
+
+    def fold(col: str) -> Column:
+        return F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("hr", F.col(col).alias("x")))),
+                lambda st: st["x"],
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+
+    return e.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_points"),
+        F.round(fold("e_model") / F.count("*"), 4).alias("mae_model"),
+        F.round(fold("e_naive") / F.count("*"), 4).alias("mae_naive"),
+        F.round(fold("e_model") / fold("e_naive"), 4).alias("mase"),
+        (fold("e_model") < fold("e_naive")).alias("beats_naive"),
+    )
+
+
 # Oracle-bearing queries with no driver correctness row that are NOT in the
 # current front window — rotate these to the front in round 4.  (Everything
 # else that was pending after round 2 is in _ROUND3_FRONT below.)
@@ -12550,6 +12648,7 @@ _PENDING_ROUND6 = [
     "event_type_lift",  # new in round 5 (market-basket association rules)
     "mahalanobis_outliers_2d",  # new in round 5 (multivariate outliers)
     "weekly_shape_motifs",  # new in round 5 (matrix-profile motif dual)
+    "mase_forecast_eval",  # new in round 5 (forecast-accuracy MASE)
 ]
 
 # ROUND-6 BUILDER: build the next window from _PENDING_ROUND6 (pad with
