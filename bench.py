@@ -110,6 +110,8 @@ HEADLINE = [
     "grid_density_clusters",
     "leakage_safe_folds",
     "stl_lite_decomposition",
+    "weekly_shape_motifs",
+    "mase_forecast_eval",
 ]
 
 
