@@ -501,6 +501,96 @@ def weekly_discords(
     )
 
 
+def _weekly_motifs_chunked(
+    sub: DataFrame, *, key_col: str, m: int, exclusion: int
+) -> DataFrame:
+    """Chunked numpy kernel for the per-(key, week) motif (closest pair).
+
+    Same shape and bit-parity argument as ``_weekly_discords_chunked``:
+    the self-join formulation shuffles O(n_group^2) pair rows (measured
+    104s at sf0.1 in the round-5 bench before this kernel landed); here
+    each group lands in one applyInPandas call, distances accumulate over
+    the m lag positions in the identical left-to-right order as the SQL
+    chain, invalid pairs (pos_b - pos_a < exclusion) mask to +inf, and
+    only the argmin pair — tiebroken lexicographically by
+    (d2, pos_a, pos_b) with exact float compares — leaves the worker."""
+    schema = T.StructType(
+        [
+            T.StructField(key_col, T.StringType()),
+            T.StructField("week_us", T.LongType()),
+            T.StructField("pos_a", T.LongType()),
+            T.StructField("pos_b", T.LongType()),
+            T.StructField("motif_d2", T.DoubleType()),
+        ]
+    )
+
+    def one_group(pdf):
+        import numpy as np
+        import pandas as pd
+
+        empty = pd.DataFrame(columns=[f.name for f in schema.fields])
+        pdf = pdf.sort_values("pos").reset_index(drop=True)
+        n = len(pdf)
+        if n < 2:
+            return empty
+        vals = np.asarray([np.asarray(a, dtype=np.float64) for a in pdf["arr"]])
+        pos = pdf["pos"].to_numpy()
+        best = None  # (d2, pos_a, pos_b)
+        ti, tj = 128, 1024
+        cols = [np.ascontiguousarray(vals[:, i]) for i in range(m)]
+        t_buf = np.empty((ti, tj))
+        acc = np.empty((ti, tj))
+        for li in range(0, n, ti):
+            hi = min(li + ti, n)
+            ci = hi - li
+            for lj in range(0, n, tj):
+                hj = min(lj + tj, n)
+                cj = hj - lj
+                # directed pairs only (pos_b - pos_a >= exclusion): skip
+                # tiles whose widest pair is still inside the zone
+                if pos[hj - 1] - pos[li] < exclusion:
+                    continue
+                tb, ac = t_buf[:ci, :cj], acc[:ci, :cj]
+                for i in range(m):  # fixed-order accumulation == SQL chain
+                    np.subtract(
+                        cols[i][li:hi, None], cols[i][None, lj:hj], out=tb
+                    )
+                    np.multiply(tb, tb, out=tb)
+                    if i == 0:
+                        ac[:] = tb
+                    else:
+                        ac += tb
+                invalid = (pos[None, lj:hj] - pos[li:hi, None]) < exclusion
+                ac[invalid] = np.inf
+                mval = ac.min()
+                if not np.isfinite(mval):
+                    continue
+                if best is None or mval <= best[0]:
+                    ii, jj = np.argwhere(ac == mval)[0]  # rows/cols pos-ascending
+                    cand = (float(mval), int(pos[li + ii]), int(pos[lj + jj]))
+                    if best is None or cand < best:
+                        best = cand
+        if best is None:
+            return empty
+        row = pdf.iloc[0]
+        return pd.DataFrame(
+            {
+                key_col: [row[key_col]],
+                "week_us": [int(row["week"].value // 1000)],
+                "pos_a": [best[1]],
+                "pos_b": [best[2]],
+                "motif_d2": [best[0]],
+            }
+        )
+
+    parts = sub.sparkSession.sparkContext.defaultParallelism
+    return (
+        sub.repartition(parts, key_col, "week")
+        .groupBy(key_col, "week")
+        .applyInPandas(one_group, schema=schema)
+    )
+
+
 def weekly_motifs(
     df: DataFrame,
     *,
@@ -510,6 +600,7 @@ def weekly_motifs(
     tiebreak_col: str = "event_id",
     m: int = 8,
     exclusion: int | None = None,
+    impl: str = "chunked",
 ) -> DataFrame:
     """Matrix-profile MOTIF discovery — the dual of ``weekly_discords``:
     per (key, ISO week), the length-``m`` subsequence PAIR with the
@@ -517,9 +608,10 @@ def weekly_motifs(
     exclusion excluded, pair canonicalized as pos_a < pos_b) — the most
     repeated shape, the primitive behind template mining and repeated-
     failure-signature detection. Same execution and float-determinism
-    shape as the discord: one timeline shuffle, within-group pair join,
-    explicit left-associated distance chain; the per-group argmin is a
-    (d2, pos_a, pos_b) lexicographic rank."""
+    shape as the discord: one timeline shuffle, then either the chunked
+    numpy kernel (default — pair work as arithmetic, one row per group
+    out) or the self-join with a lexicographic struct-MIN aggregate
+    (``impl='join'``, the unit-twin for equivalence tests)."""
     if exclusion is None:
         exclusion = m
     kw = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
@@ -534,6 +626,10 @@ def weekly_motifs(
         .withColumn("week", F.date_trunc("week", F.col(ts_col)))
         .select(key_col, "week", "pos", "arr")
     )
+    if impl == "chunked":
+        return _weekly_motifs_chunked(
+            sub, key_col=key_col, m=m, exclusion=exclusion
+        )
     a = sub.alias("a")
     b = sub.alias("b")
     d2 = None

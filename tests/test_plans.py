@@ -408,6 +408,34 @@ def test_weekly_discords_default_is_join_free(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in legacy
 
 
+def test_weekly_motifs_default_is_join_free(spark, sf_dir):
+    """The motif dual keeps the same shape discipline as the discord: the
+    default chunked kernel carries no join (pair work is arithmetic in
+    applyInPandas); the join twin stays an equi join, and its argmin is a
+    struct-MIN hash aggregate, never a rank window over the pair rows."""
+    df = q.QUERIES["weekly_shape_motifs"](spark, sf_dir)
+    plan = plans.executed_plan(df)
+    assert "Join" not in plan
+    assert "FlatMapGroupsInPandas" in plan or "ArrowEvalPython" in plan
+
+    from anomaly_detection_in_time_series_data_spark.tables import load_table
+    from anomaly_detection_in_time_series_data_spark.operators import timeseries
+
+    ev = load_table(spark, sf_dir, "events")
+    legacy = plans.executed_plan(timeseries.weekly_motifs(ev, impl="join"))
+    assert "CartesianProduct" not in legacy
+    assert "BroadcastNestedLoopJoin" not in legacy
+    # argmin over pair rows is a struct-MIN aggregate (SortAggregate —
+    # struct min isn't hash-aggregable), never a rank window over the
+    # O(n^2) pair rows (SCALING.md round-5 note). Windows DO appear for
+    # the timeline derivation (row_number/collect_list over n rows) —
+    # what must not appear is a windowspec ranking the pair distance.
+    assert "min(struct(motif_d2" in legacy
+    for line in legacy.splitlines():
+        if "windowspecdefinition" in line:
+            assert "motif_d2" not in line
+
+
 def test_triangle_degree_joins_broadcast(spark, sf_dir):
     df = q.QUERIES["near_dup_triangles"](spark, sf_dir)
     plan = plans.executed_plan(df)

@@ -310,6 +310,70 @@ def test_weekly_discords_chunked_bitexact_vs_join(spark):
     assert fast == slow  # includes exact float equality on profile_d2
 
 
+def test_weekly_motifs_chunked_bitexact_vs_join(spark):
+    """The motif chunked kernel must reproduce the self-join + struct-MIN
+    formulation BIT-FOR-BIT, including the (d2, pos_a, pos_b) lexicographic
+    tiebreak, on data with exact ties and multiple keys/weeks."""
+    import datetime as dt
+
+    from anomaly_detection_in_time_series_data_spark.operators import timeseries
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    for k in ("a", "b"):
+        for i in range(340):  # two+ weeks hourly; repeats force d2 ties
+            v = float((i * 37 % 113) / 7.0) + (3.0 if k == "b" else 0.0)
+            rows.append((k, t0 + dt.timedelta(hours=i), i, v))
+    df = spark.createDataFrame(
+        rows, "event_type string, ts timestamp, event_id long, value double"
+    )
+    kw = dict(
+        key_col="event_type", ts_col="ts", value_col="value",
+        tiebreak_col="event_id", m=8,
+    )
+    fast = {
+        (r["event_type"], r["week_us"]): (r["pos_a"], r["pos_b"], r["motif_d2"])
+        for r in timeseries.weekly_motifs(df, impl="chunked", **kw).collect()
+    }
+    slow = {
+        (r["event_type"], r["week_us"]): (r["pos_a"], r["pos_b"], r["motif_d2"])
+        for r in timeseries.weekly_motifs(df, impl="join", **kw).collect()
+    }
+    assert fast and fast == slow  # exact float equality on motif_d2
+
+
+def test_weekly_motifs_finds_planted_pair(spark):
+    """Two copies of a distinctive spike shape planted in otherwise
+    pseudo-random data: the motif must be exactly that pair."""
+    import datetime as dt
+
+    from anomaly_detection_in_time_series_data_spark.operators import timeseries
+
+    t0 = dt.datetime(2024, 1, 1)
+    shape = [9.0, 1.0, 8.0, 2.0, 7.0, 3.0, 6.0, 4.0]
+    rows = []
+    for i in range(168):  # one week hourly
+        # modulus 173 > 168 rows: the filler never repeats inside the week
+        v = float((i * 61 % 173) / 3.0) + 20.0  # and stays far from the plant
+        rows.append(("a", t0 + dt.timedelta(hours=i), i, v))
+    for start in (30, 90):  # plant the identical shape twice
+        for j, s in enumerate(shape):
+            i = start + j
+            rows[i] = ("a", t0 + dt.timedelta(hours=i), i, s)
+    df = spark.createDataFrame(
+        rows, "event_type string, ts timestamp, event_id long, value double"
+    )
+    out = timeseries.weekly_motifs(
+        df, key_col="event_type", ts_col="ts", value_col="value",
+        tiebreak_col="event_id", m=8,
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    # pos is 1-based row_number; planted starts are 0-based offsets 30/90
+    assert (r["pos_a"], r["pos_b"]) == (31, 91)
+    assert r["motif_d2"] == 0.0
+
+
 def test_global_discords_gemm_matches_bruteforce(spark):
     """The GEMM scale path must find the identical discord position as an
     in-test numpy brute force (same z-normalization, same exclusion)."""
