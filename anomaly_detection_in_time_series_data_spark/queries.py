@@ -12422,6 +12422,451 @@ def mase_forecast_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "skyline_parts_pareto",
+    oracle="""
+    WITH p AS (
+      SELECT p_partkey, CAST(p_retailprice AS DECIMAL(18,2)) AS price,
+             CAST(p_size AS BIGINT) AS p_size
+      FROM part
+    ),
+    g AS (
+      SELECT price, max(p_size) AS gmax FROM p GROUP BY price
+    ),
+    c AS (
+      SELECT price, gmax,
+             max(gmax) OVER (ORDER BY price
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS cm
+      FROM g
+    )
+    SELECT p.p_partkey, p.price, p.p_size
+    FROM p JOIN c ON p.price = c.price
+    WHERE p.p_size = c.gmax AND (c.cm IS NULL OR p.p_size > c.cm)
+    """,
+)
+def skyline_parts_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline (Pareto frontier): parts not dominated on (price low,
+    size high) — a part is OFF the frontier iff some other part is
+    cheaper-or-equal AND at-least-as-large with one strict. The textbook
+    formulation is a quadratic NOT EXISTS self-join; the 2-D structure
+    makes it LINEAR: collapse to one row per distinct price (max size),
+    take the running max of size over strictly-cheaper prices (window,
+    1-PRECEDING frame), and a part survives iff it is its price group's
+    max AND beats that running max. Equal (price, size) duplicates are
+    mutually non-dominating and all survive, matching the strict
+    definition. Scale: the window runs over DISTINCT prices (cardinality
+    orders below row count); the join back is broadcast-size."""
+    part = load_table(spark, sf_dir, "part")
+    p = part.select(
+        "p_partkey",
+        _dec("p_retailprice").alias("price"),
+        F.col("p_size").cast("bigint").alias("p_size"),
+    )
+    g = p.groupBy("price").agg(F.max("p_size").alias("gmax"))
+    w = Window.orderBy("price").rowsBetween(Window.unboundedPreceding, -1)
+    c = g.select("price", "gmax", F.max("gmax").over(w).alias("cm"))
+    return (
+        p.join(F.broadcast(c), "price")
+        .filter(
+            (F.col("p_size") == F.col("gmax"))
+            & (F.col("cm").isNull() | (F.col("p_size") > F.col("cm")))
+        )
+        .select("p_partkey", "price", "p_size")
+    )
+
+
+@query(
+    "interval_union_coverage",
+    oracle="""
+    WITH iv AS (
+      SELECT user_id, event_id, epoch_us(ts) AS s_us,
+             epoch_us(ts) + CAST(floor(value * 60.0) AS BIGINT) * 1000000
+               AS e_us
+      FROM events
+    ),
+    m AS (
+      SELECT user_id, event_id, s_us, e_us,
+             max(e_us) OVER (PARTITION BY user_id
+               ORDER BY s_us, e_us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+      FROM iv
+    ),
+    isl AS (
+      SELECT user_id, s_us, e_us,
+             sum(CASE WHEN prev_max IS NULL OR s_us > prev_max
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY s_us, e_us, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS island_id
+      FROM m
+    ),
+    seg AS (
+      SELECT user_id, island_id,
+             max(e_us) - min(s_us) AS cov_us,
+             count(*) AS n_ev
+      FROM isl GROUP BY user_id, island_id
+    )
+    SELECT user_id,
+           CAST(sum(n_ev) AS BIGINT) AS n_events,
+           CAST(count(*) AS BIGINT) AS n_islands,
+           CAST(sum(cov_us) AS BIGINT) AS covered_us,
+           CAST(max(cov_us) AS BIGINT) AS longest_us
+    FROM seg GROUP BY user_id
+    """,
+)
+def interval_union_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-union length per user (sweep-line gaps-and-islands): each
+    event claims [ts, ts + floor(value)*60s]; overlapping or touching
+    claims merge, and the answer is the total covered time, the island
+    count, and the longest single stretch — the billing/utilization/
+    uptime primitive (pay for covered wall-clock, not for overlapping
+    claims twice). The naive form is an interval self-join (quadratic
+    per user); the sweep is two windows over one user-hash shuffle:
+    running max of interval end (1-PRECEDING frame) marks island breaks,
+    a running sum of breaks numbers the islands, and per-island coverage
+    is max(end)-min(start). Pure epoch-microsecond bigint arithmetic —
+    exact on both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    iv = ev.select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("s_us"),
+        (
+            F.unix_micros("ts")
+            + F.floor(F.col("value") * 60.0).cast("bigint") * F.lit(1000000)
+        ).alias("e_us"),
+    )
+    ow = Window.partitionBy("user_id").orderBy("s_us", "e_us", "event_id")
+    m = iv.select(
+        "user_id",
+        "s_us",
+        "e_us",
+        F.max("e_us")
+        .over(ow.rowsBetween(Window.unboundedPreceding, -1))
+        .alias("prev_max"),
+        F.col("event_id"),
+    )
+    isl = m.select(
+        "user_id",
+        "s_us",
+        "e_us",
+        F.sum(
+            F.when(
+                F.col("prev_max").isNull()
+                | (F.col("s_us") > F.col("prev_max")),
+                1,
+            ).otherwise(0)
+        )
+        .over(ow.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("island_id"),
+    )
+    seg = isl.groupBy("user_id", "island_id").agg(
+        (F.max("e_us") - F.min("s_us")).alias("cov_us"),
+        F.count("*").alias("n_ev"),
+    )
+    return seg.groupBy("user_id").agg(
+        F.sum("n_ev").cast("bigint").alias("n_events"),
+        F.count("*").cast("bigint").alias("n_islands"),
+        F.sum("cov_us").cast("bigint").alias("covered_us"),
+        F.max("cov_us").cast("bigint").alias("longest_us"),
+    )
+
+
+@query(
+    "fuzzy_name_linkage",
+    oracle="""
+    WITH v AS (
+      SELECT c_name, p,
+             substr(c_name, 1, 9 + p - 1) || '*' || substr(c_name, 9 + p + 1)
+               AS k
+      FROM customer, generate_series(1, 9) AS g(p)
+    ),
+    pr AS (
+      SELECT a.p, a.c_name AS na, b.c_name AS nb
+      FROM v a JOIN v b
+        ON a.p = b.p AND a.k = b.k AND a.c_name < b.c_name
+    )
+    SELECT CAST(p AS BIGINT) AS digit_pos,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(CASE WHEN levenshtein(na, nb) = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_lev1
+    FROM pr GROUP BY p
+    """,
+)
+def fuzzy_name_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy record linkage via deletion-neighborhood blocking: customer
+    names within Levenshtein distance 1 (one substituted digit) are
+    found WITHOUT an all-pairs distance join — each name emits 9 masked
+    variants (digit position -> '*'), an equi-join on (position, mask)
+    yields exactly the candidate pairs differing at that digit, and the
+    engine's levenshtein() verifies each candidate (integer distances,
+    bit-identical across engines). This is the standard linear-time
+    blocking used for entity resolution at corpus scale: candidates =
+    O(names x pattern_length), never O(names^2); group sizes are capped
+    at alphabet size (10) so the within-block join cannot skew. Output:
+    per digit position, candidate-pair and verified-pair counts."""
+    cust = load_table(spark, sf_dir, "customer")
+    variants = F.array(
+        *[
+            F.struct(
+                F.lit(i).cast("bigint").alias("p"),
+                F.concat(
+                    F.substring("c_name", 1, 9 + i - 1),
+                    F.lit("*"),
+                    F.expr(f"substring(c_name, {9 + i + 1})"),
+                ).alias("k"),
+            )
+            for i in range(1, 10)
+        ]
+    )
+    v = cust.select(
+        "c_name", F.explode(variants).alias("pk")
+    ).select("c_name", F.col("pk.p").alias("p"), F.col("pk.k").alias("k"))
+    a = v.alias("a")
+    b = v.alias("b")
+    pr = a.join(
+        b,
+        (F.col("a.p") == F.col("b.p"))
+        & (F.col("a.k") == F.col("b.k"))
+        & (F.col("a.c_name") < F.col("b.c_name")),
+    ).select(
+        F.col("a.p").alias("p"),
+        F.col("a.c_name").alias("na"),
+        F.col("b.c_name").alias("nb"),
+    )
+    return pr.groupBy("p").agg(
+        F.count("*").cast("bigint").alias("n_pairs"),
+        F.sum(
+            F.when(F.levenshtein("na", "nb") == 1, 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_lev1"),
+    ).select(
+        F.col("p").cast("bigint").alias("digit_pos"), "n_pairs", "n_lev1"
+    )
+
+
+@query(
+    "grid_hotspot_stencil",
+    oracle="""
+    WITH x AS (
+      SELECT CAST(floor(CAST(embedding[1] AS DOUBLE) * 20.0) AS BIGINT) AS cx,
+             CAST(floor(CAST(embedding[2] AS DOUBLE) * 20.0) AS BIGINT) AS cy
+      FROM embeddings
+    ),
+    cells AS (
+      SELECT cx, cy, CAST(count(*) AS BIGINT) AS n FROM x GROUP BY cx, cy
+    ),
+    off AS (
+      SELECT a.dx, b.dy
+      FROM generate_series(-1, 1) AS a(dx), generate_series(-1, 1) AS b(dy)
+    ),
+    contrib AS (
+      SELECT c.cx + o.dx AS gx, c.cy + o.dy AS gy, c.n
+      FROM cells c, off o
+    ),
+    nbr AS (
+      SELECT gx, gy, CAST(sum(n) AS BIGINT) AS nbr_sum,
+             CAST(count(*) AS BIGINT) AS nbr_cells
+      FROM contrib GROUP BY gx, gy
+    ),
+    tot AS (
+      SELECT CAST(sum(n) AS BIGINT) AS tp, CAST(count(*) AS BIGINT) AS tc
+      FROM cells
+    )
+    SELECT c.cx, c.cy, c.n, nb.nbr_sum, nb.nbr_cells,
+           (nb.nbr_sum * t.tc) > (2 * t.tp * nb.nbr_cells) AS is_hot
+    FROM cells c
+    JOIN nbr nb ON nb.gx = c.cx AND nb.gy = c.cy, tot t
+    """,
+)
+def grid_hotspot_stencil(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial hot-spot detection on a 2-D grid (Getis-Ord-style local
+    density vs global density): embeddings' first two components bin to
+    integer cells; each populated cell's 3x3 neighborhood count is
+    computed as a SPARSE STENCIL — explode each cell's count to its 9
+    neighbor coordinates and re-aggregate — one equi-shuffle on cell id,
+    never a 9-way self-join and never a dense raster. A cell is hot when
+    its neighborhood density exceeds 2x the global per-populated-cell
+    density, decided by an exact bigint cross-multiplication (no
+    division, no doubles, no boundary risk). The stencil shape is the
+    scale-correct form of every neighborhood aggregation (heatmaps,
+    co-visitation, convolution on sparse grids)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    x = emb.select(
+        F.floor(F.expr("cast(embedding[0] as double)") * 20.0)
+        .cast("bigint")
+        .alias("cx"),
+        F.floor(F.expr("cast(embedding[1] as double)") * 20.0)
+        .cast("bigint")
+        .alias("cy"),
+    )
+    cells = x.groupBy("cx", "cy").agg(F.count("*").cast("bigint").alias("n"))
+    offsets = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+        ]
+    )
+    contrib = cells.select(
+        "cx", "cy", "n", F.explode(offsets).alias("o")
+    ).select(
+        (F.col("cx") + F.col("o.dx")).alias("gx"),
+        (F.col("cy") + F.col("o.dy")).alias("gy"),
+        "n",
+    )
+    nbr = contrib.groupBy("gx", "gy").agg(
+        F.sum("n").cast("bigint").alias("nbr_sum"),
+        F.count("*").cast("bigint").alias("nbr_cells"),
+    )
+    tot = cells.agg(
+        F.sum("n").cast("bigint").alias("tp"),
+        F.count("*").cast("bigint").alias("tc"),
+    )
+    return (
+        cells.join(
+            nbr,
+            (F.col("cx") == F.col("gx")) & (F.col("cy") == F.col("gy")),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "cx",
+            "cy",
+            "n",
+            "nbr_sum",
+            "nbr_cells",
+            (
+                F.col("nbr_sum") * F.col("tc")
+                > F.lit(2) * F.col("tp") * F.col("nbr_cells")
+            ).alias("is_hot"),
+        )
+    )
+
+
+@query(
+    "welch_t_drift",
+    oracle="""
+    WITH b AS (
+      SELECT CAST((min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS BIGINT)
+        AS mid
+      FROM events
+    ),
+    x AS (
+      SELECT event_type,
+             epoch_us(ts) < (SELECT mid FROM b) AS is_base,
+             CAST(floor(value * 1000.0) AS BIGINT) AS v
+      FROM events
+    ),
+    m AS (
+      SELECT event_type,
+             CAST(sum(CASE WHEN is_base THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             CAST(sum(CASE WHEN is_base THEN v ELSE 0 END) AS BIGINT) AS s1,
+             CAST(sum(CASE WHEN is_base THEN v * v ELSE 0 END) AS BIGINT)
+               AS q1,
+             CAST(sum(CASE WHEN is_base THEN 0 ELSE 1 END) AS BIGINT) AS n2,
+             CAST(sum(CASE WHEN is_base THEN 0 ELSE v END) AS BIGINT) AS s2,
+             CAST(sum(CASE WHEN is_base THEN 0 ELSE v * v END) AS BIGINT)
+               AS q2
+      FROM x GROUP BY event_type
+    ),
+    t AS (
+      SELECT event_type, n1, n2,
+             CAST(s1 AS DOUBLE) / n1 AS m1,
+             CAST(s2 AS DOUBLE) / n2 AS m2,
+             (CAST(q1 AS DOUBLE)
+              - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n1) / (n1 - 1)
+               AS var1,
+             (CAST(q2 AS DOUBLE)
+              - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) / n2) / (n2 - 1)
+               AS var2
+      FROM m WHERE n1 > 1 AND n2 > 1
+    )
+    SELECT event_type, n1, n2,
+           round((m1 - m2) / 1000.0, 4) AS mean_shift,
+           round((m1 - m2) * (m1 - m2) / (var1 / n1 + var2 / n2), 4) AS t2,
+           (m1 - m2) * (m1 - m2) / (var1 / n1 + var2 / n2) > 3.8415
+             AS drifted
+    FROM t
+    """,
+)
+def welch_t_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch two-sample t drift test per event type: the value
+    distribution of the later half of the time range vs the earlier
+    half, unequal variances assumed (the parametric sibling of the
+    repo's Mann-Whitney/KS/PSI monitors — sensitive to MEAN shift
+    specifically, with per-group sample sizes free to differ). All
+    moments are exact bigint micro-sums (values scaled by 1e3 so the
+    squared sums stay in bigint range through sf1), the means/variances
+    and the t^2 statistic are fixed-order double expressions textually
+    parallel in both engines (no libm), and the drift verdict compares
+    t^2 against the chi-square(1) 95% critical value 3.8415 — one scan
+    for the time bounds, one grouped conditional aggregate for
+    everything else."""
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.select(F.unix_micros("ts").alias("us")).agg(
+        F.expr("cast((min(us) + max(us)) div 2 as bigint)").alias("mid")
+    )
+    x = ev.crossJoin(F.broadcast(bounds)).select(
+        "event_type",
+        (F.unix_micros("ts") < F.col("mid")).alias("is_base"),
+        F.floor(F.col("value") * 1000.0).cast("bigint").alias("v"),
+    )
+    base = F.when(F.col("is_base"), F.col("v")).otherwise(F.lit(0))
+    cur = F.when(F.col("is_base"), F.lit(0)).otherwise(F.col("v"))
+    m = x.groupBy("event_type").agg(
+        F.sum(F.when(F.col("is_base"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n1"),
+        F.sum(base).cast("bigint").alias("s1"),
+        F.sum(
+            F.when(F.col("is_base"), F.col("v") * F.col("v")).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("q1"),
+        F.sum(F.when(F.col("is_base"), 0).otherwise(1))
+        .cast("bigint")
+        .alias("n2"),
+        F.sum(cur).cast("bigint").alias("s2"),
+        F.sum(
+            F.when(F.col("is_base"), F.lit(0)).otherwise(
+                F.col("v") * F.col("v")
+            )
+        )
+        .cast("bigint")
+        .alias("q2"),
+    )
+    s1d = F.col("s1").cast("double")
+    s2d = F.col("s2").cast("double")
+    t = m.filter((F.col("n1") > 1) & (F.col("n2") > 1)).select(
+        "event_type",
+        "n1",
+        "n2",
+        (s1d / F.col("n1")).alias("m1"),
+        (s2d / F.col("n2")).alias("m2"),
+        (
+            (F.col("q1").cast("double") - s1d * s1d / F.col("n1"))
+            / (F.col("n1") - 1)
+        ).alias("var1"),
+        (
+            (F.col("q2").cast("double") - s2d * s2d / F.col("n2"))
+            / (F.col("n2") - 1)
+        ).alias("var2"),
+    )
+    diff = F.col("m1") - F.col("m2")
+    t2 = diff * diff / (
+        F.col("var1") / F.col("n1") + F.col("var2") / F.col("n2")
+    )
+    return t.select(
+        "event_type",
+        "n1",
+        "n2",
+        F.round(diff / 1000.0, 4).alias("mean_shift"),
+        F.round(t2, 4).alias("t2"),
+        (t2 > 3.8415).alias("drifted"),
+    )
+
+
 # Oracle-bearing queries with no driver correctness row that are NOT in the
 # current front window — rotate these to the front in round 4.  (Everything
 # else that was pending after round 2 is in _ROUND3_FRONT below.)
@@ -12649,6 +13094,11 @@ _PENDING_ROUND6 = [
     "mahalanobis_outliers_2d",  # new in round 5 (multivariate outliers)
     "weekly_shape_motifs",  # new in round 5 (matrix-profile motif dual)
     "mase_forecast_eval",  # new in round 5 (forecast-accuracy MASE)
+    "skyline_parts_pareto",  # new in round 5 (linear 2-D Pareto frontier)
+    "interval_union_coverage",  # new in round 5 (sweep-line interval union)
+    "fuzzy_name_linkage",  # new in round 5 (deletion-blocked Levenshtein)
+    "grid_hotspot_stencil",  # new in round 5 (sparse-stencil hot spots)
+    "welch_t_drift",  # new in round 5 (parametric mean-shift drift)
 ]
 
 # ROUND-6 BUILDER: build the next window from _PENDING_ROUND6 (pad with

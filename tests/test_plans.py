@@ -592,3 +592,33 @@ def test_mahalanobis_topk_is_take_ordered(spark, sf_dir):
     rank window over every vector."""
     plan = plans.executed_plan(q.QUERIES["mahalanobis_outliers_2d"](spark, sf_dir))
     assert "TakeOrderedAndProject" in plan
+
+
+def test_round5_second_wave_stays_jvm_side(spark, sf_dir):
+    # skyline / interval union / linkage / hotspot / Welch: pure
+    # relational expressions — no Python in any row path.
+    for name in (
+        "skyline_parts_pareto",
+        "interval_union_coverage",
+        "fuzzy_name_linkage",
+        "grid_hotspot_stencil",
+        "welch_t_drift",
+    ):
+        plan = plans.executed_plan(q.QUERIES[name](spark, sf_dir))
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+        assert "CartesianProduct" not in plan, name
+
+
+def test_skyline_frontier_table_broadcasts(spark, sf_dir):
+    """The per-price frontier table (distinct prices only) joins back to
+    the parts broadcast — the full part table never shuffles."""
+    plan = plans.executed_plan(q.QUERIES["skyline_parts_pareto"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_interval_union_single_user_shuffle(spark, sf_dir):
+    """The sweep is windows + two aggregates all clustered by user_id:
+    one hash exchange total (hashpartitioning(user_id) satisfies the
+    (user_id, island_id) and user_id groupings downstream)."""
+    plan = plans.executed_plan(q.QUERIES["interval_union_coverage"](spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1, plan

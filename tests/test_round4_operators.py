@@ -325,3 +325,152 @@ def test_stl_residual_reconstructs_series(spark, sf_dir):
 
     for r in q.QUERIES["stl_lite_decomposition"](spark, sf_dir).collect():
         assert abs((r.trend + r.seasonal + r.resid) - r.n) < 2e-4, r
+
+
+# ---------------------------------------------------------------------------
+# Round-5 second-wave invariants (skyline / interval union / linkage /
+# hotspot / Welch)
+# ---------------------------------------------------------------------------
+
+
+def _write_tables(spark, d, **tables):
+    import os
+
+    for name, (rows, cols) in tables.items():
+        spark.createDataFrame(rows, cols).write.parquet(
+            os.path.join(d, f"{name}.parquet")
+        )
+
+
+def test_skyline_pareto_planted(spark):
+    """Hand-checkable frontier: same-price smaller size is dominated,
+    equal (price, size) duplicates both survive, strictly dominated
+    points drop."""
+    import tempfile
+
+    from anomaly_detection_in_time_series_data_spark import queries as q
+
+    parts = [
+        # (partkey, name, brand, type, size, retailprice)
+        (1, "n1", "b", "t", 5, 10.0),   # dominated: part 2 same price, larger
+        (2, "n2", "b", "t", 7, 10.0),   # frontier
+        (3, "n3", "b", "t", 9, 12.0),   # frontier (dup with 4 — both stay)
+        (4, "n4", "b", "t", 9, 12.0),   # frontier
+        (5, "n5", "b", "t", 6, 11.0),   # dominated by 2 (cheaper, larger)
+        (6, "n6", "b", "t", 8, 13.0),   # dominated by 3 (cheaper, larger)
+    ]
+    cols = ["p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice"]
+    with tempfile.TemporaryDirectory() as d:
+        _write_tables(spark, d, part=(parts, cols))
+        out = q.QUERIES["skyline_parts_pareto"](spark, d).collect()
+    assert {r.p_partkey for r in out} == {2, 3, 4}
+
+
+def test_interval_union_merges_overlap_and_touch(spark):
+    """Overlapping and exactly-touching intervals merge into one island;
+    a gapped interval starts a new one; coverage is the union length."""
+    import datetime as dt
+    import tempfile
+
+    from anomaly_detection_in_time_series_data_spark import queries as q
+
+    t0 = dt.datetime(2024, 1, 1)
+    # value*60 = duration seconds: [0,600], [300,900] overlap,
+    # [900,1200] touches (merges), [2000,2060] gapped.
+    ev = [
+        (1, t0, 7, "a", 10.0, "{}"),
+        (2, t0 + dt.timedelta(seconds=300), 7, "a", 10.0, "{}"),
+        (3, t0 + dt.timedelta(seconds=900), 7, "a", 5.0, "{}"),
+        (4, t0 + dt.timedelta(seconds=2000), 7, "a", 1.0, "{}"),
+    ]
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    with tempfile.TemporaryDirectory() as d:
+        _write_tables(spark, d, events=(ev, cols))
+        out = q.QUERIES["interval_union_coverage"](spark, d).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.n_events == 4
+    assert r.n_islands == 2
+    assert r.covered_us == (1200 + 60) * 1_000_000
+    assert r.longest_us == 1200 * 1_000_000
+
+
+def test_fuzzy_name_linkage_planted_digits(spark):
+    """Names differing at exactly one digit pair up at that position and
+    verify at Levenshtein distance 1; 2-digit differences never pair."""
+    import tempfile
+
+    from anomaly_detection_in_time_series_data_spark import queries as q
+
+    names = [
+        "Customer#000000001",  # pairs: with 002 (pos 9), 011 (pos 8), 101 (pos 7)
+        "Customer#000000002",
+        "Customer#000000011",
+        "Customer#000000101",
+        "Customer#000001999",  # no distance-1 partner
+    ]
+    cust = [(i, n, 0, 0.0, "SEG") for i, n in enumerate(names)]
+    cols = ["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"]
+    with tempfile.TemporaryDirectory() as d:
+        _write_tables(spark, d, customer=(cust, cols))
+        out = {
+            r.digit_pos: (r.n_pairs, r.n_lev1)
+            for r in q.QUERIES["fuzzy_name_linkage"](spark, d).collect()
+        }
+    assert out == {7: (1, 1), 8: (1, 1), 9: (1, 1)}
+
+
+def test_grid_hotspot_planted_cluster(spark):
+    """A 20-point cell among singleton far-apart cells is hot; the
+    singletons are not (exact integer cross-multiplied decision)."""
+    import tempfile
+
+    from anomaly_detection_in_time_series_data_spark import queries as q
+
+    rows = []
+    vid = 0
+    for _ in range(20):  # dense cell (0, 0): coords in [0, 0.05)
+        rows.append((vid, [0.01, 0.01] + [0.0] * 62, 0))
+        vid += 1
+    for i in range(1, 31):  # 30 singletons, >= 2 cells apart pairwise
+        rows.append((vid, [i * 0.15 + 0.01, i * 0.15 + 0.01] + [0.0] * 62, 0))
+        vid += 1
+    with tempfile.TemporaryDirectory() as d:
+        _write_tables(
+            spark, d, embeddings=(rows, ["vec_id", "embedding", "label"])
+        )
+        out = {
+            (r.cx, r.cy): (r.n, r.nbr_sum, r.nbr_cells, r.is_hot)
+            for r in q.QUERIES["grid_hotspot_stencil"](spark, d).collect()
+        }
+    assert len(out) == 31
+    n, nbr_sum, nbr_cells, is_hot = out[(0, 0)]
+    assert (n, nbr_sum, nbr_cells) == (20, 20, 1) and is_hot
+    assert all(not v[3] for k, v in out.items() if k != (0, 0))
+
+
+def test_welch_t_flags_planted_mean_shift(spark):
+    """A type whose mean doubles between halves drifts; a stationary type
+    does not."""
+    import datetime as dt
+    import tempfile
+
+    from anomaly_detection_in_time_series_data_spark import queries as q
+
+    t0 = dt.datetime(2024, 1, 1)
+    ev, eid = [], 0
+    for i in range(100):
+        late = i >= 50
+        ts = t0 + dt.timedelta(hours=i)
+        ev.append((eid, ts, 1, "shifted", (200.0 if late else 100.0) + i % 5, "{}"))
+        eid += 1
+        ev.append((eid, ts, 2, "stable", 100.0 + i % 7, "{}"))
+        eid += 1
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    with tempfile.TemporaryDirectory() as d:
+        _write_tables(spark, d, events=(ev, cols))
+        out = {r.event_type: r for r in q.QUERIES["welch_t_drift"](spark, d).collect()}
+    assert out["shifted"].drifted
+    assert not out["stable"].drifted
+    assert out["shifted"].n1 == out["shifted"].n2 == 50
+    assert abs(out["shifted"].mean_shift - (-100.0)) < 0.01
