@@ -112,6 +112,9 @@ HEADLINE = [
     "stl_lite_decomposition",
     "weekly_shape_motifs",
     "mase_forecast_eval",
+    "skyline_parts_pareto",
+    "interval_union_coverage",
+    "fuzzy_name_linkage",
 ]
 
 
