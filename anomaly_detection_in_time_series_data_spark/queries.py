@@ -12873,6 +12873,162 @@ def welch_t_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "bitmap_segment_overlap",
+    oracle="""
+    WITH m AS (
+      SELECT event_type, user_id // 62 AS bucket,
+             CAST(bit_or(CAST(1 AS BIGINT) << CAST(user_id % 62 AS INTEGER))
+                  AS BIGINT) AS mask
+      FROM events GROUP BY event_type, user_id // 62
+    ),
+    u AS (
+      SELECT event_type, CAST(sum(bit_count(mask)) AS BIGINT) AS n_users
+      FROM m GROUP BY event_type
+    ),
+    pair AS (
+      SELECT a.event_type AS e_a, b.event_type AS e_b,
+             CAST(sum(bit_count(a.mask & b.mask)) AS BIGINT) AS shared_users
+      FROM m a JOIN m b
+        ON a.bucket = b.bucket AND a.event_type < b.event_type
+      GROUP BY a.event_type, b.event_type
+    )
+    SELECT p.e_a, p.e_b, ua.n_users AS users_a, ub.n_users AS users_b,
+           p.shared_users,
+           round(CAST(p.shared_users AS DOUBLE)
+                 / (ua.n_users + ub.n_users - p.shared_users), 4) AS jaccard
+    FROM pair p
+    JOIN u ua ON ua.event_type = p.e_a
+    JOIN u ub ON ub.event_type = p.e_b
+    """,
+)
+def bitmap_segment_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct-user overlap between every event-type pair via
+    bitmap indexes (the roaring-bitmap pattern of ClickHouse/Druid
+    segment analytics): users pack into 62-bit words keyed by
+    user_id div 62 (bit 62/63 unused — no sign-bit semantics to agree
+    on), bit_or() builds each segment's bitmap — inherently idempotent,
+    so raw events need NO distinct pass — and pairwise intersection is
+    sum(bit_count(mask_a & mask_b)) over a bucket-aligned equi-join.
+    Scale: the shuffle carries (type, bucket, 8-byte word) — 62 users
+    per row — instead of raw (type, user) pairs, and set intersection
+    never re-touches the fact table; cardinality-per-pair is exact, not
+    a sketch bound."""
+    ev = load_table(spark, sf_dir, "events")
+    m = ev.groupBy(
+        "event_type", F.expr("user_id div 62").alias("bucket")
+    ).agg(
+        F.expr(
+            "bit_or(shiftleft(cast(1 as bigint), cast(user_id % 62 as int)))"
+        ).alias("mask")
+    )
+    u = m.groupBy("event_type").agg(
+        F.sum(F.bit_count("mask")).cast("bigint").alias("n_users")
+    )
+    a = m.alias("a")
+    b = m.alias("b")
+    pair = (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("e_a"),
+            F.col("b.event_type").alias("e_b"),
+        )
+        .agg(
+            F.sum(
+                F.bit_count(F.col("a.mask").bitwiseAND(F.col("b.mask")))
+            )
+            .cast("bigint")
+            .alias("shared_users")
+        )
+    )
+    ua = u.select(
+        F.col("event_type").alias("e_a"), F.col("n_users").alias("users_a")
+    )
+    ub = u.select(
+        F.col("event_type").alias("e_b"), F.col("n_users").alias("users_b")
+    )
+    return (
+        pair.join(F.broadcast(ua), "e_a")
+        .join(F.broadcast(ub), "e_b")
+        .select(
+            "e_a",
+            "e_b",
+            "users_a",
+            "users_b",
+            "shared_users",
+            F.round(
+                F.col("shared_users").cast("double")
+                / (
+                    F.col("users_a")
+                    + F.col("users_b")
+                    - F.col("shared_users")
+                ),
+                4,
+            ).alias("jaccard"),
+        )
+    )
+
+
+@query(
+    "inverted_posting_lists",
+    oracle="""
+    WITH tok AS (
+      SELECT DISTINCT doc_id, term FROM (
+        SELECT doc_id,
+               unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+        FROM documents WHERE length(trim(text)) > 0
+      ) WHERE length(term) > 0
+    ),
+    g AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS df,
+             array_to_string(list_sort(list(doc_id)), ',') AS postings,
+             CAST(max(doc_id) - min(doc_id) AS BIGINT) AS span
+      FROM tok GROUP BY term
+    )
+    SELECT term, df, postings, span
+    FROM g ORDER BY df DESC, term LIMIT 40
+    """,
+)
+def inverted_posting_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index construction (the build side of BM25/tf-idf
+    retrieval): per term, the document frequency and the SORTED posting
+    list of doc ids — the artifact a search shard serves. Tokenization
+    is the repo's established whitespace split (same as
+    `text_term_frequency`), postings dedup via DISTINCT (one term hit
+    per doc), ordering inside each list is explicit sort_array (a bare
+    collect_list is partition-order-dependent), and the list serializes
+    to a comma-joined string for engine-portable hashing. Top-40 terms
+    by df via orderBy+limit (TakeOrderedAndProject — the posting lists
+    of the long tail are never collected). Scale: one (term, doc)
+    shuffle; per-term state is the posting list itself, which is the
+    output — at index scale the same plan writes ALL terms
+    hash-partitioned instead of top-k."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = (
+        docs.filter(F.length(F.trim("text")) > 0)
+        .select(
+            "doc_id",
+            F.explode(
+                F.split(F.trim(F.lower("text")), r"\s+")
+            ).alias("term"),
+        )
+        .filter(F.length("term") > 0)
+        .distinct()
+    )
+    g = tok.groupBy("term").agg(
+        F.count("*").cast("bigint").alias("df"),
+        F.concat_ws(",", F.sort_array(F.collect_list("doc_id"))).alias(
+            "postings"
+        ),
+        (F.max("doc_id") - F.min("doc_id")).cast("bigint").alias("span"),
+    )
+    return g.orderBy(F.col("df").desc(), "term").limit(40)
+
+
 # Oracle-bearing queries with no driver correctness row that are NOT in the
 # current front window — rotate these to the front in round 4.  (Everything
 # else that was pending after round 2 is in _ROUND3_FRONT below.)
@@ -13105,6 +13261,8 @@ _PENDING_ROUND6 = [
     "fuzzy_name_linkage",  # new in round 5 (deletion-blocked Levenshtein)
     "grid_hotspot_stencil",  # new in round 5 (sparse-stencil hot spots)
     "welch_t_drift",  # new in round 5 (parametric mean-shift drift)
+    "bitmap_segment_overlap",  # new in round 5 (bitmap-index intersections)
+    "inverted_posting_lists",  # new in round 5 (retrieval index build)
 ]
 
 # ROUND-6 BUILDER: build the next window from _PENDING_ROUND6 (pad with

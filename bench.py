@@ -115,6 +115,8 @@ HEADLINE = [
     "skyline_parts_pareto",
     "interval_union_coverage",
     "fuzzy_name_linkage",
+    "bitmap_segment_overlap",
+    "inverted_posting_lists",
 ]
 
 

@@ -622,3 +622,21 @@ def test_interval_union_single_user_shuffle(spark, sf_dir):
     (user_id, island_id) and user_id groupings downstream)."""
     plan = plans.executed_plan(q.QUERIES["interval_union_coverage"](spark, sf_dir))
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_bitmap_overlap_shuffles_words_not_users(spark, sf_dir):
+    """The bitmap build is one hash aggregate straight off the scan (no
+    distinct pass — bit_or is idempotent); the intersection join is an
+    equi join on bucket, and nothing Python touches the row path."""
+    plan = plans.executed_plan(q.QUERIES["bitmap_segment_overlap"](spark, sf_dir))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "bit_or" in plan and "partial_bit_or" in plan  # map-side combine
+
+
+def test_posting_lists_topk_is_take_ordered(spark, sf_dir):
+    """Top-40 terms via per-partition heap + 40-row merge — the long
+    tail's posting lists never reach the driver or a global sort."""
+    plan = plans.executed_plan(q.QUERIES["inverted_posting_lists"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "BatchEvalPython" not in plan

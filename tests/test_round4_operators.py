@@ -474,3 +474,52 @@ def test_welch_t_flags_planted_mean_shift(spark):
     assert not out["stable"].drifted
     assert out["shifted"].n1 == out["shifted"].n2 == 50
     assert abs(out["shifted"].mean_shift - (-100.0)) < 0.01
+
+
+def test_bitmap_overlap_exact_sets(spark):
+    """Known user sets (incl. a 62-boundary user exercising bucket 1)
+    produce exact distinct counts and intersections."""
+    import datetime as dt
+    import tempfile
+
+    from anomaly_detection_in_time_series_data_spark import queries as q
+
+    t0 = dt.datetime(2024, 1, 1)
+    ev, eid = [], 0
+    for u in (1, 2, 62):  # type A; 62 lands in bucket 1, bit 0
+        for _ in range(2):  # duplicates must not inflate (bit_or idempotent)
+            ev.append((eid, t0, u, "A", 1.0, "{}"))
+            eid += 1
+    for u in (2, 62, 200):  # type B; shared = {2, 62}
+        ev.append((eid, t0, u, "B", 1.0, "{}"))
+        eid += 1
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    with tempfile.TemporaryDirectory() as d:
+        _write_tables(spark, d, events=(ev, cols))
+        out = q.QUERIES["bitmap_segment_overlap"](spark, d).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.e_a, r.e_b) == ("A", "B")
+    assert (r.users_a, r.users_b, r.shared_users) == (3, 3, 2)
+    assert r.jaccard == 0.5  # 2 / (3 + 3 - 2)
+
+
+def test_inverted_posting_lists_planted(spark):
+    """Postings are sorted, deduped per doc, and df-ranked."""
+    import tempfile
+
+    from anomaly_detection_in_time_series_data_spark import queries as q
+
+    docs = [
+        (3, "beta alpha", "en", "web", 10),
+        (1, "alpha beta beta", "en", "web", 15),  # beta twice: df counts once
+        (2, "beta gamma", "en", "web", 10),
+    ]
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    with tempfile.TemporaryDirectory() as d:
+        _write_tables(spark, d, documents=(docs, cols))
+        out = {r.term: r for r in q.QUERIES["inverted_posting_lists"](spark, d).collect()}
+    assert out["beta"].df == 3 and out["beta"].postings == "1,2,3"
+    assert out["alpha"].df == 2 and out["alpha"].postings == "1,3"
+    assert out["gamma"].df == 1 and out["gamma"].postings == "2"
+    assert out["beta"].span == 2
