@@ -83,3 +83,43 @@ def test_text_ops_on_empty_and_whitespace(spark):
     toked = docs.select("doc_id", text.tokens(F.col("text")).alias("t"))
     assert all(r["t"] == [] for r in toked.collect())
     assert text.term_frequencies(_empty_docs(spark)).count() == 0
+
+
+def test_round5_wave_queries_on_empty_fixtures(spark, tmp_path):
+    """The round-5 second-wave registry queries must be total on
+    zero-row fixture tables: empty result, right schema, no throw."""
+    from anomaly_detection_in_time_series_data_spark import queries as q
+
+    d = str(tmp_path)
+    spark.createDataFrame(
+        [],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.parquet(f"{d}/events.parquet")
+    spark.createDataFrame(
+        [], "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(f"{d}/documents.parquet")
+    spark.createDataFrame(
+        [], "vec_id long, embedding array<double>, label int"
+    ).write.parquet(f"{d}/embeddings.parquet")
+    spark.createDataFrame(
+        [],
+        "c_custkey long, c_name string, c_nationkey int, c_acctbal double,"
+        " c_mktsegment string",
+    ).write.parquet(f"{d}/customer.parquet")
+    spark.createDataFrame(
+        [],
+        "p_partkey long, p_name string, p_brand string, p_type string,"
+        " p_size int, p_retailprice double",
+    ).write.parquet(f"{d}/part.parquet")
+    for name in (
+        "skyline_parts_pareto",
+        "interval_union_coverage",
+        "fuzzy_name_linkage",
+        "grid_hotspot_stencil",
+        "welch_t_drift",
+        "bitmap_segment_overlap",
+        "inverted_posting_lists",
+    ):
+        out = q.QUERIES[name](spark, d)
+        assert out.count() == 0, name
