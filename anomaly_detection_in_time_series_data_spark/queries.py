@@ -13029,6 +13029,266 @@ def inverted_posting_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
     return g.orderBy(F.col("df").desc(), "term").limit(40)
 
 
+@query(
+    "linear_interp_gap_fill",
+    oracle="""
+    WITH obs AS (
+      SELECT event_type, epoch_us(ts) // 3600000000 AS hr,
+             CAST(max(floor(value * 1000.0)) AS BIGINT) AS v_milli
+      FROM events GROUP BY event_type, epoch_us(ts) // 3600000000
+    ),
+    bounds AS (
+      SELECT event_type, min(hr) AS h0, max(hr) AS h1
+      FROM obs GROUP BY event_type
+    ),
+    grid AS (
+      SELECT b.event_type, g.hr
+      FROM bounds b, LATERAL unnest(generate_series(b.h0, b.h1)) AS g(hr)
+    ),
+    joined AS (
+      SELECT g.event_type, g.hr, o.v_milli
+      FROM grid g LEFT JOIN obs o
+        ON o.event_type = g.event_type AND o.hr = g.hr
+    ),
+    ctx AS (
+      SELECT event_type, hr, v_milli,
+             max(CASE WHEN v_milli IS NOT NULL THEN hr END)
+               OVER (PARTITION BY event_type ORDER BY hr
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hp,
+             last_value(v_milli IGNORE NULLS)
+               OVER (PARTITION BY event_type ORDER BY hr
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS vp,
+             min(CASE WHEN v_milli IS NOT NULL THEN hr END)
+               OVER (PARTITION BY event_type ORDER BY hr
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS hn,
+             first_value(v_milli IGNORE NULLS)
+               OVER (PARTITION BY event_type ORDER BY hr
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS vn
+      FROM joined
+    )
+    SELECT event_type, CAST(hr AS BIGINT) AS hr,
+           CASE WHEN v_milli IS NOT NULL
+                THEN CAST(v_milli AS DOUBLE) / 1000.0
+                ELSE CAST(vp * (hn - hp) + (vn - vp) * (hr - hp) AS DOUBLE)
+                     / CAST((hn - hp) * 1000 AS DOUBLE)
+           END AS v_filled,
+           (v_milli IS NULL) AS interpolated
+    FROM ctx
+    """,
+)
+def linear_interp_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-interpolation resampling (the sibling of the forward-fill
+    `resample_gap_fill`): each event_type's hourly max lands on a
+    regular hour grid and every missing hour gets the straight line
+    between its surrounding observations — what pandas
+    ``resample().interpolate()`` does, expressed as two IGNORE NULLS
+    window passes (last observation+hour before, first after; the grid's
+    min/max hours are observed so interior gaps always have both ends).
+    Determinism: observations are exact bigint milli-values and the
+    interpolated output is ONE division of exact bigint numerator/
+    denominator (vp*(hn-hp) + (vn-vp)*(hr-hp)) / ((hn-hp)*1000) — no
+    post-hoc round(), whose half-way rule differs between engines when
+    a quarter-milli value lands on the 5th decimal (caught at sf0.001).
+    Scale: grid cardinality is #keys x horizon hours — independent of
+    event count — and everything clusters on one event_type shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    obs = ev.groupBy(
+        "event_type", F.expr("unix_micros(ts) div 3600000000").alias("hr")
+    ).agg(
+        F.max(F.floor(F.col("value") * 1000.0))
+        .cast("bigint")
+        .alias("v_milli")
+    )
+    bounds = obs.groupBy("event_type").agg(
+        F.min("hr").alias("h0"), F.max("hr").alias("h1")
+    )
+    grid = bounds.select(
+        "event_type", F.explode(F.sequence("h0", "h1")).alias("hr")
+    )
+    joined = grid.join(obs, ["event_type", "hr"], "left")
+    wb = (
+        Window.partitionBy("event_type")
+        .orderBy("hr")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wf = (
+        Window.partitionBy("event_type")
+        .orderBy("hr")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    ctx = joined.select(
+        "event_type",
+        "hr",
+        "v_milli",
+        F.max(
+            F.when(F.col("v_milli").isNotNull(), F.col("hr"))
+        )
+        .over(wb)
+        .alias("hp"),
+        F.last("v_milli", ignorenulls=True).over(wb).alias("vp"),
+        F.min(
+            F.when(F.col("v_milli").isNotNull(), F.col("hr"))
+        )
+        .over(wf)
+        .alias("hn"),
+        F.first("v_milli", ignorenulls=True).over(wf).alias("vn"),
+    )
+    num = F.col("vp") * (F.col("hn") - F.col("hp")) + (
+        F.col("vn") - F.col("vp")
+    ) * (F.col("hr") - F.col("hp"))
+    den = (F.col("hn") - F.col("hp")) * F.lit(1000)
+    return ctx.select(
+        "event_type",
+        F.col("hr").cast("bigint").alias("hr"),
+        F.when(
+            F.col("v_milli").isNotNull(),
+            F.col("v_milli").cast("double") / 1000.0,
+        )
+        .otherwise(num.cast("double") / den.cast("double"))
+        .alias("v_filled"),
+        F.col("v_milli").isNull().alias("interpolated"),
+    )
+
+
+@query(
+    "prefix_filter_jaccard_join",
+    oracle=f"""
+    WITH
+    {_shingle_ctes(3)},
+    tok AS (
+      SELECT doc_id, sh AS term FROM ex
+    ),
+    dl AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS len
+      FROM tok GROUP BY doc_id
+    ),
+    tf AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS freq
+      FROM tok GROUP BY term
+    ),
+    ranked AS (
+      SELECT t.doc_id, t.term,
+             row_number() OVER (PARTITION BY t.doc_id
+                                ORDER BY f.freq, t.term) AS r,
+             d.len
+      FROM tok t JOIN tf f ON f.term = t.term
+                 JOIN dl d ON d.doc_id = t.doc_id
+    ),
+    prefix AS (
+      SELECT doc_id, term FROM ranked
+      WHERE r <= len - ((6 * len + 9) // 10) + 1
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM prefix a JOIN prefix b
+        ON a.term = b.term AND a.doc_id < b.doc_id
+    ),
+    inter AS (
+      SELECT c.id_a, c.id_b, CAST(count(*) AS BIGINT) AS c
+      FROM cand c
+      JOIN tok ta ON ta.doc_id = c.id_a
+      JOIN tok tb ON tb.doc_id = c.id_b AND tb.term = ta.term
+      GROUP BY c.id_a, c.id_b
+    )
+    SELECT i.id_a, i.id_b, i.c AS n_shared, da.len AS len_a, db.len AS len_b,
+           round(CAST(i.c AS DOUBLE) / (da.len + db.len - i.c), 4) AS jaccard
+    FROM inter i
+    JOIN dl da ON da.doc_id = i.id_a
+    JOIN dl db ON db.doc_id = i.id_b
+    WHERE 16 * i.c >= 6 * (da.len + db.len)
+    """,
+)
+def prefix_filter_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT set-similarity self-join (Jaccard >= 0.6 on 3-word shingle
+    sets — the same sets the MinHash family bands) via the prefix-filter
+    principle (ppjoin family) — the deterministic counterpart to
+    MinHash-LSH candidates: order each doc's shingles by ascending
+    global frequency (rarest first), keep only the first
+    len - ceil(0.6*len) + 1, and any pair above threshold MUST
+    share a prefix token (pigeonhole on the >= ceil(t*len) overlap) —
+    zero false negatives, unlike banding. ceil is pure-integer
+    ((6*len + 9) div 10); the verdict is the exact cross-multiplied
+    integer test 16c >= 6(len_a + len_b) (c/(la+lb-c) >= 0.6 rearranged
+    — no doubles at the decision). Scale: candidates are generated only
+    from RARE tokens (frequency-ascending prefix), the join is an
+    equi-join on term, and verification touches only candidate pairs —
+    the same shuffle discipline as the LSH path but exact."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = (
+        # _explode_shingles, NOT a plain explode: InferFiltersFromGenerate
+        # turns explode into a size() pre-filter that re-evaluates the
+        # shingle pipeline per row in interpreted mode (dedup.py:108 —
+        # measured 30s for this stage alone at sf0.1; explode_outer is
+        # exempt). shingles_of is array_distinct — set semantics per doc.
+        dedup._explode_shingles(docs, "doc_id", "text", 3)
+        .withColumnRenamed("_sh", "term")
+        # tok feeds FIVE consumers (lengths, frequencies, ranking, and
+        # both verify sides); the checkpoint runs the CPU-bound shingle
+        # explosion once.
+        .localCheckpoint(eager=True)
+    )
+    dl = tok.groupBy("doc_id").agg(F.count("*").cast("bigint").alias("len"))
+    tf = tok.groupBy("term").agg(F.count("*").cast("bigint").alias("freq"))
+    rw = Window.partitionBy("doc_id").orderBy("freq", "term")
+    ranked = (
+        tok.join(tf, "term")
+        .join(dl, "doc_id")
+        .select(
+            "doc_id",
+            "term",
+            "len",
+            F.row_number().over(rw).alias("r"),
+        )
+    )
+    prefix = ranked.filter(
+        F.col("r")
+        <= F.col("len") - F.expr("(6 * len + 9) div 10") + F.lit(1)
+    ).select("doc_id", "term")
+    a = prefix.alias("a")
+    b = prefix.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.term") == F.col("b.term"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .distinct()
+    )
+    ta = tok.select(F.col("doc_id").alias("id_a"), "term")
+    tb = tok.select(F.col("doc_id").alias("id_b"), "term")
+    inter = (
+        cand.join(ta, "id_a")
+        .join(tb, ["id_b", "term"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").cast("bigint").alias("n_shared"))
+    )
+    da = dl.select(F.col("doc_id").alias("id_a"), F.col("len").alias("len_a"))
+    db = dl.select(F.col("doc_id").alias("id_b"), F.col("len").alias("len_b"))
+    return (
+        inter.join(da, "id_a")
+        .join(db, "id_b")
+        .filter(
+            F.lit(16) * F.col("n_shared")
+            >= F.lit(6) * (F.col("len_a") + F.col("len_b"))
+        )
+        .select(
+            "id_a",
+            "id_b",
+            "n_shared",
+            "len_a",
+            "len_b",
+            F.round(
+                F.col("n_shared").cast("double")
+                / (F.col("len_a") + F.col("len_b") - F.col("n_shared")),
+                4,
+            ).alias("jaccard"),
+        )
+    )
+
+
 # Oracle-bearing queries with no driver correctness row that are NOT in the
 # current front window — rotate these to the front in round 4.  (Everything
 # else that was pending after round 2 is in _ROUND3_FRONT below.)
@@ -13263,6 +13523,8 @@ _PENDING_ROUND6 = [
     "welch_t_drift",  # new in round 5 (parametric mean-shift drift)
     "bitmap_segment_overlap",  # new in round 5 (bitmap-index intersections)
     "inverted_posting_lists",  # new in round 5 (retrieval index build)
+    "linear_interp_gap_fill",  # new in round 5 (interpolating resampler)
+    "prefix_filter_jaccard_join",  # new in round 5 (exact ppjoin dedup)
 ]
 
 # ROUND-6 BUILDER: build the next window from _PENDING_ROUND6 (pad with

@@ -117,6 +117,8 @@ HEADLINE = [
     "fuzzy_name_linkage",
     "bitmap_segment_overlap",
     "inverted_posting_lists",
+    "linear_interp_gap_fill",
+    "prefix_filter_jaccard_join",
 ]
 
 

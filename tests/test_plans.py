@@ -640,3 +640,21 @@ def test_posting_lists_topk_is_take_ordered(spark, sf_dir):
     plan = plans.executed_plan(q.QUERIES["inverted_posting_lists"](spark, sf_dir))
     assert "TakeOrderedAndProject" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_linear_interp_single_key_shuffle(spark, sf_dir):
+    """Grid generation, the left join, and both IGNORE NULLS window
+    passes all cluster by event_type — no Python, no cartesian."""
+    plan = plans.executed_plan(q.QUERIES["linear_interp_gap_fill"](spark, sf_dir))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_prefix_filter_candidates_from_equi_join(spark, sf_dir):
+    """Candidate generation is an equi join on the prefix shingle; the
+    shingle source is checkpointed so the CPU-bound explosion runs once
+    (the plan reads from the checkpoint scan, not five Generate nodes)."""
+    plan = plans.executed_plan(q.QUERIES["prefix_filter_jaccard_join"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("Generate explode") == 0  # all consumers read the checkpoint

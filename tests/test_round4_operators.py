@@ -523,3 +523,69 @@ def test_inverted_posting_lists_planted(spark):
     assert out["alpha"].df == 2 and out["alpha"].postings == "1,3"
     assert out["gamma"].df == 1 and out["gamma"].postings == "2"
     assert out["beta"].span == 2
+
+
+def test_linear_interp_straight_line(spark):
+    """A two-hour gap between observations 1.0 and 4.0 interpolates to
+    exactly 2.0 and 3.0; observed hours pass through unchanged."""
+    import datetime as dt
+    import tempfile
+
+    from anomaly_detection_in_time_series_data_spark import queries as q
+
+    t0 = dt.datetime(2024, 1, 1)
+    ev = [
+        (1, t0, 1, "a", 1.0, "{}"),
+        (2, t0 + dt.timedelta(hours=3), 1, "a", 4.0, "{}"),
+    ]
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    with tempfile.TemporaryDirectory() as d:
+        _write_tables(spark, d, events=(ev, cols))
+        out = sorted(
+            q.QUERIES["linear_interp_gap_fill"](spark, d).collect(),
+            key=lambda r: r.hr,
+        )
+    assert [r.v_filled for r in out] == [1.0, 2.0, 3.0, 4.0]
+    assert [r.interpolated for r in out] == [False, True, True, False]
+
+
+def test_prefix_filter_finds_exact_jaccard_pairs(spark):
+    """The prefix filter must find EVERY pair with shingle-Jaccard >= 0.6
+    (zero false negatives) and nothing below — checked against an
+    in-test brute force."""
+    import itertools
+    import tempfile
+
+    from anomaly_detection_in_time_series_data_spark import queries as q
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon ") * 2
+    texts = {
+        1: base,
+        2: base.replace("sigma", "SIGMA2"),      # near-dup of 1
+        3: base.replace("alpha", "A3").replace("pi", "P3"),  # near-dup
+        4: "totally different words " * 10,
+        5: "another unrelated document entirely " * 8,
+    }
+
+    def sh(t):
+        w = t.lower().split()
+        return {" ".join(w[i:i + 3]) for i in range(len(w) - 2)}
+
+    expect = set()
+    for a, b in itertools.combinations(sorted(texts), 2):
+        sa, sb = sh(texts[a]), sh(texts[b])
+        j = len(sa & sb) / len(sa | sb)
+        if j >= 0.6:
+            expect.add((a, b))
+    assert expect  # the fixture really contains qualifying pairs
+
+    docs = [(i, t, "en", "web", len(t)) for i, t in texts.items()]
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    with tempfile.TemporaryDirectory() as d:
+        _write_tables(spark, d, documents=(docs, cols))
+        got = {
+            (r.id_a, r.id_b)
+            for r in q.QUERIES["prefix_filter_jaccard_join"](spark, d).collect()
+        }
+    assert got == expect
