@@ -13289,6 +13289,54 @@ def prefix_filter_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "streaming_bitmap_distinct",
+    oracle="""
+    SELECT event_type,
+           CAST(epoch_us(date_trunc('day', ts)) AS BIGINT) AS day_us,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events GROUP BY event_type, date_trunc('day', ts)
+    """,
+)
+def streaming_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct-user counts per (type, day) maintained BY Structured
+    Streaming with bitmap state — the streaming form of
+    `bitmap_segment_overlap`: the stream aggregates bit_or() words keyed
+    by (type, day-window, user_id div 62), so state is one 8-byte word
+    per 62 users per group (an approximate-distinct HLL is the usual
+    compromise; the bitmap makes the stream EXACT at O(users/62) state,
+    the right trade when ids are dense). The word->count reduce
+    (sum of bit_count) runs on the sink table — chaining a second
+    stateful aggregation in one stream is the anti-pattern; finishing a
+    mergeable partial batch-side is the cascade idiom
+    (`streaming_rollup_cascade`). Hash-matched against the plain
+    count(DISTINCT) oracle."""
+    stream, _ = _read_events_stream(spark, sf_dir)
+    masks = (
+        stream.groupBy(
+            "event_type",
+            F.window("ts", "1 day").alias("w"),
+            F.expr("user_id div 62").alias("bucket"),
+        )
+        .agg(
+            F.expr(
+                "bit_or(shiftleft(cast(1 as bigint), cast(user_id % 62 as int)))"
+            ).alias("mask")
+        )
+        .select(
+            "event_type",
+            F.unix_micros(F.col("w.start")).alias("day_us"),
+            "mask",
+        )
+    )
+    qname = _run_to_memory(masks, "stream_bitmap", "complete")
+    return (
+        spark.table(qname)
+        .groupBy("event_type", "day_us")
+        .agg(F.sum(F.bit_count("mask")).cast("bigint").alias("n_users"))
+    )
+
+
 # Oracle-bearing queries with no driver correctness row that are NOT in the
 # current front window — rotate these to the front in round 4.  (Everything
 # else that was pending after round 2 is in _ROUND3_FRONT below.)
@@ -13525,6 +13573,7 @@ _PENDING_ROUND6 = [
     "inverted_posting_lists",  # new in round 5 (retrieval index build)
     "linear_interp_gap_fill",  # new in round 5 (interpolating resampler)
     "prefix_filter_jaccard_join",  # new in round 5 (exact ppjoin dedup)
+    "streaming_bitmap_distinct",  # new in round 5 (exact streaming distinct)
 ]
 
 # ROUND-6 BUILDER: build the next window from _PENDING_ROUND6 (pad with

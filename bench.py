@@ -119,6 +119,7 @@ HEADLINE = [
     "inverted_posting_lists",
     "linear_interp_gap_fill",
     "prefix_filter_jaccard_join",
+    "streaming_bitmap_distinct",
 ]
 
 
