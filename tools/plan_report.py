@@ -52,6 +52,8 @@ SHOWCASE = [
     ("interval_union_coverage", "sweep-line interval union: windows + both aggregates share ONE hashpartitioning(user_id) exchange"),
     ("fuzzy_name_linkage", "deletion-neighborhood blocking: candidates from an equi join on (position, mask) — O(names x length), never all-pairs levenshtein"),
     ("grid_hotspot_stencil", "sparse 3x3 stencil: cell counts exploded to neighbor coords and re-aggregated — one equi shuffle, no spatial self-join"),
+    ("bitmap_segment_overlap", "bitmap distinct-intersection: idempotent partial_bit_or off the scan (no distinct pass); the shuffle carries 8-byte words, 62 users each"),
+    ("prefix_filter_jaccard_join", "exact ppjoin: checkpointed shingle table (explosion runs once), candidates from an equi join on rare-prefix shingles"),
 ]
 
 
