@@ -13337,6 +13337,122 @@ def streaming_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "golden_record_survivorship",
+    oracle=_minhash_lsh_oracle(32, 8, 0.5).replace(
+        """
+    SELECT i.id_a, i.id_b,
+           round(CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common), 4)
+             AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.id_a
+    JOIN sizes sb ON sb.doc_id = i.id_b
+    WHERE CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common) >= 0.5
+    """,
+        """
+    , verified AS (
+      SELECT i.id_a, i.id_b
+      FROM inter i
+      JOIN sizes sa ON sa.doc_id = i.id_a
+      JOIN sizes sb ON sb.doc_id = i.id_b
+      WHERE CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common) >= 0.5
+    ),
+    und AS (
+      SELECT id_a AS a, id_b AS b FROM verified
+      UNION ALL SELECT id_b, id_a FROM verified
+    ),
+    reach AS (
+      SELECT a AS node, a AS peer FROM und
+      UNION
+      SELECT r.node, u.b FROM reach r JOIN und u ON r.peer = u.a
+    ),
+    comp AS (SELECT node, min(peer) AS canon FROM reach GROUP BY node),
+    members AS (
+      SELECT c.canon, d.doc_id, d.n_chars, d.source
+      FROM comp c JOIN documents d ON d.doc_id = c.node
+    ),
+    srcrank AS (
+      SELECT canon, source,
+             row_number() OVER (PARTITION BY canon
+                                ORDER BY count(*) DESC, source) AS r
+      FROM members GROUP BY canon, source
+    )
+    SELECT m.canon AS cluster_id,
+           CAST(count(*) AS BIGINT) AS n_members,
+           CAST(max(struct_pack(a := m.n_chars, b := -m.doc_id)).b * -1
+                AS BIGINT) AS golden_doc_id,
+           CAST(max(m.n_chars) AS BIGINT) AS golden_n_chars,
+           CAST(sum(m.n_chars) AS BIGINT) AS total_chars,
+           min(s.source) AS modal_source
+    FROM members m
+    JOIN srcrank s ON s.canon = m.canon AND s.r = 1
+    GROUP BY m.canon
+    """,
+    ).replace("WITH\n", "WITH RECURSIVE\n"),
+)
+def golden_record_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FINAL stage of entity resolution — golden-record construction
+    with field-level survivorship rules: after blocking (MinHash-LSH),
+    matching (exact-Jaccard >= 0.5) and clustering (connected
+    components), each multi-member cluster merges into one record where
+    each field picks its own winner — the LONGEST text wins the content
+    field (tiebreak: lowest doc_id, via a lexicographic struct-MAX on
+    (n_chars, -doc_id) — the argmin-is-an-aggregate idiom), the MODAL
+    source wins provenance (tiebreak: source asc, a 2-level count +
+    rank), and sizes/totals audit the merge. Survivorship is what a
+    master-data-management pipeline actually ships; keep-the-min-id
+    (`minhash_dedup_keep`) is just its degenerate single-rule case.
+    Scale: everything after the shared dedup DAG is two grouped
+    aggregates over cluster members — no new join shapes."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.lsh_candidate_pairs(docs, num_hashes=32, bands=8, portable=True)
+    verified = (
+        dedup.jaccard_verify_counts(docs, pairs, threshold=0.5)
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=True)
+    )
+    comp = dedup.connected_components(verified)
+    members = comp.withColumnRenamed("node", "doc_id").join(
+        docs.select("doc_id", "n_chars", "source"), "doc_id"
+    )
+    rw = Window.partitionBy("canon").orderBy(
+        F.col("cnt").desc(), F.col("source")
+    )
+    modal = (
+        members.groupBy(F.col("component").alias("canon"), "source")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("r", F.row_number().over(rw))
+        .filter(F.col("r") == 1)
+        .select("canon", F.col("source").alias("modal_source"))
+    )
+    agg = members.groupBy(F.col("component").alias("cluster_id")).agg(
+        F.count("*").cast("bigint").alias("n_members"),
+        (
+            F.max(
+                F.struct(
+                    F.col("n_chars").alias("a"),
+                    (-F.col("doc_id")).alias("b"),
+                )
+            )["b"]
+            * F.lit(-1)
+        )
+        .cast("bigint")
+        .alias("golden_doc_id"),
+        F.max("n_chars").cast("bigint").alias("golden_n_chars"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+    )
+    return agg.join(
+        modal.withColumnRenamed("canon", "cluster_id"), "cluster_id"
+    ).select(
+        "cluster_id",
+        "n_members",
+        "golden_doc_id",
+        "golden_n_chars",
+        "total_chars",
+        "modal_source",
+    )
+
+
 # Oracle-bearing queries with no driver correctness row that are NOT in the
 # current front window — rotate these to the front in round 4.  (Everything
 # else that was pending after round 2 is in _ROUND3_FRONT below.)
@@ -13574,6 +13690,7 @@ _PENDING_ROUND6 = [
     "linear_interp_gap_fill",  # new in round 5 (interpolating resampler)
     "prefix_filter_jaccard_join",  # new in round 5 (exact ppjoin dedup)
     "streaming_bitmap_distinct",  # new in round 5 (exact streaming distinct)
+    "golden_record_survivorship",  # new in round 5 (ER survivorship merge)
 ]
 
 # ROUND-6 BUILDER: build the next window from _PENDING_ROUND6 (pad with

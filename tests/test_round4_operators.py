@@ -589,3 +589,39 @@ def test_prefix_filter_finds_exact_jaccard_pairs(spark):
             for r in q.QUERIES["prefix_filter_jaccard_join"](spark, d).collect()
         }
     assert got == expect
+
+
+def test_golden_record_survivorship_rules(spark):
+    """A planted 3-doc near-dup cluster merges with field-level rules:
+    longest text wins the content field (tiebreak lowest doc_id), modal
+    source wins provenance (tiebreak source asc)."""
+    import tempfile
+
+    from anomaly_detection_in_time_series_data_spark import queries as q
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while seventy "
+        "three engineers review the training corpus for duplicate text "
+        "and measure the exact jaccard similarity of every shingle set "
+    ) * 3
+    longer = base + "with one extra trailing sentence appended here "
+    near = base.replace("lazy", "sleepy", 1)
+    docs = [
+        (1, base, "en", "web", len(base)),
+        (2, longer, "en", "crawl", len(longer)),  # longest -> golden
+        (3, near, "en", "web", len(near)),        # web is modal (2 of 3)
+    ]
+    for i in range(4, 30):
+        docs.append((i, f"unique document number {i} " * 12, "en", "web", 200))
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    with tempfile.TemporaryDirectory() as d:
+        _write_tables(spark, d, documents=(docs, cols))
+        out = q.QUERIES["golden_record_survivorship"](spark, d).collect()
+    clusters = {r.cluster_id: r for r in out}
+    assert 1 in clusters  # min-id canonical of the planted trio
+    r = clusters[1]
+    assert r.n_members == 3
+    assert r.golden_doc_id == 2          # longest text wins
+    assert r.golden_n_chars == len(longer)
+    assert r.modal_source == "web"       # 2 of 3 members
+    assert r.total_chars == len(base) + len(longer) + len(near)

@@ -10,7 +10,8 @@ the driver's sf0.01 gate (the ORACLE is the bottleneck, not the engine —
 the Spark side of each passes its bench budget at sf0.1):
 - recursive-CTE oracles (ewma_anomaly_scores, holt_forecast_anomaly,
   near_dup_components, near_dup_bfs_hops, greedy_pack_assignments,
-  minhash_dedup_keep): O(iterations x rows) MATERIALIZED per step;
+  minhash_dedup_keep, golden_record_survivorship): O(iterations x rows)
+  MATERIALIZED per step;
 - all-pairs edge-derivation oracles (near_dup_triangles,
   near_dup_pagerank, embedding_near_dup_pairs): the graph twins rebuild
   exact-Jaccard edges without LSH pre-filtering (deliberately independent
