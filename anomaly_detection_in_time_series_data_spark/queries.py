@@ -13453,6 +13453,148 @@ def golden_record_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "event_lateness_audit",
+    oracle="""
+    WITH x AS (
+      SELECT event_type, epoch_us(ts) AS ts_us,
+             max(epoch_us(ts)) OVER (
+               PARTITION BY event_type ORDER BY event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS hwm
+      FROM events
+    ),
+    lat AS (
+      SELECT event_type,
+             CASE WHEN hwm IS NULL OR ts_us >= hwm THEN 0
+                  ELSE hwm - ts_us END AS late_us
+      FROM x
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_late,
+           CAST(sum(CASE WHEN late_us > 600000000 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_beyond_10m,
+           CAST(max(late_us) AS BIGINT) AS max_late_us,
+           CAST(sum(late_us) AS BIGINT) AS total_late_us
+    FROM lat GROUP BY event_type
+    """,
+)
+def event_lateness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The watermark-design diagnostic: how late does data actually
+    arrive? Replaying events in ARRIVAL order (event_id), each event's
+    lateness is how far its event time sits behind the running
+    high-water mark (max event time seen so far — exactly the quantity
+    a Structured Streaming watermark trails). Output per type: late
+    counts, counts beyond a candidate 10-minute watermark (those rows
+    would be DROPPED at that setting), worst and total lateness — the
+    numbers that decide `withWatermark` before a streaming job ships.
+    Pure bigint epoch arithmetic over one arrival-order window; exact
+    on both engines. Scale: one event_type-hash shuffle, then a grouped
+    aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    x = ev.select(
+        "event_type",
+        F.unix_micros("ts").alias("ts_us"),
+        F.max(F.unix_micros("ts")).over(w).alias("hwm"),
+    )
+    late = x.select(
+        "event_type",
+        F.when(
+            F.col("hwm").isNull() | (F.col("ts_us") >= F.col("hwm")),
+            F.lit(0),
+        )
+        .otherwise(F.col("hwm") - F.col("ts_us"))
+        .alias("late_us"),
+    )
+    return late.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.sum(F.when(F.col("late_us") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_late"),
+        F.sum(F.when(F.col("late_us") > 600000000, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_beyond_10m"),
+        F.max("late_us").cast("bigint").alias("max_late_us"),
+        F.sum("late_us").cast("bigint").alias("total_late_us"),
+    )
+
+
+@query(
+    "kcore_micro_peel",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(generate_series(1, len(toks) - 2),
+                           i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))
+               AS shingles
+      FROM (SELECT doc_id, string_split(trim(lower(text)), ' ') AS toks
+            FROM documents WHERE length(trim(text)) > 0)
+      WHERE len(toks) >= 3
+    ),
+    edges AS (
+      SELECT a.doc_id AS a, b.doc_id AS b
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+            / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.5
+    ),
+    e0 AS (SELECT a, b FROM edges UNION ALL SELECT b, a FROM edges),
+    d1 AS (SELECT a AS n FROM e0 GROUP BY a HAVING count(*) >= 2),
+    e1 AS (SELECT u.a, u.b FROM e0 u
+           JOIN d1 x ON x.n = u.a JOIN d1 y ON y.n = u.b),
+    d2 AS (SELECT a AS n FROM e1 GROUP BY a HAVING count(*) >= 2),
+    e2 AS (SELECT u.a, u.b FROM e1 u
+           JOIN d2 x ON x.n = u.a JOIN d2 y ON y.n = u.b),
+    d3 AS (SELECT a AS n FROM e2 GROUP BY a HAVING count(*) >= 2),
+    e3 AS (SELECT u.a, u.b FROM e2 u
+           JOIN d3 x ON x.n = u.a JOIN d3 y ON y.n = u.b)
+    SELECT CAST(a AS BIGINT) AS doc_id,
+           CAST(count(*) AS BIGINT) AS core_degree
+    FROM e3 GROUP BY a
+    """,
+)
+def kcore_micro_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-core of the near-dup graph by THREE unrolled peeling rounds
+    (the `kmeans_micro_lloyd` fixed-iteration idiom applied to graph
+    decomposition): repeatedly drop nodes with degree < 2 and their
+    edges — what survives separates robust duplicate CLUSTERS from
+    fragile chains/pendants that a single spurious edge created
+    (triangle counts measure density locally; the k-core is the global
+    version). Exact integer degrees; both engines run the identical
+    three rounds, so the surviving node set and degrees are
+    hash-identical without any convergence question. Scale: each round
+    is one degree aggregate + two semi-join-shaped equi-joins on the
+    (shrinking) edge list; full k-core at scale iterates the same round
+    to fixpoint with checkpointed lineage, exactly like
+    `connected_components`."""
+    e = (
+        _near_dup_edges(spark, sf_dir, threshold=0.5)
+        .select("id_a", "id_b")
+    )
+    und = e.select(
+        F.col("id_a").alias("a"), F.col("id_b").alias("b")
+    ).unionByName(e.select(F.col("id_b").alias("a"), F.col("id_a").alias("b")))
+    for _ in range(3):
+        keep = (
+            und.groupBy(F.col("a").alias("n"))
+            .agg(F.count("*").alias("d"))
+            .filter(F.col("d") >= 2)
+            .select("n")
+        )
+        und = (
+            und.join(keep.withColumnRenamed("n", "a"), "a", "left_semi")
+            .join(keep.withColumnRenamed("n", "b"), "b", "left_semi")
+        )
+    return und.groupBy(F.col("a").cast("bigint").alias("doc_id")).agg(
+        F.count("*").cast("bigint").alias("core_degree")
+    )
+
+
 # Oracle-bearing queries with no driver correctness row that are NOT in the
 # current front window — rotate these to the front in round 4.  (Everything
 # else that was pending after round 2 is in _ROUND3_FRONT below.)
@@ -13691,6 +13833,8 @@ _PENDING_ROUND6 = [
     "prefix_filter_jaccard_join",  # new in round 5 (exact ppjoin dedup)
     "streaming_bitmap_distinct",  # new in round 5 (exact streaming distinct)
     "golden_record_survivorship",  # new in round 5 (ER survivorship merge)
+    "event_lateness_audit",  # new in round 5 (watermark-design diagnostic)
+    "kcore_micro_peel",  # new in round 5 (graph core decomposition)
 ]
 
 # ROUND-6 BUILDER: build the next window from _PENDING_ROUND6 (pad with

@@ -625,3 +625,63 @@ def test_golden_record_survivorship_rules(spark):
     assert r.golden_n_chars == len(longer)
     assert r.modal_source == "web"       # 2 of 3 members
     assert r.total_chars == len(base) + len(longer) + len(near)
+
+
+def test_event_lateness_audit_planted(spark):
+    """Arrival order (event_id) vs event time: one 15-minute-late and one
+    5-minute-late event are counted correctly against the running
+    high-water mark."""
+    import datetime as dt
+    import tempfile
+
+    from anomaly_detection_in_time_series_data_spark import queries as q
+
+    t0 = dt.datetime(2024, 1, 1)
+    ev = [
+        (1, t0, 1, "a", 1.0, "{}"),
+        (2, t0 + dt.timedelta(minutes=30), 1, "a", 1.0, "{}"),
+        # arrives after the hwm=30m event, 15 min behind it
+        (3, t0 + dt.timedelta(minutes=15), 1, "a", 1.0, "{}"),
+        # 5 min behind the (unchanged) hwm
+        (4, t0 + dt.timedelta(minutes=25), 1, "a", 1.0, "{}"),
+        (5, t0 + dt.timedelta(minutes=40), 1, "a", 1.0, "{}"),
+    ]
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    with tempfile.TemporaryDirectory() as d:
+        _write_tables(spark, d, events=(ev, cols))
+        out = q.QUERIES["event_lateness_audit"](spark, d).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.n_events == 5
+    assert r.n_late == 2
+    assert r.n_beyond_10m == 1  # only the 15-minute-late event
+    assert r.max_late_us == 15 * 60 * 1_000_000
+    assert r.total_late_us == 20 * 60 * 1_000_000
+
+
+def test_kcore_peels_pendant_chain(spark):
+    """A triangle (2-core) survives peeling; a pendant chain hanging off
+    it peels away round by round."""
+    import tempfile
+
+    from anomaly_detection_in_time_series_data_spark import queries as q
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while seventy "
+        "three engineers review the training corpus for duplicate text "
+    ) * 4
+    # triangle: 1-2-3 mutually near-dup; pendant chain: 4 similar to 3 only
+    docs = [
+        (1, base, "en", "web", len(base)),
+        (2, base.replace("lazy", "sleepy", 1), "en", "web", 1),
+        (3, base.replace("quick", "rapid", 1), "en", "web", 1),
+    ]
+    for i in range(5, 40):
+        docs.append((i, f"unique filler document number {i} " * 10, "en", "web", 1))
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    with tempfile.TemporaryDirectory() as d:
+        _write_tables(spark, d, documents=(docs, cols))
+        out = {r.doc_id: r.core_degree for r in
+               q.QUERIES["kcore_micro_peel"](spark, d).collect()}
+    assert set(out) == {1, 2, 3}       # the triangle is the 2-core
+    assert all(v == 2 for v in out.values())

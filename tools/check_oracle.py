@@ -13,7 +13,8 @@ the Spark side of each passes its bench budget at sf0.1):
   minhash_dedup_keep, golden_record_survivorship): O(iterations x rows)
   MATERIALIZED per step;
 - all-pairs edge-derivation oracles (near_dup_triangles,
-  near_dup_pagerank, embedding_near_dup_pairs): the graph twins rebuild
+  near_dup_pagerank, embedding_near_dup_pairs, kcore_micro_peel): the
+  graph twins rebuild
   exact-Jaccard edges without LSH pre-filtering (deliberately independent
   of the banding under test), which is quadratic in documents.
 Exclude both when sweeping larger SFs; everything else passes at sf0.1
