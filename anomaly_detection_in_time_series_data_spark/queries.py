@@ -13595,6 +13595,90 @@ def kcore_micro_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "rolling_wau_bitmap",
+    oracle="""
+    WITH daily AS (
+      SELECT epoch_us(date_trunc('day', ts)) // 86400000000 AS day_id,
+             user_id // 62 AS bucket,
+             CAST(bit_or(CAST(1 AS BIGINT) << CAST(user_id % 62 AS INTEGER))
+                  AS BIGINT) AS mask
+      FROM events
+      GROUP BY epoch_us(date_trunc('day', ts)) // 86400000000, user_id // 62
+    ),
+    spine AS (
+      SELECT d.day_id, b.bucket
+      FROM (SELECT DISTINCT day_id FROM daily) d,
+           (SELECT DISTINCT bucket FROM daily) b
+    ),
+    dense AS (
+      SELECT s.day_id, s.bucket, coalesce(dl.mask, 0) AS mask
+      FROM spine s LEFT JOIN daily dl
+        ON dl.day_id = s.day_id AND dl.bucket = s.bucket
+    ),
+    rolled AS (
+      SELECT day_id, bucket, mask,
+             bit_or(mask) OVER (PARTITION BY bucket ORDER BY day_id
+               RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS mask7
+      FROM dense
+    )
+    SELECT CAST(day_id * 86400000000 AS BIGINT) AS day_us,
+           CAST(sum(bit_count(mask)) AS BIGINT) AS dau,
+           CAST(sum(bit_count(mask7)) AS BIGINT) AS wau
+    FROM rolled GROUP BY day_id
+    """,
+)
+def rolling_wau_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT rolling 7-day active users (WAU) — the sliding-window
+    distinct count that is notoriously expensive done naively (one
+    count(DISTINCT) per day over a re-scanned 7-day slice, or
+    approximate HLL merging). With bitmap words the whole curve is ONE
+    windowed bit_or per (user-bucket) over a dense day spine (RANGE 6
+    PRECEDING handles the calendar) followed by sum(bit_count) per day:
+    set union becomes integer OR, sliding distinct becomes a windowed
+    aggregate, and the data is touched once. DAU ships from the same
+    words for free. Spine cardinality is users/62 x horizon days —
+    independent of event volume. Exact bigints end to end."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.expr(
+            "unix_micros(date_trunc('day', ts)) div 86400000000"
+        ).alias("day_id"),
+        F.expr("user_id div 62").alias("bucket"),
+    ).agg(
+        F.expr(
+            "bit_or(shiftleft(cast(1 as bigint), cast(user_id % 62 as int)))"
+        ).alias("mask")
+    )
+    days = daily.select("day_id").distinct()
+    buckets = daily.select("bucket").distinct()
+    dense = (
+        days.crossJoin(F.broadcast(buckets))
+        .join(daily, ["day_id", "bucket"], "left")
+        .select(
+            "day_id",
+            "bucket",
+            F.coalesce("mask", F.lit(0).cast("bigint")).alias("mask"),
+        )
+    )
+    w7 = (
+        Window.partitionBy("bucket").orderBy("day_id").rangeBetween(-6, 0)
+    )
+    rolled = dense.select(
+        "day_id",
+        "mask",
+        F.bit_or("mask").over(w7).alias("mask7"),
+    )
+    return rolled.groupBy("day_id").agg(
+        F.sum(F.bit_count("mask")).cast("bigint").alias("dau"),
+        F.sum(F.bit_count("mask7")).cast("bigint").alias("wau"),
+    ).select(
+        (F.col("day_id") * F.lit(86400000000)).cast("bigint").alias("day_us"),
+        "dau",
+        "wau",
+    )
+
+
 # Oracle-bearing queries with no driver correctness row that are NOT in the
 # current front window — rotate these to the front in round 4.  (Everything
 # else that was pending after round 2 is in _ROUND3_FRONT below.)
@@ -13835,6 +13919,7 @@ _PENDING_ROUND6 = [
     "golden_record_survivorship",  # new in round 5 (ER survivorship merge)
     "event_lateness_audit",  # new in round 5 (watermark-design diagnostic)
     "kcore_micro_peel",  # new in round 5 (graph core decomposition)
+    "rolling_wau_bitmap",  # new in round 5 (exact sliding distinct via OR)
 ]
 
 # ROUND-6 BUILDER: build the next window from _PENDING_ROUND6 (pad with

@@ -120,6 +120,7 @@ HEADLINE = [
     "linear_interp_gap_fill",
     "prefix_filter_jaccard_join",
     "streaming_bitmap_distinct",
+    "rolling_wau_bitmap",
 ]
 
 

@@ -685,3 +685,32 @@ def test_kcore_peels_pendant_chain(spark):
                q.QUERIES["kcore_micro_peel"](spark, d).collect()}
     assert set(out) == {1, 2, 3}       # the triangle is the 2-core
     assert all(v == 2 for v in out.values())
+
+
+def test_rolling_wau_window_semantics(spark):
+    """WAU at day d counts distinct users over days [d-6, d] exactly,
+    including users whose bucket has no row on day d."""
+    import datetime as dt
+    import tempfile
+
+    from anomaly_detection_in_time_series_data_spark import queries as q
+
+    t0 = dt.datetime(2024, 1, 1)
+    ev, eid = [], 0
+    # day 0: users 1, 2; day 3: user 62 (bucket 1); day 8: user 1 again.
+    for day, users in ((0, (1, 2)), (3, (62,)), (8, (1,))):
+        for u in users:
+            ev.append((eid, t0 + dt.timedelta(days=day), u, "a", 1.0, "{}"))
+            eid += 1
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    with tempfile.TemporaryDirectory() as d:
+        _write_tables(spark, d, events=(ev, cols))
+        day0 = int(t0.timestamp()) * 1_000_000
+        out = {
+            (r.day_us - day0) // 86_400_000_000: (r.dau, r.wau)
+            for r in q.QUERIES["rolling_wau_bitmap"](spark, d).collect()
+        }
+    assert out[0] == (2, 2)
+    assert out[3] == (1, 3)   # users 1, 2 (day 0) still in window + user 62
+    # day 8: day 0 fell out of [2, 8]; user 62 (day 3) still in; user 1 back
+    assert out[8] == (1, 2)
