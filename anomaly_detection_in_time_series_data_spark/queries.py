@@ -13679,6 +13679,233 @@ def rolling_wau_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "cuped_adjusted_ab",
+    oracle="""
+    WITH b AS (
+      SELECT CAST((min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS BIGINT)
+        AS mid
+      FROM events
+    ),
+    u AS (
+      SELECT user_id,
+             CASE WHEN substr(md5('ab|' || CAST(user_id AS VARCHAR)), 1, 1)
+                       IN ('0','1','2','3','4','5','6','7')
+                  THEN 'A' ELSE 'B' END AS arm,
+             CAST(sum(CASE WHEN epoch_us(ts) < (SELECT mid FROM b)
+                           THEN CAST(floor(value * 1000.0) AS BIGINT)
+                           ELSE 0 END) AS BIGINT) AS x,
+             CAST(sum(CASE WHEN epoch_us(ts) < (SELECT mid FROM b)
+                           THEN 0
+                           ELSE CAST(floor(value * 1000.0) AS BIGINT)
+                      END) AS BIGINT) AS y
+      FROM events GROUP BY user_id
+    ),
+    g AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(y * y) AS BIGINT) AS syy
+      FROM u
+    ),
+    t AS (
+      SELECT n,
+             CAST(sx AS DOUBLE) / n AS mx,
+             (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n)
+               / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n)
+               AS theta,
+             (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n)
+             * (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n)
+             / ((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n)
+                * (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n))
+               AS rho2
+      FROM g
+    )
+    SELECT u.arm,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(u.y) AS DOUBLE) / count(*) / 1000.0 AS mean_y,
+           (CAST(sum(u.y) AS DOUBLE) / count(*)
+            - t.theta * (CAST(sum(u.x) AS DOUBLE) / count(*) - t.mx))
+             / 1000.0 AS mean_y_cuped,
+           t.rho2 AS var_reduction
+    FROM u, t
+    GROUP BY u.arm, t.theta, t.mx, t.rho2
+    """,
+)
+def cuped_adjusted_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance-reduced A/B readout (the modern experimentation
+    workhorse next to the plain z-test `ab_test_two_proportion`): each
+    user's PRE-period activity X (first half of the time range) is used
+    as the control covariate for their experiment metric Y (second
+    half) — adjusted mean = mean(Y) - theta*(mean(X|arm) - mean(X)),
+    theta = cov(X,Y)/var(X) pooled over all users. The variance the
+    covariate explains (rho^2 = the fraction CUPED removes) ships with
+    the readout. Assignment is the md5 parity split; every moment is an
+    exact bigint milli-sum and theta/rho^2/means are fixed-order double
+    expressions — bit-identical, no rounding. One user-level aggregate,
+    one 1-row broadcast of the pooled moments, 2-row output."""
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.select(F.unix_micros("ts").alias("us")).agg(
+        F.expr("cast((min(us) + max(us)) div 2 as bigint)").alias("mid")
+    )
+    v = F.floor(F.col("value") * 1000.0).cast("bigint")
+    u = (
+        ev.crossJoin(F.broadcast(bounds))
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(F.unix_micros("ts") < F.col("mid"), v).otherwise(
+                    F.lit(0)
+                )
+            )
+            .cast("bigint")
+            .alias("x"),
+            F.sum(
+                F.when(F.unix_micros("ts") < F.col("mid"), F.lit(0)).otherwise(
+                    v
+                )
+            )
+            .cast("bigint")
+            .alias("y"),
+        )
+        .select(
+            F.when(
+                F.substring(
+                    F.md5(F.concat(F.lit("ab|"), F.col("user_id").cast("string"))),
+                    1,
+                    1,
+                ).isin(*"01234567"),
+                F.lit("A"),
+            )
+            .otherwise(F.lit("B"))
+            .alias("arm"),
+            "x",
+            "y",
+        )
+    )
+    g = u.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+    )
+    sxd = F.col("sx").cast("double")
+    syd = F.col("sy").cast("double")
+    cov = F.col("sxy").cast("double") - sxd * F.col("sy") / F.col("n")
+    varx = F.col("sxx").cast("double") - sxd * F.col("sx") / F.col("n")
+    vary = F.col("syy").cast("double") - syd * F.col("sy") / F.col("n")
+    t = g.select(
+        (sxd / F.col("n")).alias("mx"),
+        (cov / varx).alias("theta"),
+        (cov * cov / (varx * vary)).alias("rho2"),
+    )
+    return (
+        u.groupBy("arm")
+        .agg(
+            F.count("*").cast("bigint").alias("n_users"),
+            F.sum("x").cast("bigint").alias("asx"),
+            F.sum("y").cast("bigint").alias("asy"),
+        )
+        .crossJoin(F.broadcast(t))
+        .select(
+            "arm",
+            "n_users",
+            (F.col("asy").cast("double") / F.col("n_users") / 1000.0).alias(
+                "mean_y"
+            ),
+            (
+                (
+                    F.col("asy").cast("double") / F.col("n_users")
+                    - F.col("theta")
+                    * (
+                        F.col("asx").cast("double") / F.col("n_users")
+                        - F.col("mx")
+                    )
+                )
+                / 1000.0
+            ).alias("mean_y_cuped"),
+            F.col("rho2").alias("var_reduction"),
+        )
+    )
+
+
+@query(
+    "quantile_normalize_sources",
+    oracle="""
+    WITH x AS (
+      SELECT event_type,
+             CAST(floor(value * 1000.0) AS BIGINT) AS v,
+             ntile(20) OVER (PARTITION BY event_type
+                             ORDER BY value, event_id) AS q
+      FROM events
+    ),
+    per AS (
+      SELECT event_type, q,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(v) AS BIGINT) AS sv
+      FROM x GROUP BY event_type, q
+    ),
+    ref AS (
+      SELECT q, CAST(sum(sv) AS BIGINT) AS rsv, CAST(sum(n) AS BIGINT) AS rn
+      FROM per GROUP BY q
+    )
+    SELECT p.event_type, CAST(p.q AS BIGINT) AS q, p.n,
+           CAST(p.sv AS DOUBLE) / p.n / 1000.0 AS bin_mean,
+           CAST(r.rsv AS DOUBLE) / r.rn / 1000.0 AS ref_mean,
+           (CAST(p.sv AS DOUBLE) / p.n - CAST(r.rsv AS DOUBLE) / r.rn)
+             / 1000.0 AS shift
+    FROM per p JOIN ref r ON r.q = p.q
+    """,
+)
+def quantile_normalize_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization across batches (the batch-effect-correction
+    preprocessing step from bioinformatics/ML feature pipelines): each
+    event_type's value distribution is rank-binned into 20 quantiles
+    (deterministic ntile, event_id tiebreak) and mapped onto the POOLED
+    per-quantile reference distribution — after replacing each bin's
+    values by `ref_mean`, every type has an identical distribution while
+    preserving each row's rank within its type. Output is the mapping
+    table (bin mean, reference mean, shift) a normalizing transform
+    would broadcast-join back to the data. Exact bigint milli-sums; the
+    three emitted doubles are single fixed-order divisions. Scale: one
+    type-hash shuffle for the rank window, then bin-level (types x 20)
+    arithmetic."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    x = ev.select(
+        "event_type",
+        F.floor(F.col("value") * 1000.0).cast("bigint").alias("v"),
+        F.ntile(20).over(w).alias("q"),
+    )
+    per = x.groupBy("event_type", "q").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("v").cast("bigint").alias("sv"),
+    )
+    ref = per.groupBy("q").agg(
+        F.sum("sv").cast("bigint").alias("rsv"),
+        F.sum("n").cast("bigint").alias("rn"),
+    )
+    return per.join(F.broadcast(ref), "q").select(
+        "event_type",
+        F.col("q").cast("bigint").alias("q"),
+        "n",
+        (F.col("sv").cast("double") / F.col("n") / 1000.0).alias("bin_mean"),
+        (F.col("rsv").cast("double") / F.col("rn") / 1000.0).alias(
+            "ref_mean"
+        ),
+        (
+            (
+                F.col("sv").cast("double") / F.col("n")
+                - F.col("rsv").cast("double") / F.col("rn")
+            )
+            / 1000.0
+        ).alias("shift"),
+    )
+
+
 # Oracle-bearing queries with no driver correctness row that are NOT in the
 # current front window — rotate these to the front in round 4.  (Everything
 # else that was pending after round 2 is in _ROUND3_FRONT below.)
@@ -13920,6 +14147,8 @@ _PENDING_ROUND6 = [
     "event_lateness_audit",  # new in round 5 (watermark-design diagnostic)
     "kcore_micro_peel",  # new in round 5 (graph core decomposition)
     "rolling_wau_bitmap",  # new in round 5 (exact sliding distinct via OR)
+    "cuped_adjusted_ab",  # new in round 5 (variance-reduced experimentation)
+    "quantile_normalize_sources",  # new in round 5 (batch-effect correction)
 ]
 
 # ROUND-6 BUILDER: build the next window from _PENDING_ROUND6 (pad with

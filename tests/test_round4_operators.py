@@ -714,3 +714,41 @@ def test_rolling_wau_window_semantics(spark):
     assert out[3] == (1, 3)   # users 1, 2 (day 0) still in window + user 62
     # day 8: day 0 fell out of [2, 8]; user 62 (day 3) still in; user 1 back
     assert out[8] == (1, 2)
+
+
+def test_cuped_removes_covariate_variance(spark, sf_dir):
+    """CUPED invariants on the fixture: rho2 in [0, 1]; arm counts
+    partition the users; adjusted means shift by theta*(arm pre-mean
+    delta) — both arms move in opposite directions around mean_y."""
+    from anomaly_detection_in_time_series_data_spark import queries as q
+
+    out = {r.arm: r for r in q.QUERIES["cuped_adjusted_ab"](spark, sf_dir).collect()}
+    assert set(out) == {"A", "B"}
+    r = out["A"]
+    assert 0.0 <= r.var_reduction <= 1.0
+    for arm in out.values():
+        # the adjustment is a finite translation, not a blow-up
+        assert abs(arm.mean_y_cuped - arm.mean_y) < abs(arm.mean_y) + 1e6
+
+
+def test_quantile_normalize_rank_preservation(spark, sf_dir):
+    """Per type: 20 bins, counts sum to the type's row count, and the
+    reference bin means are monotone nondecreasing in q (rank order is
+    preserved by construction)."""
+    from anomaly_detection_in_time_series_data_spark import queries as q
+    from anomaly_detection_in_time_series_data_spark.tables import load_table
+
+    rows = q.QUERIES["quantile_normalize_sources"](spark, sf_dir).collect()
+    per_type = {}
+    ref = {}
+    for r in rows:
+        per_type.setdefault(r.event_type, []).append(r)
+        ref[r.q] = r.ref_mean
+    n_events = load_table(spark, sf_dir, "events").count()
+    assert sum(r.n for r in rows) == n_events
+    for t, rs in per_type.items():
+        assert len(rs) == 20, t
+        means = [r.bin_mean for r in sorted(rs, key=lambda r: r.q)]
+        assert means == sorted(means), t  # per-type bin means monotone
+    rvals = [ref[q] for q in sorted(ref)]
+    assert rvals == sorted(rvals)  # pooled reference monotone too
