@@ -13906,6 +13906,252 @@ def quantile_normalize_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "asof_join_nearest_order",
+    oracle="""
+    WITH r AS (
+      SELECT o_custkey AS user_id, o_orderdate,
+             max(o_orderkey) AS orderkey
+      FROM orders GROUP BY 1, 2
+    ),
+    bk AS (
+      SELECT e.event_id, e.user_id, e.ts,
+             r.o_orderdate AS bd, r.orderkey AS bkey
+      FROM events e
+      ASOF LEFT JOIN r ON e.user_id = r.user_id
+                      AND CAST(e.ts AS TIMESTAMP) >= r.o_orderdate
+    ),
+    fw AS (
+      SELECT e.event_id, r.o_orderdate AS fd, r.orderkey AS fkey
+      FROM events e
+      ASOF LEFT JOIN r ON e.user_id = r.user_id
+                      AND CAST(e.ts AS TIMESTAMP) <= r.o_orderdate
+    )
+    SELECT b.event_id, b.user_id,
+           CASE WHEN b.bkey IS NULL AND f.fkey IS NULL THEN NULL
+                WHEN f.fkey IS NULL THEN b.bkey
+                WHEN b.bkey IS NULL THEN f.fkey
+                WHEN epoch_us(b.ts) - epoch_us(b.bd)
+                     <= epoch_us(f.fd) - epoch_us(b.ts) THEN b.bkey
+                ELSE f.fkey END AS nearest_orderkey,
+           CASE WHEN b.bkey IS NULL AND f.fkey IS NULL THEN NULL
+                WHEN f.fkey IS NULL THEN epoch_us(b.ts) - epoch_us(b.bd)
+                WHEN b.bkey IS NULL THEN epoch_us(f.fd) - epoch_us(b.ts)
+                WHEN epoch_us(b.ts) - epoch_us(b.bd)
+                     <= epoch_us(f.fd) - epoch_us(b.ts)
+                THEN epoch_us(b.ts) - epoch_us(b.bd)
+                ELSE epoch_us(f.fd) - epoch_us(b.ts) END AS gap_us
+    FROM bk b JOIN fw f ON f.event_id = b.event_id
+    """,
+)
+def asof_join_nearest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join, direction='nearest' — the third pandas merge_asof
+    direction, completing backward (`asof_join_last_order`) and forward
+    (`asof_join_next_order`): each event matched to the user's CLOSEST
+    order in either direction, ties to the prior one (backward), plus
+    the winning gap. Composed from the two existing asof passes and one
+    exact epoch-microsecond CASE — DuckDB has no native nearest ASOF
+    either, so the oracle composes the same two joins. Scale: two
+    asof passes over the same co-partitioned timelines; the final pick
+    is per-row arithmetic."""
+    from .operators.joins import asof_join
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("user_id"), F.col("o_orderdate"))
+        .agg(F.max("o_orderkey").alias("orderkey"))
+        # asof_join returns only right PAYLOAD columns (the right ts is
+        # consumed by the match) — carry the matched date as payload too.
+        # (o_orderdate reads as TIMESTAMP_NTZ; normalize for unix_micros.)
+        .withColumn(
+            "od_us", F.unix_micros(F.col("o_orderdate").cast("timestamp"))
+        )
+    )
+    back = asof_join(
+        ev, orders.withColumnRenamed("orderkey", "bkey").withColumnRenamed(
+            "od_us", "bd_us"
+        ),
+        keys=["user_id"], left_ts="ts",
+        right_ts="o_orderdate", direction="backward",
+    ).select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "bd_us",
+        "bkey",
+    )
+    fwd = asof_join(
+        ev, orders.withColumnRenamed("orderkey", "fkey").withColumnRenamed(
+            "od_us", "fd_us"
+        ),
+        keys=["user_id"], left_ts="ts",
+        right_ts="o_orderdate", direction="forward",
+    ).select("event_id", "fd_us", "fkey")
+    j = back.join(fwd, "event_id")
+    bgap = F.col("ts_us") - F.col("bd_us")
+    fgap = F.col("fd_us") - F.col("ts_us")
+    both_null = F.col("bkey").isNull() & F.col("fkey").isNull()
+    pick_back = (
+        F.col("fkey").isNull()
+        | (F.col("bkey").isNotNull() & (bgap <= fgap))
+    )
+    return j.select(
+        "event_id",
+        "user_id",
+        F.when(both_null, F.lit(None).cast("bigint"))
+        .when(pick_back, F.col("bkey"))
+        .otherwise(F.col("fkey"))
+        .alias("nearest_orderkey"),
+        F.when(both_null, F.lit(None).cast("bigint"))
+        .when(pick_back, bgap)
+        .otherwise(fgap)
+        .cast("bigint")
+        .alias("gap_us"),
+    )
+
+
+@query(
+    "mmr_diversified_topk",
+    oracle="""
+    WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    p AS (SELECT v FROM c WHERE vec_id = 0),
+    rel0 AS (
+      SELECT c.vec_id AS cid, list_cosine_similarity(p.v, c.v) AS rel
+      FROM c, p WHERE c.vec_id <> 0
+    ),
+    cand AS (
+      SELECT cid, rel FROM (
+        SELECT cid, rel,
+               row_number() OVER (ORDER BY rel DESC, cid) AS rn
+        FROM rel0
+      ) WHERE rn <= 20
+    ),
+    sims AS (
+      SELECT a.cid AS c1, b.cid AS c2,
+             list_cosine_similarity(ca.v, cb.v) AS sim
+      FROM cand a JOIN cand b ON a.cid <> b.cid
+      JOIN c ca ON ca.vec_id = a.cid
+      JOIN c cb ON cb.vec_id = b.cid
+    ),
+    p1 AS (SELECT cid, rel FROM cand ORDER BY rel DESC, cid LIMIT 1),
+    p2 AS (
+      SELECT c.cid, c.rel FROM cand c WHERE c.cid NOT IN (SELECT cid FROM p1)
+      ORDER BY c.rel - 0.5 * coalesce(
+        (SELECT max(s.sim) FROM sims s WHERE s.c1 = c.cid
+           AND s.c2 IN (SELECT cid FROM p1)), 0) DESC, c.cid
+      LIMIT 1
+    ),
+    p3 AS (
+      SELECT c.cid, c.rel FROM cand c
+      WHERE c.cid NOT IN (SELECT cid FROM p1 UNION SELECT cid FROM p2)
+      ORDER BY c.rel - 0.5 * coalesce(
+        (SELECT max(s.sim) FROM sims s WHERE s.c1 = c.cid
+           AND s.c2 IN (SELECT cid FROM p1 UNION SELECT cid FROM p2)), 0)
+        DESC, c.cid
+      LIMIT 1
+    ),
+    p4 AS (
+      SELECT c.cid, c.rel FROM cand c
+      WHERE c.cid NOT IN (SELECT cid FROM p1 UNION SELECT cid FROM p2
+                          UNION SELECT cid FROM p3)
+      ORDER BY c.rel - 0.5 * coalesce(
+        (SELECT max(s.sim) FROM sims s WHERE s.c1 = c.cid
+           AND s.c2 IN (SELECT cid FROM p1 UNION SELECT cid FROM p2
+                        UNION SELECT cid FROM p3)), 0) DESC, c.cid
+      LIMIT 1
+    ),
+    p5 AS (
+      SELECT c.cid, c.rel FROM cand c
+      WHERE c.cid NOT IN (SELECT cid FROM p1 UNION SELECT cid FROM p2
+                          UNION SELECT cid FROM p3 UNION SELECT cid FROM p4)
+      ORDER BY c.rel - 0.5 * coalesce(
+        (SELECT max(s.sim) FROM sims s WHERE s.c1 = c.cid
+           AND s.c2 IN (SELECT cid FROM p1 UNION SELECT cid FROM p2
+                        UNION SELECT cid FROM p3 UNION SELECT cid FROM p4)),
+        0) DESC, c.cid
+      LIMIT 1
+    )
+    SELECT CAST(rank AS BIGINT) AS rank, CAST(cid AS BIGINT) AS vec_id,
+           round(rel, 4) AS relevance
+    FROM (
+      SELECT 1 AS rank, cid, rel FROM p1
+      UNION ALL SELECT 2, cid, rel FROM p2
+      UNION ALL SELECT 3, cid, rel FROM p3
+      UNION ALL SELECT 4, cid, rel FROM p4
+      UNION ALL SELECT 5, cid, rel FROM p5
+    )
+    """,
+)
+def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-marginal-relevance re-ranking — the retrieval stack's
+    diversity stage (after `similarity_topk`/BM25/RRF pick candidates,
+    MMR picks the FINAL k so near-duplicate results don't crowd the
+    list): greedily select argmax of rel(c) - 0.5*max_{s in S} sim(c, s),
+    five unrolled rounds (the fixed-iteration idiom), tiebreak vec_id.
+    Candidates are probe 0's exact-cosine top-20; all 20x19 pairwise
+    sims derive once. Both engines run the identical five argmax rounds
+    on bit-identical cosine doubles (`similarity_topk` proves the
+    cosine parity), so the picked set and order are hash-stable.
+    Scale: candidate generation is the broadcast-probe corpus scan; MMR
+    itself touches k^2 numbers regardless of corpus size."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    probe = emb.filter(F.col("vec_id") == 0)
+    cand = (
+        similarity.cosine_topk(emb, probe, k=20)
+        .select(F.col("neighbor_id").alias("cid"), F.col("cosine_sim").alias("rel"))
+        .localCheckpoint(eager=True)  # feeds every round + the sims join
+    )
+    cemb = emb.join(
+        cand.select(F.col("cid").alias("vec_id")), "vec_id", "left_semi"
+    )
+    sims = (
+        similarity.cosine_topk(cemb, cemb, k=19)
+        .select(
+            F.col("probe_id").alias("c1"),
+            F.col("neighbor_id").alias("c2"),
+            F.col("cosine_sim").alias("sim"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    picked = None  # DataFrame(cid, rel, rank)
+    for rank in range(1, 6):
+        rest = cand if picked is None else cand.join(
+            picked.select("cid"), "cid", "left_anti"
+        )
+        if picked is None:
+            scored = rest.select("cid", "rel", F.col("rel").alias("score"))
+        else:
+            pen = (
+                sims.join(picked.select(F.col("cid").alias("c2")), "c2")
+                .groupBy("c1")
+                .agg(F.max("sim").alias("maxpen"))
+            )
+            scored = rest.join(
+                pen.withColumnRenamed("c1", "cid"), "cid", "left"
+            ).select(
+                "cid",
+                "rel",
+                (
+                    F.col("rel")
+                    - 0.5 * F.coalesce(F.col("maxpen"), F.lit(0.0))
+                ).alias("score"),
+            )
+        pick = (
+            scored.orderBy(F.col("score").desc(), "cid")
+            .limit(1)
+            .select("cid", "rel", F.lit(rank).cast("bigint").alias("rank"))
+        )
+        picked = pick if picked is None else picked.unionByName(pick)
+        picked = picked.localCheckpoint(eager=True)  # bound the plan fan-out
+    return picked.select(
+        "rank",
+        F.col("cid").cast("bigint").alias("vec_id"),
+        F.round("rel", 4).alias("relevance"),
+    )
+
+
 # Oracle-bearing queries with no driver correctness row that are NOT in the
 # current front window — rotate these to the front in round 4.  (Everything
 # else that was pending after round 2 is in _ROUND3_FRONT below.)
@@ -14149,6 +14395,8 @@ _PENDING_ROUND6 = [
     "rolling_wau_bitmap",  # new in round 5 (exact sliding distinct via OR)
     "cuped_adjusted_ab",  # new in round 5 (variance-reduced experimentation)
     "quantile_normalize_sources",  # new in round 5 (batch-effect correction)
+    "asof_join_nearest_order",  # new in round 5 (merge_asof nearest)
+    "mmr_diversified_topk",  # new in round 5 (diversified re-ranking)
 ]
 
 # ROUND-6 BUILDER: build the next window from _PENDING_ROUND6 (pad with

@@ -752,3 +752,67 @@ def test_quantile_normalize_rank_preservation(spark, sf_dir):
         assert means == sorted(means), t  # per-type bin means monotone
     rvals = [ref[q] for q in sorted(ref)]
     assert rvals == sorted(rvals)  # pooled reference monotone too
+
+
+def test_asof_nearest_picks_closer_side(spark):
+    """An event between two orders matches the closer one; exact ties go
+    backward; one-sided cases fall back to the available side."""
+    import datetime as dt
+    import tempfile
+
+    from anomaly_detection_in_time_series_data_spark import queries as q
+
+    t0 = dt.datetime(2024, 1, 10)
+    orders = [
+        (100, 7, "O", 10.0, t0, "1-URGENT"),
+        (200, 7, "O", 10.0, t0 + dt.timedelta(days=10), "1-URGENT"),
+    ]
+    ocols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+             "o_orderdate", "o_orderpriority"]
+    ev = [
+        # 3 days after first order, 7 before second -> backward (100)
+        (1, t0 + dt.timedelta(days=3), 7, "a", 1.0, "{}"),
+        # 7 after / 3 before -> forward (200)
+        (2, t0 + dt.timedelta(days=7), 7, "a", 1.0, "{}"),
+        # exact midpoint (5/5) -> tie goes backward (100)
+        (3, t0 + dt.timedelta(days=5), 7, "a", 1.0, "{}"),
+        # before the first order -> forward only (200... nearest is 100 fwd)
+        (4, t0 - dt.timedelta(days=2), 7, "a", 1.0, "{}"),
+        # user with no orders -> null
+        (5, t0, 8, "a", 1.0, "{}"),
+    ]
+    ecols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    with tempfile.TemporaryDirectory() as d:
+        _write_tables(spark, d, events=(ev, ecols), orders=(orders, ocols))
+        out = {r.event_id: (r.nearest_orderkey, r.gap_us)
+               for r in q.QUERIES["asof_join_nearest_order"](spark, d).collect()}
+    day = 86_400_000_000
+    assert out[1] == (100, 3 * day)
+    assert out[2] == (200, 3 * day)
+    assert out[3] == (100, 5 * day)   # tie -> backward
+    assert out[4] == (100, 2 * day)   # only a forward match exists
+    assert out[5] == (None, None)
+
+
+def test_mmr_prefers_diverse_over_redundant(spark, sf_dir):
+    """MMR output: 5 distinct ranks and vec_ids; the rank-1 pick is the
+    plain top-1 by relevance; later picks may deviate from the pure
+    relevance order (that is the point), but every pick comes from the
+    top-20 candidate pool."""
+    from anomaly_detection_in_time_series_data_spark import queries as q
+    from anomaly_detection_in_time_series_data_spark.tables import load_table
+    from anomaly_detection_in_time_series_data_spark.operators import similarity
+
+    out = sorted(
+        q.QUERIES["mmr_diversified_topk"](spark, sf_dir).collect(),
+        key=lambda r: r.rank,
+    )
+    assert [r.rank for r in out] == [1, 2, 3, 4, 5]
+    assert len({r.vec_id for r in out}) == 5
+    emb = load_table(spark, sf_dir, "embeddings")
+    probe = emb.filter("vec_id = 0")
+    top = similarity.cosine_topk(emb, probe, k=20).collect()
+    by_rel = sorted(top, key=lambda r: (-r.cosine_sim, r.neighbor_id))
+    assert out[0].vec_id == by_rel[0].neighbor_id  # first pick = top-1
+    pool = {r.neighbor_id for r in top}
+    assert all(r.vec_id in pool for r in out)
