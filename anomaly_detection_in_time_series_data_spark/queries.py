@@ -14152,6 +14152,191 @@ def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "metric_change_attribution",
+    oracle="""
+    WITH b AS (
+      SELECT CAST((min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS BIGINT)
+        AS mid
+      FROM events
+    ),
+    seg AS (
+      SELECT event_type,
+             CAST(sum(CASE WHEN epoch_us(ts) < (SELECT mid FROM b)
+                           THEN CAST(floor(value * 1000.0) AS BIGINT)
+                           ELSE 0 END) AS BIGINT) AS pre_milli,
+             CAST(sum(CASE WHEN epoch_us(ts) < (SELECT mid FROM b)
+                           THEN 0
+                           ELSE CAST(floor(value * 1000.0) AS BIGINT)
+                      END) AS BIGINT) AS post_milli
+      FROM events GROUP BY event_type
+    ),
+    tot AS (
+      SELECT CAST(sum(pre_milli) AS BIGINT) AS tpre,
+             CAST(sum(post_milli) AS BIGINT) AS tpost
+      FROM seg
+    )
+    SELECT s.event_type,
+           s.pre_milli, s.post_milli,
+           CAST(s.post_milli - s.pre_milli AS BIGINT) AS delta_milli,
+           CAST(s.post_milli - s.pre_milli AS DOUBLE)
+             / (t.tpost - t.tpre) AS share_of_change,
+           (abs(s.post_milli - s.pre_milli) * 5
+              > abs(t.tpost - t.tpre)) AS is_major_driver,
+           (sign(s.post_milli - s.pre_milli)
+              <> sign(t.tpost - t.tpre)) AS moves_against
+    FROM seg s, tot t
+    """,
+)
+def metric_change_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Root-cause decomposition of a metric move (the Adtributor-style
+    "WHY did total value change between periods" readout): per segment
+    (event_type), the pre/post sums, the segment's delta, its SHARE of
+    the total change, whether it is a major driver (>20% of the move,
+    decided by exact integer cross-multiplication) and whether it moved
+    AGAINST the total (masked offsetting shifts — the case a plain
+    total hides). All sums are exact bigint millis; the one double is a
+    single division. Scale: one grouped conditional aggregate + a 1-row
+    broadcast of the totals — drill-down to finer segment dimensions is
+    the same plan keyed on more columns."""
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.select(F.unix_micros("ts").alias("us")).agg(
+        F.expr("cast((min(us) + max(us)) div 2 as bigint)").alias("mid")
+    )
+    v = F.floor(F.col("value") * 1000.0).cast("bigint")
+    seg = (
+        ev.crossJoin(F.broadcast(bounds))
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.when(F.unix_micros("ts") < F.col("mid"), v).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("pre_milli"),
+            F.sum(
+                F.when(F.unix_micros("ts") < F.col("mid"), F.lit(0)).otherwise(v)
+            )
+            .cast("bigint")
+            .alias("post_milli"),
+        )
+    )
+    tot = seg.agg(
+        F.sum("pre_milli").cast("bigint").alias("tpre"),
+        F.sum("post_milli").cast("bigint").alias("tpost"),
+    )
+    d = F.col("post_milli") - F.col("pre_milli")
+    td = F.col("tpost") - F.col("tpre")
+    return seg.crossJoin(F.broadcast(tot)).select(
+        "event_type",
+        "pre_milli",
+        "post_milli",
+        d.cast("bigint").alias("delta_milli"),
+        (d.cast("double") / td).alias("share_of_change"),
+        (F.abs(d) * F.lit(5) > F.abs(td)).alias("is_major_driver"),
+        (F.signum(d.cast("double")) != F.signum(td.cast("double"))).alias(
+            "moves_against"
+        ),
+    )
+
+
+@query(
+    "growth_accounting_daily",
+    oracle="""
+    WITH act AS (
+      SELECT DISTINCT user_id,
+             epoch_us(date_trunc('day', ts)) // 86400000000 AS d
+      FROM events
+    ),
+    firsts AS (
+      SELECT user_id, min(d) AS first_d FROM act GROUP BY user_id
+    ),
+    flags AS (
+      SELECT a.user_id, a.d,
+             (a.d = f.first_d) AS is_new,
+             (y.user_id IS NOT NULL) AS active_yday
+      FROM act a
+      JOIN firsts f ON f.user_id = a.user_id
+      LEFT JOIN act y ON y.user_id = a.user_id AND y.d = a.d - 1
+    ),
+    churn AS (
+      SELECT a.d + 1 AS d, count(*) AS n_churned
+      FROM act a
+      LEFT JOIN act t ON t.user_id = a.user_id AND t.d = a.d + 1
+      WHERE t.user_id IS NULL
+      GROUP BY a.d + 1
+    )
+    SELECT CAST(g.d * 86400000000 AS BIGINT) AS day_us,
+           CAST(count(*) AS BIGINT) AS n_active,
+           CAST(sum(CASE WHEN is_new THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+           CAST(sum(CASE WHEN active_yday THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_retained,
+           CAST(sum(CASE WHEN NOT is_new AND NOT active_yday
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected,
+           CAST(coalesce(max(c.n_churned), 0) AS BIGINT) AS n_churned
+    FROM flags g LEFT JOIN churn c ON c.d = g.d
+    GROUP BY g.d
+    """,
+)
+def growth_accounting_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Growth accounting — the canonical active-user decomposition every
+    product team reads: per day, actives split into NEW (first day
+    ever), RETAINED (also active yesterday) and RESURRECTED (returning
+    after a gap), plus CHURNED (active yesterday, absent today; counted
+    against today). The identity n_active = n_new + n_retained +
+    n_resurrected holds per row by construction, and day-over-day
+    active deltas reconcile as new + resurrected - churned. Sparse
+    formulation: one distinct (user, day) pass, a first-day aggregate,
+    and two self equi-joins on (user, day±1) — no dense calendar per
+    user, no window over the full history. Exact integers only."""
+    ev = load_table(spark, sf_dir, "events")
+    act = ev.select(
+        "user_id",
+        F.expr(
+            "unix_micros(date_trunc('day', ts)) div 86400000000"
+        ).alias("d"),
+    ).distinct()
+    firsts = act.groupBy("user_id").agg(F.min("d").alias("first_d"))
+    yday = act.select("user_id", (F.col("d") + 1).alias("d"), F.lit(1).alias("_y"))
+    flags = (
+        act.join(firsts, "user_id")
+        .join(yday, ["user_id", "d"], "left")
+        .select(
+            "d",
+            (F.col("d") == F.col("first_d")).alias("is_new"),
+            F.col("_y").isNotNull().alias("active_yday"),
+        )
+    )
+    tmrw = act.select("user_id", (F.col("d") - 1).alias("d"), F.lit(1).alias("_t"))
+    churn = (
+        act.join(tmrw, ["user_id", "d"], "left")
+        .filter(F.col("_t").isNull())
+        .groupBy((F.col("d") + 1).alias("d"))
+        .agg(F.count("*").cast("bigint").alias("n_churned"))
+    )
+    day = flags.groupBy("d").agg(
+        F.count("*").cast("bigint").alias("n_active"),
+        F.sum(F.when(F.col("is_new"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_new"),
+        F.sum(F.when(F.col("active_yday"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_retained"),
+        F.sum(
+            F.when(~F.col("is_new") & ~F.col("active_yday"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_resurrected"),
+    )
+    return day.join(churn, "d", "left").select(
+        (F.col("d") * F.lit(86400000000)).cast("bigint").alias("day_us"),
+        "n_active",
+        "n_new",
+        "n_retained",
+        "n_resurrected",
+        F.coalesce("n_churned", F.lit(0).cast("bigint")).alias("n_churned"),
+    )
+
+
 # Oracle-bearing queries with no driver correctness row that are NOT in the
 # current front window — rotate these to the front in round 4.  (Everything
 # else that was pending after round 2 is in _ROUND3_FRONT below.)
@@ -14397,6 +14582,8 @@ _PENDING_ROUND6 = [
     "quantile_normalize_sources",  # new in round 5 (batch-effect correction)
     "asof_join_nearest_order",  # new in round 5 (merge_asof nearest)
     "mmr_diversified_topk",  # new in round 5 (diversified re-ranking)
+    "metric_change_attribution",  # new in round 5 (root-cause decomposition)
+    "growth_accounting_daily",  # new in round 5 (new/retained/resurrected)
 ]
 
 # ROUND-6 BUILDER: build the next window from _PENDING_ROUND6 (pad with

@@ -816,3 +816,36 @@ def test_mmr_prefers_diverse_over_redundant(spark, sf_dir):
     assert out[0].vec_id == by_rel[0].neighbor_id  # first pick = top-1
     pool = {r.neighbor_id for r in top}
     assert all(r.vec_id in pool for r in out)
+
+
+def test_metric_attribution_shares_sum_to_one(spark, sf_dir):
+    """Segment shares of the total change must sum to exactly 1 and the
+    pre/post totals reconcile per segment."""
+    from anomaly_detection_in_time_series_data_spark import queries as q
+
+    rows = q.QUERIES["metric_change_attribution"](spark, sf_dir).collect()
+    assert abs(sum(r.share_of_change for r in rows) - 1.0) < 1e-9
+    for r in rows:
+        assert r.delta_milli == r.post_milli - r.pre_milli
+
+
+def test_growth_accounting_identities(spark, sf_dir):
+    """Per day: active = new + retained + resurrected; day-over-day
+    active deltas reconcile as new + resurrected - churned; day one is
+    all-new."""
+    from anomaly_detection_in_time_series_data_spark import queries as q
+
+    rows = sorted(
+        q.QUERIES["growth_accounting_daily"](spark, sf_dir).collect(),
+        key=lambda r: r.day_us,
+    )
+    assert rows[0].n_new == rows[0].n_active  # first day: everyone is new
+    prev = None
+    for r in rows:
+        assert r.n_active == r.n_new + r.n_retained + r.n_resurrected, r
+        if prev is not None and r.day_us - prev.day_us == 86_400_000_000:
+            assert (
+                r.n_active - prev.n_active
+                == r.n_new + r.n_resurrected - r.n_churned
+            ), r
+        prev = r
