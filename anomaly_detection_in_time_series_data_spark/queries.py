@@ -14337,6 +14337,217 @@ def growth_accounting_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "oof_target_encoding",
+    oracle="""
+    WITH x AS (
+      SELECT event_type,
+             CAST(epoch_us(ts) // 3600000000 % 24 AS BIGINT) AS hod,
+             CAST(substr(md5('fold|' || CAST(event_id AS VARCHAR)), 1, 1)
+                  IN ('0','1','2','3') AS INTEGER)
+               + 2 * CAST(substr(md5('fold|' || CAST(event_id AS VARCHAR)),
+                                 2, 1) IN ('0','1','2','3','4','5','6','7')
+                          AS INTEGER) AS fold,
+             CAST(floor(value * 1000.0) AS BIGINT) AS v
+      FROM events
+    ),
+    cf AS (
+      SELECT event_type, hod, fold,
+             CAST(count(*) AS BIGINT) AS n_fold,
+             CAST(sum(v) AS BIGINT) AS sv_fold
+      FROM x GROUP BY event_type, hod, fold
+    ),
+    ct AS (
+      SELECT event_type, hod,
+             CAST(sum(n_fold) AS BIGINT) AS n_cat,
+             CAST(sum(sv_fold) AS BIGINT) AS sv_cat
+      FROM cf GROUP BY event_type, hod
+    )
+    SELECT f.event_type, f.hod, f.fold, f.n_fold,
+           CASE WHEN t.n_cat - f.n_fold = 0 THEN NULL
+                ELSE CAST(t.sv_cat - f.sv_fold AS DOUBLE)
+                     / (t.n_cat - f.n_fold) / 1000.0
+           END AS oof_mean
+    FROM cf f JOIN ct t ON t.event_type = f.event_type AND t.hod = f.hod
+    """,
+)
+def oof_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-fold target encoding — the leakage-safe way to turn a
+    categorical feature ((event_type, hour-of-day) here) into the mean
+    of the target: rows in fold k receive the category mean computed
+    WITHOUT fold k ((sv_cat - sv_fold)/(n_cat - n_fold)), so no row's
+    own target leaks into its feature — naive whole-category means are
+    the classic silent overfit. Folds are a deterministic md5 split
+    (2 hex-digit bits -> 4 folds, no RNG); sums are exact bigint millis
+    and the encoding is one division; the degenerate
+    single-fold-category case is NULL, not a division error. Scale: two
+    grouped aggregates (category x fold, then category) and a broadcast
+    join back — the same plan encodes any cardinality."""
+    ev = load_table(spark, sf_dir, "events")
+    h = F.md5(F.concat(F.lit("fold|"), F.col("event_id").cast("string")))
+    fold = (
+        F.substring(h, 1, 1).isin(*"0123").cast("int")
+        + F.lit(2) * F.substring(h, 2, 1).isin(*"01234567").cast("int")
+    ).cast("bigint")
+    x = ev.select(
+        "event_type",
+        (F.expr("unix_micros(ts) div 3600000000") % 24)
+        .cast("bigint")
+        .alias("hod"),
+        fold.alias("fold"),
+        F.floor(F.col("value") * 1000.0).cast("bigint").alias("v"),
+    )
+    cf = x.groupBy("event_type", "hod", "fold").agg(
+        F.count("*").cast("bigint").alias("n_fold"),
+        F.sum("v").cast("bigint").alias("sv_fold"),
+    )
+    ct = cf.groupBy("event_type", "hod").agg(
+        F.sum("n_fold").cast("bigint").alias("n_cat"),
+        F.sum("sv_fold").cast("bigint").alias("sv_cat"),
+    )
+    return cf.join(F.broadcast(ct), ["event_type", "hod"]).select(
+        "event_type",
+        "hod",
+        "fold",
+        "n_fold",
+        F.when(
+            F.col("n_cat") - F.col("n_fold") == 0,
+            F.lit(None).cast("double"),
+        )
+        .otherwise(
+            (F.col("sv_cat") - F.col("sv_fold")).cast("double")
+            / (F.col("n_cat") - F.col("n_fold"))
+            / 1000.0
+        )
+        .alias("oof_mean"),
+    )
+
+
+# Position discounts 1/log2(i+1) for i = 1..5, quantized to exact MICRO
+# integers (round(1e6/log2(i+1))): double literals are NOT engine-portable
+# — DuckDB parses a 17-digit decimal literal through DECIMAL and lands one
+# ulp BELOW Java/Python strtod (observed on 0.38685280723454163), so even
+# "identical literals" diverge. Integer weights make DCG/IDCG exact bigint
+# sums with ONE final division; the 1e-6 discount quantization is
+# semantically irrelevant to the metric.
+_NDCG_DISCOUNTS = (1000000, 630930, 500000, 430677, 386853)
+
+
+@query(
+    "retrieval_ndcg_mrr",
+    oracle=f"""
+    WITH c AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    p AS (SELECT vec_id AS probe_id, label AS plabel, v FROM c
+          WHERE vec_id < 10),
+    scored AS (
+      SELECT p.probe_id, p.plabel, c.vec_id AS nid, c.label AS nlabel,
+             list_cosine_similarity(p.v, c.v) AS sim
+      FROM p JOIN c ON p.probe_id <> c.vec_id
+    ),
+    ranked AS (
+      SELECT probe_id,
+             CAST(nlabel = plabel AS INTEGER) AS rel,
+             row_number() OVER (PARTITION BY probe_id
+                                ORDER BY sim DESC, nid) AS rn
+      FROM scored
+    ),
+    top AS (SELECT * FROM ranked WHERE rn <= 5),
+    disc AS (
+      SELECT rn, CAST(w AS BIGINT) AS w
+      FROM (VALUES (1, {_NDCG_DISCOUNTS[0]}),
+                   (2, {_NDCG_DISCOUNTS[1]}),
+                   (3, {_NDCG_DISCOUNTS[2]}),
+                   (4, {_NDCG_DISCOUNTS[3]}),
+                   (5, {_NDCG_DISCOUNTS[4]})) AS t(rn, w)
+    ),
+    per AS (
+      SELECT t.probe_id,
+             CAST(sum(t.rel) AS BIGINT) AS n_rel,
+             CAST(sum(t.rel * d.w) AS BIGINT) AS dcg_micro,
+             CAST(sum(CASE WHEN t.rn <=
+                             (SELECT CAST(sum(rel) AS INTEGER)
+                              FROM top WHERE probe_id = t.probe_id)
+                           THEN d.w ELSE 0 END) AS BIGINT) AS idcg_micro,
+             min(CASE WHEN t.rel = 1 THEN t.rn END) AS first_rel
+      FROM top t JOIN disc d ON d.rn = t.rn
+      GROUP BY t.probe_id
+    )
+    SELECT probe_id, n_rel,
+           CASE WHEN n_rel = 0 THEN 0.0
+                ELSE CAST(dcg_micro AS DOUBLE) / idcg_micro END AS ndcg5,
+           CASE WHEN first_rel IS NULL THEN 0.0
+                ELSE 1.0 / first_rel END AS mrr
+    FROM per
+    """,
+)
+def retrieval_ndcg_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality evaluation — NDCG@5 and MRR of the exact-cosine
+    ranking, with relevance = label match (the embeddings fixture's
+    class column): the metrics that grade `similarity_topk`/ANN/RRF
+    stacks. Position discounts 1/log2(i+1) are quantized to exact MICRO
+    integers (double literals are NOT engine-portable — DuckDB's
+    decimal-literal parse lands an ulp below strtod), so DCG and IDCG
+    are order-insensitive bigint sums and NDCG is one final division;
+    MRR is an exact rational. Scale: the probe side broadcasts;
+    per-probe state is 5 rows."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 10)
+    rank_w = Window.partitionBy("probe_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id")
+    )
+    top = (
+        similarity.cosine_topk(emb, probes, k=5)
+        .withColumn("rank", F.row_number().over(rank_w))
+        .join(
+            emb.select(
+                F.col("vec_id").alias("probe_id"),
+                F.col("label").alias("plabel"),
+            ),
+            "probe_id",
+        )
+        .join(
+            emb.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("label").alias("nlabel"),
+            ),
+            "neighbor_id",
+        )
+        .select(
+            "probe_id",
+            (F.col("nlabel") == F.col("plabel")).cast("int").alias("rel"),
+            F.col("rank").alias("rn"),
+        )
+    )
+    disc = spark.createDataFrame(
+        [(i + 1, int(w)) for i, w in enumerate(_NDCG_DISCOUNTS)],
+        "rn int, w long",
+    )
+    t = top.join(F.broadcast(disc), "rn")
+    nrel_w = Window.partitionBy("probe_id")
+    t2 = t.withColumn("n_rel_all", F.sum("rel").over(nrel_w))
+    per = t2.groupBy("probe_id").agg(
+        F.sum("rel").cast("bigint").alias("n_rel"),
+        F.sum(F.col("rel") * F.col("w")).cast("bigint").alias("dcg_micro"),
+        F.sum(
+            F.when(F.col("rn") <= F.col("n_rel_all"), F.col("w")).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("idcg_micro"),
+        F.min(F.when(F.col("rel") == 1, F.col("rn"))).alias("first_rel"),
+    )
+    return per.select(
+        "probe_id",
+        "n_rel",
+        F.when(F.col("n_rel") == 0, F.lit(0.0))
+        .otherwise(F.col("dcg_micro").cast("double") / F.col("idcg_micro"))
+        .alias("ndcg5"),
+        F.when(F.col("first_rel").isNull(), F.lit(0.0))
+        .otherwise(F.lit(1.0) / F.col("first_rel"))
+        .alias("mrr"),
+    )
+
+
 # Oracle-bearing queries with no driver correctness row that are NOT in the
 # current front window — rotate these to the front in round 4.  (Everything
 # else that was pending after round 2 is in _ROUND3_FRONT below.)
@@ -14584,6 +14795,8 @@ _PENDING_ROUND6 = [
     "mmr_diversified_topk",  # new in round 5 (diversified re-ranking)
     "metric_change_attribution",  # new in round 5 (root-cause decomposition)
     "growth_accounting_daily",  # new in round 5 (new/retained/resurrected)
+    "oof_target_encoding",  # new in round 5 (leakage-safe feature encoding)
+    "retrieval_ndcg_mrr",  # new in round 5 (ranking-quality evaluation)
 ]
 
 # ROUND-6 BUILDER: build the next window from _PENDING_ROUND6 (pad with

