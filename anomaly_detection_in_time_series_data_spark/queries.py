@@ -14548,6 +14548,220 @@ def retrieval_ndcg_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "multitouch_attribution",
+    oracle="""
+    WITH pur AS (
+      SELECT event_id AS pid, user_id, epoch_us(ts) AS pts
+      FROM events WHERE event_type = 'purchase'
+    ),
+    tch AS (
+      SELECT event_id AS tid, user_id, epoch_us(ts) AS tts,
+             event_type AS channel
+      FROM events WHERE event_type IN ('view', 'click', 'signup')
+    ),
+    w AS (
+      SELECT p.pid, t.tid, t.channel,
+             CAST(1000000 // (CAST(1 AS BIGINT) <<
+               CAST((p.pts - t.tts) // 43200000000 AS INTEGER))
+               AS BIGINT) AS w
+      FROM pur p JOIN tch t
+        ON t.user_id = p.user_id
+       AND t.tts < p.pts AND p.pts - t.tts <= 259200000000
+    ),
+    tot AS (
+      SELECT pid, CAST(sum(w) AS BIGINT) AS wp FROM w GROUP BY pid
+    )
+    SELECT w.channel,
+           CAST(count(*) AS BIGINT) AS n_touches,
+           CAST(sum(w.w) AS BIGINT) AS total_weight_micro,
+           list_reduce(
+             list(CAST(w.w AS DOUBLE) / t.wp ORDER BY w.pid, w.tid),
+             (a, b) -> a + b) AS credit
+    FROM w JOIN tot t ON t.pid = w.pid
+    GROUP BY w.channel
+    """,
+)
+def multitouch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch attribution with exponential time decay — the
+    marketing-analytics workhorse beyond last-touch
+    (`attribution_click_window`): every view/click/signup in the 72h
+    before a purchase earns weight halving every 12h, expressed as the
+    EXACT integer 1e6 div 2^age (shiftleft — no pow(), no libm), each
+    purchase's credit normalizes over its own touches, and per-channel
+    credit sums the per-touch shares with the (pid, tid)-ORDERED fold
+    (the sorted-fold idiom — the shares are exact-input doubles but
+    addition order must match the oracle). Scale: one user-key interval
+    join, weights and normalization are per-row arithmetic + one
+    purchase-key aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    pur = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"),
+        "user_id",
+        F.unix_micros("ts").alias("pts"),
+    )
+    tch = ev.filter(
+        F.col("event_type").isin("view", "click", "signup")
+    ).select(
+        F.col("event_id").alias("tid"),
+        "user_id",
+        F.unix_micros("ts").alias("tts"),
+        F.col("event_type").alias("channel"),
+    )
+    w = (
+        pur.join(tch, "user_id")
+        .filter(
+            (F.col("tts") < F.col("pts"))
+            & (F.col("pts") - F.col("tts") <= 259200000000)
+        )
+        .select(
+            "pid",
+            "tid",
+            "channel",
+            F.expr(
+                "cast(1000000 div shiftleft(cast(1 as bigint), "
+                "cast((pts - tts) div 43200000000 as int)) as bigint)"
+            ).alias("w"),
+        )
+    )
+    tot = w.groupBy("pid").agg(F.sum("w").cast("bigint").alias("wp"))
+    j = w.join(tot, "pid")
+
+    def fold(col: Column) -> Column:
+        return F.aggregate(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("pid", "tid", col.alias("x")))
+                ),
+                lambda st: st["x"],
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+
+    return j.groupBy("channel").agg(
+        F.count("*").cast("bigint").alias("n_touches"),
+        F.sum("w").cast("bigint").alias("total_weight_micro"),
+        fold(F.col("w").cast("double") / F.col("wp")).alias("credit"),
+    )
+
+
+@query(
+    "detector_agreement_kappa",
+    oracle="""
+    WITH stats AS (
+      SELECT event_type,
+             avg(value) AS mu, stddev_samp(value) AS sigma,
+             quantile_cont(value, 0.25) AS q1,
+             quantile_cont(value, 0.75) AS q3
+      FROM events GROUP BY event_type
+    ),
+    flags AS (
+      SELECT e.event_type,
+             CASE WHEN s.sigma IS NOT NULL AND s.sigma > 1e-12
+                       AND abs((e.value - s.mu) / s.sigma) > 3.0
+                  THEN 1 ELSE 0 END AS z_flag,
+             CASE WHEN e.value < s.q1 - 1.5 * (s.q3 - s.q1)
+                    OR e.value > s.q3 + 1.5 * (s.q3 - s.q1)
+                  THEN 1 ELSE 0 END AS iqr_flag
+      FROM events e JOIN stats s ON s.event_type = e.event_type
+    ),
+    m AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(z_flag * iqr_flag) AS BIGINT) AS n11,
+             CAST(sum(z_flag * (1 - iqr_flag)) AS BIGINT) AS n10,
+             CAST(sum((1 - z_flag) * iqr_flag) AS BIGINT) AS n01,
+             CAST(sum((1 - z_flag) * (1 - iqr_flag)) AS BIGINT) AS n00
+      FROM flags GROUP BY event_type
+    )
+    SELECT event_type, n, n11, n10, n01, n00,
+           CAST(n11 + n00 AS DOUBLE) / n AS p_agree,
+           CASE WHEN CAST(n AS BIGINT) * n
+                     = (n11 + n10) * (n11 + n01)
+                       + (n01 + n00) * (n10 + n00)
+                THEN NULL
+                ELSE (CAST(n AS DOUBLE) * (n11 + n00)
+                      - (CAST(n11 + n10 AS DOUBLE) * (n11 + n01)
+                         + CAST(n01 + n00 AS DOUBLE) * (n10 + n00)))
+                     / (CAST(n AS DOUBLE) * n
+                        - (CAST(n11 + n10 AS DOUBLE) * (n11 + n01)
+                           + CAST(n01 + n00 AS DOUBLE) * (n10 + n00)))
+           END AS kappa
+    FROM m
+    """,
+)
+def detector_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between two anomaly detectors (z-score |z|>3 vs
+    Tukey IQR fences) — chance-corrected agreement, the right way to ask
+    "do these detectors actually see the same anomalies?" (raw percent
+    agreement is inflated when both mostly say 'normal'). The confusion
+    matrix is exact integer counts; kappa's numerator/denominator are
+    assembled from those bigints with one final division, and the
+    degenerate chance-agreement==1 case is NULL rather than 0/0. One
+    stats pass, one scoring pass, 5-row output."""
+    ev = load_table(spark, sf_dir, "events")
+    stats = ev.groupBy("event_type").agg(
+        F.avg("value").alias("mu"),
+        F.stddev_samp("value").alias("sigma"),
+        F.expr("percentile(value, 0.25)").alias("q1"),
+        F.expr("percentile(value, 0.75)").alias("q3"),
+    )
+    z = (
+        F.col("sigma").isNotNull()
+        & (F.col("sigma") > 1e-12)
+        & (F.abs((F.col("value") - F.col("mu")) / F.col("sigma")) > 3.0)
+    ).cast("int")
+    iqr = (
+        (F.col("value") < F.col("q1") - 1.5 * (F.col("q3") - F.col("q1")))
+        | (F.col("value") > F.col("q3") + 1.5 * (F.col("q3") - F.col("q1")))
+    ).cast("int")
+    flags = ev.join(F.broadcast(stats), "event_type").select(
+        "event_type", z.alias("z_flag"), iqr.alias("iqr_flag")
+    )
+    m = flags.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.col("z_flag") * F.col("iqr_flag"))
+        .cast("bigint")
+        .alias("n11"),
+        F.sum(F.col("z_flag") * (1 - F.col("iqr_flag")))
+        .cast("bigint")
+        .alias("n10"),
+        F.sum((1 - F.col("z_flag")) * F.col("iqr_flag"))
+        .cast("bigint")
+        .alias("n01"),
+        F.sum((1 - F.col("z_flag")) * (1 - F.col("iqr_flag")))
+        .cast("bigint")
+        .alias("n00"),
+    )
+    pe_int = (F.col("n11") + F.col("n10")) * (F.col("n11") + F.col("n01")) + (
+        F.col("n01") + F.col("n00")
+    ) * (F.col("n10") + F.col("n00"))
+    pe_dbl = (F.col("n11") + F.col("n10")).cast("double") * (
+        F.col("n11") + F.col("n01")
+    ) + (F.col("n01") + F.col("n00")).cast("double") * (
+        F.col("n10") + F.col("n00")
+    )
+    nd = F.col("n").cast("double")
+    return m.select(
+        "event_type",
+        "n",
+        "n11",
+        "n10",
+        "n01",
+        "n00",
+        ((F.col("n11") + F.col("n00")).cast("double") / F.col("n")).alias(
+            "p_agree"
+        ),
+        F.when(F.col("n") * F.col("n") == pe_int, F.lit(None).cast("double"))
+        .otherwise(
+            (nd * (F.col("n11") + F.col("n00")) - pe_dbl)
+            / (nd * F.col("n") - pe_dbl)
+        )
+        .alias("kappa"),
+    )
+
+
 # Oracle-bearing queries with no driver correctness row that are NOT in the
 # current front window — rotate these to the front in round 4.  (Everything
 # else that was pending after round 2 is in _ROUND3_FRONT below.)
@@ -14797,6 +15011,8 @@ _PENDING_ROUND6 = [
     "growth_accounting_daily",  # new in round 5 (new/retained/resurrected)
     "oof_target_encoding",  # new in round 5 (leakage-safe feature encoding)
     "retrieval_ndcg_mrr",  # new in round 5 (ranking-quality evaluation)
+    "multitouch_attribution",  # new in round 5 (time-decay credit split)
+    "detector_agreement_kappa",  # new in round 5 (chance-corrected agreement)
 ]
 
 # ROUND-6 BUILDER: build the next window from _PENDING_ROUND6 (pad with

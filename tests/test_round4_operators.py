@@ -889,3 +889,50 @@ def test_ndcg_mrr_ranges_and_consistency(spark, sf_dir):
             assert r.ndcg5 > 0.0 and r.mrr > 0.0
         if r.mrr == 1.0 and r.n_rel == 5:
             assert r.ndcg5 == 1.0
+
+
+def test_multitouch_decay_weights(spark):
+    """Planted journey: touches at 6h, 18h and 30h before the purchase
+    earn exact halving weights 1e6, 5e5, 25e4; credits normalize to 1
+    per purchase; a touch outside 72h earns nothing."""
+    import datetime as dt
+    import tempfile
+
+    from anomaly_detection_in_time_series_data_spark import queries as q
+
+    t0 = dt.datetime(2024, 1, 10)
+    ev = [
+        (1, t0 - dt.timedelta(hours=6), 7, "view", 1.0, "{}"),
+        (2, t0 - dt.timedelta(hours=18), 7, "click", 1.0, "{}"),
+        (3, t0 - dt.timedelta(hours=30), 7, "signup", 1.0, "{}"),
+        (4, t0 - dt.timedelta(hours=100), 7, "view", 1.0, "{}"),  # too old
+        (5, t0, 7, "purchase", 50.0, "{}"),
+    ]
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    with tempfile.TemporaryDirectory() as d:
+        _write_tables(spark, d, events=(ev, cols))
+        out = {r.channel: r for r in
+               q.QUERIES["multitouch_attribution"](spark, d).collect()}
+    assert set(out) == {"view", "click", "signup"}
+    assert out["view"].total_weight_micro == 1_000_000   # age 0 (6h < 12h)
+    assert out["click"].total_weight_micro == 500_000    # age 1
+    assert out["signup"].total_weight_micro == 250_000   # age 2
+    total = 1_000_000 + 500_000 + 250_000
+    assert abs(out["view"].credit - 1_000_000 / total) < 1e-12
+    assert abs(sum(r.credit for r in out.values()) - 1.0) < 1e-12
+
+
+def test_kappa_bounds_and_confusion_totals(spark, sf_dir):
+    """Kappa <= p_agree identity-side checks: confusion counts sum to n,
+    kappa in [-1, 1] when defined, and perfect agreement gives kappa 1."""
+    from anomaly_detection_in_time_series_data_spark import queries as q
+
+    rows = q.QUERIES["detector_agreement_kappa"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n11 + r.n10 + r.n01 + r.n00 == r.n
+        assert 0.0 <= r.p_agree <= 1.0
+        if r.kappa is not None:
+            assert -1.0 <= r.kappa <= 1.0
+            if r.p_agree == 1.0:
+                assert r.kappa == 1.0
