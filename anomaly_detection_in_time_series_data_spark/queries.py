@@ -14762,6 +14762,194 @@ def detector_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "peak_concurrency",
+    oracle="""
+    WITH iv AS (
+      SELECT event_type, event_id, epoch_us(ts) AS s_us,
+             epoch_us(ts) + CAST(floor(value * 60.0) AS BIGINT) * 1000000
+               AS e_us
+      FROM events
+    ),
+    pts AS (
+      SELECT event_type, s_us AS t, CAST(1 AS BIGINT) AS delta, event_id
+      FROM iv WHERE e_us > s_us
+      UNION ALL
+      SELECT event_type, e_us, CAST(-1 AS BIGINT), event_id
+      FROM iv WHERE e_us > s_us
+    ),
+    run AS (
+      SELECT event_type, t,
+             sum(delta) OVER (PARTITION BY event_type
+               ORDER BY t, delta, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cur
+      FROM pts
+    ),
+    pk AS (
+      SELECT event_type, CAST(max(cur) AS BIGINT) AS peak
+      FROM run GROUP BY event_type
+    )
+    SELECT r.event_type, p.peak,
+           CAST(min(r.t) AS BIGINT) AS first_peak_us,
+           CAST((SELECT count(*) FROM iv i
+                 WHERE i.event_type = r.event_type AND i.e_us > i.s_us)
+                AS BIGINT) AS n_intervals
+    FROM run r JOIN pk p ON p.event_type = r.event_type
+    WHERE r.cur = p.peak
+    GROUP BY r.event_type, p.peak
+    """,
+)
+def peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrency per event type (capacity planning: the maximum
+    number of simultaneously open intervals, with interval = the same
+    [ts, ts + floor(value)*60s) claims as `interval_union_coverage`):
+    the classic sweep — +1 at each start, -1 at each EXCLUSIVE end,
+    running sum ordered by (t, delta, event_id) so ends at an instant
+    close before starts open (touching intervals never double-count) —
+    plus the first instant the peak is reached. Zero-length claims are
+    dropped (they occupy nothing). Pure bigint arithmetic; one
+    event_type-hash shuffle carries the 2-rows-per-interval point
+    stream. The same sweep shape answers Little's-law occupancy,
+    connection-pool sizing, and room-booking conflicts."""
+    ev = load_table(spark, sf_dir, "events")
+    iv = ev.select(
+        "event_type",
+        "event_id",
+        F.unix_micros("ts").alias("s_us"),
+        (
+            F.unix_micros("ts")
+            + F.floor(F.col("value") * 60.0).cast("bigint") * F.lit(1000000)
+        ).alias("e_us"),
+    ).filter(F.col("e_us") > F.col("s_us"))
+    pts = iv.select(
+        "event_type",
+        F.col("s_us").alias("t"),
+        F.lit(1).cast("bigint").alias("delta"),
+        "event_id",
+    ).unionByName(
+        iv.select(
+            "event_type",
+            F.col("e_us").alias("t"),
+            F.lit(-1).cast("bigint").alias("delta"),
+            "event_id",
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("t", "delta", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    run = pts.select(
+        "event_type", "t", F.sum("delta").over(w).alias("cur")
+    )
+    pk = run.groupBy("event_type").agg(
+        F.max("cur").cast("bigint").alias("peak")
+    )
+    nint = iv.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_intervals")
+    )
+    return (
+        run.join(F.broadcast(pk), "event_type")
+        .filter(F.col("cur") == F.col("peak"))
+        .groupBy("event_type", "peak")
+        .agg(F.min("t").cast("bigint").alias("first_peak_us"))
+        .join(F.broadcast(nint), "event_type")
+        .select("event_type", "peak", "first_peak_us", "n_intervals")
+    )
+
+
+@query(
+    "recs_coverage_popularity",
+    oracle="""
+    WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    p AS (SELECT vec_id AS probe_id, v FROM c WHERE vec_id < 50),
+    scored AS (
+      SELECT p.probe_id, cc.vec_id AS nid,
+             list_cosine_similarity(p.v, cc.v) AS sim
+      FROM p JOIN c cc ON p.probe_id <> cc.vec_id
+    ),
+    recs AS (
+      SELECT probe_id, nid FROM (
+        SELECT probe_id, nid,
+               row_number() OVER (PARTITION BY probe_id
+                                  ORDER BY sim DESC, nid) AS rn
+        FROM scored
+      ) WHERE rn <= 5
+    ),
+    cnt AS (
+      SELECT nid, CAST(count(*) AS BIGINT) AS k FROM recs GROUP BY nid
+    ),
+    ranked AS (
+      SELECT k, row_number() OVER (ORDER BY k, nid) AS i FROM cnt
+    ),
+    g AS (
+      -- sum((2i - m - 1) k) = sum((2i - 1) k) - m * sum(k)
+      SELECT CAST(count(*) AS BIGINT) AS n_items,
+             CAST(sum(k) AS BIGINT) AS n_recs,
+             CAST(sum((2 * i - 1) * k) - count(*) * sum(k) AS BIGINT)
+               AS gnum
+      FROM ranked
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM c) AS catalog_size,
+           g.n_items AS n_recommended_items,
+           g.n_recs,
+           CAST(g.n_items AS DOUBLE)
+             / (SELECT count(*) FROM c) AS coverage,
+           CAST(g.gnum AS DOUBLE) / (g.n_items * g.n_recs) AS gini
+    FROM g
+    """,
+)
+def recs_coverage_popularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recommender-health audit of the cosine top-5 stack: CATALOG
+    COVERAGE (what share of items is ever recommended across the first
+    50 probes — low coverage means the system only ever shows a head
+    slice) and POPULARITY BIAS (Gini over per-item recommendation
+    counts via the exact rank-sum formula sum((2i-m-1)k_i)/(m*K) —
+    integer numerator, one division). The pair is the standard beyond-
+    accuracy evaluation next to `retrieval_ndcg_mrr`'s relevance view.
+    Scale: probe side broadcasts, counts are map-side combined; the
+    Gini rank window runs over distinct recommended ITEMS, not events."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 50)
+    recs = similarity.cosine_topk(emb, probes, k=5).select(
+        F.col("neighbor_id").alias("nid")
+    )
+    cnt = recs.groupBy("nid").agg(F.count("*").cast("bigint").alias("k"))
+    rw = Window.orderBy("k", "nid")
+    ranked = cnt.select(
+        "k", F.row_number().over(rw).cast("bigint").alias("i")
+    )
+    g = ranked.agg(
+        F.count("*").cast("bigint").alias("n_items"),
+        F.sum("k").cast("bigint").alias("n_recs"),
+        F.sum(
+            (F.lit(2) * F.col("i") - F.lit(1)) * F.col("k")
+        ).alias("_partial"),
+        F.sum("k").alias("_tot"),
+    ).select(
+        "n_items",
+        "n_recs",
+        # sum((2i - m - 1) k) = sum((2i - 1) k) - m * sum(k)
+        (F.col("_partial") - F.col("n_items") * F.col("_tot"))
+        .cast("bigint")
+        .alias("gnum"),
+    )
+    catalog = emb.agg(F.count("*").cast("bigint").alias("catalog_size"))
+    return g.crossJoin(F.broadcast(catalog)).select(
+        "catalog_size",
+        F.col("n_items").alias("n_recommended_items"),
+        "n_recs",
+        (F.col("n_items").cast("double") / F.col("catalog_size")).alias(
+            "coverage"
+        ),
+        (
+            F.col("gnum").cast("double")
+            / (F.col("n_items") * F.col("n_recs"))
+        ).alias("gini"),
+    )
+
+
 # Oracle-bearing queries with no driver correctness row that are NOT in the
 # current front window — rotate these to the front in round 4.  (Everything
 # else that was pending after round 2 is in _ROUND3_FRONT below.)
@@ -15013,6 +15201,8 @@ _PENDING_ROUND6 = [
     "retrieval_ndcg_mrr",  # new in round 5 (ranking-quality evaluation)
     "multitouch_attribution",  # new in round 5 (time-decay credit split)
     "detector_agreement_kappa",  # new in round 5 (chance-corrected agreement)
+    "peak_concurrency",  # new in round 5 (interval sweep capacity planning)
+    "recs_coverage_popularity",  # new in round 5 (beyond-accuracy rec eval)
 ]
 
 # ROUND-6 BUILDER: build the next window from _PENDING_ROUND6 (pad with

@@ -936,3 +936,47 @@ def test_kappa_bounds_and_confusion_totals(spark, sf_dir):
             assert -1.0 <= r.kappa <= 1.0
             if r.p_agree == 1.0:
                 assert r.kappa == 1.0
+
+
+def test_peak_concurrency_planted_overlap(spark):
+    """Three overlapping intervals peak at 3; a touching interval (starts
+    exactly when another ends, exclusive end) does NOT raise the peak."""
+    import datetime as dt
+    import tempfile
+
+    from anomaly_detection_in_time_series_data_spark import queries as q
+
+    t0 = dt.datetime(2024, 1, 1)
+    ev = [
+        # [0, 600), [60, 660), [120, 720): all three open during [120, 600)
+        (1, t0, 1, "a", 10.0, "{}"),
+        (2, t0 + dt.timedelta(seconds=60), 1, "a", 10.0, "{}"),
+        (3, t0 + dt.timedelta(seconds=120), 1, "a", 10.0, "{}"),
+        # starts exactly at 600 (the first ends there) -> still peak 3
+        (4, t0 + dt.timedelta(seconds=600), 1, "a", 10.0, "{}"),
+        (5, t0, 1, "b", 0.0, "{}"),  # zero-length claim: occupies nothing
+    ]
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    with tempfile.TemporaryDirectory() as d:
+        _write_tables(spark, d, events=(ev, cols))
+        out = {r.event_type: r for r in
+               q.QUERIES["peak_concurrency"](spark, d).collect()}
+    assert "b" not in out  # zero-length intervals drop entirely
+    r = out["a"]
+    assert r.peak == 3
+    assert r.n_intervals == 4
+    import calendar
+    t0_us = calendar.timegm(t0.timetuple()) * 1_000_000
+    assert r.first_peak_us == t0_us + 120 * 1_000_000
+
+
+def test_recs_coverage_bounds(spark, sf_dir):
+    """Coverage in (0, 1]; recommended items <= catalog; total recs =
+    probes x k; Gini in [0, 1)."""
+    from anomaly_detection_in_time_series_data_spark import queries as q
+
+    r = q.QUERIES["recs_coverage_popularity"](spark, sf_dir).collect()[0]
+    assert r.n_recs == 50 * 5
+    assert 0 < r.n_recommended_items <= r.catalog_size
+    assert 0.0 < r.coverage <= 1.0
+    assert 0.0 <= r.gini < 1.0
