@@ -15205,9 +15205,13 @@ _PENDING_ROUND6 = [
     "recs_coverage_popularity",  # new in round 5 (beyond-accuracy rec eval)
 ]
 
-# ROUND-6 BUILDER: build the next window from _PENDING_ROUND6 (pad with
-# re-checks of any round-5 reds first), call _rotate_front on it in place
-# of the round-5 call below, start an empty _PENDING_ROUND7 accumulator,
-# and update tests/test_coverage_claims.py to the new window/pending names.
+# ROUND-6 BUILDER: _PENDING_ROUND6 holds 41 names (round-5 additions all
+# preflighted green at sf0.001/0.01/0.1; the recursive/all-pairs oracle
+# families are sf0.1-skips only — the driver's sf0.01 gate runs them).
+# Build _ROUND6_FRONT = re-checks of any round-5 reds + _PENDING_ROUND6,
+# padded to exactly 50 with never-rotated green re-checks; call
+# _rotate_front(_ROUND6_FRONT) in place of the round-5 call below, start
+# an empty _PENDING_ROUND7 accumulator, and update
+# tests/test_coverage_claims.py to the new window/pending names.
 
 _rotate_front(_ROUND5_FRONT)
