@@ -14950,6 +14950,113 @@ def recs_coverage_popularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "slo_burn_rate_alerts",
+    oracle="""
+    WITH h AS (
+      SELECT epoch_us(ts) // 3600000000 AS hr,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS e
+      FROM events GROUP BY epoch_us(ts) // 3600000000
+    ),
+    w AS (
+      SELECT hr, n, e,
+             CAST(sum(n) OVER (ORDER BY hr
+               RANGE BETWEEN 5 PRECEDING AND CURRENT ROW) AS BIGINT) AS n6,
+             CAST(sum(e) OVER (ORDER BY hr
+               RANGE BETWEEN 5 PRECEDING AND CURRENT ROW) AS BIGINT) AS e6
+      FROM h
+    )
+    SELECT CAST(hr AS BIGINT) AS hr, n, e, n6, e6,
+           CAST(e AS DOUBLE) / n AS err_1h,
+           CAST(e6 AS DOUBLE) / n6 AS err_6h,
+           (e * 1000 > n * 144 AND e6 * 1000 > n6 * 144) AS page,
+           (e * 1000 > n * 36 AND e6 * 1000 > n6 * 36) AS ticket
+    FROM w
+    """,
+)
+def slo_burn_rate_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-window multi-burn-rate SLO alerting (the SRE-workbook
+    pattern): with an error budget of 10% (the fixture's uniform 5-type
+    mix runs ~20% 'error'), PAGE when BOTH the 1h and trailing-6h error
+    ratios burn faster than 14.4x budget, TICKET at 3.6x — the two-
+    window AND is what kills both flappy single-spike pages and slow
+    undetected burns. Ratios are emitted as exact-input doubles, but the
+    ALERT DECISIONS are integer cross-multiplications (e*1000 > n*144 ==
+    e/n > 14.4*0.01... scaled exactly) — no float at the threshold.
+    Scale: one hourly pre-aggregate, then RANGE-frame windows over the
+    tiny hour series."""
+    ev = load_table(spark, sf_dir, "events")
+    h = ev.groupBy(
+        F.expr("unix_micros(ts) div 3600000000").alias("hr")
+    ).agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+        .cast("bigint")
+        .alias("e"),
+    )
+    w6 = Window.orderBy("hr").rangeBetween(-5, 0)
+    w = h.select(
+        "hr",
+        "n",
+        "e",
+        F.sum("n").over(w6).cast("bigint").alias("n6"),
+        F.sum("e").over(w6).cast("bigint").alias("e6"),
+    )
+    return w.select(
+        F.col("hr").cast("bigint").alias("hr"),
+        "n",
+        "e",
+        "n6",
+        "e6",
+        (F.col("e").cast("double") / F.col("n")).alias("err_1h"),
+        (F.col("e6").cast("double") / F.col("n6")).alias("err_6h"),
+        (
+            (F.col("e") * 1000 > F.col("n") * 144)
+            & (F.col("e6") * 1000 > F.col("n6") * 144)
+        ).alias("page"),
+        (
+            (F.col("e") * 1000 > F.col("n") * 36)
+            & (F.col("e6") * 1000 > F.col("n6") * 36)
+        ).alias("ticket"),
+    )
+
+
+@query(
+    "vwap_daily",
+    oracle="""
+    SELECT CAST(l_shipdate AS DATE) AS day,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             / CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+             AS vwap,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+             AS volume,
+           CAST(count(*) AS BIGINT) AS n_trades
+    FROM lineitem GROUP BY CAST(l_shipdate AS DATE)
+    """,
+)
+def vwap_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily volume-weighted average price over lineitem (price =
+    extendedprice, volume = quantity) — the execution-quality benchmark
+    next to `twap_daily`'s time weighting and `ohlc_daily_bars`'
+    endpoints: TWAP answers "what did the day look like", VWAP answers
+    "what did it cost to actually trade the day's volume". Decimal-
+    domain sums (order-insensitive, exact) with ONE double division per
+    day. One scan, one day-hash aggregate with map-side combine."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy(
+        F.col("l_shipdate").cast("date").alias("day")
+    ).agg(
+        (
+            F.sum(_dec("l_extendedprice")).cast("double")
+            / F.sum(_dec("l_quantity")).cast("double")
+        ).alias("vwap"),
+        F.sum(_dec("l_quantity")).cast("double").alias("volume"),
+        F.count("*").cast("bigint").alias("n_trades"),
+    )
+
+
 # Oracle-bearing queries with no driver correctness row that are NOT in the
 # current front window — rotate these to the front in round 4.  (Everything
 # else that was pending after round 2 is in _ROUND3_FRONT below.)
@@ -15203,6 +15310,8 @@ _PENDING_ROUND6 = [
     "detector_agreement_kappa",  # new in round 5 (chance-corrected agreement)
     "peak_concurrency",  # new in round 5 (interval sweep capacity planning)
     "recs_coverage_popularity",  # new in round 5 (beyond-accuracy rec eval)
+    "slo_burn_rate_alerts",  # new in round 5 (multi-window SRE alerting)
+    "vwap_daily",  # new in round 5 (volume-weighted execution benchmark)
 ]
 
 # ROUND-6 BUILDER: _PENDING_ROUND6 holds 41 names (round-5 additions all
