@@ -11180,30 +11180,34 @@ def event_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT event_type, nxt, CAST(count(*) AS BIGINT) AS c
       FROM s WHERE nxt IS NOT NULL GROUP BY event_type, nxt
     ),
-    m AS (SELECT event_type, sum(c) AS tot FROM t GROUP BY event_type),
-    terms AS (
-      SELECT t.event_type, t.nxt,
-             -(CAST(t.c AS DOUBLE) / m.tot)
-               * ln(CAST(t.c AS DOUBLE) / m.tot) AS term
-      FROM t JOIN m USING (event_type)
+    t2 AS (
+      SELECT event_type, nxt, c,
+             max(c) OVER (PARTITION BY event_type) AS mx
+      FROM t
     )
     SELECT event_type,
-           (SELECT CAST(tot AS BIGINT) FROM m
-            WHERE m.event_type = terms.event_type) AS n_transitions,
-           round(list_reduce(list(term ORDER BY nxt), (a, b) -> a + b), 4)
-             AS h_next_nats
-    FROM terms GROUP BY event_type
+           CAST(sum(c) AS BIGINT) AS n_transitions,
+           CAST(count(*) AS BIGINT) AS n_next_types,
+           CAST(max(c) AS BIGINT) AS modal_count,
+           min(CASE WHEN c = mx THEN nxt END) AS modal_next,
+           CAST(sum(c * c) AS BIGINT) AS collision_num,
+           2 * max(c) > sum(c) AS majority_determined
+    FROM t2 GROUP BY event_type
     """,
 )
 def next_event_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Conditional next-event entropy H(next | current) per event type
-    over each user's timeline — the predictability score of the Markov
-    transition matrix (`event_transition_counts`): low entropy means the
-    next action is nearly determined, high means the journey branches.
-    Transition counts are exact bigints from one lead() window over the
-    user shuffle, each conditional probability is a single division, and
-    the per-type entropy is a next-type-ORDERED fold over at most
-    |types| terms. O(types^2) after the transition aggregate."""
+    """Next-event predictability of the per-type Markov transition row
+    (`event_transition_counts`), emitted as EXACT integer components
+    (r6 hardening of the round(ln) hash-flip class — the bigram-PMI fix
+    pattern, VERDICT r5 item 2): `collision_num = sum(c_i^2)` is the
+    numerator of the Rényi-2 collision probability sum(p_i^2) =
+    collision_num / n_transitions^2 (so H2 = -ln of that is derivable
+    offline), `modal_count`/`modal_next` give the argmax next step
+    (lexicographic tie-break), and `majority_determined` flags rows
+    where one successor owns an outright majority. Transition counts
+    are exact bigints from one lead() window over the user shuffle;
+    everything after is O(types^2) integer arithmetic — no libm in the
+    output schema, bit-identical across engines."""
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     s = ev.select(
@@ -11212,24 +11216,18 @@ def next_event_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = s.groupBy("event_type", "nxt").agg(
         F.count("*").cast("bigint").alias("c")
     )
-    m = t.groupBy("event_type").agg(F.sum("c").alias("tot"))
-    p = F.col("c").cast("double") / F.col("tot")
-    terms = t.join(F.broadcast(m), "event_type").select(
-        "event_type", "nxt", "tot", (-p * F.log(p)).alias("term")
+    t2 = t.withColumn(
+        "mx", F.max("c").over(Window.partitionBy("event_type"))
     )
-    return terms.groupBy("event_type").agg(
-        F.min("tot").cast("bigint").alias("n_transitions"),
-        F.round(
-            F.aggregate(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("nxt", "term"))),
-                    lambda st: st["term"],
-                ),
-                F.lit(0.0),
-                lambda a, x: a + x,
-            ),
-            4,
-        ).alias("h_next_nats"),
+    return t2.groupBy("event_type").agg(
+        F.sum("c").cast("bigint").alias("n_transitions"),
+        F.count("*").cast("bigint").alias("n_next_types"),
+        F.max("c").cast("bigint").alias("modal_count"),
+        F.min(F.when(F.col("c") == F.col("mx"), F.col("nxt"))).alias(
+            "modal_next"
+        ),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("collision_num"),
+        (2 * F.max("c") > F.sum("c")).alias("majority_determined"),
     )
 
 
@@ -11909,18 +11907,18 @@ def km_survival_signup_to_purchase(spark: SparkSession, sf_dir: str) -> DataFram
     ),
     zz AS (
       SELECT n_a, conv_a, n_b, conv_b,
-             CASE WHEN conv_a + conv_b = 0 OR conv_a + conv_b = n_a + n_b
-                  THEN 0.0
-                  ELSE (CAST(conv_a AS DOUBLE) / n_a
-                        - CAST(conv_b AS DOUBLE) / n_b)
-                       / sqrt((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
-                              * (1.0 - CAST(conv_a + conv_b AS DOUBLE)
-                                       / (n_a + n_b))
-                              * (1.0 / n_a + 1.0 / n_b)) END AS z
+             CAST(conv_a AS HUGEINT) * n_b
+               - CAST(conv_b AS HUGEINT) * n_a AS diff_num,
+             CAST(conv_a + conv_b AS HUGEINT) AS conv_t,
+             CAST(n_a + n_b AS HUGEINT) AS n_t
       FROM w
     )
-    SELECT n_a, conv_a, n_b, conv_b, round(z, 4) AS z,
-           abs(z) > 1.96 AS significant
+    SELECT n_a, conv_a, n_b, conv_b,
+           CAST(diff_num AS BIGINT) AS diff_num,
+           CASE WHEN conv_t = 0 OR conv_t = n_t THEN FALSE
+                ELSE 625 * diff_num * diff_num * n_t
+                     > 2401 * CAST(n_a AS HUGEINT) * n_b * conv_t
+                       * (n_t - conv_t) END AS significant
     FROM zz
     """,
 )
@@ -11929,12 +11927,17 @@ def ab_test_two_proportion(spark: SparkSession, sf_dir: str) -> DataFrame:
     experimentation primitive (does arm A convert differently from arm
     B?) run exactly as a pipeline would: assignment = md5('ab|'||user_id)
     parity (stable, engine-portable, no RNG), conversion = a high-value
-    purchase (value >= 100), pooled-variance z with the 1.96 two-sided
-    gate and the degenerate 0%/100% case pinned to z = 0. Every input to the
-    float expression is an exact bigint and the expression has one fixed
-    IEEE order (divisions + one sqrt, which IEEE requires correctly
-    rounded) — bit-identical z in both engines, so even the boolean gate
-    is hash-stable. One user-level aggregate, then 2-row arithmetic."""
+    purchase (value >= 100). r6 hardening (VERDICT r5 item 2): the z
+    statistic itself is no longer emitted — the 1.96 two-sided gate is
+    evaluated as the EXACT integer cross-product
+        625 * (conv_a*n_b - conv_b*n_a)^2 * n_t
+          > 2401 * n_a * n_b * conv_t * (n_t - conv_t)
+    (1.96^2 = 2401/625), computed in decimal(38,0) on the Spark side and
+    HUGEINT in the oracle, with the degenerate 0%/100% pooled-variance
+    case pinned FALSE. `diff_num = conv_a*n_b - conv_b*n_a` (the exact
+    risk-difference numerator) is emitted so direction and magnitude
+    remain auditable. No float anywhere in the output schema — the row
+    cannot hash-flip. One user-level aggregate, then 2-row arithmetic."""
     ev = load_table(spark, sf_dir, "events")
     u = ev.groupBy("user_id").agg(
         F.max(
@@ -11969,24 +11972,27 @@ def ab_test_two_proportion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("n_b"), F.col("conv").alias("conv_b")
     )
     w = a.crossJoin(F.broadcast(b))
-    pa = F.col("conv_a").cast("double") / F.col("n_a")
-    pb = F.col("conv_b").cast("double") / F.col("n_b")
-    conv_t = F.col("conv_a") + F.col("conv_b")
-    n_t = F.col("n_a") + F.col("n_b")
-    pp = conv_t.cast("double") / n_t
-    # Degenerate pooled variance (0% or 100% conversion) -> no evidence,
-    # z = 0 by convention (and no ANSI divide-by-zero).
-    z = F.when((conv_t == 0) | (conv_t == n_t), F.lit(0.0)).otherwise(
-        (pa - pb)
-        / F.sqrt(
-            pp * (F.lit(1.0) - pp)
-            * (F.lit(1.0) / F.col("n_a") + F.lit(1.0) / F.col("n_b"))
-        )
+    dec = "decimal(38,0)"
+    diff_num = F.col("conv_a").cast(dec) * F.col("n_b") - F.col(
+        "conv_b"
+    ).cast(dec) * F.col("n_a")
+    conv_t = (F.col("conv_a") + F.col("conv_b")).cast(dec)
+    n_t = (F.col("n_a") + F.col("n_b")).cast(dec)
+    # Degenerate pooled variance (0% or 100% conversion) -> no evidence.
+    sig = F.when(
+        (conv_t == 0) | (conv_t == n_t), F.lit(False)
+    ).otherwise(
+        F.lit(625).cast(dec) * diff_num * diff_num * n_t
+        > F.lit(2401).cast(dec)
+        * F.col("n_a").cast(dec)
+        * F.col("n_b")
+        * conv_t
+        * (n_t - conv_t)
     )
     return w.select(
         "n_a", "conv_a", "n_b", "conv_b",
-        F.round(z, 4).alias("z"),
-        (F.abs(z) > 1.96).alias("significant"),
+        diff_num.cast("bigint").alias("diff_num"),
+        sig.alias("significant"),
     )
 
 
