@@ -99,7 +99,9 @@ def with_shingles(
     """
     spark = df.sparkSession
     target = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    # .rdd is illegal on a streaming frame (streaming minhash path); a
+    # stream's micro-batch parallelism is the source's, so skip the widen.
+    if not df.isStreaming and df.rdd.getNumPartitions() < target:
         df = df.repartition(target, F.col(id_col))
     toked = df.select(id_col, tokens(F.lower(F.col(text_col))).alias("_toks"))
     return toked.select(id_col, shingles_of(F.col("_toks"), n).alias("_shingles"))
@@ -625,7 +627,9 @@ def doc_segments(
     """
     spark = df.sparkSession
     target = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    # .rdd is illegal on a streaming frame (streaming minhash path); a
+    # stream's micro-batch parallelism is the source's, so skip the widen.
+    if not df.isStreaming and df.rdd.getNumPartitions() < target:
         df = df.repartition(target, F.col(id_col))
     toked = df.select(id_col, tokens(F.lower(F.col(text_col))).alias("_toks"))
     n_segs = F.ceil(F.size("_toks") / k).cast("int")

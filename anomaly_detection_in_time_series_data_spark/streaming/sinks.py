@@ -79,3 +79,86 @@ def upsert_foreach_batch(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def scd2_foreach_batch(
+    stream: DataFrame,
+    path: str,
+    *,
+    keys: list[str],
+    tracked: list[str],
+    ts_col: str,
+    checkpoint: str,
+    seq_col: str | None = None,
+):
+    """Start a foreachBatch streaming query that folds each micro-batch
+    into a TYPE-2 slowly-changing dimension at ``path`` via
+    ``cdc.scd2_merge`` — the streaming upsert unified with the batch CDC
+    operator (one merge implementation, two runtimes).
+
+    Each micro-batch is a CDC delivery (one row per key, or per
+    (key, seq) when ``seq_col`` is given): unseen keys open a version,
+    unchanged re-deliveries are no-ops, changes close the open row at the
+    update timestamp and insert a new open version.  Because the no-op
+    case makes ``scd2_merge`` idempotent on re-delivered batches,
+    foreachBatch's at-least-once replay converges — the same
+    effectively-once argument as ``upsert_foreach_batch``, with history
+    preserved instead of overwritten.
+
+    ``seq_col``: optional integer column giving the CDC sequence ORDER of
+    sub-batches; if one trigger coalesces several deliveries (file-source
+    backlog), they are folded in ascending ``seq_col`` order so the
+    resulting history is independent of trigger boundaries.  The distinct
+    sub-batch list is a driver-side collect bounded by the number of CDC
+    deliveries per trigger (single-digit), never by data size.
+
+    State lives as a plain parquet table with staging-dir swap (the
+    transactional-table commit at scale — Iceberg/Delta MERGE — keeps the
+    identical micro-batch merge shape).
+    """
+    from ..operators.cdc import scd2_merge
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        out = Path(path)
+        if out.exists():
+            current = spark.read.parquet(str(out))
+        else:
+            cols = ", ".join(
+                f"{f.name} {f.dataType.simpleString()}"
+                for f in batch_df.drop(seq_col).schema
+                if f.name != ts_col
+            )
+            current = spark.createDataFrame(
+                [],
+                schema=f"{cols}, valid_from timestamp, valid_to timestamp",
+            )
+        if seq_col is not None:
+            seqs = sorted(
+                r[0] for r in batch_df.select(seq_col).distinct().collect()
+            )
+            subs = [
+                batch_df.filter(F.col(seq_col) == s).drop(seq_col)
+                for s in seqs
+            ]
+        else:
+            subs = [batch_df]
+        for upd in subs:
+            current = scd2_merge(
+                current, upd, keys=keys, tracked=tracked, ts_col=ts_col
+            )
+            # scd2_merge fans current into 4 branches; materialize per fold
+            # so a multi-delivery trigger stays one-merge-deep (the
+            # scd2_event_type_history plan-depth lesson).
+            current = current.localCheckpoint(eager=True)
+        staging = Path(f"{path}.stage-{batch_id}")
+        current.write.mode("overwrite").parquet(str(staging))
+        shutil.rmtree(out, ignore_errors=True)
+        staging.rename(out)
+
+    return (
+        stream.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

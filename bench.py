@@ -121,6 +121,15 @@ HEADLINE = [
     "prefix_filter_jaccard_join",
     "streaming_bitmap_distinct",
     "rolling_wau_bitmap",
+    # round-6 additions: the streaming capability wave + the two MLlib-seam
+    # graduations (micro-Lloyd kmeans / hard-EM gmm)
+    "streaming_minhash_candidates",
+    "streaming_scd2_upsert",
+    "streaming_closed_sessions",
+    "streaming_interval_join_pairs",
+    "streaming_chained_windows",
+    "kmeans_anomaly_scores",
+    "gmm_anomaly_scores",
 ]
 
 

@@ -49,43 +49,44 @@ def test_every_claimed_oracle_is_verified_or_scheduled():
     claimed = _claimed_oracles() & set(q.QUERIES)
     green = _recorded_green()
     window = set(list(q.QUERIES)[:50])
-    pending = set(q._PENDING_ROUND6)
+    pending = set(q._PENDING_ROUND7)
     orphaned = sorted(
         n for n in claimed if n not in green and n not in window and n not in pending
     )
     assert not orphaned, (
         "oracle claims with no driver row, not in the current correctness "
-        f"window, and not scheduled in _PENDING_ROUND6: {orphaned}"
+        f"window, and not scheduled in _PENDING_ROUND7: {orphaned}"
     )
 
 
 def test_pending_rotation_list_is_consistent():
-    """_PENDING_ROUND6 names must exist, carry oracles, and actually need a
+    """_PENDING_ROUND7 names must exist, carry oracles, and actually need a
     rotation (drop them from the list once a green row is recorded AND
     they have left the front window)."""
-    pending = list(q._PENDING_ROUND6)
-    assert len(pending) == len(set(pending)), "duplicates in _PENDING_ROUND6"
+    pending = list(q._PENDING_ROUND7)
+    assert len(pending) == len(set(pending)), "duplicates in _PENDING_ROUND7"
     unknown = sorted(set(pending) - set(q.QUERIES))
-    assert not unknown, f"unknown queries in _PENDING_ROUND6: {unknown}"
+    assert not unknown, f"unknown queries in _PENDING_ROUND7: {unknown}"
     no_sql = sorted(n for n in pending if n not in q.ORACLE)
-    assert not no_sql, f"_PENDING_ROUND6 entries without oracle SQL: {no_sql}"
+    assert not no_sql, f"_PENDING_ROUND7 entries without oracle SQL: {no_sql}"
 
 
-def test_round5_front_window_is_exact():
+def test_round6_front_window_is_exact():
     """The rotation IS the round-to-round correctness mechanism: the front
     must be exactly the driver's 50-name window, every name must carry an
     oracle, and the registry must actually start with it (a typo or a
     re-registration after _rotate_front would silently shrink coverage)."""
-    front = list(q._ROUND5_FRONT)
+    front = list(q._ROUND6_FRONT)
     assert len(front) == 50, f"front window must be exactly 50, got {len(front)}"
-    assert len(set(front)) == 50, "duplicates in _ROUND5_FRONT"
+    assert len(set(front)) == 50, "duplicates in _ROUND6_FRONT"
     no_sql = sorted(n for n in front if n not in q.ORACLE)
-    assert not no_sql, f"_ROUND5_FRONT entries without oracle SQL: {no_sql}"
-    assert front[0] == "bigram_pmi_collocations", (
-        "the round-4 red row must re-enter the window for its green row"
+    assert not no_sql, f"_ROUND6_FRONT entries without oracle SQL: {no_sql}"
+    assert set(q._PENDING_ROUND6) <= set(front) | set(q._PENDING_ROUND7), (
+        "every round-5 backlog name must be in the round-6 window or "
+        "explicitly deferred to _PENDING_ROUND7"
     )
     assert list(q.QUERIES)[:50] == front, (
-        "QUERIES does not start with _ROUND5_FRONT — was something "
+        "QUERIES does not start with _ROUND6_FRONT — was something "
         "registered after _rotate_front()?"
     )
 

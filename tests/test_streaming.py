@@ -387,3 +387,76 @@ def test_paced_batches_reproduce_reference_gap_envelope(
     # The distribution the reference logged: every gap in [2.8, 4.8], and
     # both envelope edges actually occur in the schedule.
     assert min(got_gaps) == 2.8 and max(got_gaps) == 4.8
+
+
+def test_scd2_foreach_batch_coalesced_trigger_folds_in_seq_order(spark, tmp_path):
+    """The seq_col contract of ``sinks.scd2_foreach_batch``: when the file
+    source coalesces several CDC deliveries into ONE trigger, the sink
+    must fold them in ascending seq order — producing the identical SCD2
+    history as a file-per-trigger replay (trigger boundaries must not
+    change the dimension)."""
+    import datetime as dt
+
+    from anomaly_detection_in_time_series_data_spark.streaming.sinks import (
+        scd2_foreach_batch,
+    )
+
+    t = lambda d: dt.datetime(2024, 1, d)  # noqa: E731
+    deliveries = [
+        # seq 1: both keys open
+        [(1, "a", t(1), 1), (2, "x", t(1), 1)],
+        # seq 2: key 1 changes (close+open), key 2 unchanged (no-op)
+        [(1, "b", t(8), 2), (2, "x", t(8), 2)],
+        # seq 3: key 2 changes
+        [(2, "y", t(15), 3)],
+    ]
+    schema = "user_id bigint, event_type string, ts timestamp, wk int"
+
+    def run(src_dir: str, store: str, ckpt: str, per_trigger: bool):
+        for i, rows in enumerate(deliveries):
+            d = spark.createDataFrame(rows, schema=schema)
+            stage = f"{src_dir}_stage{i}"
+            d.coalesce(1).write.mode("overwrite").parquet(stage)
+            import glob as g
+            import os
+            import shutil as sh
+
+            os.makedirs(src_dir, exist_ok=True)
+            part = g.glob(f"{stage}/part-*.parquet")[0]
+            dst = f"{src_dir}/delivery-{i}.parquet"
+            sh.move(part, dst)
+            os.utime(dst, (1_000_000_000 + i, 1_000_000_000 + i))
+        reader = spark.readStream.schema(schema)
+        if per_trigger:
+            reader = reader.option("maxFilesPerTrigger", 1)
+        stream = reader.parquet(src_dir)
+        scd2_foreach_batch(
+            stream,
+            store,
+            keys=["user_id"],
+            tracked=["event_type"],
+            ts_col="ts",
+            checkpoint=ckpt,
+            seq_col="wk",
+        ).awaitTermination()
+        return {
+            (r.user_id, r.event_type, r.valid_from, r.valid_to)
+            for r in spark.read.parquet(store).collect()
+        }
+
+    one_per = run(
+        str(tmp_path / "src_a"), str(tmp_path / "dim_a"),
+        str(tmp_path / "ck_a"), True,
+    )
+    coalesced = run(
+        str(tmp_path / "src_b"), str(tmp_path / "dim_b"),
+        str(tmp_path / "ck_b"), False,
+    )
+    assert one_per == coalesced
+    # and the history itself is the expected 5-version table
+    assert one_per == {
+        (1, "a", t(1), t(8)),
+        (1, "b", t(8), None),
+        (2, "x", t(1), t(15)),
+        (2, "y", t(15), None),
+    }
