@@ -15823,6 +15823,641 @@ def streaming_rate_spike_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+# --------------------------------------------------------------------------
+# Round-6 backlog build for the round-7 window (_PENDING_ROUND7): CDC
+# snapshot diffing, incremental-view maintenance, data-delivery SLA audit,
+# finance-style running-extreme analytics, exact rational rank statistics,
+# privacy l-diversity, RFM segmentation, off-policy replay evaluation, and
+# a streaming point-in-time enrichment leg.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "cdc_snapshot_diff",
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id, event_type, ts,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts DESC,
+                                event_id DESC) AS rn,
+             weekofyear(ts) AS wk
+      FROM events WHERE weekofyear(ts) <= 3
+    ),
+    old AS (SELECT user_id, event_type AS old_type FROM ranked WHERE rn = 1),
+    ranked2 AS (
+      SELECT user_id, event_type, ts,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts DESC,
+                                event_id DESC) AS rn
+      FROM events WHERE weekofyear(ts) >= 4
+    ),
+    new AS (SELECT user_id, event_type AS new_type FROM ranked2 WHERE rn = 1)
+    SELECT coalesce(o.user_id, n.user_id) AS user_id,
+           CASE WHEN o.user_id IS NULL THEN 'insert'
+                WHEN n.user_id IS NULL THEN 'delete'
+                ELSE 'update' END AS op,
+           o.old_type, n.new_type
+    FROM old o FULL OUTER JOIN new n ON n.user_id = o.user_id
+    WHERE o.user_id IS NULL OR n.user_id IS NULL
+       OR o.old_type <> n.new_type
+    """,
+)
+def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-vs-snapshot CDC derivation — the complement of the merge
+    operators (`scd2_merge` consumes a changeset; this PRODUCES one):
+    given the latest per-user state in an old snapshot (weeks <= 3) and a
+    new snapshot (weeks >= 4), emit the minimal changeset — 'insert'
+    (key only in new), 'delete' (key only in old), 'update' (tracked
+    attribute differs) — with unchanged keys suppressed, exactly what a
+    periodic-full-export source needs converted into deltas before a
+    MERGE. One ranked-window pass per snapshot, one full-outer key join;
+    at 100 TB both snapshots shuffle once on the key and the diff is
+    linear — never a row-by-row compare."""
+    ev = load_table(spark, sf_dir, "events")
+    wk = F.weekofyear("ts")
+
+    def snap(pred, alias):
+        w = Window.partitionBy("user_id").orderBy(
+            F.col("ts").desc(), F.col("event_id").desc()
+        )
+        return (
+            ev.filter(pred)
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("user_id", F.col("event_type").alias(alias))
+        )
+
+    old = snap(wk <= 3, "old_type")
+    new = snap(wk >= 4, "new_type")
+    j = old.join(new, "user_id", "full_outer")
+    op = (
+        F.when(F.col("old_type").isNull(), F.lit("insert"))
+        .when(F.col("new_type").isNull(), F.lit("delete"))
+        .otherwise(F.lit("update"))
+    )
+    return j.filter(
+        F.col("old_type").isNull()
+        | F.col("new_type").isNull()
+        | (F.col("old_type") != F.col("new_type"))
+    ).select("user_id", op.alias("op"), "old_type", "new_type")
+
+
+@query(
+    "incremental_agg_maintenance",
+    oracle="""
+    SELECT event_type,
+           CAST(epoch_us(date_trunc('day', ts)) AS BIGINT) AS day_us,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(floor(value * 1000.0) AS BIGINT)) AS BIGINT)
+             AS sum_milli
+    FROM events GROUP BY event_type, date_trunc('day', ts)
+    """,
+)
+def incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance (IVM): the daily rollup
+    is NOT recomputed from scratch — the week-<=-2 base state merges with
+    the week->-2 delta batch through a full-outer coalesce-sum (the
+    self-maintainable-aggregate update rule: count and sum merge by
+    addition; avg/stddev derive from them downstream).  Hash-equality
+    with the direct full-recompute oracle PROVES the merge rule — the
+    guarantee an incremental nightly pipeline depends on.  At 100 TB the
+    delta is a day's partition, the base is the stored view, and the
+    merge shuffles only view-grain rows (types x days), never the fact
+    history — the whole point of IVM."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.date_trunc("day", "ts")
+    )
+    milli = F.floor(F.col("value") * 1000.0).cast("bigint")
+
+    def agg(df):
+        return df.groupBy("event_type", "day").agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.sum(milli).cast("bigint").alias("sum_milli"),
+        )
+
+    base = agg(ev.filter(F.weekofyear("ts") <= 2))
+    delta = agg(ev.filter(F.weekofyear("ts") > 2))
+    b = base.select(
+        "event_type", "day",
+        F.col("n_events").alias("n_b"), F.col("sum_milli").alias("s_b"),
+    )
+    d = delta.select(
+        "event_type", "day",
+        F.col("n_events").alias("n_d"), F.col("sum_milli").alias("s_d"),
+    )
+    merged = b.join(d, ["event_type", "day"], "full_outer").select(
+        "event_type",
+        F.unix_micros("day").alias("day_us"),
+        (F.coalesce("n_b", F.lit(0)) + F.coalesce("n_d", F.lit(0)))
+        .cast("bigint")
+        .alias("n_events"),
+        (F.coalesce("s_b", F.lit(0)) + F.coalesce("s_d", F.lit(0)))
+        .cast("bigint")
+        .alias("sum_milli"),
+    )
+    return merged
+
+
+@query(
+    "delivery_completeness_audit",
+    oracle="""
+    WITH bounds AS (
+      SELECT date_trunc('day', min(ts)) AS d0, date_trunc('day', max(ts)) AS d1
+      FROM events
+    ),
+    spine AS (
+      SELECT e.event_type, s.day
+      FROM (SELECT DISTINCT event_type FROM events) e
+      CROSS JOIN (
+        SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+        FROM bounds
+      ) s
+    ),
+    obs AS (
+      SELECT event_type, date_trunc('day', ts) AS day,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    j AS (
+      SELECT s.event_type, s.day, coalesce(o.n, 0) AS n,
+             CASE WHEN o.n IS NULL THEN 1 ELSE 0 END AS missing
+      FROM spine s LEFT JOIN obs o
+        ON o.event_type = s.event_type AND o.day = s.day
+    ),
+    runs AS (
+      SELECT event_type, day, missing,
+             CAST(epoch_us(day) AS BIGINT) // 86400000000
+               - row_number() OVER (PARTITION BY event_type, missing
+                                    ORDER BY day) AS grp
+      FROM j
+    ),
+    gaps AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS gap_len
+      FROM runs WHERE missing = 1 GROUP BY event_type, grp
+    )
+    SELECT j.event_type,
+           CAST(count(*) AS BIGINT) AS n_days_expected,
+           CAST(sum(1 - j.missing) AS BIGINT) AS n_days_present,
+           CAST(sum(j.missing) AS BIGINT) AS n_days_missing,
+           CAST(sum(j.n) AS BIGINT) AS n_events,
+           coalesce((SELECT max(gap_len) FROM gaps g
+                     WHERE g.event_type = j.event_type), 0) AS longest_gap_days
+    FROM j GROUP BY j.event_type
+    """,
+)
+def delivery_completeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-delivery SLA audit — the completeness half of pipeline
+    observability (`event_lateness_audit` is the latency half): a dense
+    (type x day) spine over the observed span, per-day presence, and the
+    LONGEST consecutive missing-day run per type via gaps-and-islands on
+    the day index (day_index - rank = constant within a run).  A silent
+    source outage shows up as longest_gap_days, not as a quietly smaller
+    aggregate.  The spine is |types| x |days| rows (tiny at any fact
+    scale); facts shuffle once for the daily counts."""
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.date_trunc("day", F.min("ts")).alias("d0"),
+        F.date_trunc("day", F.max("ts")).alias("d1"),
+    )
+    spine = (
+        ev.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))
+            ).alias("day"),
+        )
+    )
+    obs = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count("*").cast("bigint").alias("n"))
+    j = spine.join(obs, ["event_type", "day"], "left").select(
+        "event_type",
+        "day",
+        F.coalesce("n", F.lit(0)).alias("n"),
+        F.when(F.col("n").isNull(), 1).otherwise(0).alias("missing"),
+    )
+    wrun = Window.partitionBy("event_type", "missing").orderBy("day")
+    runs = j.withColumn(
+        "grp",
+        (F.unix_micros("day") / F.lit(86400000000)).cast("bigint")
+        - F.row_number().over(wrun),
+    )
+    gaps = (
+        runs.filter(F.col("missing") == 1)
+        .groupBy("event_type", "grp")
+        .agg(F.count("*").cast("bigint").alias("gap_len"))
+        .groupBy("event_type")
+        .agg(F.max("gap_len").alias("longest_gap_days"))
+    )
+    per = j.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_days_expected"),
+        F.sum(1 - F.col("missing")).cast("bigint").alias("n_days_present"),
+        F.sum("missing").cast("bigint").alias("n_days_missing"),
+        F.sum("n").cast("bigint").alias("n_events"),
+    )
+    return per.join(F.broadcast(gaps), "event_type", "left").select(
+        "event_type", "n_days_expected", "n_days_present", "n_days_missing",
+        "n_events",
+        F.coalesce("longest_gap_days", F.lit(0))
+        .cast("bigint")
+        .alias("longest_gap_days"),
+    )
+
+
+@query(
+    "max_drawdown_per_type",
+    oracle="""
+    WITH s AS (
+      SELECT event_type, ts, event_id,
+             sum(CAST(floor(value * 1000.0) AS BIGINT))
+               OVER (PARTITION BY event_type ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS cum
+      FROM events
+    ),
+    r AS (
+      SELECT event_type, ts, event_id, cum,
+             max(cum) OVER (PARTITION BY event_type ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS peak
+      FROM s
+    ),
+    d AS (
+      SELECT event_type, ts, event_id, peak - cum AS dd,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY peak - cum DESC, ts, event_id)
+               AS rk
+      FROM r
+    )
+    SELECT event_type, CAST(dd AS BIGINT) AS max_drawdown_milli,
+           CAST(epoch_us(ts) AS BIGINT) AS trough_us
+    FROM d WHERE rk = 1
+    """,
+)
+def max_drawdown_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown per signal — the running-extreme analytic of
+    finance risk and SLO burn tracking (largest peak-to-trough fall of
+    the cumulative value series), exact end-to-end: milli-quantized
+    bigint cumulative sum, running max, argmax drawdown with (ts,
+    event_id) first-occurrence tie-break.  Two window passes + one
+    ranked argmin over the SAME (type, ts) sort order — Catalyst reuses
+    one shuffle+sort for all three windows, so the series is sorted
+    once.  The 100 TB caveat of any per-key prefix scan applies: a key's
+    full history visits one task; keys themselves parallelize."""
+    ev = load_table(spark, sf_dir, "events")
+    milli = F.floor(F.col("value") * 1000.0).cast("bigint")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    s = ev.select(
+        "event_type", "ts", "event_id", F.sum(milli).over(w).alias("cum")
+    )
+    r = s.withColumn("peak", F.max("cum").over(w))
+    wrk = Window.partitionBy("event_type").orderBy(
+        (F.col("peak") - F.col("cum")).desc(), "ts", "event_id"
+    )
+    return (
+        r.withColumn("rk", F.row_number().over(wrk))
+        .filter(F.col("rk") == 1)
+        .select(
+            "event_type",
+            (F.col("peak") - F.col("cum"))
+            .cast("bigint")
+            .alias("max_drawdown_milli"),
+            F.unix_micros("ts").alias("trough_us"),
+        )
+    )
+
+
+@query(
+    "exact_percent_rank_extremes",
+    oracle="""
+    WITH v AS (
+      SELECT event_type, event_id,
+             CAST(floor(value * 1000.0) AS BIGINT) AS vm
+      FROM events
+    ),
+    r AS (
+      SELECT event_type, event_id, vm,
+             rank() OVER (PARTITION BY event_type ORDER BY vm, event_id)
+               AS rnk,
+             count(*) OVER (PARTITION BY event_type) AS n,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY vm DESC, event_id DESC) AS top
+      FROM v
+    )
+    SELECT event_type, event_id, vm,
+           CAST(rnk - 1 AS BIGINT) AS pr_num,
+           CAST(n - 1 AS BIGINT) AS pr_den,
+           CAST(rnk AS BIGINT) AS cd_num,
+           CAST(n AS BIGINT) AS cd_den
+    FROM r WHERE top <= 5
+    """,
+)
+def exact_percent_rank_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank / cume_dist as EXACT RATIONALS for the per-type top-5
+    values: the engines' built-ins emit doubles ((rank-1)/(n-1)), which
+    is the hash-flip class — here the numerator/denominator bigints are
+    emitted unreduced, so a consumer reconstructs the double (or compares
+    rationals exactly) while the gate stays bit-stable.  With a total
+    (vm, event_id) order, rank == row_number and cume_dist's numerator is
+    the rank itself.  One shuffle on the type; the top-5 filter is a
+    second window over the same sort, reversed."""
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select(
+        "event_type",
+        "event_id",
+        F.floor(F.col("value") * 1000.0).cast("bigint").alias("vm"),
+    )
+    wasc = Window.partitionBy("event_type").orderBy("vm", "event_id")
+    wall = Window.partitionBy("event_type")
+    wdesc = Window.partitionBy("event_type").orderBy(
+        F.col("vm").desc(), F.col("event_id").desc()
+    )
+    return (
+        v.withColumn("rnk", F.rank().over(wasc))
+        .withColumn("n", F.count("*").over(wall))
+        .withColumn("top", F.row_number().over(wdesc))
+        .filter(F.col("top") <= 5)
+        .select(
+            "event_type", "event_id", "vm",
+            (F.col("rnk") - 1).cast("bigint").alias("pr_num"),
+            (F.col("n") - 1).cast("bigint").alias("pr_den"),
+            F.col("rnk").cast("bigint").alias("cd_num"),
+            F.col("n").cast("bigint").alias("cd_den"),
+        )
+    )
+
+@query(
+    "l_diversity_audit",
+    oracle="""
+    WITH g AS (
+      SELECT source, n_chars // 256 AS chars_bucket,
+             CAST(count(*) AS BIGINT) AS k,
+             CAST(count(DISTINCT lang) AS BIGINT) AS l
+      FROM documents GROUP BY 1, 2
+    )
+    SELECT source, CAST(chars_bucket AS BIGINT) AS chars_bucket, k, l,
+           l >= 3 AS l_diverse
+    FROM g
+    """,
+)
+def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit — the sensitive-attribute complement of
+    `k_anonymity_audit`: k-anonymity alone lets an attacker who locates a
+    quasi-identifier group (source, size bucket) learn the sensitive
+    attribute (language) if the whole group shares it; a group is safe
+    only when it contains >= l distinct sensitive values.  Exact integer
+    group sizes + distinct counts, boolean l>=3 verdict.  One shuffle on
+    the quasi-identifier; count_distinct is exact (the group count is
+    the privacy number — a sketch would be a compliance bug)."""
+    docs = load_table(spark, sf_dir, "documents")
+    g = docs.groupBy(
+        "source",
+        F.expr("n_chars div 256").cast("bigint").alias("chars_bucket"),
+    ).agg(
+        F.count("*").cast("bigint").alias("k"),
+        F.count_distinct("lang").cast("bigint").alias("l"),
+    )
+    return g.select(
+        "source", "chars_bucket", "k", "l", (F.col("l") >= 3).alias("l_diverse")
+    )
+
+
+@query(
+    "rfm_user_segments",
+    oracle="""
+    WITH mx AS (
+      SELECT CAST(epoch_us(date_trunc('day', max(ts))) AS BIGINT)
+               // 86400000000 AS today
+      FROM events
+    ),
+    u AS (
+      SELECT user_id,
+             CAST((SELECT today FROM mx)
+                  - CAST(epoch_us(date_trunc('day', max(ts))) AS BIGINT)
+                    // 86400000000 AS BIGINT) AS recency_days,
+             CAST(count(*) AS BIGINT) AS frequency,
+             CAST(sum(CAST(floor(value * 1000.0) AS BIGINT)) AS BIGINT)
+               AS monetary_milli
+      FROM events GROUP BY user_id
+    ),
+    s AS (
+      SELECT user_id, recency_days, frequency, monetary_milli,
+             CAST(ntile(5) OVER (ORDER BY recency_days, user_id) AS BIGINT)
+               AS r_score,
+             CAST(ntile(5) OVER (ORDER BY frequency DESC, user_id)
+               AS BIGINT) AS f_score,
+             CAST(ntile(5) OVER (ORDER BY monetary_milli DESC, user_id)
+               AS BIGINT) AS m_score
+      FROM u
+    )
+    SELECT user_id, recency_days, frequency, monetary_milli,
+           r_score, f_score, m_score,
+           CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR)
+             || CAST(m_score AS VARCHAR) AS segment
+    FROM s
+    """,
+)
+def rfm_user_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) customer segmentation — the
+    standard product-analytics scoring: per-user day-grain recency from
+    the corpus high-water mark, exact event count, exact milli-sum
+    monetary; quintile scores via ntile(5) over TOTAL orders (score 1 =
+    most recent / most frequent / highest spend; user_id tie-break makes
+    every ntile deterministic — both engines use the SQL-standard
+    floor-distribution rule), concatenated into the '111'..'555' segment
+    key.  One user aggregate + three rank windows over the small user
+    grain, never the fact table."""
+    ev = load_table(spark, sf_dir, "events")
+    day_idx = (
+        F.unix_micros(F.date_trunc("day", "ts")) / F.lit(86400000000)
+    ).cast("bigint")
+    milli = F.floor(F.col("value") * 1000.0).cast("bigint")
+    u = ev.groupBy("user_id").agg(
+        F.max(day_idx).alias("last_day"),
+        F.count("*").cast("bigint").alias("frequency"),
+        F.sum(milli).cast("bigint").alias("monetary_milli"),
+    )
+    today = u.agg(F.max("last_day").alias("today"))
+    u = u.crossJoin(F.broadcast(today)).select(
+        "user_id",
+        (F.col("today") - F.col("last_day")).cast("bigint").alias(
+            "recency_days"
+        ),
+        "frequency",
+        "monetary_milli",
+    )
+    wr = Window.orderBy("recency_days", "user_id")
+    wf = Window.orderBy(F.col("frequency").desc(), "user_id")
+    wm = Window.orderBy(F.col("monetary_milli").desc(), "user_id")
+    s = (
+        u.withColumn("r_score", F.ntile(5).over(wr).cast("bigint"))
+        .withColumn("f_score", F.ntile(5).over(wf).cast("bigint"))
+        .withColumn("m_score", F.ntile(5).over(wm).cast("bigint"))
+    )
+    return s.select(
+        "user_id", "recency_days", "frequency", "monetary_milli",
+        "r_score", "f_score", "m_score",
+        F.concat(
+            F.col("r_score").cast("string"),
+            F.col("f_score").cast("string"),
+            F.col("m_score").cast("string"),
+        ).alias("segment"),
+    )
+
+
+@query(
+    "ips_policy_replay_eval",
+    oracle="""
+    WITH pol AS (
+      SELECT event_type AS policy_action
+      FROM events GROUP BY event_type
+      ORDER BY count(*) DESC, event_type LIMIT 1
+    ),
+    k AS (SELECT CAST(count(DISTINCT event_type) AS BIGINT) AS n_actions
+          FROM events)
+    SELECT e.event_type,
+           e.event_type = (SELECT policy_action FROM pol) AS is_policy_action,
+           CAST(count(*) AS BIGINT) AS n_logged,
+           CAST(sum(CASE WHEN e.value >= 50.0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_rewarded,
+           (SELECT n_actions FROM k) AS n_actions
+    FROM events e GROUP BY e.event_type
+    """,
+)
+def ips_policy_replay_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Off-policy evaluation by replay (inverse-propensity scoring): the
+    candidate policy deterministically recommends the globally modal
+    event type; under a uniform logging policy (propensity 1/K over the
+    K observed actions) the IPS value estimate is
+    K * sum(reward * 1{action == policy}) / N — every component here an
+    exact integer (per-action logged counts, reward counts with the
+    value >= 50 gate, K, and the policy-match boolean), so the estimate
+    reconstructs exactly downstream while the gate stays bit-stable.
+    This is the evaluation a recommender team runs on logged interactions
+    BEFORE an online test; counterfactual estimators reduce to exactly
+    these per-action sufficient statistics.  Two aggregates over the
+    type grain; the modal-policy subquery broadcasts."""
+    ev = load_table(spark, sf_dir, "events")
+    pol = (
+        ev.groupBy("event_type")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.col("c").desc(), "event_type")
+        .limit(1)
+        .select(F.col("event_type").alias("policy_action"))
+    )
+    k = ev.agg(
+        F.count_distinct("event_type").cast("bigint").alias("n_actions")
+    )
+    g = ev.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_logged"),
+        F.sum(F.when(F.col("value") >= 50.0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_rewarded"),
+    )
+    return (
+        g.crossJoin(F.broadcast(pol))
+        .crossJoin(F.broadcast(k))
+        .select(
+            "event_type",
+            (F.col("event_type") == F.col("policy_action")).alias(
+                "is_policy_action"
+            ),
+            "n_logged",
+            "n_rewarded",
+            "n_actions",
+        )
+    )
+
+
+@query(
+    "streaming_pit_enrich",
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id, event_type, ts, weekofyear(ts) AS wk,
+             row_number() OVER (PARTITION BY user_id, weekofyear(ts)
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ),
+    latest AS (SELECT user_id, event_type, ts, wk FROM ranked WHERE rn = 1),
+    flagged AS (
+      SELECT *, lag(event_type) OVER (PARTITION BY user_id ORDER BY wk)
+                  AS prev
+      FROM latest
+    ),
+    changes AS (
+      SELECT user_id, event_type, ts, wk FROM flagged
+      WHERE prev IS NULL OR prev <> event_type
+    ),
+    dim AS (
+      SELECT user_id, event_type AS dim_type, ts AS valid_from,
+             lead(ts) OVER (PARTITION BY user_id ORDER BY wk) AS valid_to
+      FROM changes
+    )
+    SELECT d.dim_type, e.event_type,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM events e JOIN dim d
+      ON d.user_id = e.user_id
+     AND e.ts >= d.valid_from
+     AND (d.valid_to IS NULL OR e.ts < d.valid_to)
+    GROUP BY d.dim_type, e.event_type
+    """,
+)
+def streaming_pit_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time dimension enrichment INSIDE the streaming runtime: a
+    STREAM-STATIC join of the event stream against the SCD2 user-history
+    dimension on (user, ts within [valid_from, valid_to)) — the
+    training-data labeling join (`pit_dimension_join`'s streaming twin)
+    that guarantees no future leakage while the stream flows.
+    Stream-static joins are STATELESS (each micro-batch joins the static
+    table fresh — at scale, broadcast or storage-partitioned), so unlike
+    the stream-stream legs no watermark bookkeeping is involved; that
+    statelessness is the point under test.  The per-(dimension-version
+    type, event type) count matrix is maintained by a complete-mode
+    streaming aggregation AFTER the join, hash-matched against the batch
+    interval-join oracle."""
+    stream, events = _read_events_stream(spark, sf_dir)
+    w = Window.partitionBy("user_id", "wk").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    latest = (
+        events.withColumn("wk", F.weekofyear("ts"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", "ts", "wk")
+    )
+    wlag = Window.partitionBy("user_id").orderBy("wk")
+    changes = (
+        latest.withColumn("prev", F.lag("event_type").over(wlag))
+        .filter(F.col("prev").isNull() | (F.col("prev") != F.col("event_type")))
+        .select("user_id", "event_type", "ts", "wk")
+    )
+    dim = (
+        changes.withColumn("valid_to", F.lead("ts").over(wlag))
+        .select(
+            F.col("user_id").alias("d_user"),
+            F.col("event_type").alias("dim_type"),
+            F.col("ts").alias("valid_from"),
+            "valid_to",
+        )
+        .localCheckpoint(eager=True)  # static side: derive once, not per batch
+    )
+    joined = stream.join(
+        dim,
+        (F.col("d_user") == F.col("user_id"))
+        & (F.col("ts") >= F.col("valid_from"))
+        & (F.col("valid_to").isNull() | (F.col("ts") < F.col("valid_to"))),
+        "inner",
+    ).select("dim_type", "event_type")
+    agg = joined.groupBy("dim_type", "event_type").agg(
+        F.count("*").cast("bigint").alias("n_events")
+    )
+    qname = _run_to_memory(agg, "stream_pit", "complete")
+    return spark.table(qname)
+
+
 def _rotate_front(front: list[str]) -> None:
     global QUERIES, ORACLE
     missing = [n for n in front if n not in QUERIES]
@@ -15974,7 +16609,17 @@ _ROUND6_FRONT = [
 # Oracle-bearing queries awaiting a driver correctness row AFTER the
 # round-6 window runs.  Every oracle-bearing query ADDED during round 6
 # must be appended here (tests/test_coverage_claims.py enforces it).
-_PENDING_ROUND7: list[str] = list(_ROUND6_DEFERRED)
+_PENDING_ROUND7: list[str] = list(_ROUND6_DEFERRED) + [
+    "cdc_snapshot_diff",  # new in round 6 (changeset derivation from snapshots)
+    "incremental_agg_maintenance",  # new in round 6 (IVM coalesce-sum merge)
+    "delivery_completeness_audit",  # new in round 6 (SLA completeness + gaps)
+    "max_drawdown_per_type",  # new in round 6 (running-extreme risk analytic)
+    "exact_percent_rank_extremes",  # new in round 6 (rational rank statistics)
+    "l_diversity_audit",  # new in round 6 (sensitive-attribute privacy audit)
+    "rfm_user_segments",  # new in round 6 (ntile RFM segmentation)
+    "ips_policy_replay_eval",  # new in round 6 (off-policy IPS components)
+    "streaming_pit_enrich",  # new in round 6 (stream-static PIT labeling join)
+]
 
 # ROUND-7 BUILDER: round 6's window is the 41-name backlog + 9 round-6
 # additions (all preflighted green at sf0.001/0.01; sweep sf0.1 before
