@@ -16013,12 +16013,20 @@ def delivery_completeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate.  The spine is |types| x |days| rows (tiny at any fact
     scale); facts shuffle once for the daily counts."""
     ev = load_table(spark, sf_dir, "events")
-    bounds = ev.agg(
-        F.date_trunc("day", F.min("ts")).alias("d0"),
-        F.date_trunc("day", F.max("ts")).alias("d1"),
+    # ONE fact scan: the daily observation table is the only thing derived
+    # from raw events; bounds, the type list, and the spine all come from
+    # this (types x days)-grain frame (checkpointed so the plan cannot
+    # re-expand it into repeated fact scans).
+    obs = (
+        ev.groupBy("event_type", F.date_trunc("day", "ts").alias("day"))
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    bounds = obs.agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
     )
     spine = (
-        ev.select("event_type")
+        obs.select("event_type")
         .distinct()
         .crossJoin(F.broadcast(bounds))
         .select(
@@ -16028,9 +16036,6 @@ def delivery_completeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("day"),
         )
     )
-    obs = ev.groupBy(
-        "event_type", F.date_trunc("day", "ts").alias("day")
-    ).agg(F.count("*").cast("bigint").alias("n"))
     j = spine.join(obs, ["event_type", "day"], "left").select(
         "event_type",
         "day",
@@ -16268,8 +16273,13 @@ def rfm_user_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     most recent / most frequent / highest spend; user_id tie-break makes
     every ntile deterministic — both engines use the SQL-standard
     floor-distribution rule), concatenated into the '111'..'555' segment
-    key.  One user aggregate + three rank windows over the small user
-    grain, never the fact table."""
+    key.  One fact-table aggregate to the user grain, then three ntile
+    windows — which, being GLOBAL total orders, each run in a single
+    task over user-grain rows (10^2-10^3x smaller than facts; fine to
+    ~10^7 users).  Beyond that the documented swap is two-phase exact
+    ranking: range-partition on the metric, per-partition row_number,
+    add broadcast partition-offset prefix counts — same output, no
+    single-task sort."""
     ev = load_table(spark, sf_dir, "events")
     day_idx = (
         F.unix_micros(F.date_trunc("day", "ts")) / F.lit(86400000000)

@@ -658,3 +658,37 @@ def test_prefix_filter_candidates_from_equi_join(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert plan.count("Generate explode") == 0  # all consumers read the checkpoint
+
+
+def test_max_drawdown_three_windows_share_one_shuffle(spark, sf_dir):
+    """Round-6: cumsum, running max, and the drawdown-argmax rank all sort
+    by the same (type, ts, event_id) order — the plan must contain exactly
+    ONE exchange (a refactor that re-shuffles per window fails here)."""
+    df = q.QUERIES["max_drawdown_per_type"](spark, sf_dir)
+    plan = plans.executed_plan(df)
+    n_ex = plan.count("Exchange hashpartitioning") + plan.count(
+        "Exchange rangepartitioning"
+    ) + plan.count("Exchange SinglePartition")
+    assert n_ex == 1, f"expected 1 exchange, got {n_ex}"
+    assert plan.count("Scan parquet") == 1
+
+
+def test_percent_rank_extremes_single_shuffle(spark, sf_dir):
+    """Round-6: asc rank, count, and desc top-5 windows share the one
+    event_type hash exchange."""
+    df = q.QUERIES["exact_percent_rank_extremes"](spark, sf_dir)
+    plan = plans.executed_plan(df)
+    n_ex = plan.count("Exchange hashpartitioning") + plan.count(
+        "Exchange rangepartitioning"
+    ) + plan.count("Exchange SinglePartition")
+    assert n_ex == 1, f"expected 1 exchange, got {n_ex}"
+
+
+def test_delivery_completeness_single_fact_scan(spark, sf_dir):
+    """Round-6: the audit derives bounds, type list, and spine from the
+    checkpointed daily-observation grain — the final plan re-reads the
+    checkpoint, never the fact parquet (0 scans), and every exchange
+    moves (types x days)-grain rows."""
+    df = q.QUERIES["delivery_completeness_audit"](spark, sf_dir)
+    plan = plans.executed_plan(df)
+    assert plan.count("Scan parquet") == 0, "fact table re-scanned"

@@ -54,6 +54,11 @@ SHOWCASE = [
     ("grid_hotspot_stencil", "sparse 3x3 stencil: cell counts exploded to neighbor coords and re-aggregated — one equi shuffle, no spatial self-join"),
     ("bitmap_segment_overlap", "bitmap distinct-intersection: idempotent partial_bit_or off the scan (no distinct pass); the shuffle carries 8-byte words, 62 users each"),
     ("prefix_filter_jaccard_join", "exact ppjoin: checkpointed shingle table (explosion runs once), candidates from an equi join on rare-prefix shingles"),
+    ("max_drawdown_per_type", "running-extreme drawdown: cumsum, running max, and argmax rank share ONE (type, ts) exchange; one fact scan"),
+    ("exact_percent_rank_extremes", "exact rational rank statistics: asc rank, count, desc top-5 windows on one event_type exchange"),
+    ("delivery_completeness_audit", "SLA audit off the checkpointed daily grain: 0 fact re-scans; every exchange moves (types x days) rows"),
+    ("kmeans_anomaly_scores", "micro-Lloyd scoring: k x 64 centroid table broadcast, zip_with integer folds; corpus never shuffles for assignment"),
+    ("incremental_agg_maintenance", "IVM merge: base and delta aggs pre-partitioned on the view grain; the full-outer merge reuses their partitioning"),
 ]
 
 
