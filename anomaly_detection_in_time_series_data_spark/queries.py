@@ -16468,6 +16468,507 @@ def streaming_pit_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(qname)
 
 
+
+@query(
+    "funnel_latency_quartiles",
+    oracle="""
+    WITH t AS (
+      SELECT user_id, ts, event_type,
+             max(CASE WHEN event_type = 'click' THEN ts END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS last_click
+      FROM events
+    ),
+    lat AS (
+      SELECT CAST(epoch_us(ts) - epoch_us(last_click) AS BIGINT) AS lat_us
+      FROM t WHERE event_type = 'purchase' AND last_click IS NOT NULL
+    ),
+    r AS (
+      SELECT lat_us,
+             row_number() OVER (ORDER BY lat_us) AS rn,
+             count(*) OVER () AS n
+      FROM lat
+    )
+    SELECT max(n) AS n_conversions,
+           CAST(max(CASE WHEN rn = (n * 25 + 99) // 100 THEN lat_us END)
+                AS BIGINT) AS q25_us,
+           CAST(max(CASE WHEN rn = (n * 50 + 99) // 100 THEN lat_us END)
+                AS BIGINT) AS q50_us,
+           CAST(max(CASE WHEN rn = (n * 75 + 99) // 100 THEN lat_us END)
+                AS BIGINT) AS q75_us,
+           CAST(max(CASE WHEN rn = (n * 90 + 99) // 100 THEN lat_us END)
+                AS BIGINT) AS p90_us
+    FROM r
+    """,
+)
+def funnel_latency_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution for the click->purchase funnel (the
+    counts live in `event_funnel_counts`; this is the LATENCY half):
+    each purchase's delay from the user's most recent PRIOR click (a
+    running-max window, one user shuffle — never an asof self-join),
+    then exact discrete quartiles + p90 by rank-pick (the element at
+    ceil(q*n), percentile_disc semantics — both engines pick the same
+    physical element, no interpolation, no floats).  The quantile pass
+    ranks only the conversion latencies (funnel-thin), and the rank-pick
+    is a conditional aggregate over that ranked set."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    t = ev.withColumn(
+        "last_click",
+        F.max(F.when(F.col("event_type") == "click", F.col("ts"))).over(w),
+    )
+    lat = t.filter(
+        (F.col("event_type") == "purchase") & F.col("last_click").isNotNull()
+    ).select(
+        (F.unix_micros("ts") - F.unix_micros("last_click")).alias("lat_us")
+    )
+    wr = Window.orderBy("lat_us")
+    r = lat.withColumn("rn", F.row_number().over(wr)).withColumn(
+        "n", F.count("*").over(Window.partitionBy())
+    )
+
+    def pick(q):
+        pos = F.expr(f"(n * {q} + 99) div 100")
+        return F.max(
+            F.when(F.col("rn") == pos, F.col("lat_us"))
+        ).cast("bigint")
+
+    return r.agg(
+        F.max("n").alias("n_conversions"),
+        pick(25).alias("q25_us"),
+        pick(50).alias("q50_us"),
+        pick(75).alias("q75_us"),
+        pick(90).alias("p90_us"),
+    )
+
+
+@query(
+    "benford_first_digit_audit",
+    oracle="""
+    WITH v AS (
+      SELECT CAST(floor(value * 1000.0) AS BIGINT) AS vm FROM events
+      WHERE value > 0
+    ),
+    d AS (
+      SELECT CAST(substr(CAST(vm AS VARCHAR), 1, 1) AS BIGINT) AS digit
+      FROM v WHERE vm > 0
+    ),
+    g AS (
+      SELECT digit, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(count(*)) OVER () AS BIGINT) AS total
+      FROM d GROUP BY digit
+    ),
+    exp AS (
+      SELECT * FROM (VALUES (1, 301), (2, 176), (3, 125), (4, 97),
+                            (5, 79), (6, 67), (7, 58), (8, 51), (9, 46))
+             AS t(digit, expected_milli)
+    )
+    SELECT g.digit, g.n, g.total, e.expected_milli,
+           abs(1000 * g.n - e.expected_milli * g.total) <= 50 * g.total
+             AS within_5pp
+    FROM g JOIN exp e ON e.digit = g.digit
+    """,
+)
+def benford_first_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit — the classic fabricated-data /
+    unit-mixing screen for a numeric fact column: the leading significant
+    digit is extracted EXACTLY (integer milli value -> decimal string ->
+    first char; no log10, no float formatting), counted per digit, and
+    compared against the published Benford frequencies held as integer
+    milli constants (301, 176, ... 46), with the within-5-points verdict
+    an integer cross-product |1000n - e*total| <= 50*total.  Nothing in
+    the row can hash-flip.  One scan, 9-row output; the digit extraction
+    is a string op inside codegen."""
+    ev = load_table(spark, sf_dir, "events")
+    vm = F.floor(F.col("value") * 1000.0).cast("bigint")
+    d = (
+        ev.filter(F.col("value") > 0)
+        .select(vm.alias("vm"))
+        .filter(F.col("vm") > 0)
+        .select(
+            F.substring(F.col("vm").cast("string"), 1, 1)
+            .cast("bigint")
+            .alias("digit")
+        )
+    )
+    g = d.groupBy("digit").agg(F.count("*").cast("bigint").alias("n"))
+    g = g.withColumn(
+        "total", F.sum("n").over(Window.partitionBy()).cast("bigint")
+    )
+    exp = F.broadcast(
+        spark.createDataFrame(
+            [(1, 301), (2, 176), (3, 125), (4, 97), (5, 79), (6, 67),
+             (7, 58), (8, 51), (9, 46)],
+            "digit bigint, expected_milli bigint",
+        )
+    )
+    return g.join(exp, "digit").select(
+        "digit", "n", "total", "expected_milli",
+        (
+            F.abs(1000 * F.col("n") - F.col("expected_milli") * F.col("total"))
+            <= 50 * F.col("total")
+        ).alias("within_5pp"),
+    )
+
+
+@query(
+    "right_to_erasure_audit",
+    oracle="""
+    WITH erasure AS (
+      SELECT DISTINCT user_id FROM events
+      WHERE substr(md5('erase|' || user_id), 1, 1) IN ('0', '1')
+    )
+    SELECT e.event_type,
+           CAST(count(*) AS BIGINT) AS n_before,
+           CAST(sum(CASE WHEN x.user_id IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_after,
+           CAST(sum(CASE WHEN x.user_id IS NULL THEN 0 ELSE 1 END)
+                AS BIGINT) AS n_erased,
+           CAST(count(DISTINCT CASE WHEN x.user_id IS NOT NULL
+                                    THEN e.user_id END) AS BIGINT)
+             AS n_erased_users,
+           sum(CASE WHEN x.user_id IS NULL THEN 0 ELSE 1 END)
+             + sum(CASE WHEN x.user_id IS NULL THEN 1 ELSE 0 END)
+             = count(*) AS partition_complete
+    FROM events e LEFT JOIN erasure x ON x.user_id = e.user_id
+    GROUP BY e.event_type
+    """,
+)
+def right_to_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GDPR right-to-erasure dry run — the compliance sibling of the
+    k-anonymity / l-diversity audits: a deterministic erasure list
+    (md5('erase|'||id) first hex in {0,1} — a ~1/8 sample standing in
+    for real deletion requests), then per event type the before/after
+    row counts, rows attributable to listed users, distinct listed users
+    actually present, and the erased+retained==total completeness check
+    a deletion job must certify.  Implemented as ONE left join against
+    the broadcast erasure list with conditional aggregation — the
+    anti-join (what survives) and semi-join (what goes) are read off the
+    same pass, not computed twice.  At 100 TB the erasure list
+    broadcasts and the fact table is touched once."""
+    ev = load_table(spark, sf_dir, "events")
+    erasure = (
+        ev.select("user_id")
+        .distinct()
+        .filter(
+            F.substring(
+                F.md5(F.concat(F.lit("erase|"), F.col("user_id"))), 1, 1
+            ).isin("0", "1")
+        )
+        .withColumn("_listed", F.lit(1))
+    )
+    j = ev.join(F.broadcast(erasure), "user_id", "left")
+    listed = F.col("_listed").isNotNull()
+    return j.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_before"),
+        F.sum(F.when(listed, 0).otherwise(1)).cast("bigint").alias("n_after"),
+        F.sum(F.when(listed, 1).otherwise(0)).cast("bigint").alias("n_erased"),
+        F.count_distinct(F.when(listed, F.col("user_id")))
+        .cast("bigint")
+        .alias("n_erased_users"),
+        (
+            F.sum(F.when(listed, 1).otherwise(0))
+            + F.sum(F.when(listed, 0).otherwise(1))
+            == F.count("*")
+        ).alias("partition_complete"),
+    )
+
+
+@query(
+    "join_key_skew_profile",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS c FROM events
+      GROUP BY user_id
+    ),
+    g AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_keys,
+             CAST(sum(c) AS BIGINT) AS total FROM c
+    )
+    SELECT c.user_id, c.c, g.n_keys, g.total,
+           c.c * g.n_keys > 10 * g.total AS hot,
+           CAST(rk AS BIGINT) AS rank
+    FROM (
+      SELECT *, row_number() OVER (ORDER BY c DESC, user_id) AS rk FROM c
+    ) c, g WHERE rk <= 10
+    """,
+)
+def join_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew profiler — the diagnostic you run BEFORE choosing
+    between a plain shuffle join, AQE skew splitting, and the salted
+    twin (`salted_hot_key_agg`): per-key frequencies for the join key,
+    the top-10 heaviest keys, and the exact integer hot-key verdict
+    c * n_keys > 10 * total (key carries >10x the mean load).  One
+    key-grain aggregate (map-side combined), top-10 via
+    TakeOrderedAndProject, the two-number global broadcast.  This is the
+    profile that decides physical join strategy at 100 TB — measured,
+    not guessed."""
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.groupBy("user_id").agg(F.count("*").cast("bigint").alias("c"))
+    g = c.agg(
+        F.count("*").cast("bigint").alias("n_keys"),
+        F.sum("c").cast("bigint").alias("total"),
+    )
+    sel = c.orderBy(F.col("c").desc(), "user_id").limit(10)
+    wr = Window.orderBy(F.col("c").desc(), "user_id")
+    return (
+        sel.withColumn("rank", F.row_number().over(wr).cast("bigint"))
+        .crossJoin(F.broadcast(g))
+        .select(
+            "user_id", "c", "n_keys", "total",
+            (F.col("c") * F.col("n_keys") > 10 * F.col("total")).alias("hot"),
+            "rank",
+        )
+    )
+
+def _shingle_first_seen_ctes() -> str:
+    """Shared CTE suffix over ``_shingle_ctes(3)``: ``firstseen`` maps each
+    distinct shingle to the smallest doc_id containing it — the
+    corpus-order novelty frontier the curriculum/dedup diagnostics read."""
+    return f"""{_shingle_ctes(3)},
+    firstseen AS (
+      SELECT sh, CAST(min(doc_id) AS BIGINT) AS first_doc FROM ex GROUP BY sh
+    )"""
+
+
+@query(
+    "shingle_novelty_rate",
+    oracle=f"""
+    WITH
+    {_shingle_first_seen_ctes()},
+    per AS (
+      SELECT e.doc_id,
+             CAST(count(*) AS BIGINT) AS n_shingles,
+             CAST(sum(CASE WHEN f.first_doc = e.doc_id THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_novel
+      FROM ex e JOIN firstseen f ON f.sh = e.sh
+      GROUP BY e.doc_id
+    )
+    SELECT d.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(p.n_shingles) AS BIGINT) AS n_shingles,
+           CAST(sum(p.n_novel) AS BIGINT) AS n_novel,
+           CAST(sum(CASE WHEN 2 * p.n_novel < p.n_shingles THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_mostly_seen_docs
+    FROM per p JOIN documents d ON d.doc_id = p.doc_id
+    GROUP BY d.source
+    """,
+)
+def shingle_novelty_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle novelty in corpus order — the curriculum/diversity
+    diagnostic behind incremental dedup: for each document, how many of
+    its 3-gram shingles were NEVER seen in any lower-id document
+    (first_doc == doc_id), rolled up per source with a count of
+    mostly-redundant docs (less than half novel, by exact integer
+    cross-product 2*novel < total).  A crawl whose tail contributes no
+    novel shingles is a crawl you stop paying for.  The frontier table is
+    one shingle-grain aggregate (the same shuffle the minhash family
+    pays) and the per-doc roll-up joins it back on the shingle — linear,
+    no doc pairs anywhere."""
+    docs = load_table(spark, sf_dir, "documents")
+    ex = dedup._explode_shingles(docs, "doc_id", "text", 3)
+    firstseen = ex.groupBy("_sh").agg(
+        F.min("doc_id").cast("bigint").alias("first_doc")
+    )
+    per = (
+        ex.join(firstseen, "_sh")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_shingles"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_novel"),
+        )
+    )
+    return (
+        per.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_shingles").cast("bigint").alias("n_shingles"),
+            F.sum("n_novel").cast("bigint").alias("n_novel"),
+            F.sum(
+                F.when(2 * F.col("n_novel") < F.col("n_shingles"), 1)
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_mostly_seen_docs"),
+        )
+    )
+
+
+@query(
+    "vocab_growth_curve",
+    oracle=f"""
+    WITH
+    {_shingle_first_seen_ctes()},
+    deciles AS (
+      SELECT doc_id, ntile(10) OVER (ORDER BY doc_id) AS decile
+      FROM documents
+    ),
+    bounds AS (
+      SELECT decile, CAST(max(doc_id) AS BIGINT) AS hi,
+             CAST(count(*) AS BIGINT) AS n_docs
+      FROM deciles GROUP BY decile
+    ),
+    cum AS (
+      SELECT b.decile,
+             CAST(sum(b2.n_docs) AS BIGINT) AS n_docs_cum
+      FROM bounds b JOIN bounds b2 ON b2.decile <= b.decile
+      GROUP BY b.decile
+    )
+    SELECT CAST(b.decile AS BIGINT) AS decile, c.n_docs_cum,
+           CAST((SELECT count(*) FROM firstseen f WHERE f.first_doc <= b.hi)
+                AS BIGINT) AS n_distinct_shingles_cum
+    FROM bounds b JOIN cum c ON c.decile = b.decile
+    """,
+)
+def vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary growth (Heaps'-law empirics) in corpus order: cumulative
+    distinct 3-gram shingles after each doc-id decile — the saturation
+    curve that tells a data-acquisition team whether the next 10% of the
+    crawl still buys vocabulary.  Built from the same shingle->first_doc
+    frontier as `shingle_novelty_rate`: the cumulative distinct count at
+    a boundary is just count(first_doc <= hi) — a 10-row broadcast theta
+    join against the frontier, NOT ten distinct-count passes over
+    exploded shingles.  Decile boundaries come from ntile(10) over doc
+    ids (deterministic; the id is unique)."""
+    docs = load_table(spark, sf_dir, "documents")
+    ex = dedup._explode_shingles(docs, "doc_id", "text", 3)
+    firstseen = ex.groupBy("_sh").agg(
+        F.min("doc_id").cast("bigint").alias("first_doc")
+    )
+    deciles = docs.select(
+        "doc_id",
+        F.ntile(10).over(Window.orderBy("doc_id")).alias("decile"),
+    )
+    bounds = deciles.groupBy("decile").agg(
+        F.max("doc_id").cast("bigint").alias("hi"),
+        F.count("*").cast("bigint").alias("n_docs"),
+    )
+    wcum = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    bounds = bounds.withColumn(
+        "n_docs_cum", F.sum("n_docs").over(wcum).cast("bigint")
+    )
+    counts = (
+        firstseen.crossJoin(F.broadcast(bounds.select("decile", "hi")))
+        .filter(F.col("first_doc") <= F.col("hi"))
+        .groupBy("decile")
+        .agg(F.count("*").cast("bigint").alias("n_distinct_shingles_cum"))
+    )
+    return (
+        bounds.join(counts, "decile")
+        .select(
+            F.col("decile").cast("bigint").alias("decile"),
+            "n_docs_cum",
+            "n_distinct_shingles_cum",
+        )
+    )
+
+
+@query(
+    "score_calibration_bins",
+    oracle="""
+    WITH s AS (
+      SELECT least(greatest(CAST(floor(value / 10.0) AS BIGINT), 0), 9)
+               AS bin,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+      FROM events WHERE value IS NOT NULL
+    )
+    SELECT bin, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(pos) AS BIGINT) AS n_pos,
+           CAST(sum(pos) AS BIGINT) AS rate_num,
+           CAST(count(*) AS BIGINT) AS rate_den
+    FROM s GROUP BY bin
+    """,
+)
+def score_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability-diagram binning — the calibration primitive of every
+    model-quality pipeline: rows bucketed by decile of the score column
+    (value/10 clipped to [0,9]), observed positive rate per bin emitted
+    as an exact unreduced rational (rate_num / rate_den bigints; a
+    rounded double here is the hash-flip class).  Plug in any
+    (score, outcome) pair — the operator is the binning + exact rate,
+    not the example columns.  One scan, map-side-combined aggregate to
+    10 rows."""
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.filter(F.col("value").isNotNull()).select(
+        F.least(
+            F.greatest(F.floor(F.col("value") / 10.0).cast("bigint"), F.lit(0)),
+            F.lit(9),
+        ).alias("bin"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("pos"),
+    )
+    return s.groupBy("bin").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("pos").cast("bigint").alias("n_pos"),
+        F.sum("pos").cast("bigint").alias("rate_num"),
+        F.count("*").cast("bigint").alias("rate_den"),
+    )
+
+
+@query(
+    "feature_hash_collision_audit",
+    oracle="""
+    WITH toks AS (
+      SELECT CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+                  ELSE str_split_regex(trim(lower(text)), '\\s+') END AS t
+      FROM documents
+    ),
+    vocab AS (SELECT DISTINCT unnest(t) AS term FROM toks),
+    hashed AS (
+      SELECT term,
+             ('0x' || substr(md5(term), 1, 15))::BIGINT % 4096 AS bucket
+      FROM vocab
+    ),
+    per AS (
+      SELECT bucket, CAST(count(*) AS BIGINT) AS n_terms
+      FROM hashed GROUP BY bucket
+    )
+    SELECT n_terms AS bucket_load, CAST(count(*) AS BIGINT) AS n_buckets
+    FROM per GROUP BY n_terms
+    """,
+)
+def feature_hash_collision_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick collision audit — the check you run before fixing a
+    feature-hash width: the corpus vocabulary (distinct whitespace
+    tokens) hashed into 2^12 buckets with the portable md5-derived
+    bigint hash, reported as the bucket-load histogram (how many buckets
+    hold 1 term, 2 terms, ...).  The histogram IS the collision story —
+    its tail is the feature aliasing a wider hash would remove — and as
+    a load distribution it is permutation-invariant, so the result is
+    exact and engine-portable.  Vocabulary aggregate -> 4096-row bucket
+    grain -> histogram; facts are touched once for tokenization."""
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(
+            F.explode_outer(text.tokens(F.lower(F.col("text")))).alias(
+                "term"
+            )
+        )
+        .filter(F.col("term").isNotNull() & (F.col("term") != ""))
+        .distinct()
+    )
+    hashed = vocab.select(
+        (dedup.md5_long(F.col("term"), 15) % 4096).alias("bucket")
+    )
+    per = hashed.groupBy("bucket").agg(
+        F.count("*").cast("bigint").alias("n_terms")
+    )
+    return per.groupBy(F.col("n_terms").alias("bucket_load")).agg(
+        F.count("*").cast("bigint").alias("n_buckets")
+    )
+
+
 def _rotate_front(front: list[str]) -> None:
     global QUERIES, ORACLE
     missing = [n for n in front if n not in QUERIES]
@@ -16629,6 +17130,14 @@ _PENDING_ROUND7: list[str] = list(_ROUND6_DEFERRED) + [
     "rfm_user_segments",  # new in round 6 (ntile RFM segmentation)
     "ips_policy_replay_eval",  # new in round 6 (off-policy IPS components)
     "streaming_pit_enrich",  # new in round 6 (stream-static PIT labeling join)
+    "funnel_latency_quartiles",  # new in round 6 (exact rank-pick latency dist)
+    "benford_first_digit_audit",  # new in round 6 (fraud/unit-mixing screen)
+    "right_to_erasure_audit",  # new in round 6 (GDPR deletion dry run)
+    "join_key_skew_profile",  # new in round 6 (physical-join-strategy input)
+    "shingle_novelty_rate",  # new in round 6 (corpus-order novelty frontier)
+    "vocab_growth_curve",  # new in round 6 (Heaps-law saturation curve)
+    "score_calibration_bins",  # new in round 6 (reliability-diagram binning)
+    "feature_hash_collision_audit",  # new in round 6 (hash-trick width audit)
 ]
 
 # ROUND-7 BUILDER: round 6's window is the 41-name backlog + 9 round-6
