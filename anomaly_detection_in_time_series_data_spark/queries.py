@@ -16969,6 +16969,334 @@ def feature_hash_collision_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+@query(
+    "join_cardinality_estimate",
+    oracle="""
+    WITH co AS (
+      SELECT o_orderkey AS k, CAST(count(*) AS BIGINT) AS c_o
+      FROM orders GROUP BY o_orderkey
+    ),
+    cl AS (
+      SELECT l_orderkey AS k, CAST(count(*) AS BIGINT) AS c_l
+      FROM lineitem GROUP BY l_orderkey
+    ),
+    j AS (
+      SELECT co.k, co.c_o, cl.c_l, co.c_o * cl.c_l AS contrib
+      FROM co JOIN cl ON cl.k = co.k
+    ),
+    tot AS (
+      SELECT CAST(sum(contrib) AS BIGINT) AS est_rows,
+             CAST(count(*) AS BIGINT) AS n_matching_keys
+      FROM j
+    )
+    SELECT j.k AS orderkey, j.c_o, j.c_l, CAST(j.contrib AS BIGINT) AS contrib,
+           t.est_rows, t.n_matching_keys, CAST(rk AS BIGINT) AS rank
+    FROM (
+      SELECT *, row_number() OVER (ORDER BY contrib DESC, k) AS rk FROM j
+    ) j, tot t WHERE rk <= 5
+    """,
+)
+def join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact join-output cardinality BEFORE running the join — the
+    planning statistic a cost-based optimizer needs and the sibling of
+    `join_key_skew_profile`: |A join B on k| = sum over matching keys of
+    c_A(k) * c_B(k), computed from the two key-grain count tables (each a
+    map-side-combined aggregate, shuffling one row per key, never fact
+    rows).  Emits the global estimate plus the top-5 contributing keys —
+    the rows that tell you whether the blow-up is broad or one hot key
+    (feeding the skew/salt decision).  At 100 TB this costs two
+    key-profiles; running the join to count it costs the join."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    co = orders.groupBy(F.col("o_orderkey").alias("k")).agg(
+        F.count("*").cast("bigint").alias("c_o")
+    )
+    cl = li.groupBy(F.col("l_orderkey").alias("k")).agg(
+        F.count("*").cast("bigint").alias("c_l")
+    )
+    j = co.join(cl, "k").select(
+        "k", "c_o", "c_l", (F.col("c_o") * F.col("c_l")).alias("contrib")
+    )
+    tot = j.agg(
+        F.sum("contrib").cast("bigint").alias("est_rows"),
+        F.count("*").cast("bigint").alias("n_matching_keys"),
+    )
+    sel = j.orderBy(F.col("contrib").desc(), "k").limit(5)
+    wr = Window.orderBy(F.col("contrib").desc(), "k")
+    return (
+        sel.withColumn("rank", F.row_number().over(wr).cast("bigint"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("k").alias("orderkey"), "c_o", "c_l",
+            F.col("contrib").cast("bigint").alias("contrib"),
+            "est_rows", "n_matching_keys", "rank",
+        )
+    )
+
+
+@query(
+    "equidepth_histogram_bounds",
+    oracle="""
+    WITH v AS (
+      SELECT CAST(floor(value * 1000.0) AS BIGINT) AS vm, event_id
+      FROM events WHERE value IS NOT NULL
+    ),
+    r AS (
+      SELECT vm, row_number() OVER (ORDER BY vm, event_id) AS rn,
+             count(*) OVER () AS n
+      FROM v
+    )
+    SELECT CAST(b AS BIGINT) AS bucket,
+           CAST(max(CASE WHEN rn = (n * b + 9) // 10 THEN vm END) AS BIGINT)
+             AS upper_bound_milli,
+           CAST(max(n) // 10 AS BIGINT) AS target_depth
+    FROM r CROSS JOIN (SELECT unnest(generate_series(1, 10)) AS b)
+    GROUP BY b
+    """,
+)
+def equidepth_histogram_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth histogram construction — the ANALYZE-TABLE statistic
+    every cost-based optimizer keeps per column: ten bucket upper bounds
+    at the exact ceil(n*b/10) ranks of the milli-quantized value (the
+    rank-pick idiom — both engines select the same physical element, so
+    the boundary set is bit-stable; an interpolated percentile would
+    not be).  One global sort pass serves all ten picks (the bucket
+    spine is a 10-row broadcast).  At 100 TB the exact global rank moves
+    to the two-phase range-partitioned ranking documented on
+    `rfm_user_segments`; the boundary-at-exact-rank semantics is what
+    this query pins."""
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.filter(F.col("value").isNotNull()).select(
+        F.floor(F.col("value") * 1000.0).cast("bigint").alias("vm"),
+        "event_id",
+    )
+    wr = Window.orderBy("vm", "event_id")
+    r = v.withColumn("rn", F.row_number().over(wr)).withColumn(
+        "n", F.count("*").over(Window.partitionBy())
+    )
+    buckets = spark.range(1, 11).select(F.col("id").alias("b"))
+    picked = (
+        r.crossJoin(F.broadcast(buckets))
+        .filter(F.col("rn") == F.expr("(n * b + 9) div 10"))
+        .groupBy("b")
+        .agg(
+            F.max("vm").cast("bigint").alias("upper_bound_milli"),
+            F.expr("max(n) div 10").cast("bigint").alias("target_depth"),
+        )
+    )
+    return picked.select(
+        F.col("b").cast("bigint").alias("bucket"),
+        "upper_bound_milli",
+        "target_depth",
+    )
+
+
+@query(
+    "detector_pr_vs_ensemble",
+    oracle="""
+    WITH b AS (
+      SELECT event_type, date_trunc('day', ts) AS day,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    stats AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n_days,
+             CAST(sum(n) AS BIGINT) AS total,
+             CAST(max(n) AS BIGINT) AS mx
+      FROM b GROUP BY event_type
+    ),
+    med AS (
+      SELECT event_type, n AS median_n FROM (
+        SELECT event_type, n,
+               row_number() OVER (PARTITION BY event_type ORDER BY n, day)
+                 AS rn,
+               count(*) OVER (PARTITION BY event_type) AS cnt
+        FROM b
+      ) WHERE rn = (cnt + 1) // 2
+    ),
+    flags AS (
+      SELECT b.event_type, b.day,
+             CASE WHEN b.n * s.n_days > 2 * s.total THEN 1 ELSE 0 END
+               AS f_mean,
+             CASE WHEN b.n > 2 * m.median_n THEN 1 ELSE 0 END AS f_med,
+             CASE WHEN 2 * b.n > s.mx THEN 1 ELSE 0 END AS f_peak
+      FROM b JOIN stats s ON s.event_type = b.event_type
+             JOIN med m ON m.event_type = b.event_type
+    ),
+    voted AS (
+      SELECT *, CASE WHEN f_mean + f_med + f_peak >= 2 THEN 1 ELSE 0 END
+               AS truth
+      FROM flags
+    )
+    SELECT d.detector,
+           CAST(sum(CASE WHEN d.f = 1 AND v.truth = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS tp,
+           CAST(sum(CASE WHEN d.f = 1 AND v.truth = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS fp,
+           CAST(sum(CASE WHEN d.f = 0 AND v.truth = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS fn,
+           CAST(sum(CASE WHEN d.f = 0 AND v.truth = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS tn
+    FROM voted v
+    CROSS JOIN LATERAL (VALUES ('mean2x', v.f_mean), ('median2x', v.f_med),
+                               ('halfpeak', v.f_peak)) AS d(detector, f)
+    GROUP BY d.detector
+    """,
+)
+def detector_pr_vs_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-detector confusion matrix against the ensemble majority vote —
+    the evaluation loop anomaly teams actually run when no labels exist
+    (the majority is the pseudo-truth; `detector_agreement_kappa` gives
+    pairwise chance-corrected agreement, this gives each detector's
+    TP/FP/FN/TN so precision/recall derive exactly downstream).  Three
+    integer-gate detectors over daily counts (2x mean, 2x median via
+    exact rank-pick, above half the peak), majority as the sum of flags,
+    and the per-detector matrix from one unpivot of the flag table.  All
+    counts exact bigints; the day grain is |types| x |days| — the whole
+    evaluation is broadcast-sized after one fact aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count("*").cast("bigint").alias("n"))
+    stats = b.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_days"),
+        F.sum("n").cast("bigint").alias("total"),
+        F.max("n").cast("bigint").alias("mx"),
+    )
+    wmed = Window.partitionBy("event_type").orderBy("n", "day")
+    med = (
+        b.withColumn("rn", F.row_number().over(wmed))
+        .withColumn("cnt", F.count("*").over(Window.partitionBy("event_type")))
+        .filter(F.col("rn") == F.expr("(cnt + 1) div 2"))
+        .select("event_type", F.col("n").alias("median_n"))
+    )
+    flags = (
+        b.join(F.broadcast(stats), "event_type")
+        .join(F.broadcast(med), "event_type")
+        .select(
+            "event_type",
+            "day",
+            F.when(
+                F.col("n") * F.col("n_days") > 2 * F.col("total"), 1
+            ).otherwise(0).alias("f_mean"),
+            F.when(F.col("n") > 2 * F.col("median_n"), 1)
+            .otherwise(0)
+            .alias("f_med"),
+            F.when(2 * F.col("n") > F.col("mx"), 1).otherwise(0).alias(
+                "f_peak"
+            ),
+        )
+    )
+    voted = flags.withColumn(
+        "truth",
+        F.when(
+            F.col("f_mean") + F.col("f_med") + F.col("f_peak") >= 2, 1
+        ).otherwise(0),
+    )
+    unp = voted.select(
+        "truth",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("mean2x").alias("detector"),
+                    F.col("f_mean").alias("f"),
+                ),
+                F.struct(
+                    F.lit("median2x").alias("detector"),
+                    F.col("f_med").alias("f"),
+                ),
+                F.struct(
+                    F.lit("halfpeak").alias("detector"),
+                    F.col("f_peak").alias("f"),
+                ),
+            )
+        ).alias("d"),
+    ).select("truth", F.col("d.detector").alias("detector"), F.col("d.f").alias("f"))
+    one = F.lit(1)
+    zero = F.lit(0)
+    return unp.groupBy("detector").agg(
+        F.sum(F.when((F.col("f") == 1) & (F.col("truth") == 1), one).otherwise(zero)).cast("bigint").alias("tp"),
+        F.sum(F.when((F.col("f") == 1) & (F.col("truth") == 0), one).otherwise(zero)).cast("bigint").alias("fp"),
+        F.sum(F.when((F.col("f") == 0) & (F.col("truth") == 1), one).otherwise(zero)).cast("bigint").alias("fn"),
+        F.sum(F.when((F.col("f") == 0) & (F.col("truth") == 0), one).otherwise(zero)).cast("bigint").alias("tn"),
+    )
+
+
+@query(
+    "zorder_morton_keys",
+    oracle="""
+    WITH g AS (
+      SELECT user_id % 256 AS ub,
+             CAST(epoch_us(date_trunc('day', ts)) AS BIGINT)
+               // 86400000000 % 256 AS db,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT ub, db, n,
+             CAST((
+               ((ub >> 0) & 1) * 1 + ((db >> 0) & 1) * 2
+             + ((ub >> 1) & 1) * 4 + ((db >> 1) & 1) * 8
+             + ((ub >> 2) & 1) * 16 + ((db >> 2) & 1) * 32
+             + ((ub >> 3) & 1) * 64 + ((db >> 3) & 1) * 128
+             + ((ub >> 4) & 1) * 256 + ((db >> 4) & 1) * 512
+             + ((ub >> 5) & 1) * 1024 + ((db >> 5) & 1) * 2048
+             + ((ub >> 6) & 1) * 4096 + ((db >> 6) & 1) * 8192
+             + ((ub >> 7) & 1) * 16384 + ((db >> 7) & 1) * 32768
+             ) AS BIGINT) AS morton
+      FROM g
+    )
+    SELECT CAST(ub AS BIGINT) AS ub, CAST(db AS BIGINT) AS db, n, morton,
+           CAST(rk AS BIGINT) AS rank
+    FROM (
+      SELECT *, row_number() OVER (ORDER BY morton, ub, db) AS rk FROM m
+    ) WHERE rk <= 50
+    """,
+)
+def zorder_morton_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering keys — the multi-dimensional layout
+    primitive behind Delta/Iceberg OPTIMIZE ZORDER BY: the 8-bit
+    (user-bucket, day-bucket) coordinates bit-interleave into one Morton
+    key whose sort order keeps 2-D-near cells file-near, so BOTH a
+    user-range and a day-range predicate prune files (a lexicographic
+    sort serves only its leading column).  The interleave is sixteen
+    shift/mask/add integer ops — pure codegen, identical in any engine
+    (the same closed form as the geohash encoder's bit weave, F1).
+    Emits the first 50 cells in Z-order with their row counts — the
+    file-assignment plan a compaction job would consume.  Grid grain:
+    256x256 max, broadcast-sized regardless of fact scale."""
+    ev = load_table(spark, sf_dir, "events")
+    day_idx = (
+        F.unix_micros(F.date_trunc("day", "ts")) / F.lit(86400000000)
+    ).cast("bigint")
+    g = ev.groupBy(
+        (F.col("user_id") % 256).alias("ub"),
+        (day_idx % 256).alias("db"),
+    ).agg(F.count("*").cast("bigint").alias("n"))
+    morton = sum(
+        (
+            F.shiftright(F.col("ub"), i).bitwiseAND(F.lit(1))
+            * F.lit(1 << (2 * i))
+            + F.shiftright(F.col("db"), i).bitwiseAND(F.lit(1))
+            * F.lit(1 << (2 * i + 1))
+        )
+        for i in range(8)
+    )
+    m = g.select(
+        F.col("ub").cast("bigint").alias("ub"),
+        F.col("db").cast("bigint").alias("db"),
+        "n",
+        morton.cast("bigint").alias("morton"),
+    )
+    sel = m.orderBy("morton", "ub", "db").limit(50)
+    wr = Window.orderBy("morton", "ub", "db")
+    return sel.withColumn(
+        "rank", F.row_number().over(wr).cast("bigint")
+    )
+
+
 def _rotate_front(front: list[str]) -> None:
     global QUERIES, ORACLE
     missing = [n for n in front if n not in QUERIES]
@@ -17138,6 +17466,10 @@ _PENDING_ROUND7: list[str] = list(_ROUND6_DEFERRED) + [
     "vocab_growth_curve",  # new in round 6 (Heaps-law saturation curve)
     "score_calibration_bins",  # new in round 6 (reliability-diagram binning)
     "feature_hash_collision_audit",  # new in round 6 (hash-trick width audit)
+    "join_cardinality_estimate",  # new in round 6 (pre-join CBO statistic)
+    "equidepth_histogram_bounds",  # new in round 6 (ANALYZE-style histogram)
+    "detector_pr_vs_ensemble",  # new in round 6 (confusion vs majority vote)
+    "zorder_morton_keys",  # new in round 6 (Z-order layout clustering keys)
 ]
 
 # ROUND-7 BUILDER: round 6's window is the 41-name backlog + 9 round-6
