@@ -17297,6 +17297,249 @@ def zorder_morton_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+@query(
+    "sort_order_rle_audit",
+    oracle="""
+    WITH by_user AS (
+      SELECT CASE WHEN event_type <> lag(event_type)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                    OR lag(event_type)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       IS NULL
+                  THEN 1 ELSE 0 END AS brk
+      FROM events
+    ),
+    by_type AS (
+      SELECT CASE WHEN event_type <> lag(event_type)
+                       OVER (PARTITION BY event_type ORDER BY ts, event_id)
+                    OR lag(event_type)
+                       OVER (PARTITION BY event_type ORDER BY ts, event_id)
+                       IS NULL
+                  THEN 1 ELSE 0 END AS brk
+      FROM events
+    )
+    SELECT 'user_ts' AS sort_order,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(brk) AS BIGINT) AS n_runs
+    FROM by_user
+    UNION ALL
+    SELECT 'type_ts', CAST(count(*) AS BIGINT), CAST(sum(brk) AS BIGINT)
+    FROM by_type
+    """,
+)
+def sort_order_rle_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Layout-vs-encoding audit — the measured version of 'which sort
+    order should the writer use': the number of RUNS the event_type
+    column produces under two candidate partition-local sort orders
+    (user-clustered vs type-clustered).  Run count IS the run-length /
+    dictionary-page cost model: parquet RLE size is linear in runs, so
+    n_runs(type_ts) = |types| while n_runs(user_ts) ~ n_rows tells you
+    type-major layout compresses that column ~n/|types| better — the
+    same physics `zorder_morton_keys` trades between two dimensions.
+    One lag window per candidate order (each partitioned — no global
+    sort), exact bigint run counts."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def runs(partition_col):
+        w = Window.partitionBy(partition_col).orderBy("ts", "event_id")
+        prev = F.lag("event_type").over(w)
+        brk = F.when(
+            prev.isNull() | (F.col("event_type") != prev), 1
+        ).otherwise(0)
+        return ev.select(brk.alias("brk")).agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum("brk").cast("bigint").alias("n_runs"),
+        )
+
+    a = runs("user_id").select(
+        F.lit("user_ts").alias("sort_order"), "n_rows", "n_runs"
+    )
+    b = runs("event_type").select(
+        F.lit("type_ts").alias("sort_order"), "n_rows", "n_runs"
+    )
+    return a.unionByName(b)
+
+
+@query(
+    "markov_backtest_accuracy",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, event_type, ts, event_id, weekofyear(ts) AS wk,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS nxt,
+             lead(weekofyear(ts)) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS nwk
+      FROM events
+    ),
+    train AS (
+      SELECT event_type, nxt, CAST(count(*) AS BIGINT) AS c
+      FROM s WHERE nxt IS NOT NULL AND nwk <= 3 GROUP BY event_type, nxt
+    ),
+    model AS (
+      SELECT event_type, nxt AS predicted FROM (
+        SELECT *, row_number() OVER (PARTITION BY event_type
+                                     ORDER BY c DESC, nxt) AS rk
+        FROM train
+      ) WHERE rk = 1
+    ),
+    test AS (
+      SELECT event_type, nxt FROM s
+      WHERE nxt IS NOT NULL AND wk >= 4 AND nwk >= 4
+    )
+    SELECT t.event_type, m.predicted,
+           CAST(count(*) AS BIGINT) AS n_test,
+           CAST(sum(CASE WHEN t.nxt = m.predicted THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_correct
+    FROM test t JOIN model m ON m.event_type = t.event_type
+    GROUP BY t.event_type, m.predicted
+    """,
+)
+def markov_backtest_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal backtest of the Markov next-event model — the evaluation
+    loop for the `event_transition_counts` / `next_event_entropy` family
+    run the way a production model is graded: fit the argmax-next
+    predictor on weeks <= 3 transitions (train rows are pairs whose
+    SUCCESSOR still lands in-train — no boundary leakage), score top-1
+    accuracy on weeks >= 4 transitions.  Exact integer per-type
+    test/correct counts; the fitted model is a |types|-row broadcast.
+    One lead() window (shared derivation with the entropy family), two
+    tiny aggregates."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select(
+        "event_type",
+        F.weekofyear("ts").alias("wk"),
+        F.lead("event_type").over(w).alias("nxt"),
+        F.lead(F.weekofyear("ts")).over(w).alias("nwk"),
+    ).filter(F.col("nxt").isNotNull())
+    train = (
+        s.filter(F.col("nwk") <= 3)
+        .groupBy("event_type", "nxt")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    wrk = Window.partitionBy("event_type").orderBy(
+        F.col("c").desc(), "nxt"
+    )
+    model = (
+        train.withColumn("rk", F.row_number().over(wrk))
+        .filter(F.col("rk") == 1)
+        .select("event_type", F.col("nxt").alias("predicted"))
+    )
+    test = s.filter((F.col("wk") >= 4) & (F.col("nwk") >= 4))
+    return (
+        test.join(F.broadcast(model), "event_type")
+        .groupBy("event_type", "predicted")
+        .agg(
+            F.count("*").cast("bigint").alias("n_test"),
+            F.sum(
+                F.when(F.col("nxt") == F.col("predicted"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_correct"),
+        )
+    )
+
+
+@query(
+    "qini_uplift_deciles",
+    oracle="""
+    WITH u AS (
+      SELECT user_id,
+             CASE WHEN ('0x' || substr(md5('uplift|' || user_id), 1, 2))
+                       ::BIGINT % 2 = 0 THEN 1 ELSE 0 END AS treated,
+             CAST(sum(CAST(floor(value * 1000.0) AS BIGINT)) AS BIGINT)
+               AS monetary_milli,
+             max(CASE WHEN event_type = 'purchase' AND value >= 100.0
+                      THEN 1 ELSE 0 END) AS converted
+      FROM events GROUP BY user_id
+    ),
+    d AS (
+      SELECT *, CAST(ntile(10) OVER (ORDER BY monetary_milli DESC, user_id)
+                     AS BIGINT) AS decile
+      FROM u
+    ),
+    per AS (
+      SELECT decile,
+             CAST(sum(treated) AS BIGINT) AS n_t,
+             CAST(sum(treated * converted) AS BIGINT) AS conv_t,
+             CAST(sum(1 - treated) AS BIGINT) AS n_c,
+             CAST(sum((1 - treated) * converted) AS BIGINT) AS conv_c
+      FROM d GROUP BY decile
+    )
+    SELECT decile, n_t, conv_t, n_c, conv_c,
+           CAST(sum(n_t) OVER w AS BIGINT) AS cum_n_t,
+           CAST(sum(conv_t) OVER w AS BIGINT) AS cum_conv_t,
+           CAST(sum(n_c) OVER w AS BIGINT) AS cum_n_c,
+           CAST(sum(conv_c) OVER w AS BIGINT) AS cum_conv_c
+    FROM per
+    WINDOW w AS (ORDER BY decile ROWS UNBOUNDED PRECEDING)
+    """,
+)
+def qini_uplift_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Qini / uplift-curve sufficient statistics — the targeting-model
+    evaluation the experimentation family was missing: users ranked by a
+    targeting score (monetary total, desc) into deciles, with per-decile
+    AND cumulative treated/control exposure and conversion counts (md5
+    parity assignment, 'uplift|' salt).  The Qini curve value at decile
+    k is cum_conv_t - cum_conv_c * cum_n_t / cum_n_c — derivable exactly
+    downstream from these bigints, so the hash-fragile division never
+    enters the gate (the `ips_policy_replay_eval` discipline).  One user
+    aggregate, one global ntile over the user grain (same envelope note
+    as `rfm_user_segments`), a 10-row cumulative window."""
+    ev = load_table(spark, sf_dir, "events")
+    treated = F.when(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("uplift|"), F.col("user_id"))), 1, 2
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 2
+        == 0,
+        1,
+    ).otherwise(0)
+    milli = F.floor(F.col("value") * 1000.0).cast("bigint")
+    u = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("value") >= 100.0),
+                1,
+            ).otherwise(0)
+        ).alias("converted"),
+        F.sum(milli).cast("bigint").alias("monetary_milli"),
+    ).select(
+        "user_id", treated.alias("treated"), "monetary_milli", "converted"
+    )
+    d = u.withColumn(
+        "decile",
+        F.ntile(10)
+        .over(Window.orderBy(F.col("monetary_milli").desc(), "user_id"))
+        .cast("bigint"),
+    )
+    per = d.groupBy("decile").agg(
+        F.sum("treated").cast("bigint").alias("n_t"),
+        F.sum(F.col("treated") * F.col("converted"))
+        .cast("bigint")
+        .alias("conv_t"),
+        F.sum(1 - F.col("treated")).cast("bigint").alias("n_c"),
+        F.sum((1 - F.col("treated")) * F.col("converted"))
+        .cast("bigint")
+        .alias("conv_c"),
+    )
+    wcum = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return per.select(
+        "decile", "n_t", "conv_t", "n_c", "conv_c",
+        F.sum("n_t").over(wcum).cast("bigint").alias("cum_n_t"),
+        F.sum("conv_t").over(wcum).cast("bigint").alias("cum_conv_t"),
+        F.sum("n_c").over(wcum).cast("bigint").alias("cum_n_c"),
+        F.sum("conv_c").over(wcum).cast("bigint").alias("cum_conv_c"),
+    )
+
+
 def _rotate_front(front: list[str]) -> None:
     global QUERIES, ORACLE
     missing = [n for n in front if n not in QUERIES]
@@ -17470,6 +17713,9 @@ _PENDING_ROUND7: list[str] = list(_ROUND6_DEFERRED) + [
     "equidepth_histogram_bounds",  # new in round 6 (ANALYZE-style histogram)
     "detector_pr_vs_ensemble",  # new in round 6 (confusion vs majority vote)
     "zorder_morton_keys",  # new in round 6 (Z-order layout clustering keys)
+    "sort_order_rle_audit",  # new in round 6 (layout-vs-encoding run counts)
+    "markov_backtest_accuracy",  # new in round 6 (temporal model backtest)
+    "qini_uplift_deciles",  # new in round 6 (uplift-curve statistics)
 ]
 
 # ROUND-7 BUILDER: round 6's window is the 41-name backlog + 9 round-6
