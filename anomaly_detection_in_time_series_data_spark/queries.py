@@ -17540,6 +17540,287 @@ def qini_uplift_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+@query(
+    "largest_remainder_allocation",
+    oracle="""
+    WITH li AS (
+      SELECT l_orderkey, l_linenumber,
+             CAST(floor(l_extendedprice * 100) AS BIGINT) AS w
+      FROM lineitem WHERE l_orderkey % 100 = 0
+    ),
+    o AS (
+      SELECT o_orderkey, CAST(floor(o_totalprice * 100) AS BIGINT) AS total_c
+      FROM orders WHERE o_orderkey % 100 = 0
+    ),
+    s AS (
+      SELECT li.l_orderkey, li.l_linenumber, li.w, o.total_c,
+             CAST(sum(li.w) OVER (PARTITION BY li.l_orderkey) AS BIGINT)
+               AS wsum
+      FROM li JOIN o ON o.o_orderkey = li.l_orderkey
+    ),
+    fl AS (
+      SELECT *, (total_c * w) // wsum AS base_c,
+             (total_c * w) % wsum AS rem
+      FROM s
+    ),
+    ranked AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY l_orderkey
+                                ORDER BY rem DESC, l_linenumber) AS rk,
+             CAST(total_c - sum(base_c) OVER (PARTITION BY l_orderkey)
+                  AS BIGINT) AS shortfall
+      FROM fl
+    )
+    SELECT l_orderkey AS orderkey, l_linenumber AS linenumber,
+           CAST(base_c + CASE WHEN rk <= shortfall THEN 1 ELSE 0 END
+                AS BIGINT) AS alloc_cents,
+           CAST(total_c AS BIGINT) AS total_cents
+    FROM ranked
+    """,
+)
+def largest_remainder_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Penny-exact proportional allocation (largest-remainder / Hamilton
+    method) — the finance-engineering operator naive `round(share *
+    total)` gets wrong: each order's total cents are distributed across
+    its line items proportional to extended price, floors first, then
+    the leftover pennies go to the largest fractional remainders
+    ((total*w) mod wsum, deterministic line-number tie-break) — so
+    sum(alloc) == total EXACTLY for every order, by construction.
+    Everything is bigint (floor-division + mod of integer cents; no
+    float share ever materializes).  One order-partitioned window pass;
+    allocation is embarrassingly parallel across orders.  The 1%
+    orderkey sample keeps the gate small — the operator is
+    per-order-local, so the sample loses no semantics."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_orderkey") % 100 == 0
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 100 == 0
+    )
+    liw = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.floor(F.col("l_extendedprice") * 100).cast("bigint").alias("w"),
+    )
+    oc = o.select(
+        F.col("o_orderkey").alias("l_orderkey"),
+        F.floor(F.col("o_totalprice") * 100).cast("bigint").alias("total_c"),
+    )
+    wp = Window.partitionBy("l_orderkey")
+    s = liw.join(oc, "l_orderkey").withColumn(
+        "wsum", F.sum("w").over(wp).cast("bigint")
+    )
+    fl = s.withColumn(
+        "base_c", F.expr("(total_c * w) div wsum")
+    ).withColumn("rem", (F.col("total_c") * F.col("w")) % F.col("wsum"))
+    wr = Window.partitionBy("l_orderkey").orderBy(
+        F.col("rem").desc(), "l_linenumber"
+    )
+    ranked = fl.withColumn("rk", F.row_number().over(wr)).withColumn(
+        "shortfall",
+        (F.col("total_c") - F.sum("base_c").over(wp)).cast("bigint"),
+    )
+    return ranked.select(
+        F.col("l_orderkey").alias("orderkey"),
+        F.col("l_linenumber").alias("linenumber"),
+        (
+            F.col("base_c")
+            + F.when(F.col("rk") <= F.col("shortfall"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("alloc_cents"),
+        F.col("total_c").cast("bigint").alias("total_cents"),
+    )
+
+
+@query(
+    "clamped_running_stock",
+    oracle="""
+    WITH d AS (
+      SELECT event_type, ts, event_id,
+             CASE WHEN event_type IN ('purchase', 'signup')
+                  THEN CAST(floor(value * 1000.0) AS BIGINT)
+                  ELSE -CAST(floor(value * 1000.0) AS BIGINT) END AS delta
+      FROM events
+    ),
+    pre AS (
+      SELECT event_type, ts, event_id,
+             sum(delta) OVER (PARTITION BY event_type ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS prefix
+      FROM d
+    ),
+    p AS (
+      SELECT event_type, ts, event_id, prefix,
+             least(min(prefix) OVER (PARTITION BY event_type
+                                     ORDER BY ts, event_id
+                                     ROWS UNBOUNDED PRECEDING), 0)
+               AS floor_off
+      FROM pre
+    )
+    SELECT event_type,
+           CAST(max(prefix - floor_off) AS BIGINT) AS peak_stock_milli,
+           CAST(sum(CASE WHEN prefix - floor_off = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_stockouts,
+           CAST(max(-floor_off) AS BIGINT) AS total_shortage_milli
+    FROM p GROUP BY event_type
+    """,
+)
+def clamped_running_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-floored running balance (inventory / queue depth / token
+    bucket) — the recurrence s_t = max(0, s_{t-1} + delta_t) looks like
+    it needs a sequential fold (the EWMA class, whose oracle is a
+    recursive CTE), but the REFLECTION IDENTITY s_t = prefix_t -
+    min(0, running_min(prefix)_t) makes it two stacked window passes —
+    closed-form, linear, and exactly parallel by key.  Demand events
+    (click/view/error) draw down, supply events (purchase/signup)
+    restock; emitted per type: peak on-hand stock, number of stock-out
+    instants (clamp active), and cumulative unserved shortage (how far
+    below zero the unclamped walk sank).  All exact milli bigints.  The
+    identity is the difference between 'can't express it, collect()' and
+    one shuffle at 100 TB."""
+    ev = load_table(spark, sf_dir, "events")
+    milli = F.floor(F.col("value") * 1000.0).cast("bigint")
+    delta = F.when(
+        F.col("event_type").isin("purchase", "signup"), milli
+    ).otherwise(-milli)
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    d = ev.select("event_type", "ts", "event_id", delta.alias("delta"))
+    p = d.withColumn("prefix", F.sum("delta").over(w)).withColumn(
+        "floor_off", F.least(F.min(F.col("prefix")).over(w), F.lit(0))
+    )
+    stock = F.col("prefix") - F.col("floor_off")
+    return p.groupBy("event_type").agg(
+        F.max(stock).cast("bigint").alias("peak_stock_milli"),
+        F.sum(F.when(stock == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_stockouts"),
+        F.max(-F.col("floor_off")).cast("bigint").alias(
+            "total_shortage_milli"
+        ),
+    )
+
+
+@query(
+    "share_of_parent_rollup",
+    oracle="""
+    WITH c AS (
+      SELECT r.r_name AS region, n.n_name AS nation,
+             CAST(sum(CAST(floor(c.c_acctbal * 100) AS BIGINT)) AS BIGINT)
+               AS bal_c,
+             CAST(count(*) AS BIGINT) AS n_customers
+      FROM customer c
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      GROUP BY r.r_name, n.n_name
+    ),
+    reg AS (
+      SELECT region, CAST(sum(bal_c) AS BIGINT) AS region_bal_c FROM c
+      GROUP BY region
+    ),
+    tot AS (SELECT CAST(sum(bal_c) AS BIGINT) AS total_c FROM c)
+    SELECT c.region, c.nation, c.n_customers, c.bal_c,
+           r.region_bal_c, t.total_c,
+           c.bal_c AS share_of_region_num,
+           r.region_bal_c AS share_of_region_den,
+           r.region_bal_c AS region_share_num,
+           t.total_c AS region_share_den
+    FROM c JOIN reg r ON r.region = c.region CROSS JOIN tot t
+    """,
+)
+def share_of_parent_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-parent across a hierarchy (nation share of region,
+    region share of world) — the BI ratio-to-report operator, emitted as
+    exact unreduced rationals at every level (cent-quantized bigint
+    numerators/denominators; the built-in ratio_to_report / sum-over
+    division is a double and hash-flips).  Leaf aggregate once, parent
+    totals derived FROM the leaf grain (never a second fact scan), both
+    parents broadcast back.  The negative-balance caveat rides along
+    untouched: shares can exceed 1 or flip sign and the rationals stay
+    exact."""
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region")
+    cents = F.floor(F.col("c_acctbal") * 100).cast("bigint")
+    leaf = (
+        cust.join(
+            F.broadcast(nat),
+            cust["c_nationkey"] == nat["n_nationkey"],
+        )
+        .join(F.broadcast(reg), nat["n_regionkey"] == reg["r_regionkey"])
+        .groupBy(
+            F.col("r_name").alias("region"), F.col("n_name").alias("nation")
+        )
+        .agg(
+            F.sum(cents).cast("bigint").alias("bal_c"),
+            F.count("*").cast("bigint").alias("n_customers"),
+        )
+    )
+    regs = leaf.groupBy("region").agg(
+        F.sum("bal_c").cast("bigint").alias("region_bal_c")
+    )
+    tot = leaf.agg(F.sum("bal_c").cast("bigint").alias("total_c"))
+    return (
+        leaf.join(F.broadcast(regs), "region")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "region", "nation", "n_customers", "bal_c",
+            "region_bal_c", "total_c",
+            F.col("bal_c").alias("share_of_region_num"),
+            F.col("region_bal_c").alias("share_of_region_den"),
+            F.col("region_bal_c").alias("region_share_num"),
+            F.col("total_c").alias("region_share_den"),
+        )
+    )
+
+
+@query(
+    "topk_with_ties_dense",
+    oracle="""
+    WITH v AS (
+      SELECT event_type, event_id,
+             CAST(floor(value * 1000.0) AS BIGINT) AS vm
+      FROM events
+    )
+    SELECT event_type, event_id, vm, CAST(rnk AS BIGINT) AS value_rank
+    FROM (
+      SELECT *, rank() OVER (PARTITION BY event_type ORDER BY vm DESC)
+               AS rnk
+      FROM v
+    ) WHERE rnk <= 3
+    """,
+)
+def topk_with_ties_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k WITH TIES (SQL:2008 FETCH FIRST k ROWS WITH TIES) — the
+    top-k semantics the LIMIT-based family (`topk_orders`,
+    TakeOrderedAndProject) cannot express: every row TYING the k-th
+    value is kept, so the result is value-complete (an audit or payout
+    cut-off must not drop half a tie group on arbitrary row order).
+    rank() over the milli-quantized value gives the gap-numbered rank;
+    the filter keeps rank <= 3 — output size is data-dependent by
+    design.  One type-partitioned window; emitted rank is the exact
+    integer tie witness."""
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select(
+        "event_type",
+        "event_id",
+        F.floor(F.col("value") * 1000.0).cast("bigint").alias("vm"),
+    )
+    w = Window.partitionBy("event_type").orderBy(F.col("vm").desc())
+    return (
+        v.withColumn("rnk", F.rank().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            "event_type", "event_id", "vm",
+            F.col("rnk").cast("bigint").alias("value_rank"),
+        )
+    )
+
+
 def _rotate_front(front: list[str]) -> None:
     global QUERIES, ORACLE
     missing = [n for n in front if n not in QUERIES]
@@ -17716,6 +17997,10 @@ _PENDING_ROUND7: list[str] = list(_ROUND6_DEFERRED) + [
     "sort_order_rle_audit",  # new in round 6 (layout-vs-encoding run counts)
     "markov_backtest_accuracy",  # new in round 6 (temporal model backtest)
     "qini_uplift_deciles",  # new in round 6 (uplift-curve statistics)
+    "largest_remainder_allocation",  # new in round 6 (penny-exact allocation)
+    "clamped_running_stock",  # new in round 6 (reflection-identity inventory)
+    "share_of_parent_rollup",  # new in round 6 (hierarchy ratio rationals)
+    "topk_with_ties_dense",  # new in round 6 (FETCH FIRST WITH TIES)
 ]
 
 # ROUND-7 BUILDER: round 6's window is the 41-name backlog + 9 round-6
