@@ -17821,6 +17821,200 @@ def topk_with_ties_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+@query(
+    "distributed_exact_rank",
+    oracle="""
+    WITH v AS (
+      SELECT event_id, CAST(floor(value * 1000.0) AS BIGINT) AS vm
+      FROM events WHERE value IS NOT NULL
+    ),
+    r AS (
+      SELECT event_id, vm,
+             row_number() OVER (ORDER BY vm, event_id) AS rnk,
+             count(*) OVER () AS n
+      FROM v
+    )
+    SELECT CAST(rnk AS BIGINT) AS rnk, event_id, vm, CAST(n AS BIGINT) AS n
+    FROM r WHERE rnk % 1000 = 1 OR rnk = n
+    """,
+)
+def distributed_exact_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT global ranking WITHOUT a single-task sort — the two-phase
+    scale path that `rfm_user_segments` / `equidepth_histogram_bounds`
+    document as their >= 10^7-row swap, implemented for real: (1)
+    ``repartitionByRange`` on the sort key spreads the total order
+    across range partitions, (2) ``sortWithinPartitions`` + an
+    Arrow-batched ``mapInPandas`` assigns per-partition LOCAL row
+    numbers and per-partition counts in one pass (no Python per-row
+    work — numpy arange over each batch), (3) partition counts (a
+    partitions-count-sized frame) go through a tiny running-sum window
+    to become OFFSETS, broadcast back, local + offset = global rank.
+    The oracle is the plain single-window row_number — hash-equality
+    PROVES the two-phase rank identical to the naive one.  Emitted: one
+    witness row per 1000 ranks plus the last (keeps the gate small; the
+    ranking itself is full-table).  No stage ever sorts more than one
+    range partition; this is terasort's shape as a reusable operator."""
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.filter(F.col("value").isNotNull()).select(
+        "event_id",
+        F.floor(F.col("value") * 1000.0).cast("bigint").alias("vm"),
+    )
+    parts = 16
+    rp = v.repartitionByRange(parts, "vm", "event_id").sortWithinPartitions(
+        "vm", "event_id"
+    )
+
+    def local_rank(batches):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        seen = 0
+        for b in batches:
+            k = len(b)
+            yield pd.DataFrame(
+                {
+                    "pid": pid,
+                    "local_rnk": range(seen + 1, seen + k + 1),
+                    "event_id": b["event_id"],
+                    "vm": b["vm"],
+                }
+            )
+            seen += k
+
+    ranked = rp.mapInPandas(
+        local_rank,
+        schema="pid int, local_rnk bigint, event_id bigint, vm bigint",
+    ).localCheckpoint(eager=True)  # phase boundary: counts + join reuse it
+    counts = ranked.groupBy("pid").agg(F.count("*").alias("c"))
+    woff = Window.orderBy("pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = counts.withColumn(
+        "off", F.coalesce(F.sum("c").over(woff), F.lit(0))
+    ).withColumn("n", F.sum("c").over(Window.partitionBy()).cast("bigint"))
+    out = ranked.join(F.broadcast(offsets.select("pid", "off", "n")), "pid")
+    rnk = (F.col("local_rnk") + F.col("off")).cast("bigint")
+    return (
+        out.select(rnk.alias("rnk"), "event_id", "vm", "n")
+        .filter((F.col("rnk") % 1000 == 1) | (F.col("rnk") == F.col("n")))
+    )
+
+
+@query(
+    "expectation_suite_report",
+    oracle="""
+    WITH checks AS (
+      SELECT
+        CAST(count(*) AS BIGINT) AS n_rows,
+        CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+          AS user_id_nulls,
+        CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+          AS value_nulls,
+        CAST(sum(CASE WHEN value < 0 THEN 1 ELSE 0 END) AS BIGINT)
+          AS value_negative,
+        CAST(sum(CASE WHEN event_type NOT IN
+                      ('click', 'view', 'purchase', 'signup', 'error')
+                      THEN 1 ELSE 0 END) AS BIGINT) AS type_unexpected,
+        CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-01'
+                        OR ts >= TIMESTAMP '2024-03-01'
+                      THEN 1 ELSE 0 END) AS BIGINT) AS ts_out_of_window,
+        CAST(count(*) - count(DISTINCT event_id) AS BIGINT)
+          AS event_id_dupes
+      FROM events
+    )
+    SELECT e.expectation, e.n_failed, c.n_rows,
+           e.n_failed = 0 AS passed
+    FROM checks c
+    CROSS JOIN LATERAL (VALUES
+      ('user_id_not_null', c.user_id_nulls),
+      ('value_not_null', c.value_nulls),
+      ('value_non_negative', c.value_negative),
+      ('event_type_in_set', c.type_unexpected),
+      ('ts_in_expected_window', c.ts_out_of_window),
+      ('event_id_unique', c.event_id_dupes)
+    ) AS e(expectation, n_failed)
+    """,
+)
+def expectation_suite_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A data-contract expectation suite (Great-Expectations shape)
+    compiled into ONE scan: six named expectations — non-null columns,
+    value domain, categorical membership, timestamp window, key
+    uniqueness — evaluated as conditional aggregates of a single pass
+    (uniqueness via count - count(distinct), the only expectation
+    needing more than map-side state), then unpivoted into the
+    (expectation, n_failed, passed) report a pipeline gate consumes.
+    The compile-to-one-pass shape is the point: N separate validation
+    queries would scan the fact table N times; the suite costs one.
+    `data_quality_report` profiles; this one GATES — exact counts,
+    boolean verdicts."""
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.sum(F.when(F.col("user_id").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("user_id_nulls"),
+        F.sum(F.when(F.col("value").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("value_nulls"),
+        F.sum(F.when(F.col("value") < 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("value_negative"),
+        F.sum(
+            F.when(
+                ~F.col("event_type").isin(
+                    "click", "view", "purchase", "signup", "error"
+                ),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("type_unexpected"),
+        F.sum(
+            F.when(
+                (F.col("ts") < F.lit("2024-01-01").cast("timestamp"))
+                | (F.col("ts") >= F.lit("2024-03-01").cast("timestamp")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("ts_out_of_window"),
+        (F.count("*") - F.count_distinct("event_id"))
+        .cast("bigint")
+        .alias("event_id_dupes"),
+    )
+    pairs = [
+        ("user_id_not_null", "user_id_nulls"),
+        ("value_not_null", "value_nulls"),
+        ("value_non_negative", "value_negative"),
+        ("event_type_in_set", "type_unexpected"),
+        ("ts_in_expected_window", "ts_out_of_window"),
+        ("event_id_unique", "event_id_dupes"),
+    ]
+    unp = c.select(
+        "n_rows",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(name).alias("expectation"),
+                        F.col(col).alias("n_failed"),
+                    )
+                    for name, col in pairs
+                ]
+            )
+        ).alias("e"),
+    )
+    return unp.select(
+        F.col("e.expectation").alias("expectation"),
+        F.col("e.n_failed").alias("n_failed"),
+        "n_rows",
+        (F.col("e.n_failed") == 0).alias("passed"),
+    )
+
+
 def _rotate_front(front: list[str]) -> None:
     global QUERIES, ORACLE
     missing = [n for n in front if n not in QUERIES]
@@ -18001,6 +18195,8 @@ _PENDING_ROUND7: list[str] = list(_ROUND6_DEFERRED) + [
     "clamped_running_stock",  # new in round 6 (reflection-identity inventory)
     "share_of_parent_rollup",  # new in round 6 (hierarchy ratio rationals)
     "topk_with_ties_dense",  # new in round 6 (FETCH FIRST WITH TIES)
+    "distributed_exact_rank",  # new in round 6 (two-phase global ranking)
+    "expectation_suite_report",  # new in round 6 (one-pass data contract gate)
 ]
 
 # ROUND-7 BUILDER: round 6's window is the 41-name backlog + 9 round-6
