@@ -460,3 +460,99 @@ def test_scd2_foreach_batch_coalesced_trigger_folds_in_seq_order(spark, tmp_path
         (2, "x", t(1), t(15)),
         (2, "y", t(15), None),
     }
+
+
+def _stage_deliveries(spark, src_dir, deliveries, schema, start=0):
+    import glob as g
+    import os
+    import shutil as sh
+
+    os.makedirs(src_dir, exist_ok=True)
+    for i, rows in enumerate(deliveries, start=start):
+        d = spark.createDataFrame(rows, schema=schema)
+        stage = f"{src_dir}_stage{i}"
+        d.coalesce(1).write.mode("overwrite").parquet(stage)
+        part = g.glob(f"{stage}/part-*.parquet")[0]
+        dst = f"{src_dir}/delivery-{i}.parquet"
+        sh.move(part, dst)
+        os.utime(dst, (1_000_000_000 + i, 1_000_000_000 + i))
+
+
+def test_scd2_sink_checkpoint_recovery_and_idempotence(spark, tmp_path):
+    """The exactly-once story of ``sinks.scd2_foreach_batch``, both halves:
+
+    1. RECOVERY: run the stream over the first two CDC deliveries, then
+       add three more and restart with the SAME checkpoint — the resumed
+       query must process only the new files, and the final dimension
+       must equal a one-shot run over all five.
+    2. IDEMPOTENCE: fold the final delivery through the merge a second
+       time (simulating an at-least-once redelivery) — the store must
+       not change (unchanged updates are no-ops by design).
+    """
+    import datetime as dt
+
+    from anomaly_detection_in_time_series_data_spark.operators.cdc import (
+        scd2_merge,
+    )
+    from anomaly_detection_in_time_series_data_spark.streaming.sinks import (
+        scd2_foreach_batch,
+    )
+
+    t = lambda d: dt.datetime(2024, 1, d)  # noqa: E731
+    schema = "user_id bigint, event_type string, ts timestamp, wk int"
+    deliveries = [
+        [(1, "a", t(1), 1), (2, "x", t(1), 1)],
+        [(1, "b", t(8), 2)],
+        [(2, "y", t(15), 3)],
+        [(1, "b", t(22), 4)],  # unchanged redelivery -> no-op
+        [(2, "z", t(29), 5)],
+    ]
+
+    def run(src, store, ckpt):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        scd2_foreach_batch(
+            stream, store, keys=["user_id"], tracked=["event_type"],
+            ts_col="ts", checkpoint=ckpt, seq_col="wk",
+        ).awaitTermination()
+
+    def snap(store):
+        return {
+            (r.user_id, r.event_type, r.valid_from, r.valid_to)
+            for r in spark.read.parquet(store).collect()
+        }
+
+    # interrupted-then-resumed run
+    src_a = str(tmp_path / "src_a")
+    store_a, ckpt_a = str(tmp_path / "dim_a"), str(tmp_path / "ck_a")
+    _stage_deliveries(spark, src_a, deliveries[:2], schema)
+    run(src_a, store_a, ckpt_a)
+    partial = snap(store_a)
+    assert (1, "b", t(8), None) in partial and (2, "x", t(1), None) in partial
+    _stage_deliveries(spark, src_a, deliveries[2:], schema, start=2)
+    run(src_a, store_a, ckpt_a)  # SAME checkpoint: resumes, not replays
+
+    # one-shot reference run
+    src_b = str(tmp_path / "src_b")
+    store_b, ckpt_b = str(tmp_path / "dim_b"), str(tmp_path / "ck_b")
+    _stage_deliveries(spark, src_b, deliveries, schema)
+    run(src_b, store_b, ckpt_b)
+
+    final = snap(store_a)
+    assert final == snap(store_b)
+    # the wk-4 unchanged redelivery opened no new version for user 1
+    assert (1, "b", t(8), None) in final and (2, "z", t(29), None) in final
+
+    # idempotence: merge the last delivery AGAIN, batch-side
+    current = spark.read.parquet(store_a)
+    upd = spark.createDataFrame(deliveries[-1], schema=schema).drop("wk")
+    again = scd2_merge(
+        current, upd, keys=["user_id"], tracked=["event_type"], ts_col="ts"
+    )
+    assert {
+        (r.user_id, r.event_type, r.valid_from, r.valid_to)
+        for r in again.collect()
+    } == final
