@@ -18015,6 +18015,535 @@ def expectation_suite_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "spc_control_chart_rules",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type,
+             CAST(epoch_us(date_trunc('day', ts)) AS BIGINT) AS d,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    st AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(c) AS BIGINT) AS s,
+             CAST(sum(c * c) AS BIGINT) AS q
+      FROM daily GROUP BY 1
+    ),
+    f AS (
+      SELECT daily.event_type, d, c, n,
+             c * n - s AS dev,
+             (c * n - s) * (c * n - s) AS dev2,
+             n * q - s * s AS varn,
+             CASE WHEN c * n - s > 0 THEN 1
+                  WHEN c * n - s < 0 THEN -1 ELSE 0 END AS side
+      FROM daily JOIN st ON st.event_type = daily.event_type
+    ),
+    g AS (
+      SELECT event_type, d, n, side,
+             CASE WHEN dev2 > 9 * varn THEN 1 ELSE 0 END AS r1,
+             CASE WHEN dev2 > 4 * varn AND side = 1 THEN 1 ELSE 0 END
+               AS b2p,
+             CASE WHEN dev2 > 4 * varn AND side = -1 THEN 1 ELSE 0 END
+               AS b2n
+      FROM f
+    ),
+    w1 AS (
+      SELECT event_type, d, n, r1, side,
+             row_number() OVER pt AS rn,
+             sum(b2p) OVER w3 AS s2p,
+             sum(b2n) OVER w3 AS s2n,
+             row_number() OVER (PARTITION BY event_type, side
+                                ORDER BY d) AS rside
+      FROM g
+      WINDOW pt AS (PARTITION BY event_type ORDER BY d),
+             w3 AS (PARTITION BY event_type ORDER BY d
+                    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+    ),
+    w AS (
+      SELECT event_type, d, n, r1,
+             CASE WHEN rn >= 3 AND (s2p >= 2 OR s2n >= 2)
+                  THEN 1 ELSE 0 END AS r2,
+             row_number() OVER (PARTITION BY event_type, side, rn - rside
+                                ORDER BY d) AS run_len
+      FROM w1
+    )
+    SELECT event_type, CAST(max(n) AS BIGINT) AS n_days,
+           CAST(sum(r1) AS BIGINT) AS n_rule1,
+           CAST(sum(r2) AS BIGINT) AS n_rule2,
+           CAST(sum(CASE WHEN run_len >= 8 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_rule4,
+           CAST(max(run_len) AS BIGINT) AS max_same_side_run
+    FROM w GROUP BY event_type
+    """,
+)
+def spc_control_chart_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical-process-control chart over daily event counts with
+    three Western Electric rules, entirely in exact integer arithmetic —
+    no sqrt ever materializes.  Rule 1 (a point beyond 3 sigma), rule 2
+    (two of three consecutive points beyond 2 sigma on the same side) and
+    rule 4 (eight consecutive points on one side of the center line) are
+    all cross-multiplied: (x-mu)^2 > k^2 sigma^2 becomes
+    (x*n - S)^2 > k^2 (n*Q - S^2) with S = sum(counts), Q = sum(counts^2)
+    — bigints throughout, so the flag cannot hash-flip on libm.  Runs are
+    gaps-and-islands (row_number difference), the textbook windowed
+    formulation.  Scale: the chart operates on the per-(type, day)
+    pre-aggregate — one map-side-combined shuffle over raw events, then
+    window state proportional to days, not rows."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.unix_micros(F.date_trunc("day", "ts")).alias("d"),
+    ).agg(F.count("*").cast("bigint").alias("c"))
+    st = daily.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("c").cast("bigint").alias("s"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("q"),
+    )
+    dev = F.col("c") * F.col("n") - F.col("s")
+    varn = F.col("n") * F.col("q") - F.col("s") * F.col("s")
+    side = F.when(dev > 0, 1).when(dev < 0, -1).otherwise(0)
+    g = (
+        daily.join(F.broadcast(st), "event_type")
+        .withColumn("side", side)
+        .withColumn("r1", F.when(dev * dev > 9 * varn, 1).otherwise(0))
+        .withColumn(
+            "b2p",
+            F.when((dev * dev > 4 * varn) & (F.col("side") == 1), 1).otherwise(0),
+        )
+        .withColumn(
+            "b2n",
+            F.when((dev * dev > 4 * varn) & (F.col("side") == -1), 1).otherwise(0),
+        )
+    )
+    pt = Window.partitionBy("event_type").orderBy("d")
+    w3 = pt.rowsBetween(-2, 0)
+    ps = Window.partitionBy("event_type", "side").orderBy("d")
+    w = (
+        g.withColumn("rn", F.row_number().over(pt))
+        .withColumn(
+            "r2",
+            F.when(
+                (F.col("rn") >= 3)
+                & (
+                    (F.sum("b2p").over(w3) >= 2)
+                    | (F.sum("b2n").over(w3) >= 2)
+                ),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("grp", F.col("rn") - F.row_number().over(ps))
+        .withColumn(
+            "run_len",
+            F.row_number().over(
+                Window.partitionBy("event_type", "side", "grp").orderBy("d")
+            ),
+        )
+    )
+    return w.groupBy("event_type").agg(
+        F.max("n").cast("bigint").alias("n_days"),
+        F.sum("r1").cast("bigint").alias("n_rule1"),
+        F.sum("r2").cast("bigint").alias("n_rule2"),
+        F.sum(F.when(F.col("run_len") >= 8, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_rule4"),
+        F.max("run_len").cast("bigint").alias("max_same_side_run"),
+    )
+
+
+@query(
+    "herfindahl_daily_concentration",
+    oracle="""
+    WITH c AS (
+      SELECT CAST(epoch_us(date_trunc('day', ts)) AS BIGINT) AS bucket_us,
+             event_type, CAST(count(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1, 2
+    )
+    SELECT bucket_us, CAST(count(*) AS BIGINT) AS n_types,
+           CAST(sum(cnt) AS BIGINT) AS total_events,
+           CAST(sum(cnt * cnt) AS BIGINT) AS hhi_num,
+           CAST(sum(cnt) * sum(cnt) AS BIGINT) AS hhi_den
+    FROM c GROUP BY bucket_us
+    """,
+)
+def herfindahl_daily_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily Herfindahl-Hirschman concentration of traffic across event
+    types — the market-concentration statistic applied to workload mix
+    (a day whose HHI spikes is dominated by one event type: incident,
+    bot, or backfill).  HHI = sum(share_i^2) is emitted as the exact
+    unreduced rational sum(c_i^2) / (sum c_i)^2 in bigints; the double
+    division is the consumer's one-liner.  Scale: one map-side-combined
+    (day, type) count, then a per-day reduce over at most |types| rows —
+    the second aggregate is metadata-sized no matter the raw volume."""
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.groupBy(
+        F.unix_micros(F.date_trunc("day", "ts")).alias("bucket_us"),
+        "event_type",
+    ).agg(F.count("*").cast("bigint").alias("cnt"))
+    return c.groupBy("bucket_us").agg(
+        F.count("*").cast("bigint").alias("n_types"),
+        F.sum("cnt").cast("bigint").alias("total_events"),
+        F.sum(F.col("cnt") * F.col("cnt")).cast("bigint").alias("hhi_num"),
+        (F.sum("cnt") * F.sum("cnt")).cast("bigint").alias("hhi_den"),
+    )
+
+
+@query(
+    "fano_burstiness_hourly",
+    oracle="""
+    WITH bounds AS (
+      SELECT date_trunc('hour', min(ts)) AS hmin,
+             date_trunc('hour', max(ts)) AS hmax
+      FROM events
+    ),
+    spine AS (
+      SELECT unnest(generate_series(hmin, hmax, INTERVAL 1 HOUR)) AS hr
+      FROM bounds
+    ),
+    types AS (SELECT DISTINCT event_type FROM events),
+    obs AS (
+      SELECT event_type, date_trunc('hour', ts) AS hr,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    dense AS (
+      SELECT t.event_type, COALESCE(o.c, 0) AS c
+      FROM types t CROSS JOIN spine s
+      LEFT JOIN obs o ON o.event_type = t.event_type AND o.hr = s.hr
+    )
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_hours,
+           CAST(sum(c) AS BIGINT) AS total_events,
+           CAST(count(*) * sum(c * c) - sum(c) * sum(c) AS BIGINT)
+             AS fano_num,
+           CAST(count(*) * sum(c) AS BIGINT) AS fano_den
+    FROM dense GROUP BY event_type
+    """,
+)
+def fano_burstiness_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fano factor (index of dispersion, var/mean of hourly arrival
+    counts) per event type over a DENSE hour spine — a Poisson process
+    scores 1, bursty traffic scores above, a rate-limited/clocked feed
+    below.  Zero-event hours are real observations, so the spine is
+    materialized (types x sequence(min_hour, max_hour)) and counts
+    left-joined onto it — skipping empty hours is the classic bias that
+    silently inflates the mean.  The factor is emitted as the exact
+    rational (h*Q - S^2) / (h*S) in bigints (population variance over
+    mean, cross-multiplied).  Scale: the spine is |types| x |hours| —
+    calendar-sized, not data-sized; raw events are touched once by the
+    map-side-combined hourly count."""
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("hmin"),
+        F.date_trunc("hour", F.max("ts")).alias("hmax"),
+    )
+    spine = bounds.select(
+        F.explode(
+            F.sequence("hmin", "hmax", F.expr("interval 1 hour"))
+        ).alias("hr")
+    )
+    types = ev.select("event_type").distinct()
+    obs = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hr")
+    ).agg(F.count("*").cast("bigint").alias("c"))
+    dense = (
+        types.crossJoin(F.broadcast(spine))
+        .join(obs, ["event_type", "hr"], "left")
+        .select("event_type", F.coalesce("c", F.lit(0)).alias("c"))
+    )
+    cnt = F.count("*")
+    s = F.sum("c")
+    q = F.sum(F.col("c") * F.col("c"))
+    return dense.groupBy("event_type").agg(
+        cnt.cast("bigint").alias("n_hours"),
+        s.cast("bigint").alias("total_events"),
+        (cnt * q - s * s).cast("bigint").alias("fano_num"),
+        (cnt * s).cast("bigint").alias("fano_den"),
+    )
+
+
+@query(
+    "record_breaking_days",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type,
+             CAST(epoch_us(date_trunc('day', ts)) AS BIGINT) AS bucket_us,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT event_type, bucket_us, cnt,
+             max(cnt) OVER (PARTITION BY event_type ORDER BY bucket_us
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING) AS prev_max
+      FROM daily
+    )
+    SELECT event_type, bucket_us, cnt,
+           CAST(row_number() OVER (PARTITION BY event_type
+                                   ORDER BY bucket_us) AS BIGINT)
+             AS record_idx
+    FROM r WHERE prev_max IS NULL OR cnt > prev_max
+    """,
+)
+def record_breaking_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record-breaking days per event type: every day whose count
+    strictly exceeds ALL previous days (the running-extreme hitting
+    times; under exchangeability the k-th record is expected at rank
+    e^k, so a surplus of late records is itself a trend detector — the
+    nonparametric record-test).  One running-max window over the daily
+    pre-aggregate, filter to record days, rank them.  All bigint: day
+    bucket as epoch micros, counts, record index.  Scale: window state
+    is one bigint per type; the only data-sized pass is the map-side-
+    combined daily count."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.unix_micros(F.date_trunc("day", "ts")).alias("bucket_us"),
+    ).agg(F.count("*").cast("bigint").alias("cnt"))
+    pt = Window.partitionBy("event_type").orderBy("bucket_us")
+    r = daily.withColumn(
+        "prev_max",
+        F.max("cnt").over(pt.rowsBetween(Window.unboundedPreceding, -1)),
+    ).filter(F.col("prev_max").isNull() | (F.col("cnt") > F.col("prev_max")))
+    return r.select(
+        "event_type",
+        "bucket_us",
+        "cnt",
+        F.row_number().over(pt).cast("bigint").alias("record_idx"),
+    )
+
+
+@query(
+    "ann_graph_link_prediction",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(embedding,
+                            x -> CAST(floor(x * 1000.0) AS BIGINT)) AS v,
+             list_aggregate(list_transform(embedding[1:8],
+                            x -> CASE WHEN x >= 0 THEN 1 ELSE 0 END),
+                            'string_agg', '') AS orthant
+      FROM embeddings
+    ),
+    edges AS (
+      SELECT a.vec_id AS ia, b.vec_id AS ib
+      FROM q a JOIN q b ON a.orthant = b.orthant AND a.vec_id < b.vec_id
+      WHERE list_reduce(list_transform(range(1, len(a.v) + 1),
+                                       i -> a.v[i] * b.v[i]),
+                        (x, y) -> x + y) >= 250000
+    ),
+    und AS (
+      SELECT ia AS a, ib AS b FROM edges
+      UNION ALL SELECT ib, ia FROM edges
+    ),
+    deg AS (SELECT a AS node, CAST(count(*) AS BIGINT) AS degree
+            FROM und GROUP BY a),
+    wedge AS (
+      SELECT u1.b AS ia, u2.b AS ib, CAST(count(*) AS BIGINT) AS cn
+      FROM und u1 JOIN und u2 ON u1.a = u2.a AND u1.b < u2.b
+      GROUP BY u1.b, u2.b
+    ),
+    cand AS (
+      SELECT w.ia, w.ib, w.cn
+      FROM wedge w
+      WHERE NOT EXISTS (SELECT 1 FROM edges e
+                        WHERE e.ia = w.ia AND e.ib = w.ib)
+    )
+    SELECT c.ia AS vec_a, c.ib AS vec_b,
+           c.cn AS jaccard_num,
+           da.degree + db.degree - c.cn AS jaccard_den,
+           (SELECT list_reduce(list_transform(range(1, len(a.v) + 1),
+                                              i -> a.v[i] * b.v[i]),
+                               (x, y) -> x + y)
+            FROM q a, q b WHERE a.vec_id = c.ia AND b.vec_id = c.ib)
+             AS pair_dot_milli2
+    FROM cand c
+    JOIN deg da ON da.node = c.ia
+    JOIN deg db ON db.node = c.ib
+    ORDER BY c.cn DESC, c.ia, c.ib LIMIT 20
+    """,
+)
+def ann_graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction over the theta-NN similarity graph on the
+    embedding corpus — the ANN pipeline's RECALL AUDIT.  The graph is
+    built exactly like the production screen: sign-orthant bucket (first
+    8 dims) as the LSH band, milli-quantized integer dot product >=
+    250000 (~cos 0.25 on unit vectors) as the exact verify.  Because
+    cosine similarity is NOT transitive, non-adjacent distance-2 pairs
+    exist; common-neighbor Jaccard (|N(a) n N(b)| as cn, union derived
+    from degrees) ranks them, and the pair's own quantized dot rides
+    along — a high-cn pair with dot just under threshold is a
+    threshold near-miss, one with a high dot in a different orthant
+    would be a banding false negative.  All bigint-exact.  Scale:
+    edges come from within-bucket joins (never all-pairs), wedges are
+    degree-bounded (sum deg^2 over shared neighbors), the standard
+    wedge-enumeration shape that survives skew with AQE."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "vec_id",
+        F.transform(
+            "embedding", lambda x: F.floor(x * 1000.0).cast("bigint")
+        ).alias("v"),
+        F.concat_ws(
+            "",
+            F.transform(
+                F.slice("embedding", 1, 8),
+                lambda x: F.when(x >= 0, F.lit("1")).otherwise(F.lit("0")),
+            ),
+        ).alias("orthant"),
+    )
+    a = q.alias("a")
+    b = q.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    pairs = a.join(
+        b,
+        (F.col("a.orthant") == F.col("b.orthant"))
+        & (F.col("a.vec_id") < F.col("b.vec_id")),
+    ).select(
+        F.col("a.vec_id").alias("ia"),
+        F.col("b.vec_id").alias("ib"),
+        dot.alias("dot"),
+    )
+    edges = pairs.filter(F.col("dot") >= 250000).select("ia", "ib")
+    und = edges.select(F.col("ia").alias("a"), F.col("ib").alias("b")).unionAll(
+        edges.select(F.col("ib").alias("a"), F.col("ia").alias("b"))
+    )
+    deg = und.groupBy(F.col("a").alias("node")).agg(
+        F.count("*").cast("bigint").alias("degree")
+    )
+    u1 = und.alias("u1")
+    u2 = und.alias("u2")
+    wedge = (
+        u1.join(
+            u2,
+            (F.col("u1.a") == F.col("u2.a")) & (F.col("u1.b") < F.col("u2.b")),
+        )
+        .groupBy(F.col("u1.b").alias("ia"), F.col("u2.b").alias("ib"))
+        .agg(F.count("*").cast("bigint").alias("cn"))
+    )
+    cand = wedge.join(edges, ["ia", "ib"], "left_anti")
+    da = deg.alias("da")
+    db = deg.alias("db")
+    return (
+        cand.join(F.broadcast(da), cand["ia"] == F.col("da.node"))
+        .join(F.broadcast(db), cand["ib"] == F.col("db.node"))
+        .join(
+            pairs.select("ia", "ib", F.col("dot").alias("pair_dot_milli2")),
+            ["ia", "ib"],
+        )
+        .select(
+            F.col("ia").alias("vec_a"),
+            F.col("ib").alias("vec_b"),
+            F.col("cn").alias("jaccard_num"),
+            (F.col("da.degree") + F.col("db.degree") - F.col("cn")).alias(
+                "jaccard_den"
+            ),
+            "pair_dot_milli2",
+        )
+        .orderBy(F.col("jaccard_num").desc(), "vec_a", "vec_b")
+        .limit(20)
+    )
+
+
+@query(
+    "zone_map_skipping_audit",
+    oracle="""
+    WITH m AS (
+      SELECT CAST(floor(value * 1000.0) AS BIGINT) AS v_milli, ts, event_id
+      FROM events
+    ),
+    layouts AS (
+      SELECT 'ts_order' AS layout,
+             (row_number() OVER (ORDER BY ts, event_id) - 1) // 256 AS f,
+             v_milli
+      FROM m
+      UNION ALL
+      SELECT 'value_order' AS layout,
+             (row_number() OVER (ORDER BY v_milli, event_id) - 1) // 256
+               AS f,
+             v_milli
+      FROM m
+    ),
+    files AS (
+      SELECT layout, f, min(v_milli) AS lo, max(v_milli) AS hi,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(CASE WHEN v_milli >= 150000 AND v_milli < 200000
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_match
+      FROM layouts GROUP BY layout, f
+    )
+    SELECT layout, CAST(count(*) AS BIGINT) AS n_files,
+           CAST(sum(CASE WHEN hi >= 150000 AND lo < 200000
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_files_scanned,
+           CAST(sum(CASE WHEN hi >= 150000 AND lo < 200000
+                         THEN n_rows ELSE 0 END) AS BIGINT)
+             AS n_rows_scanned,
+           CAST(sum(n_match) AS BIGINT) AS n_rows_matching
+    FROM files GROUP BY layout
+    """,
+)
+def zone_map_skipping_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map (min/max footer statistics) data-skipping simulator: lay
+    the fact table out in 256-row files two ways — ingestion order
+    (ts) vs sort-by-predicate-column — and report how many files and
+    rows a `value BETWEEN 150 AND 200` scan must touch under each.  The
+    quantitative WHY behind `zorder_morton_keys` and
+    `sort_order_rle_audit`: clustering the predicate column collapses
+    n_files_scanned to ~matching/256 while ingestion order touches
+    nearly every file.  Milli-quantized bigint bounds, integer counts.
+    Scale note: this SIMULATES the layout with a global row_number (a
+    single-partition sort, fine for an audit run); a production engine
+    reads the same min/max from parquet footers — metadata-sized, no
+    data pass at all."""
+    ev = load_table(spark, sf_dir, "events")
+    m = ev.select(
+        F.floor(F.col("value") * 1000.0).cast("bigint").alias("v_milli"),
+        "ts",
+        "event_id",
+    )
+    lay_ts = m.select(
+        F.lit("ts_order").alias("layout"),
+        ((F.row_number().over(Window.orderBy("ts", "event_id")) - 1) / 256)
+        .cast("bigint")
+        .alias("f"),
+        "v_milli",
+    )
+    lay_v = m.select(
+        F.lit("value_order").alias("layout"),
+        (
+            (F.row_number().over(Window.orderBy("v_milli", "event_id")) - 1)
+            / 256
+        )
+        .cast("bigint")
+        .alias("f"),
+        "v_milli",
+    )
+    in_rng = (F.col("v_milli") >= 150000) & (F.col("v_milli") < 200000)
+    files = (
+        lay_ts.unionAll(lay_v)
+        .groupBy("layout", "f")
+        .agg(
+            F.min("v_milli").alias("lo"),
+            F.max("v_milli").alias("hi"),
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum(F.when(in_rng, 1).otherwise(0)).cast("bigint").alias("n_match"),
+        )
+    )
+    scanned = (F.col("hi") >= 150000) & (F.col("lo") < 200000)
+    return files.groupBy("layout").agg(
+        F.count("*").cast("bigint").alias("n_files"),
+        F.sum(F.when(scanned, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_files_scanned"),
+        F.sum(F.when(scanned, F.col("n_rows")).otherwise(0))
+        .cast("bigint")
+        .alias("n_rows_scanned"),
+        F.sum("n_match").cast("bigint").alias("n_rows_matching"),
+    )
+
+
 def _rotate_front(front: list[str]) -> None:
     global QUERIES, ORACLE
     missing = [n for n in front if n not in QUERIES]
@@ -18197,6 +18726,12 @@ _PENDING_ROUND7: list[str] = list(_ROUND6_DEFERRED) + [
     "topk_with_ties_dense",  # new in round 6 (FETCH FIRST WITH TIES)
     "distributed_exact_rank",  # new in round 6 (two-phase global ranking)
     "expectation_suite_report",  # new in round 6 (one-pass data contract gate)
+    "spc_control_chart_rules",  # new in round 6 (Western Electric SPC flags)
+    "herfindahl_daily_concentration",  # new in round 6 (workload-mix HHI)
+    "fano_burstiness_hourly",  # new in round 6 (dispersion vs Poisson)
+    "record_breaking_days",  # new in round 6 (running-extreme record test)
+    "ann_graph_link_prediction",  # new in round 6 (ANN recall audit via CN)
+    "zone_map_skipping_audit",  # new in round 6 (min/max pruning simulator)
 ]
 
 # ROUND-7 BUILDER: round 6's window is the 41-name backlog + 9 round-6
