@@ -91,3 +91,135 @@ def test_distributed_rank_matches_naive_window(spark, sf_dir):
     assert joined.filter(F.col("naive_rnk").isNull()).count() == 0
     mism = joined.filter(F.col("rnk") != F.col("naive_rnk")).count()
     assert mism == 0
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=10**6), min_size=2, max_size=40)
+)
+@settings(max_examples=200, deadline=None)
+def test_spc_cross_multiplied_sigma_gates_are_exact(counts):
+    """The integer SPC gate (x*n - S)^2 > k^2 (n*Q - S^2) is EXACTLY the
+    k-sigma test (x - mu)^2 > k^2 sigma^2 evaluated in rational
+    arithmetic — the identity `spc_control_chart_rules` rests on, for
+    both the 3-sigma and 2-sigma rules."""
+    from fractions import Fraction
+
+    n = len(counts)
+    s = sum(counts)
+    qq = sum(c * c for c in counts)
+    mu = Fraction(s, n)
+    var = Fraction(qq, n) - mu * mu
+    for k2 in (4, 9):
+        for x in counts:
+            int_gate = (x * n - s) ** 2 > k2 * (n * qq - s * s)
+            frac_gate = (Fraction(x) - mu) ** 2 > k2 * var
+            assert int_gate == frac_gate
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=1000), min_size=1, max_size=50)
+)
+@settings(max_examples=200, deadline=None)
+def test_fano_rational_matches_var_over_mean(counts):
+    """fano_num/fano_den == population variance / mean in exact rational
+    arithmetic (whenever the mean is nonzero)."""
+    from fractions import Fraction
+
+    h = len(counts)
+    s = sum(counts)
+    qq = sum(c * c for c in counts)
+    num, den = h * qq - s * s, h * s
+    if s == 0:
+        assert den == 0
+        return
+    mu = Fraction(s, h)
+    var = Fraction(qq, h) - mu * mu
+    assert Fraction(num, den) == var / mu
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=100), min_size=1, max_size=60)
+)
+@settings(max_examples=200, deadline=None)
+def test_record_days_window_formulation_matches_naive_scan(counts):
+    """prev_max IS NULL OR cnt > prev_max picks exactly the strict
+    running-extreme records of the sequence."""
+    naive = []
+    best = None
+    for i, c in enumerate(counts):
+        if best is None or c > best:
+            naive.append(i)
+            best = c
+    windowed = [
+        i
+        for i, c in enumerate(counts)
+        if i == 0 or c > max(counts[:i])
+    ]
+    assert windowed == naive
+
+
+@given(
+    st.sets(
+        st.tuples(
+            st.integers(min_value=0, max_value=15),
+            st.integers(min_value=0, max_value=15),
+        ),
+        max_size=40,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_common_neighbor_union_derives_from_degrees(raw_edges):
+    """|N(a) u N(b)| == deg(a) + deg(b) - |N(a) n N(b)| for NON-adjacent
+    a, b in a simple graph — the degree-derived union denominator of
+    `ann_graph_link_prediction` (adjacent pairs would need the -2
+    correction; the query anti-joins them away first)."""
+    edges = {(a, b) if a < b else (b, a) for a, b in raw_edges if a != b}
+    adj: dict[int, set[int]] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    nodes = sorted(adj)
+    for i, a in enumerate(nodes):
+        for b in nodes[i + 1 :]:
+            if (a, b) in edges:
+                continue
+            cn = len(adj[a] & adj[b])
+            union = len(adj[a] | adj[b])
+            assert union == len(adj[a]) + len(adj[b]) - cn
+
+
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=500_000), min_size=1, max_size=600
+    )
+)
+@settings(max_examples=100, deadline=None)
+def test_sorted_layout_scan_is_near_optimal(values):
+    """Under the sorted layout the matching rows are contiguous, so the
+    number of 256-row files a range scan touches is at most
+    ceil(m/256) + 1 (the information-theoretic floor ceil(m/256) plus
+    one boundary file) — the bound `zone_map_skipping_audit`
+    demonstrates empirically."""
+    lo, hi = 150_000, 200_000
+    m = sum(lo <= v < hi for v in values)
+    sv = sorted(values)
+    files = [sv[i : i + 256] for i in range(0, len(sv), 256)]
+    scanned = sum(1 for f in files if f[-1] >= lo and f[0] < hi)
+    assert scanned <= -(-m // 256) + 1
+
+
+def test_zone_map_sorted_layout_dominates_on_fixture(spark, sf_dir):
+    """Spark end-to-end: the value-sorted layout never scans more files
+    or rows than ingestion order, and both layouts agree on the exact
+    number of matching rows (layout can't change the answer, only the
+    I/O)."""
+    out = {
+        r["layout"]: r
+        for r in q.QUERIES["zone_map_skipping_audit"](spark, sf_dir).collect()
+    }
+    ts, vo = out["ts_order"], out["value_order"]
+    assert vo["n_files"] == ts["n_files"]
+    assert vo["n_rows_matching"] == ts["n_rows_matching"]
+    assert vo["n_files_scanned"] <= ts["n_files_scanned"]
+    assert vo["n_rows_scanned"] <= ts["n_rows_scanned"]
+    assert vo["n_rows_scanned"] >= vo["n_rows_matching"]
