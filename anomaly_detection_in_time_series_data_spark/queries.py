@@ -18544,6 +18544,201 @@ def zone_map_skipping_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "t_closeness_audit",
+    oracle="""
+    WITH cells AS (
+      SELECT source, n_chars // 256 AS chars_bucket, lang,
+             CAST(count(*) AS BIGINT) AS c_gl
+      FROM documents GROUP BY 1, 2, 3
+    ),
+    grp AS (
+      SELECT source, chars_bucket, CAST(sum(c_gl) AS BIGINT) AS n_g
+      FROM cells GROUP BY 1, 2
+    ),
+    langs AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS c_l FROM documents GROUP BY 1
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+    dense AS (
+      SELECT g.source, g.chars_bucket, g.n_g, l.lang, l.c_l, t.n,
+             COALESCE(c.c_gl, 0) AS c_gl
+      FROM grp g CROSS JOIN langs l CROSS JOIN tot t
+      LEFT JOIN cells c ON c.source = g.source
+                       AND c.chars_bucket = g.chars_bucket
+                       AND c.lang = l.lang
+    )
+    SELECT source, chars_bucket, CAST(max(n_g) AS BIGINT) AS k,
+           CAST(sum(abs(c_gl * n - c_l * n_g)) AS BIGINT) AS tv_num,
+           CAST(2 * max(n_g) * max(n) AS BIGINT) AS tv_den,
+           5 * CAST(sum(abs(c_gl * n - c_l * n_g)) AS BIGINT)
+             <= CAST(2 * max(n_g) * max(n) AS BIGINT) AS t_close
+    FROM dense GROUP BY source, chars_bucket
+    """,
+)
+def t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness — the third leg of the privacy audit trio
+    (`k_anonymity_audit`, `l_diversity_audit`): l-diversity is fooled by
+    a group with l distinct but wildly SKEWED sensitive values, so
+    t-closeness bounds the distance between each quasi-identifier
+    group's sensitive-attribute (language) distribution and the global
+    one.  Distance is total variation, kept exact: TV = (1/2) sum_l
+    |c_gl/n_g - c_l/n| cross-multiplies to tv_num = sum_l
+    |c_gl*n - c_l*n_g| over tv_den = 2*n_g*n — bigints, with ABSENT
+    languages contributing c_l*n_g via the dense group x language grid
+    (skipping them understates the distance).  The t = 0.2 verdict is
+    the integer gate 5*tv_num <= tv_den.  Scale: cells/groups are one
+    map-side-combined shuffle; the language marginal is a broadcast-
+    sized dimension; the dense grid is |groups| x |langs| — metadata-
+    sized relative to the corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.expr("n_chars div 256").cast("bigint").alias("chars_bucket")
+    cells = docs.groupBy("source", bucket, "lang").agg(
+        F.count("*").cast("bigint").alias("c_gl")
+    )
+    grp = cells.groupBy("source", "chars_bucket").agg(
+        F.sum("c_gl").cast("bigint").alias("n_g")
+    )
+    langs = docs.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("c_l")
+    )
+    tot = docs.agg(F.count("*").cast("bigint").alias("n"))
+    dense = (
+        grp.crossJoin(F.broadcast(langs))
+        .crossJoin(F.broadcast(tot))
+        .join(cells, ["source", "chars_bucket", "lang"], "left")
+        .select(
+            "source",
+            "chars_bucket",
+            "n_g",
+            "c_l",
+            "n",
+            F.coalesce("c_gl", F.lit(0)).alias("c_gl"),
+        )
+    )
+    term = F.abs(F.col("c_gl") * F.col("n") - F.col("c_l") * F.col("n_g"))
+    agg = dense.groupBy("source", "chars_bucket").agg(
+        F.max("n_g").cast("bigint").alias("k"),
+        F.sum(term).cast("bigint").alias("tv_num"),
+        (2 * F.max("n_g") * F.max("n")).cast("bigint").alias("tv_den"),
+    )
+    return agg.select(
+        "source",
+        "chars_bucket",
+        "k",
+        "tv_num",
+        "tv_den",
+        (5 * F.col("tv_num") <= F.col("tv_den")).alias("t_close"),
+    )
+
+
+@query(
+    "wasserstein_value_drift",
+    oracle="""
+    WITH m AS (
+      SELECT event_type, CAST(floor(value * 100.0) AS BIGINT) AS v
+      FROM events WHERE value IS NOT NULL
+    ),
+    gv AS (
+      SELECT v, CAST(count(*) AS BIGINT) AS c_g FROM m GROUP BY v
+    ),
+    gw AS (
+      SELECT v, sum(c_g) OVER (ORDER BY v) AS cum_g,
+             lead(v) OVER (ORDER BY v) - v AS gap
+      FROM gv
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS r FROM m),
+    tt AS (SELECT event_type, CAST(count(*) AS BIGINT) AS r_t
+           FROM m GROUP BY event_type),
+    tc AS (SELECT event_type, v, CAST(count(*) AS BIGINT) AS c_t
+           FROM m GROUP BY event_type, v),
+    grid AS (
+      SELECT t.event_type, g.v, g.cum_g, g.gap, COALESCE(c.c_t, 0) AS c_t
+      FROM tt t CROSS JOIN gw g
+      LEFT JOIN tc c ON c.event_type = t.event_type AND c.v = g.v
+    ),
+    cum AS (
+      SELECT event_type, v, cum_g, gap,
+             sum(c_t) OVER (PARTITION BY event_type ORDER BY v) AS cum_t
+      FROM grid
+    )
+    SELECT c.event_type, t.r_t AS n_type, x.r AS n_total,
+           CAST(sum(CAST(abs(c.cum_t * x.r - c.cum_g * t.r_t)
+                         AS HUGEINT) * c.gap) AS BIGINT) AS w1_num,
+           CAST(t.r_t * x.r AS BIGINT) AS w1_den
+    FROM cum c
+    JOIN tt t ON t.event_type = c.event_type
+    CROSS JOIN tot x
+    WHERE c.gap IS NOT NULL
+    GROUP BY c.event_type, t.r_t, x.r
+    """,
+)
+def wasserstein_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-Wasserstein (earth-mover) distance between each event type's
+    value distribution and the GLOBAL one — the drift metric that sees
+    what PSI/KS miss: KS caps at the single worst CDF gap, PSI needs
+    arbitrary bins; W1 integrates |F_t - F_g| over the whole value axis
+    and is the standard embedding/score-drift monitor.  Exact: values
+    are cent-quantized (the fixture's 2-decimal doubles are exact in
+    cents), W1 = sum over consecutive distinct cents of
+    |cum_t/R_t - cum_g/R| * gap cross-multiplied to
+    |cum_t*R - cum_g*R_t| * gap — summed in the 128-bit domain
+    (decimal(38,0) / HUGEINT) then emitted as the bigint rational
+    w1_num / w1_den (= R_t*R; the quotient is W1 in cents).  Scale: the
+    grid is |types| x |distinct cents| — DOMAIN-bounded (<= ~49k cents
+    here), NOT data-sized, so the per-type CDF windows are metadata-
+    sized no matter the raw volume; raw events are touched once by the
+    map-side-combined (type, cent) count."""
+    ev = load_table(spark, sf_dir, "events")
+    m = ev.filter(F.col("value").isNotNull()).select(
+        "event_type", F.floor(F.col("value") * 100.0).cast("bigint").alias("v")
+    )
+    gv = m.groupBy("v").agg(F.count("*").cast("bigint").alias("c_g"))
+    wg = Window.orderBy("v")
+    gw = gv.select(
+        "v",
+        F.sum("c_g").over(wg).alias("cum_g"),
+        (F.lead("v").over(wg) - F.col("v")).alias("gap"),
+    )
+    tot = m.agg(F.count("*").cast("bigint").alias("r"))
+    tt = m.groupBy("event_type").agg(F.count("*").cast("bigint").alias("r_t"))
+    tc = m.groupBy("event_type", "v").agg(
+        F.count("*").cast("bigint").alias("c_t")
+    )
+    grid = (
+        tt.crossJoin(F.broadcast(gw))
+        .join(tc, ["event_type", "v"], "left")
+        .select(
+            "event_type",
+            "v",
+            "cum_g",
+            "gap",
+            "r_t",
+            F.coalesce("c_t", F.lit(0)).alias("c_t"),
+        )
+    )
+    wt = Window.partitionBy("event_type").orderBy("v")
+    cum = grid.withColumn("cum_t", F.sum("c_t").over(wt))
+    term = (
+        F.abs(F.col("cum_t") * F.col("r") - F.col("cum_g") * F.col("r_t"))
+        .cast("decimal(38,0)")
+        * F.col("gap")
+    )
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .filter(F.col("gap").isNotNull())
+        .groupBy("event_type", "r_t", "r")
+        .agg(F.sum(term).cast("bigint").alias("w1_num"))
+        .select(
+            "event_type",
+            F.col("r_t").alias("n_type"),
+            F.col("r").alias("n_total"),
+            "w1_num",
+            (F.col("r_t") * F.col("r")).cast("bigint").alias("w1_den"),
+        )
+    )
+
+
 def _rotate_front(front: list[str]) -> None:
     global QUERIES, ORACLE
     missing = [n for n in front if n not in QUERIES]
@@ -18732,6 +18927,8 @@ _PENDING_ROUND7: list[str] = list(_ROUND6_DEFERRED) + [
     "record_breaking_days",  # new in round 6 (running-extreme record test)
     "ann_graph_link_prediction",  # new in round 6 (ANN recall audit via CN)
     "zone_map_skipping_audit",  # new in round 6 (min/max pruning simulator)
+    "t_closeness_audit",  # new in round 6 (privacy trio: TV-distance audit)
+    "wasserstein_value_drift",  # new in round 6 (earth-mover drift metric)
 ]
 
 # ROUND-7 BUILDER: round 6's window is the 41-name backlog + 9 round-6
