@@ -223,3 +223,68 @@ def test_zone_map_sorted_layout_dominates_on_fixture(spark, sf_dir):
     assert vo["n_files_scanned"] <= ts["n_files_scanned"]
     assert vo["n_rows_scanned"] <= ts["n_rows_scanned"]
     assert vo["n_rows_scanned"] >= vo["n_rows_matching"]
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),
+            st.integers(min_value=0, max_value=4),
+        ),
+        min_size=1,
+        max_size=200,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_tv_cross_product_matches_rational_total_variation(rows):
+    """tv_num / tv_den == (1/2) sum_l |c_gl/n_g - c_l/n| in exact
+    rational arithmetic, for every group — including languages absent
+    from a group (the dense-grid term `t_closeness_audit` insists on)."""
+    from collections import Counter
+    from fractions import Fraction
+
+    n = len(rows)
+    group_of = Counter(g for g, _ in rows)
+    lang_of = Counter(lang for _, lang in rows)
+    cells = Counter(rows)
+    for g, n_g in group_of.items():
+        tv_num = sum(
+            abs(cells.get((g, lang), 0) * n - c_l * n_g)
+            for lang, c_l in lang_of.items()
+        )
+        tv_den = 2 * n_g * n
+        tv = Fraction(1, 2) * sum(
+            abs(
+                Fraction(cells.get((g, lang), 0), n_g) - Fraction(c_l, n)
+            )
+            for lang, c_l in lang_of.items()
+        )
+        assert Fraction(tv_num, tv_den) == tv
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=300), min_size=1, max_size=80),
+    st.lists(st.integers(min_value=0, max_value=300), min_size=1, max_size=80),
+)
+@settings(max_examples=200, deadline=None)
+def test_w1_cross_product_matches_rational_emd(xs, ys):
+    """The cross-multiplied gap sum equals the exact 1-Wasserstein
+    distance integral |F_x - F_y| dv between the two empirical
+    distributions (quantile-coupling definition)."""
+    from fractions import Fraction
+
+    nx, ny = len(xs), len(ys)
+    grid = sorted(set(xs) | set(ys))
+    num = 0
+    exact = Fraction(0)
+    for v, nxt in zip(grid, grid[1:]):
+        cx = sum(1 for x in xs if x <= v)
+        cy = sum(1 for y in ys if y <= v)
+        gap = nxt - v
+        num += abs(cx * ny - cy * nx) * gap
+        exact += abs(Fraction(cx, nx) - Fraction(cy, ny)) * gap
+    assert Fraction(num, nx * ny) == exact
+    # and the quantile-coupling definition agrees when sizes match
+    if nx == ny:
+        coupling = sum(abs(a - b) for a, b in zip(sorted(xs), sorted(ys)))
+        assert exact * nx == coupling
