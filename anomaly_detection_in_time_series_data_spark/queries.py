@@ -18739,6 +18739,1008 @@ def wasserstein_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "abc_inventory_classification",
+    oracle="""
+    WITH rev AS (
+      SELECT l_partkey,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * (1 - CAST(l_discount AS DECIMAL(18,2))) * 10000)
+                  AS BIGINT) AS rev_e4
+      FROM lineitem GROUP BY l_partkey
+    ),
+    c AS (
+      SELECT l_partkey, rev_e4,
+             sum(rev_e4) OVER (ORDER BY rev_e4 DESC, l_partkey) AS cum,
+             sum(rev_e4) OVER () AS total
+      FROM rev
+    ),
+    k AS (
+      SELECT CASE WHEN 5 * cum <= 4 * total THEN 'A'
+                  WHEN 20 * cum <= 19 * total THEN 'B'
+                  ELSE 'C' END AS abc_class,
+             rev_e4, total
+      FROM c
+    )
+    SELECT abc_class, CAST(count(*) AS BIGINT) AS n_parts,
+           CAST(sum(rev_e4) AS BIGINT) AS class_rev_e4,
+           CAST(max(total) AS BIGINT) AS total_rev_e4
+    FROM k GROUP BY abc_class
+    """,
+)
+def abc_inventory_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC (Pareto) inventory classification of parts by revenue — the
+    operations-research complement of `skyline_parts_pareto`: A = parts
+    inside the first 80% of cumulative revenue, B = next 15%, C = the
+    long tail, with the 80/95 cut points as exact integer
+    cross-products (5*cum <= 4*total, 20*cum <= 19*total) on
+    e4-quantized revenue (price x (1-discount) has exactly 4 decimals,
+    so *10000 is exact in the decimal domain — no float ever).  Scale:
+    one map-side-combined revenue aggregate per part; the cumulative
+    window runs over the PART dimension (bounded), not the fact table —
+    at 100 TB the fact scan is the only data-sized stage, and the
+    part-grain sort uses the two-phase rank pattern if the part
+    dimension itself outgrows one partition."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_partkey").agg(
+        F.sum(
+            _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount")) * 10000
+        )
+        .cast("bigint")
+        .alias("rev_e4")
+    )
+    w = Window.orderBy(F.col("rev_e4").desc(), "l_partkey")
+    c = rev.select(
+        "rev_e4",
+        F.sum("rev_e4")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cum"),
+        F.sum("rev_e4")
+        .over(
+            Window.orderBy(F.lit(1)).rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        )
+        .alias("total"),
+    )
+    k = c.select(
+        F.when(5 * F.col("cum") <= 4 * F.col("total"), "A")
+        .when(20 * F.col("cum") <= 19 * F.col("total"), "B")
+        .otherwise("C")
+        .alias("abc_class"),
+        "rev_e4",
+        "total",
+    )
+    return k.groupBy("abc_class").agg(
+        F.count("*").cast("bigint").alias("n_parts"),
+        F.sum("rev_e4").cast("bigint").alias("class_rev_e4"),
+        F.max("total").cast("bigint").alias("total_rev_e4"),
+    )
+
+
+@query(
+    "newsvendor_quantile_order",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, date_trunc('day', ts) AS d,
+             CAST(count(*) AS BIGINT) AS demand
+      FROM events GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT event_type, demand,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY demand, d) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM daily
+    ),
+    pick AS (
+      SELECT event_type, CAST(min(demand) AS BIGINT) AS q_star,
+             CAST(max(n) AS BIGINT) AS n_days
+      FROM r WHERE 4 * rn >= 3 * n GROUP BY event_type
+    )
+    SELECT p.event_type, p.n_days, p.q_star,
+           CAST(sum(CASE WHEN d.demand > p.q_star THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_stockout_days
+    FROM pick p JOIN daily d ON d.event_type = p.event_type
+    GROUP BY p.event_type, p.n_days, p.q_star
+    """,
+)
+def newsvendor_quantile_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newsvendor critical-fractile order sizing: with underage cost 3x
+    overage (cu=3, co=1) the optimal order is the 0.75-quantile of daily
+    demand — taken by RANK-PICK (the smallest demand whose rank satisfies
+    4*rn >= 3*n, i.e. percentile_disc semantics; interpolated quantiles
+    are doubles and hash-flip).  Emits the order quantity and the number
+    of historical days it would have stocked out — the decision AND its
+    backtest in one pass.  Scale: the quantile runs on the (type, day)
+    pre-aggregate — days-sized windows; the re-join for the stockout
+    count is against the same tiny aggregate, broadcast."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("d")
+    ).agg(F.count("*").cast("bigint").alias("demand"))
+    wr = Window.partitionBy("event_type").orderBy("demand", "d")
+    wn = Window.partitionBy("event_type")
+    r = daily.select(
+        "event_type",
+        "demand",
+        F.row_number().over(wr).alias("rn"),
+        F.count("*").over(wn).alias("n"),
+    )
+    pick = (
+        r.filter(4 * F.col("rn") >= 3 * F.col("n"))
+        .groupBy("event_type")
+        .agg(
+            F.min("demand").cast("bigint").alias("q_star"),
+            F.max("n").cast("bigint").alias("n_days"),
+        )
+    )
+    return (
+        daily.join(F.broadcast(pick), "event_type")
+        .groupBy("event_type", "n_days", "q_star")
+        .agg(
+            F.sum(F.when(F.col("demand") > F.col("q_star"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_stockout_days")
+        )
+        .select("event_type", "n_days", "q_star", "n_stockout_days")
+    )
+
+
+@query(
+    "runs_test_randomness",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, date_trunc('day', ts) AS d,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    med AS (
+      SELECT event_type, CAST(min(c) AS BIGINT) AS median
+      FROM (
+        SELECT event_type, c,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY c, d) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM daily
+      ) WHERE 2 * rn >= n GROUP BY event_type
+    ),
+    s AS (
+      SELECT daily.event_type, d,
+             CASE WHEN c > median THEN 1 ELSE 0 END AS side
+      FROM daily JOIN med ON med.event_type = daily.event_type
+      WHERE c <> median
+    ),
+    runs AS (
+      SELECT event_type, side,
+             CASE WHEN lag(side) OVER (PARTITION BY event_type ORDER BY d)
+                       IS DISTINCT FROM side THEN 1 ELSE 0 END AS chg
+      FROM s
+    ),
+    agg AS (
+      SELECT event_type,
+             CAST(sum(side) AS BIGINT) AS n1,
+             CAST(sum(1 - side) AS BIGINT) AS n2,
+             CAST(sum(chg) AS BIGINT) AS n_runs
+      FROM runs GROUP BY event_type
+    )
+    SELECT event_type, n1 AS n_above, n2 AS n_below, n_runs,
+           CASE WHEN n1 = 0 OR n2 = 0 OR n1 + n2 < 2 THEN FALSE
+                ELSE 625
+                     * (n_runs * (n1 + n2) - 2 * n1 * n2 - (n1 + n2))
+                     * (n_runs * (n1 + n2) - 2 * n1 * n2 - (n1 + n2))
+                     * (n1 + n2 - 1)
+                     > 2401 * 2 * n1 * n2
+                       * (2 * n1 * n2 - n1 - n2) END AS non_random
+    FROM agg
+    """,
+)
+def runs_test_randomness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test on the daily count series per event type
+    — is the above/below-median sign sequence random, or does it trend /
+    oscillate?  Median by rank-pick (lower median — exact), equal-to-
+    median days excluded per the standard test, runs counted as
+    lag-change points (the first row's NULL lag counts as a change, so
+    sum(chg) IS the run count).  The 1.96 normal gate is the exact
+    integer cross-product 625*A^2*(N-1) > 2401*2*n1*n2*(2*n1*n2-N) with
+    A = R*N - 2*n1*n2 - N (the (R-mu_R) numerator scaled by N) — no
+    sqrt, no libm, degenerate one-sided sequences pinned FALSE.  Scale:
+    entirely on the (type, day) pre-aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("d")
+    ).agg(F.count("*").cast("bigint").alias("c"))
+    wr = Window.partitionBy("event_type").orderBy("c", "d")
+    wn = Window.partitionBy("event_type")
+    med = (
+        daily.select(
+            "event_type",
+            "c",
+            F.row_number().over(wr).alias("rn"),
+            F.count("*").over(wn).alias("n"),
+        )
+        .filter(2 * F.col("rn") >= F.col("n"))
+        .groupBy("event_type")
+        .agg(F.min("c").cast("bigint").alias("median"))
+    )
+    s = (
+        daily.join(F.broadcast(med), "event_type")
+        .filter(F.col("c") != F.col("median"))
+        .select(
+            "event_type",
+            "d",
+            F.when(F.col("c") > F.col("median"), 1).otherwise(0).alias("side"),
+        )
+    )
+    wd = Window.partitionBy("event_type").orderBy("d")
+    runs = s.select(
+        "event_type",
+        "side",
+        F.when(
+            ~F.lag("side").over(wd).eqNullSafe(F.col("side")), 1
+        )
+        .otherwise(0)
+        .alias("chg"),
+    )
+    agg = runs.groupBy("event_type").agg(
+        F.sum("side").cast("bigint").alias("n1"),
+        F.sum(1 - F.col("side")).cast("bigint").alias("n2"),
+        F.sum("chg").cast("bigint").alias("n_runs"),
+    )
+    n1, n2, r = F.col("n1"), F.col("n2"), F.col("n_runs")
+    nn = n1 + n2
+    a = r * nn - 2 * n1 * n2 - nn
+    gate = F.when(
+        (n1 == 0) | (n2 == 0) | (nn < 2), F.lit(False)
+    ).otherwise(625 * a * a * (nn - 1) > 2401 * 2 * n1 * n2 * (2 * n1 * n2 - nn))
+    return agg.select(
+        "event_type",
+        n1.alias("n_above"),
+        n2.alias("n_below"),
+        "n_runs",
+        gate.alias("non_random"),
+    )
+
+
+@query(
+    "graph_degree_assortativity",
+    oracle="WITH "
+    + _PR_EDGES_SQL
+    + """,
+    deg AS (SELECT a AS node, CAST(count(*) AS BIGINT) AS degree
+            FROM und GROUP BY a),
+    e AS (
+      SELECT da.degree AS x, db.degree AS y
+      FROM und u
+      JOIN deg da ON da.node = u.a
+      JOIN deg db ON db.node = u.b
+    ),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS m,
+             CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(x * y) AS BIGINT) AS sxy
+      FROM e
+    )
+    SELECT m AS m_directed_edges,
+           m * sxy - sx * sx AS r_num,
+           m * sxx - sx * sx AS r_den,
+           CASE WHEN m * sxx - sx * sx = 0 THEN NULL
+                ELSE m * sxy - sx * sx > 0 END AS assortative
+    FROM s
+    """,
+)
+def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the near-dup graph — do high-degree docs
+    (template hubs) attach to other hubs (r > 0, one giant boilerplate
+    blob) or to leaves (r < 0, hub-and-spoke — each template stitching
+    otherwise-unique docs)?  Newman's r is the Pearson correlation of
+    endpoint degrees over the DIRECTED edge list (each undirected edge
+    counted both ways, which makes the x and y marginals identical), so
+    it reduces to the exact bigint rational (M*Sxy - Sx^2)/(M*Sxx - Sx^2)
+    — emitted as r_num/r_den plus the sign verdict; the regular-graph
+    degenerate case (den 0) pins NULL.  Scale: degrees are one
+    map-side-combined count; the edge-degree join shuffles the edge list
+    twice — linear, never materializing pairs beyond the existing
+    edges."""
+    edges = _near_dup_edges(spark, sf_dir, threshold=0.5).select(
+        F.col("id_a").alias("ia"), F.col("id_b").alias("ib")
+    )
+    und = edges.select(F.col("ia").alias("a"), F.col("ib").alias("b")).unionAll(
+        edges.select(F.col("ib").alias("a"), F.col("ia").alias("b"))
+    )
+    deg = und.groupBy(F.col("a").alias("node")).agg(
+        F.count("*").cast("bigint").alias("degree")
+    )
+    da = deg.alias("da")
+    db = deg.alias("db")
+    e = (
+        und.join(F.broadcast(da), und["a"] == F.col("da.node"))
+        .join(F.broadcast(db), und["b"] == F.col("db.node"))
+        .select(
+            F.col("da.degree").alias("x"), F.col("db.degree").alias("y")
+        )
+    )
+    s = e.agg(
+        F.count("*").cast("bigint").alias("m"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+    )
+    m, sx, sxx, sxy = F.col("m"), F.col("sx"), F.col("sxx"), F.col("sxy")
+    den = m * sxx - sx * sx
+    return s.select(
+        m.alias("m_directed_edges"),
+        (m * sxy - sx * sx).alias("r_num"),
+        den.alias("r_den"),
+        F.when(den == 0, F.lit(None).cast("boolean"))
+        .otherwise(m * sxy - sx * sx > 0)
+        .alias("assortative"),
+    )
+
+
+@query(
+    "kendall_tau_user_ranks",
+    oracle="""
+    WITH spans AS (
+      SELECT date_trunc('week', min(ts)) AS w_first,
+             date_trunc('week', max(ts)) AS w_last
+      FROM events
+    ),
+    top AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS total,
+             row_number() OVER (ORDER BY count(*) DESC, user_id) AS rk
+      FROM events GROUP BY user_id
+    ),
+    u AS (
+      SELECT t.user_id,
+             CAST(sum(CASE WHEN date_trunc('week', e.ts) = s.w_first
+                           THEN 1 ELSE 0 END) AS BIGINT) AS c_first,
+             CAST(sum(CASE WHEN date_trunc('week', e.ts) = s.w_last
+                           THEN 1 ELSE 0 END) AS BIGINT) AS c_last
+      FROM top t CROSS JOIN spans s
+      JOIN events e ON e.user_id = t.user_id
+      WHERE t.rk <= 50
+      GROUP BY t.user_id
+    ),
+    p AS (
+      SELECT (a.c_first - b.c_first) * (a.c_last - b.c_last) AS prod
+      FROM u a JOIN u b ON a.user_id < b.user_id
+    )
+    SELECT CAST((SELECT count(*) FROM u) AS BIGINT) AS n_users,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(CASE WHEN prod > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS concordant,
+           CAST(sum(CASE WHEN prod < 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS discordant
+    FROM p
+    """,
+)
+def kendall_tau_user_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall rank correlation between first-week and last-week
+    activity of the top-50 users — does the engagement leaderboard hold
+    its order across the observation span, or churn?  Tau's sufficient
+    statistics are the exact integer concordant/discordant pair counts
+    (sign of (c1_u - c1_v)(c4_u - c4_v) per user pair); ties contribute
+    to neither, and tau-a = (C - D)/n_pairs derives downstream.  Scale:
+    the entity set is CAPPED BY CONSTRUCTION (top-50 via
+    TakeOrderedAndProject-shaped rank), so the pair self-join is 1225
+    rows at any corpus size — the only data-sized stages are two
+    map-side-combined counts."""
+    ev = load_table(spark, sf_dir, "events")
+    spans = ev.agg(
+        F.date_trunc("week", F.min("ts")).alias("w_first"),
+        F.date_trunc("week", F.max("ts")).alias("w_last"),
+    )
+    wtop = Window.orderBy(F.col("total").desc(), "user_id")
+    top = (
+        ev.groupBy("user_id")
+        .agg(F.count("*").cast("bigint").alias("total"))
+        .withColumn("rk", F.row_number().over(wtop))
+        .filter(F.col("rk") <= 50)
+        .select("user_id")
+    )
+    wk = F.date_trunc("week", F.col("ts"))
+    u = (
+        ev.join(F.broadcast(top), "user_id")
+        .crossJoin(F.broadcast(spans))
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(wk == F.col("w_first"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("c_first"),
+            F.sum(F.when(wk == F.col("w_last"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("c_last"),
+        )
+    )
+    a = u.alias("a")
+    b = u.alias("b")
+    prod = (F.col("a.c_first") - F.col("b.c_first")) * (
+        F.col("a.c_last") - F.col("b.c_last")
+    )
+    p = a.join(b, F.col("a.user_id") < F.col("b.user_id")).select(
+        prod.alias("prod")
+    )
+    nu = u.agg(F.count("*").cast("bigint").alias("n_users"))
+    return p.agg(
+        F.count("*").cast("bigint").alias("n_pairs"),
+        F.sum(F.when(F.col("prod") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("concordant"),
+        F.sum(F.when(F.col("prod") < 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("discordant"),
+    ).crossJoin(F.broadcast(nu)).select(
+        "n_users", "n_pairs", "concordant", "discordant"
+    )
+
+
+@query(
+    "spearman_click_purchase",
+    oracle="""
+    WITH u AS (
+      SELECT user_id,
+             CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS cx,
+             CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS cy
+      FROM events GROUP BY user_id
+    ),
+    r AS (
+      SELECT 2 * rank() OVER (ORDER BY cx)
+               + count(*) OVER (PARTITION BY cx) - 1 AS dx,
+             2 * rank() OVER (ORDER BY cy)
+               + count(*) OVER (PARTITION BY cy) - 1 AS dy
+      FROM u
+    ),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(dx) AS BIGINT) AS sx,
+             CAST(sum(dy) AS BIGINT) AS sy,
+             CAST(sum(CAST(dx AS HUGEINT) * dx) AS BIGINT) AS sxx,
+             CAST(sum(CAST(dy AS HUGEINT) * dy) AS BIGINT) AS syy,
+             CAST(sum(CAST(dx AS HUGEINT) * dy) AS BIGINT) AS sxy
+      FROM r
+    )
+    SELECT n AS n_users,
+           n * sxy - sx * sy AS rho_num,
+           n * sxx - sx * sx AS rho_den_x,
+           n * syy - sy * sy AS rho_den_y,
+           CASE WHEN (n * sxx - sx * sx) = 0 OR (n * syy - sy * sy) = 0
+                THEN NULL ELSE n * sxy - sx * sy > 0 END AS positive
+    FROM s
+    """,
+)
+def spearman_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between per-user click and purchase
+    counts — the monotone-association twin of Kendall's tau (and the
+    robust complement of Pearson: outlier-heavy engagement counts rank
+    first).  Tie handling is exact via DOUBLE AVERAGE RANKS: the average
+    rank of a tie group is (2*min_rank + group_size - 1)/2, so twice it
+    — 2*rank() + count() OVER (value) - 1 — is an INTEGER, and Pearson
+    on the doubled ranks (scale-invariant) gives Spearman's rho as the
+    exact rational rho_num / sqrt(den_x*den_y); we emit the three
+    integers and the sign verdict, never the sqrt.  Scale: two rank
+    windows over the user aggregate + one moment reduce — the 128-bit
+    domain (decimal/HUGEINT) absorbs the rank products at any user
+    count."""
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("bigint")
+        .alias("cx"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("bigint")
+        .alias("cy"),
+    )
+    r = u.select(
+        (
+            2 * F.rank().over(Window.orderBy("cx"))
+            + F.count("*").over(Window.partitionBy("cx"))
+            - 1
+        ).alias("dx"),
+        (
+            2 * F.rank().over(Window.orderBy("cy"))
+            + F.count("*").over(Window.partitionBy("cy"))
+            - 1
+        ).alias("dy"),
+    )
+    d38 = "decimal(38,0)"
+    s = r.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("dx").cast("bigint").alias("sx"),
+        F.sum("dy").cast("bigint").alias("sy"),
+        F.sum(F.col("dx").cast(d38) * F.col("dx")).cast("bigint").alias("sxx"),
+        F.sum(F.col("dy").cast(d38) * F.col("dy")).cast("bigint").alias("syy"),
+        F.sum(F.col("dx").cast(d38) * F.col("dy")).cast("bigint").alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    den_x = n * sxx - sx * sx
+    den_y = n * syy - sy * sy
+    return s.select(
+        n.alias("n_users"),
+        (n * sxy - sx * sy).alias("rho_num"),
+        den_x.alias("rho_den_x"),
+        den_y.alias("rho_den_y"),
+        F.when((den_x == 0) | (den_y == 0), F.lit(None).cast("boolean"))
+        .otherwise(n * sxy - sx * sy > 0)
+        .alias("positive"),
+    )
+
+
+@query(
+    "did_estimator_components",
+    oracle="""
+    WITH cut AS (
+      SELECT min(ts) + INTERVAL 15 DAY AS split_ts FROM events
+    ),
+    u AS (
+      SELECT e.user_id,
+             CASE WHEN ('0x' || substr(md5('did|' || e.user_id), 1, 2))
+                       ::BIGINT % 2 = 0 THEN 'T' ELSE 'C' END AS arm,
+             CAST(sum(CASE WHEN e.event_type = 'purchase'
+                           AND e.ts < c.split_ts THEN 1 ELSE 0 END)
+                  AS BIGINT) AS y_pre,
+             CAST(sum(CASE WHEN e.event_type = 'purchase'
+                           AND e.ts >= c.split_ts THEN 1 ELSE 0 END)
+                  AS BIGINT) AS y_post
+      FROM events e CROSS JOIN cut c
+      GROUP BY e.user_id
+    ),
+    g AS (
+      SELECT arm, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(y_pre) AS BIGINT) AS s_pre,
+             CAST(sum(y_post) AS BIGINT) AS s_post
+      FROM u GROUP BY arm
+    )
+    SELECT t.n AS n_treat, t.s_pre AS treat_pre, t.s_post AS treat_post,
+           c.n AS n_ctrl, c.s_pre AS ctrl_pre, c.s_post AS ctrl_post,
+           (t.s_post - t.s_pre) * c.n - (c.s_post - c.s_pre) * t.n
+             AS did_num,
+           t.n * c.n AS did_den
+    FROM g t JOIN g c ON t.arm = 'T' AND c.arm = 'C'
+    """,
+)
+def did_estimator_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences — the experimentation operator for when
+    randomization happens at a TIME cut, not per-request (beside the
+    per-user `ab_test_two_proportion` and `cuped_adjusted_ab`): panel of
+    all users (absent-in-period users count 0 — dropping them is
+    attrition bias), arms by the portable md5 parity split, pre/post at
+    min(ts)+15 days.  DiD = (dT_mean - dC_mean) emitted as the exact
+    rational [(Tpost-Tpre)*nC - (Cpost-Cpre)*nT] / (nT*nC) with all six
+    cell components alongside (parallel-trends diagnostics need them).
+    All bigint.  Scale: one user-grain aggregate (map-side combined),
+    then 2-row arithmetic."""
+    ev = load_table(spark, sf_dir, "events")
+    cut = ev.agg(
+        (F.min("ts") + F.expr("interval 15 days")).alias("split_ts")
+    )
+    arm = F.when(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("did|"), F.col("user_id"))), 1, 2
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 2
+        == 0,
+        F.lit("T"),
+    ).otherwise(F.lit("C"))
+    is_p = F.col("event_type") == "purchase"
+    u = (
+        ev.crossJoin(F.broadcast(cut))
+        .groupBy("user_id", arm.alias("arm"))
+        .agg(
+            F.sum(
+                F.when(is_p & (F.col("ts") < F.col("split_ts")), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("y_pre"),
+            F.sum(
+                F.when(is_p & (F.col("ts") >= F.col("split_ts")), 1).otherwise(
+                    0
+                )
+            )
+            .cast("bigint")
+            .alias("y_post"),
+        )
+    )
+    g = u.groupBy("arm").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("y_pre").cast("bigint").alias("s_pre"),
+        F.sum("y_post").cast("bigint").alias("s_post"),
+    )
+    t = g.filter(F.col("arm") == "T").select(
+        F.col("n").alias("n_treat"),
+        F.col("s_pre").alias("treat_pre"),
+        F.col("s_post").alias("treat_post"),
+    )
+    c = g.filter(F.col("arm") == "C").select(
+        F.col("n").alias("n_ctrl"),
+        F.col("s_pre").alias("ctrl_pre"),
+        F.col("s_post").alias("ctrl_post"),
+    )
+    return t.crossJoin(F.broadcast(c)).select(
+        "n_treat",
+        "treat_pre",
+        "treat_post",
+        "n_ctrl",
+        "ctrl_pre",
+        "ctrl_post",
+        (
+            (F.col("treat_post") - F.col("treat_pre")) * F.col("n_ctrl")
+            - (F.col("ctrl_post") - F.col("ctrl_pre")) * F.col("n_treat")
+        ).alias("did_num"),
+        (F.col("n_treat") * F.col("n_ctrl")).alias("did_den"),
+    )
+
+
+@query(
+    "haar_wavelet_energy",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, date_trunc('day', ts) AS d,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    x AS (
+      SELECT event_type, c,
+             row_number() OVER (PARTITION BY event_type ORDER BY d) AS rn
+      FROM daily
+    ),
+    l1 AS (
+      SELECT event_type, (rn - 1) // 2 AS g,
+             CAST(sum(c) AS BIGINT) AS a,
+             CAST(sum(CASE WHEN rn % 2 = 1 THEN c ELSE -c END) AS BIGINT)
+               AS dd
+      FROM x WHERE rn <= 16 GROUP BY 1, 2
+    ),
+    l2 AS (
+      SELECT event_type, g // 2 AS g2,
+             CAST(sum(a) AS BIGINT) AS a,
+             CAST(sum(CASE WHEN g % 2 = 0 THEN a ELSE -a END) AS BIGINT)
+               AS dd
+      FROM l1 GROUP BY 1, 2
+    ),
+    l3 AS (
+      SELECT event_type, g2 // 2 AS g3,
+             CAST(sum(a) AS BIGINT) AS a,
+             CAST(sum(CASE WHEN g2 % 2 = 0 THEN a ELSE -a END) AS BIGINT)
+               AS dd
+      FROM l2 GROUP BY 1, 2
+    )
+    SELECT e1.event_type,
+           e1.e AS detail_energy_l1,
+           e2.e AS detail_energy_l2,
+           e3.e AS detail_energy_l3,
+           e3.ae AS approx_energy_l3
+    FROM (SELECT event_type, CAST(sum(dd * dd) AS BIGINT) AS e
+          FROM l1 GROUP BY event_type) e1
+    JOIN (SELECT event_type, CAST(sum(dd * dd) AS BIGINT) AS e
+          FROM l2 GROUP BY event_type) e2 ON e2.event_type = e1.event_type
+    JOIN (SELECT event_type, CAST(sum(dd * dd) AS BIGINT) AS e,
+                 CAST(sum(a * a) AS BIGINT) AS ae
+          FROM l3 GROUP BY event_type) e3 ON e3.event_type = e1.event_type
+    """,
+)
+def haar_wavelet_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-level unnormalized Haar decomposition of each type's daily
+    count series (first 16 days — one complete dyadic block): detail
+    energy per level localizes WHERE the variance lives — day-to-day
+    jitter (L1), 4-day swings (L2), week-scale structure (L3) — the
+    multi-resolution screen that one global variance number can't give.
+    Each level is a pairwise GROUP BY ((pos-1) div 2) computing sum and
+    alternating-sign difference — integer-exact (the unnormalized
+    transform defers the 2^(l/2) scaling, identical across types so
+    level profiles compare directly); energies are bigint sums of
+    squares.  Scale: log2(T) grouped aggregates over a days-sized
+    pre-aggregate — the classic parallel wavelet ladder, no sequential
+    fold anywhere."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("d")
+    ).agg(F.count("*").cast("bigint").alias("c"))
+    x = daily.select(
+        "event_type",
+        "c",
+        F.row_number()
+        .over(Window.partitionBy("event_type").orderBy("d"))
+        .alias("rn"),
+    ).filter(F.col("rn") <= 16)
+    l1 = x.groupBy(
+        "event_type", ((F.col("rn") - 1) / 2).cast("bigint").alias("g")
+    ).agg(
+        F.sum("c").cast("bigint").alias("a"),
+        F.sum(F.when(F.col("rn") % 2 == 1, F.col("c")).otherwise(-F.col("c")))
+        .cast("bigint")
+        .alias("dd"),
+    )
+    l2 = l1.groupBy(
+        "event_type", (F.col("g") / 2).cast("bigint").alias("g2")
+    ).agg(
+        F.sum("a").cast("bigint").alias("a"),
+        F.sum(F.when(F.col("g") % 2 == 0, F.col("a")).otherwise(-F.col("a")))
+        .cast("bigint")
+        .alias("dd"),
+    ).withColumnRenamed("g2", "g")
+    l3 = l2.groupBy(
+        "event_type", (F.col("g") / 2).cast("bigint").alias("g2")
+    ).agg(
+        F.sum("a").cast("bigint").alias("a"),
+        F.sum(F.when(F.col("g") % 2 == 0, F.col("a")).otherwise(-F.col("a")))
+        .cast("bigint")
+        .alias("dd"),
+    ).withColumnRenamed("g2", "g")
+    def _energy(df, with_a=False):
+        aggs = [F.sum(F.col("dd") * F.col("dd")).cast("bigint").alias("e")]
+        if with_a:
+            aggs.append(
+                F.sum(F.col("a") * F.col("a")).cast("bigint").alias("ae")
+            )
+        return df.groupBy("event_type").agg(*aggs)
+    e1 = _energy(l1).select(
+        "event_type", F.col("e").alias("detail_energy_l1")
+    )
+    e2 = _energy(l2).select(
+        "event_type", F.col("e").alias("detail_energy_l2")
+    )
+    e3 = _energy(l3, with_a=True).select(
+        "event_type",
+        F.col("e").alias("detail_energy_l3"),
+        F.col("ae").alias("approx_energy_l3"),
+    )
+    return e1.join(e2, "event_type").join(e3, "event_type")
+
+
+@query(
+    "gini_split_gain_deciles",
+    oracle="""
+    WITH m AS (
+      SELECT CAST(floor(value * 100.0) AS BIGINT) AS v, event_id,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      FROM events WHERE value IS NOT NULL
+    ),
+    tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS p
+      FROM m
+    ),
+    rk AS (
+      SELECT v, row_number() OVER (ORDER BY v, event_id) AS rn FROM m
+    ),
+    ks AS (SELECT unnest(generate_series(1, 9)) AS k),
+    thr AS (
+      SELECT ks.k, r.v AS t_v
+      FROM ks CROSS JOIN tot
+      JOIN rk r ON r.rn = (ks.k * tot.n + 9) // 10
+    ),
+    agg AS (
+      SELECT t.k, t.t_v,
+             CAST(sum(CASE WHEN m.v <= t.t_v THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_l,
+             CAST(sum(CASE WHEN m.v <= t.t_v THEN m.y ELSE 0 END)
+                  AS BIGINT) AS p_l
+      FROM thr t CROSS JOIN m GROUP BY t.k, t.t_v
+    )
+    SELECT a.k AS decile, a.t_v AS threshold_cents, a.n_l AS n_left,
+           a.p_l AS pos_left,
+           CAST(2 * (CAST(a.p_l AS HUGEINT) * (a.n_l - a.p_l)
+                       * (tot.n - a.n_l)
+                     + CAST(tot.p - a.p_l AS HUGEINT)
+                       * ((tot.n - a.n_l) - (tot.p - a.p_l)) * a.n_l)
+                AS BIGINT) AS weighted_num,
+           CAST(CAST(a.n_l AS HUGEINT) * (tot.n - a.n_l) * tot.n AS BIGINT)
+             AS weighted_den,
+           CAST(2 * CAST(tot.p AS HUGEINT) * (tot.n - tot.p) AS BIGINT)
+             AS parent_num,
+           CAST(CAST(tot.n AS HUGEINT) * tot.n AS BIGINT) AS parent_den,
+           a.n_l > 0 AND tot.n - a.n_l > 0 AS valid_split
+    FROM agg a CROSS JOIN tot
+    """,
+)
+def gini_split_gain_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decision-stump split search — Gini impurity of splitting
+    `value <= t` to predict purchase, scored at the nine decile
+    thresholds (rank-picked cents, never interpolated).  The binary-label
+    identity n*G = 2*p*(n-p) keeps everything integer: weighted child
+    impurity is the exact rational
+    2*[p_l(n_l-p_l)n_r + p_r(n_r-p_r)n_l] / (n_l*n_r*n) (products in the
+    128-bit domain), parent impurity 2P(n-P)/n^2 rides along, and gain =
+    parent - weighted derives downstream — this is the split-finding
+    inner loop of a distributed tree learner (one candidate-grid pass,
+    conditional aggregation, no per-candidate scan).  Scale: the
+    threshold grid is 9 rows broadcast; the single data pass computes
+    all nine contingency tables at once; the global rank uses the
+    two-phase pattern when the fact table outgrows one range
+    partition."""
+    ev = load_table(spark, sf_dir, "events")
+    m = ev.filter(F.col("value").isNotNull()).select(
+        F.floor(F.col("value") * 100.0).cast("bigint").alias("v"),
+        "event_id",
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+    )
+    tot = m.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("p"),
+    )
+    rk = m.select(
+        "v", F.row_number().over(Window.orderBy("v", "event_id")).alias("rn")
+    )
+    ks = spark.range(1, 10).select(F.col("id").cast("bigint").alias("k"))
+    thr = (
+        ks.crossJoin(F.broadcast(tot))
+        .join(
+            rk,
+            F.col("rn") == ((F.col("k") * F.col("n") + 9) / 10).cast("bigint"),
+        )
+        .select("k", F.col("v").alias("t_v"))
+    )
+    agg = (
+        m.crossJoin(F.broadcast(thr))
+        .groupBy("k", "t_v")
+        .agg(
+            F.sum(F.when(F.col("v") <= F.col("t_v"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_l"),
+            F.sum(F.when(F.col("v") <= F.col("t_v"), F.col("y")).otherwise(0))
+            .cast("bigint")
+            .alias("p_l"),
+        )
+    )
+    d38 = "decimal(38,0)"
+    n, p = F.col("n"), F.col("p")
+    n_l, p_l = F.col("n_l"), F.col("p_l")
+    n_r = n - n_l
+    p_r = p - p_l
+    return agg.crossJoin(F.broadcast(tot)).select(
+        F.col("k").alias("decile"),
+        F.col("t_v").alias("threshold_cents"),
+        n_l.alias("n_left"),
+        p_l.alias("pos_left"),
+        (
+            2
+            * (
+                p_l.cast(d38) * (n_l - p_l) * n_r
+                + p_r.cast(d38) * (n_r - p_r) * n_l
+            )
+        )
+        .cast("bigint")
+        .alias("weighted_num"),
+        (n_l.cast(d38) * n_r * n).cast("bigint").alias("weighted_den"),
+        (2 * p.cast(d38) * (n - p)).cast("bigint").alias("parent_num"),
+        (n.cast(d38) * n).cast("bigint").alias("parent_den"),
+        ((n_l > 0) & (n_r > 0)).alias("valid_split"),
+    )
+
+
+@query(
+    "greedy_set_cover_sources",
+    oracle="""
+    WITH {ctes},
+    st AS (
+      SELECT DISTINCT doc.source, ex.sh AS tok
+      FROM ex JOIN documents doc ON doc.doc_id = ex.doc_id
+    ),
+    s1 AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS marg
+      FROM st GROUP BY source ORDER BY marg DESC, source LIMIT 1
+    ),
+    rem2 AS (
+      SELECT st.source, st.tok FROM st
+      WHERE st.source <> (SELECT source FROM s1)
+        AND NOT EXISTS (SELECT 1 FROM st c, s1
+                        WHERE c.source = s1.source AND c.tok = st.tok)
+    ),
+    s2 AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS marg
+      FROM rem2 GROUP BY source ORDER BY marg DESC, source LIMIT 1
+    ),
+    rem3 AS (
+      SELECT r.source, r.tok FROM rem2 r
+      WHERE r.source <> (SELECT source FROM s2)
+        AND NOT EXISTS (SELECT 1 FROM rem2 c, s2
+                        WHERE c.source = s2.source AND c.tok = r.tok)
+    ),
+    s3 AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS marg
+      FROM rem3 GROUP BY source ORDER BY marg DESC, source LIMIT 1
+    )
+    SELECT CAST(1 AS BIGINT) AS round, source, marg AS marginal_new_tokens,
+           marg AS cum_covered_tokens FROM s1
+    UNION ALL
+    SELECT 2, s2.source, s2.marg, s1.marg + s2.marg FROM s2, s1
+    UNION ALL
+    SELECT 3, s3.source, s3.marg, s1.marg + s2.marg + s3.marg
+    FROM s3, s2, s1
+    """.replace("{ctes}", _shingle_ctes(3)),
+)
+def greedy_set_cover_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy maximum-coverage over sources (three unrolled rounds): at
+    each round pick the source adding the most NOT-yet-covered distinct
+    word-3-shingles — the data-acquisition decision ("which crawl/feed
+    do I pay for next?") that `shingle_novelty_rate` diagnoses
+    per-source and this query OPTIMIZES across sources; greedy is the
+    classic (1 - 1/e)-approximation, and unrolling fixes the iteration
+    count so both engines run the identical plan.  (Shingles, not
+    tokens: this corpus's token vocabulary is template-tiny — every
+    source covers all of it — while the shingle universe discriminates,
+    same reason the near-dup family shingles.)  Each round is one
+    distinct aggregate + one anti-join against the winner's shingle set
+    — all exact integer counts, ties broken by source name.  Scale: the
+    state carried between rounds is (source, shingle) distinct pairs —
+    vocabulary-sized, with the winner's shingle set a broadcast
+    semi/anti-join key, never a collected list."""
+    from .operators.dedup import shingles_of
+    from .operators.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toked = docs.select("source", tokens(F.lower(F.col("text"))).alias("_t"))
+    st = (
+        toked.select(
+            "source", F.explode(shingles_of(F.col("_t"), 3)).alias("tok")
+        )
+        .distinct()
+    )
+    st = st.localCheckpoint(eager=True)  # reused by three rounds
+
+    def _argmax(pairs):
+        return (
+            pairs.groupBy("source")
+            .agg(F.count("*").cast("bigint").alias("marg"))
+            .orderBy(F.col("marg").desc(), "source")
+            .limit(1)
+        )
+
+    s1 = _argmax(st).localCheckpoint(eager=True)
+    cov1 = st.join(
+        F.broadcast(s1.select("source")), "source", "left_semi"
+    ).select("tok")
+    rem2 = st.join(
+        F.broadcast(s1.select("source")), "source", "left_anti"
+    ).join(cov1, "tok", "left_anti")
+    s2 = _argmax(rem2).localCheckpoint(eager=True)
+    cov2 = rem2.join(
+        F.broadcast(s2.select("source")), "source", "left_semi"
+    ).select("tok")
+    rem3 = rem2.join(
+        F.broadcast(s2.select("source")), "source", "left_anti"
+    ).join(cov2, "tok", "left_anti")
+    s3 = _argmax(rem3).localCheckpoint(eager=True)
+    r1 = s1.select(
+        F.lit(1).cast("bigint").alias("round"),
+        "source",
+        F.col("marg").alias("marginal_new_tokens"),
+        F.col("marg").alias("cum_covered_tokens"),
+    )
+    m1 = s1.select(F.col("marg").alias("m1"))
+    m2 = s2.select(F.col("marg").alias("m2"))
+    r2 = (
+        s2.crossJoin(F.broadcast(m1))
+        .select(
+            F.lit(2).cast("bigint").alias("round"),
+            "source",
+            F.col("marg").alias("marginal_new_tokens"),
+            (F.col("m1") + F.col("marg")).alias("cum_covered_tokens"),
+        )
+    )
+    r3 = (
+        s3.crossJoin(F.broadcast(m1))
+        .crossJoin(F.broadcast(m2))
+        .select(
+            F.lit(3).cast("bigint").alias("round"),
+            "source",
+            F.col("marg").alias("marginal_new_tokens"),
+            (F.col("m1") + F.col("m2") + F.col("marg")).alias(
+                "cum_covered_tokens"
+            ),
+        )
+    )
+    return r1.unionAll(r2).unionAll(r3)
+
+
 def _rotate_front(front: list[str]) -> None:
     global QUERIES, ORACLE
     missing = [n for n in front if n not in QUERIES]
@@ -18929,6 +19931,16 @@ _PENDING_ROUND7: list[str] = list(_ROUND6_DEFERRED) + [
     "zone_map_skipping_audit",  # new in round 6 (min/max pruning simulator)
     "t_closeness_audit",  # new in round 6 (privacy trio: TV-distance audit)
     "wasserstein_value_drift",  # new in round 6 (earth-mover drift metric)
+    "abc_inventory_classification",  # new in round 6 (Pareto revenue classes)
+    "newsvendor_quantile_order",  # new in round 6 (critical-fractile sizing)
+    "runs_test_randomness",  # new in round 6 (Wald-Wolfowitz runs gate)
+    "graph_degree_assortativity",  # new in round 6 (hub-mixing structure)
+    "kendall_tau_user_ranks",  # new in round 6 (leaderboard stability)
+    "spearman_click_purchase",  # new in round 6 (tie-exact rank correlation)
+    "did_estimator_components",  # new in round 6 (diff-in-diff panel cells)
+    "haar_wavelet_energy",  # new in round 6 (multi-resolution variance)
+    "gini_split_gain_deciles",  # new in round 6 (decision-stump split scan)
+    "greedy_set_cover_sources",  # new in round 6 (max-coverage acquisition)
 ]
 
 # ROUND-7 BUILDER: round 6's window is the 41-name backlog + 9 round-6

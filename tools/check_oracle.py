@@ -13,12 +13,13 @@ the Spark side of each passes its bench budget at sf0.1):
   minhash_dedup_keep, golden_record_survivorship): O(iterations x rows)
   MATERIALIZED per step;
 - all-pairs edge-derivation oracles (near_dup_triangles,
-  near_dup_pagerank, embedding_near_dup_pairs, kcore_micro_peel): the
-  graph twins rebuild
+  near_dup_pagerank, embedding_near_dup_pairs, kcore_micro_peel,
+  graph_degree_assortativity): the graph twins rebuild
   exact-Jaccard edges without LSH pre-filtering (deliberately independent
   of the banding under test), which is quadratic in documents.
 Exclude both when sweeping larger SFs; everything else passes at sf0.1
-(see the round-4 sweep note in SCALING.md).
+(see the round-4 sweep note in SCALING.md).  Pass --skip-slow to apply
+the exclusion list automatically.
 """
 
 from __future__ import annotations
@@ -92,9 +93,29 @@ def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> tuple[bool, str]
     return True, f"ok (max float delta {max_delta:.1e})"
 
 
+SLOW_ORACLES = {
+    # recursive-CTE oracles: O(iterations x rows) materialized per step
+    "ewma_anomaly_scores",
+    "holt_forecast_anomaly",
+    "near_dup_components",
+    "near_dup_bfs_hops",
+    "greedy_pack_assignments",
+    "minhash_dedup_keep",
+    "golden_record_survivorship",
+    # all-pairs edge-derivation oracles: quadratic in documents
+    "near_dup_triangles",
+    "near_dup_pagerank",
+    "embedding_near_dup_pairs",
+    "kcore_micro_peel",
+    "graph_degree_assortativity",
+}
+
+
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    only = set(sys.argv[2:])
+    args = [a for a in sys.argv[1:] if a != "--skip-slow"]
+    skip_slow = "--skip-slow" in sys.argv[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.001"
+    only = set(args[1:])
     spark = get_spark("oracle-check")
     con = duckdb.connect()
     for t in TABLE_NAMES:
@@ -106,6 +127,9 @@ def main() -> int:
     n_pass = n_fail = 0
     for name, fn in qs.items():
         if only and name not in only:
+            continue
+        if skip_slow and name in SLOW_ORACLES:
+            print(f"SKIP {name}: slow-oracle exclusion (--skip-slow)")
             continue
         t0 = time.time()
         try:
