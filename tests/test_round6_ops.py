@@ -288,3 +288,209 @@ def test_w1_cross_product_matches_rational_emd(xs, ys):
     if nx == ny:
         coupling = sum(abs(a - b) for a, b in zip(sorted(xs), sorted(ys)))
         assert exact * nx == coupling
+
+
+def _haar_levels(xs):
+    """Unnormalized Haar ladder (pure-python model): returns
+    (detail_energies_per_level, final_approx_energy)."""
+    energies = []
+    cur = list(xs)
+    for _ in range(3):
+        a = [cur[i] + cur[i + 1] for i in range(0, len(cur) - 1, 2)]
+        d = [cur[i] - cur[i + 1] for i in range(0, len(cur) - 1, 2)]
+        energies.append(sum(v * v for v in d))
+        cur = a
+    return energies, sum(v * v for v in cur)
+
+
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=10**6), min_size=16, max_size=16
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_haar_parseval_identity(xs):
+    """Parseval for the unnormalized 3-level Haar ladder on a dyadic
+    block: 8 * sum(x^2) == approx_l3 + detail_l3 + 2*detail_l2 +
+    4*detail_l1 — the invariant that certifies `haar_wavelet_energy`
+    loses nothing."""
+    (e1, e2, e3), ae = _haar_levels(xs)
+    assert 8 * sum(v * v for v in xs) == ae + e3 + 2 * e2 + 4 * e1
+
+
+def test_haar_parseval_on_fixture(spark, sf_dir):
+    """Spark e2e: the emitted energies satisfy Parseval against the raw
+    first-16-days sum of squares per type."""
+    from pyspark.sql import Window
+
+    from anomaly_detection_in_time_series_data_spark.tables import load_table
+
+    out = {
+        r["event_type"]: r
+        for r in q.QUERIES["haar_wavelet_energy"](spark, sf_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("d")
+    ).agg(F.count("*").cast("bigint").alias("c"))
+    w = Window.partitionBy("event_type").orderBy("d")
+    raw = {
+        r["event_type"]: r["ss"]
+        for r in daily.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 16)
+        .groupBy("event_type")
+        .agg(F.sum(F.col("c") * F.col("c")).cast("bigint").alias("ss"))
+        .collect()
+    }
+    for t, row in out.items():
+        assert 8 * raw[t] == (
+            row["approx_energy_l3"]
+            + row["detail_energy_l3"]
+            + 2 * row["detail_energy_l2"]
+            + 4 * row["detail_energy_l1"]
+        )
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=200),
+            st.booleans(),
+        ),
+        min_size=2,
+        max_size=120,
+    ),
+    st.integers(min_value=0, max_value=200),
+)
+@settings(max_examples=200, deadline=None)
+def test_gini_split_never_increases_impurity(rows, thr):
+    """Gini is concave, so the weighted child impurity of ANY binary
+    split is <= the parent impurity — checked on the exact rationals
+    `gini_split_gain_deciles` emits (cross-multiplied, no floats)."""
+    n = len(rows)
+    p = sum(1 for _, y in rows if y)
+    n_l = sum(1 for v, _ in rows if v <= thr)
+    p_l = sum(1 for v, y in rows if v <= thr and y)
+    n_r, p_r = n - n_l, p - p_l
+    if n_l == 0 or n_r == 0:
+        return
+    weighted_num = 2 * (p_l * (n_l - p_l) * n_r + p_r * (n_r - p_r) * n_l)
+    weighted_den = n_l * n_r * n
+    parent_num = 2 * p * (n - p)
+    parent_den = n * n
+    assert weighted_num * parent_den <= parent_num * weighted_den
+
+
+@given(
+    st.lists(st.booleans(), min_size=1, max_size=100)
+)
+@settings(max_examples=200, deadline=None)
+def test_runs_lag_change_count_equals_naive_runs(sides):
+    """sum(side != lag(side)) with NULL-lag counting as a change equals
+    the textbook run count (maximal same-side blocks)."""
+    runs = 1 + sum(1 for a, b in zip(sides, sides[1:]) if a != b)
+    lag_count = sum(
+        1
+        for i, s in enumerate(sides)
+        if i == 0 or sides[i - 1] != s
+    )
+    assert lag_count == runs
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=50),
+            st.integers(min_value=0, max_value=50),
+        ),
+        min_size=2,
+        max_size=60,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_double_average_ranks_give_exact_spearman(pairs):
+    """Pearson on doubled average ranks equals Spearman-with-ties
+    computed directly on (fractional) average ranks — scale invariance
+    makes the integer doubling exact."""
+    from fractions import Fraction
+
+    def avg_ranks(vals):
+        order = sorted(range(len(vals)), key=lambda i: (vals[i], i))
+        ranks = [Fraction(0)] * len(vals)
+        i = 0
+        pos = 1
+        svals = [vals[j] for j in order]
+        while i < len(vals):
+            j = i
+            while j < len(vals) and svals[j] == svals[i]:
+                j += 1
+            avg = Fraction(pos + (pos + (j - i) - 1), 2)
+            for k in range(i, j):
+                ranks[order[k]] = avg
+            pos += j - i
+            i = j
+        return ranks
+
+    xs = [a for a, _ in pairs]
+    ys = [b for _, b in pairs]
+    rx, ry = avg_ranks(xs), avg_ranks(ys)
+    dx = [2 * r for r in rx]
+    dy = [2 * r for r in ry]
+    assert all(d.denominator == 1 for d in dx + dy)  # doubling is integral
+    n = len(pairs)
+
+    def moments(a, b):
+        sab = sum(x * y for x, y in zip(a, b))
+        return n * sab - sum(a) * sum(b)
+
+    num_d = moments(dx, dy)
+    num_f = moments(rx, ry)
+    den_dx, den_fy = moments(dx, dx), moments(rx, rx)
+    # doubled ranks scale num and each den by exactly 4
+    assert num_d == 4 * num_f
+    assert den_dx == 4 * den_fy
+
+
+@given(
+    st.lists(
+        st.sets(st.integers(min_value=0, max_value=60), min_size=0, max_size=25),
+        min_size=1,
+        max_size=8,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_greedy_cover_rounds_match_reference_greedy(sets_):
+    """The unrolled 3-round SQL shape (argmax, anti-join, repeat) equals
+    the reference greedy max-coverage algorithm with (count desc, index
+    asc) tie-breaks."""
+    covered: set[int] = set()
+    chosen: list[int] = []
+    for _ in range(min(3, len(sets_))):
+        best = None
+        for i, s in enumerate(sets_):
+            if i in chosen:
+                continue
+            marg = len(s - covered)
+            key = (-marg, i)
+            if best is None or key < best[0]:
+                best = (key, i, marg)
+        chosen.append(best[1])
+        covered |= sets_[best[1]] - covered
+    # the anti-join formulation: remaining pairs after removing winner's
+    # tokens and winner's rows, then argmax again
+    pairs = {(i, t) for i, s in enumerate(sets_) for t in s}
+    picked: list[int] = []
+    cov2: set[int] = set()
+    for _ in range(min(3, len(sets_))):
+        counts: dict[int, int] = {}
+        for i, t in pairs:
+            counts[i] = counts.get(i, 0) + 1
+        for i in range(len(sets_)):
+            if i not in picked:
+                counts.setdefault(i, 0)
+        best_i = min(counts, key=lambda i: (-counts[i], i))
+        picked.append(best_i)
+        won = {t for i, t in pairs if i == best_i}
+        cov2 |= won
+        pairs = {(i, t) for i, t in pairs if i != best_i and t not in won}
+    assert picked == chosen and cov2 == covered
