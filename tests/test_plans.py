@@ -692,3 +692,38 @@ def test_delivery_completeness_single_fact_scan(spark, sf_dir):
     df = q.QUERIES["delivery_completeness_audit"](spark, sf_dir)
     plan = plans.executed_plan(df)
     assert plan.count("Scan parquet") == 0, "fact table re-scanned"
+
+
+def test_round6_wave_plans_stay_jvm_and_broadcast(spark, sf_dir):
+    """The round-6 backlog wave: every query stays JVM-side (no Python
+    eval in the plan) and contains no Cartesian product; the dense-grid
+    queries broadcast their calendar/dimension sides rather than
+    shuffling them."""
+    wave = [
+        "spc_control_chart_rules",
+        "herfindahl_daily_concentration",
+        "fano_burstiness_hourly",
+        "record_breaking_days",
+        "ann_graph_link_prediction",
+        "zone_map_skipping_audit",
+        "t_closeness_audit",
+        "wasserstein_value_drift",
+        "abc_inventory_classification",
+        "newsvendor_quantile_order",
+        "runs_test_randomness",
+        "graph_degree_assortativity",
+        "kendall_tau_user_ranks",
+        "spearman_click_purchase",
+        "did_estimator_components",
+        "haar_wavelet_energy",
+        "gini_split_gain_deciles",
+        "greedy_set_cover_sources",
+    ]
+    for name in wave:
+        plan = plans.executed_plan(q.QUERIES[name](spark, sf_dir))
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+        assert "CartesianProduct" not in plan, name
+    for name in ("fano_burstiness_hourly", "t_closeness_audit",
+                 "wasserstein_value_drift"):
+        plan = plans.executed_plan(q.QUERIES[name](spark, sf_dir))
+        assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, name
