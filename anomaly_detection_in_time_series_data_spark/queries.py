@@ -19945,9 +19945,12 @@ _PENDING_ROUND7: list[str] = list(_ROUND6_DEFERRED) + [
 
 # ROUND-7 BUILDER: round 6's window is the 41-name backlog + 9 round-6
 # additions (all preflighted green at sf0.001/0.01; sweep sf0.1 before
-# the driver does).  Build _ROUND7_FRONT = re-checks of any round-6 reds
-# + _PENDING_ROUND7, padded to exactly 50 with new oracle-backed queries
-# (preferred) or never-red green re-checks; call
+# the driver does).  _PENDING_ROUND7 is already EXACTLY 50 names (the
+# 2 deferrals + 48 round-6 additions, every one preflighted at
+# sf0.001/0.01 and swept at sf0.1 modulo the documented slow-oracle
+# skips).  Build _ROUND7_FRONT = re-checks of any round-6 reds +
+# _PENDING_ROUND7 (dropping never-red greens from the tail if reds
+# displace them — displaced names seed _PENDING_ROUND8); call
 # _rotate_front(_ROUND7_FRONT) in place of the round-6 call below, start
 # an empty _PENDING_ROUND8 accumulator, and update
 # tests/test_coverage_claims.py to the new window/pending names.
