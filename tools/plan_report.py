@@ -59,6 +59,12 @@ SHOWCASE = [
     ("delivery_completeness_audit", "SLA audit off the checkpointed daily grain: 0 fact re-scans; every exchange moves (types x days) rows"),
     ("kmeans_anomaly_scores", "micro-Lloyd scoring: k x 64 centroid table broadcast, zip_with integer folds; corpus never shuffles for assignment"),
     ("incremental_agg_maintenance", "IVM merge: base and delta aggs pre-partitioned on the view grain; the full-outer merge reuses their partitioning"),
+    ("spc_control_chart_rules", "SPC rules on the (type, day) pre-aggregate: one fact shuffle, per-type stats broadcast back, run windows on days-sized state"),
+    ("wasserstein_value_drift", "W1 drift: domain-bounded cent grid broadcast to types, per-type CDF windows over metadata-sized rows; raw events touched once"),
+    ("t_closeness_audit", "privacy TV-distance: language marginal + corpus total broadcast; dense grid = groups x langs, never a fact re-scan"),
+    ("gini_split_gain_deciles", "decision-stump scan: 9-row threshold grid broadcast, ALL contingency tables from one conditional-agg pass"),
+    ("ann_graph_link_prediction", "ANN recall audit: orthant-bucketed edge join, degree-bounded wedge enumeration, TakeOrderedAndProject(20) — never all-pairs"),
+    ("haar_wavelet_energy", "Haar ladder: log2(T) pairwise GROUP BYs over the daily pre-aggregate — a parallel wavelet transform, no sequential fold"),
 ]
 
 
