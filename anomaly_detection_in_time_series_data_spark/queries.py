@@ -19741,6 +19741,88 @@ def greedy_set_cover_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     return r1.unionAll(r2).unionAll(r3)
 
 
+@query(
+    "incremental_join_maintenance",
+    oracle="""
+    SELECT CAST(year(o.o_orderdate) * 100 + month(o.o_orderdate)
+                AS BIGINT) AS ym,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(18,2))) * 10000)
+                AS BIGINT) AS rev_e4
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY 1
+    """,
+)
+def incremental_join_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of a JOIN view — the delta rule
+    (O u dO) |><| (L u dL) = O|><|L  u  O|><|dL  u  dO|><|L  u  dO|><|dL
+    executed literally: facts split at min(orderdate)+1500 days (orders
+    by orderdate, lineitems INDEPENDENTLY by shipdate, so old orders
+    gain new lineitems and ALL THREE delta terms are non-empty), the
+    view's monthly aggregate maintained as base-aggregate full-outer
+    coalesce-sum delta-aggregate (`incremental_agg_maintenance`'s merge,
+    lifted from a table to a JOIN).  The oracle is the FULL recompute —
+    hash-equality IS the proof that the delta algebra loses and invents
+    nothing.  Scale: this is the nightly pattern that turns an O(|O|x|L|
+    scan) refresh into O(|delta| join |base|): the base aggregate is
+    months-sized, the delta joins touch only delta partitions (partition
+    pruning on the ingest-date layout), and the merge shuffles rows
+    proportional to months, not facts."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cut = orders.agg(
+        (F.min("o_orderdate") + F.expr("interval 1500 days")).alias("c")
+    )
+    o = orders.crossJoin(F.broadcast(cut))
+    l = li.crossJoin(F.broadcast(cut))
+    o_old = o.filter(F.col("o_orderdate") < F.col("c")).drop("c")
+    o_new = o.filter(F.col("o_orderdate") >= F.col("c")).drop("c")
+    l_old = l.filter(F.col("l_shipdate") < F.col("c")).drop("c")
+    l_new = l.filter(F.col("l_shipdate") >= F.col("c")).drop("c")
+    ym = (F.year("o_orderdate") * 100 + F.month("o_orderdate")).cast(
+        "bigint"
+    )
+    rev = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount")) * 10000
+
+    def _agg(od, ld):
+        return (
+            od.join(ld, ld["l_orderkey"] == od["o_orderkey"])
+            .groupBy(ym.alias("ym"))
+            .agg(
+                F.count("*").cast("bigint").alias("n_rows"),
+                F.sum(rev).cast("bigint").alias("rev_e4"),
+            )
+        )
+
+    base = _agg(o_old, l_old)
+    delta = (
+        _agg(o_old, l_new)
+        .unionAll(_agg(o_new, l_old))
+        .unionAll(_agg(o_new, l_new))
+        .groupBy("ym")
+        .agg(
+            F.sum("n_rows").cast("bigint").alias("n_rows"),
+            F.sum("rev_e4").cast("bigint").alias("rev_e4"),
+        )
+    )
+    b = base.select(
+        "ym", F.col("n_rows").alias("bn"), F.col("rev_e4").alias("br")
+    )
+    d = delta.select(
+        "ym", F.col("n_rows").alias("dn"), F.col("rev_e4").alias("dr")
+    )
+    return b.join(d, "ym", "full_outer").select(
+        "ym",
+        (F.coalesce("bn", F.lit(0)) + F.coalesce("dn", F.lit(0)))
+        .cast("bigint")
+        .alias("n_rows"),
+        (F.coalesce("br", F.lit(0)) + F.coalesce("dr", F.lit(0)))
+        .cast("bigint")
+        .alias("rev_e4"),
+    )
+
+
 def _rotate_front(front: list[str]) -> None:
     global QUERIES, ORACLE
     missing = [n for n in front if n not in QUERIES]
@@ -19941,18 +20023,19 @@ _PENDING_ROUND7: list[str] = list(_ROUND6_DEFERRED) + [
     "haar_wavelet_energy",  # new in round 6 (multi-resolution variance)
     "gini_split_gain_deciles",  # new in round 6 (decision-stump split scan)
     "greedy_set_cover_sources",  # new in round 6 (max-coverage acquisition)
+    "incremental_join_maintenance",  # new in round 6 (join-view delta rule)
 ]
 
 # ROUND-7 BUILDER: round 6's window is the 41-name backlog + 9 round-6
 # additions (all preflighted green at sf0.001/0.01; sweep sf0.1 before
-# the driver does).  _PENDING_ROUND7 is already EXACTLY 50 names (the
-# 2 deferrals + 48 round-6 additions, every one preflighted at
-# sf0.001/0.01 and swept at sf0.1 modulo the documented slow-oracle
-# skips).  Build _ROUND7_FRONT = re-checks of any round-6 reds +
-# _PENDING_ROUND7 (dropping never-red greens from the tail if reds
-# displace them — displaced names seed _PENDING_ROUND8); call
-# _rotate_front(_ROUND7_FRONT) in place of the round-6 call below, start
-# an empty _PENDING_ROUND8 accumulator, and update
+# the driver does).  _PENDING_ROUND7 holds 51 names (the 2 deferrals +
+# 49 round-6 additions, every one preflighted at sf0.001/0.01 and swept
+# at sf0.1 modulo the documented slow-oracle skips) — one more than the
+# 50-name window.  Build _ROUND7_FRONT = re-checks of any round-6 reds +
+# the first 50 of _PENDING_ROUND7; whatever the window can't take
+# (at minimum the newest name, plus any greens displaced by red
+# re-checks) seeds _PENDING_ROUND8.  Call _rotate_front(_ROUND7_FRONT)
+# in place of the round-6 call below and update
 # tests/test_coverage_claims.py to the new window/pending names.
 
 _rotate_front(_ROUND6_FRONT)
