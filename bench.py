@@ -130,6 +130,17 @@ HEADLINE = [
     "streaming_chained_windows",
     "kmeans_anomaly_scores",
     "gmm_anomaly_scores",
+    # round-6 additions: the late-round backlog wave (SPC / concentration /
+    # burstiness / records / ANN recall audit / layout / privacy / drift)
+    "spc_control_chart_rules",
+    "herfindahl_daily_concentration",
+    "fano_burstiness_hourly",
+    "record_breaking_days",
+    "ann_graph_link_prediction",
+    "zone_map_skipping_audit",
+    "t_closeness_audit",
+    "wasserstein_value_drift",
+    "incremental_join_maintenance",
 ]
 
 
