@@ -19823,6 +19823,72 @@ def incremental_join_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "report_restatement_audit",
+    oracle="""
+    WITH m AS (
+      SELECT event_type, ts,
+             CAST(epoch_us(date_trunc('day', ts)) AS BIGINT) AS bucket_us,
+             ts + to_minutes(('0x' || substr(md5('late|' || event_id), 1, 4))
+                             ::BIGINT % 181) AS arrival,
+             date_trunc('day', ts) + INTERVAL 30 HOURS AS report_run
+      FROM events
+    )
+    SELECT event_type, bucket_us,
+           CAST(sum(CASE WHEN arrival < report_run THEN 1 ELSE 0 END)
+                AS BIGINT) AS v1_count,
+           CAST(count(*) AS BIGINT) AS final_count,
+           CAST(sum(CASE WHEN arrival >= report_run THEN 1 ELSE 0 END)
+                AS BIGINT) AS late_missed,
+           sum(CASE WHEN arrival >= report_run THEN 1 ELSE 0 END) > 0
+             AS restated
+    FROM m GROUP BY event_type, bucket_us
+    """,
+)
+def report_restatement_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-data report restatement — the operational truth behind
+    `event_lateness_audit`'s watermark numbers: a daily report computed
+    at 06:00 next day (the standard nightly run) sees only events whose
+    ARRIVAL beat the run; everything later forces a restatement.
+    Arrival is simulated as event time + a deterministic md5-derived
+    delay (0-180 min — portable, no RNG, same bytes in both engines), so
+    the audit emits, per (type, day): the count the 06:00 report WOULD
+    have published (v1), the eventual final count, the late-missed gap,
+    and the restated verdict.  This quantifies the freshness/correctness
+    trade the watermark design buys.  Scale: one map-side-combined
+    aggregate; the delay hash is a per-row expression — no joins at
+    all."""
+    ev = load_table(spark, sf_dir, "events")
+    delay_min = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("late|"), F.col("event_id"))), 1, 4
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 181
+    )
+    m = ev.select(
+        "event_type",
+        F.unix_micros(F.date_trunc("day", "ts")).alias("bucket_us"),
+        (
+            F.col("ts")
+            + (delay_min * F.expr("interval 1 minute"))
+        ).alias("arrival"),
+        (
+            F.date_trunc("day", "ts") + F.expr("interval 30 hours")
+        ).alias("report_run"),
+    )
+    late = F.col("arrival") >= F.col("report_run")
+    return m.groupBy("event_type", "bucket_us").agg(
+        F.sum(F.when(~late, 1).otherwise(0)).cast("bigint").alias("v1_count"),
+        F.count("*").cast("bigint").alias("final_count"),
+        F.sum(F.when(late, 1).otherwise(0)).cast("bigint").alias("late_missed"),
+        (F.sum(F.when(late, 1).otherwise(0)) > 0).alias("restated"),
+    )
+
+
 def _rotate_front(front: list[str]) -> None:
     global QUERIES, ORACLE
     missing = [n for n in front if n not in QUERIES]
@@ -20024,6 +20090,7 @@ _PENDING_ROUND7: list[str] = list(_ROUND6_DEFERRED) + [
     "gini_split_gain_deciles",  # new in round 6 (decision-stump split scan)
     "greedy_set_cover_sources",  # new in round 6 (max-coverage acquisition)
     "incremental_join_maintenance",  # new in round 6 (join-view delta rule)
+    "report_restatement_audit",  # new in round 6 (late-data restatement)
 ]
 
 # ROUND-7 BUILDER: round 6's window is the 41-name backlog + 9 round-6
