@@ -19889,6 +19889,280 @@ def report_restatement_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "column_stats_drift",
+    oracle="""
+    WITH cut AS (SELECT min(ts) + INTERVAL 15 DAY AS c FROM events),
+    h AS (
+      SELECT CASE WHEN e.ts < c.c THEN 'first_half' ELSE 'second_half' END
+               AS half,
+             e.event_type, e.user_id,
+             CAST(floor(e.value * 100.0) AS BIGINT) AS v_cents,
+             e.value IS NULL AS v_null
+      FROM events e CROSS JOIN cut c
+    ),
+    prof AS (
+      SELECT half,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(CASE WHEN v_null THEN 1 ELSE 0 END) AS BIGINT)
+               AS value_nulls,
+             CAST(count(DISTINCT event_type) AS BIGINT) AS type_distinct,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS user_distinct,
+             CAST(min(v_cents) AS BIGINT) AS value_min_cents,
+             CAST(max(v_cents) AS BIGINT) AS value_max_cents
+      FROM h GROUP BY half
+    )
+    SELECT a.n_rows AS rows_1, b.n_rows AS rows_2,
+           a.value_nulls AS nulls_1, b.value_nulls AS nulls_2,
+           a.type_distinct AS types_1, b.type_distinct AS types_2,
+           a.user_distinct AS users_1, b.user_distinct AS users_2,
+           a.value_min_cents AS min_1, b.value_min_cents AS min_2,
+           a.value_max_cents AS max_1, b.value_max_cents AS max_2,
+           a.type_distinct <> b.type_distinct AS type_domain_drift,
+           b.value_min_cents < a.value_min_cents
+             OR b.value_max_cents > a.value_max_cents AS value_range_drift,
+           b.value_nulls * a.n_rows > 2 * a.value_nulls * b.n_rows
+             AS null_rate_doubled
+    FROM prof a JOIN prof b
+      ON a.half = 'first_half' AND b.half = 'second_half'
+    """,
+)
+def column_stats_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-profile drift between the first and second half of the
+    ingest window — the schema-stats contract that
+    `expectation_suite_report` (fixed assertions) and the
+    distribution-drift family (value shapes) both miss: did the TYPE
+    DOMAIN grow, did the value RANGE escape its envelope, did the null
+    rate double?  All verdicts are integer/boolean (null-rate doubling
+    via cross-multiplication), computed from one profile aggregate per
+    half — exactly the per-batch column statistics a lakehouse writer
+    already collects, so at scale this reads footers, not data.  The
+    profile-vs-profile join is 1x1."""
+    ev = load_table(spark, sf_dir, "events")
+    cut = ev.agg((F.min("ts") + F.expr("interval 15 days")).alias("c"))
+    h = ev.crossJoin(F.broadcast(cut)).select(
+        F.when(F.col("ts") < F.col("c"), "first_half")
+        .otherwise("second_half")
+        .alias("half"),
+        "event_type",
+        "user_id",
+        F.floor(F.col("value") * 100.0).cast("bigint").alias("v_cents"),
+        F.col("value").isNull().alias("v_null"),
+    )
+    prof = h.groupBy("half").agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.sum(F.when(F.col("v_null"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("value_nulls"),
+        F.count_distinct("event_type").cast("bigint").alias("type_distinct"),
+        F.count_distinct("user_id").cast("bigint").alias("user_distinct"),
+        F.min("v_cents").cast("bigint").alias("value_min_cents"),
+        F.max("v_cents").cast("bigint").alias("value_max_cents"),
+    )
+    a = prof.filter(F.col("half") == "first_half").select(
+        F.col("n_rows").alias("rows_1"),
+        F.col("value_nulls").alias("nulls_1"),
+        F.col("type_distinct").alias("types_1"),
+        F.col("user_distinct").alias("users_1"),
+        F.col("value_min_cents").alias("min_1"),
+        F.col("value_max_cents").alias("max_1"),
+    )
+    b = prof.filter(F.col("half") == "second_half").select(
+        F.col("n_rows").alias("rows_2"),
+        F.col("value_nulls").alias("nulls_2"),
+        F.col("type_distinct").alias("types_2"),
+        F.col("user_distinct").alias("users_2"),
+        F.col("value_min_cents").alias("min_2"),
+        F.col("value_max_cents").alias("max_2"),
+    )
+    return a.crossJoin(F.broadcast(b)).select(
+        "rows_1", "rows_2", "nulls_1", "nulls_2",
+        "types_1", "types_2", "users_1", "users_2",
+        "min_1", "min_2", "max_1", "max_2",
+        (F.col("types_1") != F.col("types_2")).alias("type_domain_drift"),
+        (
+            (F.col("min_2") < F.col("min_1"))
+            | (F.col("max_2") > F.col("max_1"))
+        ).alias("value_range_drift"),
+        (
+            F.col("nulls_2") * F.col("rows_1")
+            > 2 * F.col("nulls_1") * F.col("rows_2")
+        ).alias("null_rate_doubled"),
+    )
+
+
+@query(
+    "ltv_cohort_curve",
+    oracle="""
+    WITH firstw AS (
+      SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+      FROM events GROUP BY user_id
+    ),
+    p AS (
+      SELECT f.cohort_week,
+             CAST(datediff('week', f.cohort_week,
+                           date_trunc('week', e.ts)) AS BIGINT) AS age_week,
+             CAST(floor(e.value * 100.0) AS BIGINT) AS cents
+      FROM events e
+      JOIN firstw f ON f.user_id = e.user_id
+      WHERE e.event_type = 'purchase'
+    ),
+    sz AS (
+      SELECT cohort_week, CAST(count(*) AS BIGINT) AS cohort_users
+      FROM firstw GROUP BY cohort_week
+    ),
+    wk AS (
+      SELECT cohort_week, age_week,
+             CAST(sum(cents) AS BIGINT) AS week_cents
+      FROM p GROUP BY cohort_week, age_week
+    )
+    SELECT CAST(epoch_us(w.cohort_week) AS BIGINT) AS cohort_week_us,
+           w.age_week,
+           s.cohort_users,
+           w.week_cents,
+           CAST(sum(w.week_cents) OVER (
+             PARTITION BY w.cohort_week ORDER BY w.age_week) AS BIGINT)
+             AS cum_cents
+    FROM wk w JOIN sz s ON s.cohort_week = w.cohort_week
+    """,
+)
+def ltv_cohort_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curve — the MONEY companion of
+    `cohort_retention_counts`: per signup-week cohort and week-of-life,
+    purchase cents that week and cumulative-to-date, with cohort size
+    alongside (LTV-per-user = cum_cents / cohort_users is the consumer's
+    division; we emit the exact integer rationals).  This is the
+    payback-period / CAC-ceiling input every growth model starts from.
+    Scale: first-seen week is one user-grain min; the curve is a
+    (cohort x age) aggregate — calendar-squared rows; the cumulative
+    window runs over that tiny grid, never over facts."""
+    ev = load_table(spark, sf_dir, "events")
+    firstw = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(firstw, "user_id")
+        .select(
+            "cohort_week",
+            (
+                F.floor(
+                    F.datediff(
+                        F.date_trunc("week", F.col("ts")), F.col("cohort_week")
+                    )
+                    / 7
+                )
+            )
+            .cast("bigint")
+            .alias("age_week"),
+            F.floor(F.col("value") * 100.0).cast("bigint").alias("cents"),
+        )
+    )
+    sz = firstw.groupBy("cohort_week").agg(
+        F.count("*").cast("bigint").alias("cohort_users")
+    )
+    wk = p.groupBy("cohort_week", "age_week").agg(
+        F.sum("cents").cast("bigint").alias("week_cents")
+    )
+    w = Window.partitionBy("cohort_week").orderBy("age_week")
+    return (
+        wk.join(F.broadcast(sz), "cohort_week")
+        .select(
+            F.unix_micros("cohort_week").alias("cohort_week_us"),
+            "age_week",
+            "cohort_users",
+            "week_cents",
+            F.sum("week_cents").over(w).cast("bigint").alias("cum_cents"),
+        )
+    )
+
+
+@query(
+    "knn_kdistance_outliers",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(embedding,
+                            x -> CAST(floor(x * 1000.0) AS BIGINT)) AS v,
+             list_aggregate(list_transform(embedding[1:8],
+                            x -> CASE WHEN x >= 0 THEN 1 ELSE 0 END),
+                            'string_agg', '') AS orthant
+      FROM embeddings
+    ),
+    p AS (
+      SELECT a.vec_id AS ia,
+             list_reduce(list_transform(range(1, len(a.v) + 1),
+                                        i -> a.v[i] * b.v[i]),
+                         (x, y) -> x + y) AS dot
+      FROM q a JOIN q b ON a.orthant = b.orthant AND a.vec_id <> b.vec_id
+    ),
+    kd AS (
+      SELECT ia AS vec_id, dot,
+             row_number() OVER (PARTITION BY ia ORDER BY dot DESC) AS rk,
+             CAST(count(*) OVER (PARTITION BY ia) AS BIGINT) AS n_bucket
+      FROM p
+    )
+    SELECT vec_id, dot AS k3_dot_milli2, n_bucket
+    FROM kd WHERE rk = 3
+    ORDER BY k3_dot_milli2 ASC, vec_id LIMIT 15
+    """,
+)
+def knn_kdistance_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distance-based (kNN) outlier detection over embeddings — the
+    classic k-distance score (Knorr-Ng / LOF's backbone) beside the
+    engine's statistical and density detectors: a point whose THIRD
+    nearest neighbor is already far (low 3rd-best dot product) sits in
+    nobody's neighborhood.  Neighborhoods are the production ANN shape —
+    sign-orthant buckets, milli-quantized integer dot products — so the
+    score is bucket-local and exact-integer; bottom-15 by 3rd-best dot
+    (id tiebreak).  Bucket size rides along: a low score in a crowded
+    bucket is a true inlier-region outlier, a tiny n_bucket is its own
+    signal.  Scale: within-bucket pair enumeration only (the LSH
+    candidate shape, never all-pairs), one rank window per point."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qq = emb.select(
+        "vec_id",
+        F.transform(
+            "embedding", lambda x: F.floor(x * 1000.0).cast("bigint")
+        ).alias("v"),
+        F.concat_ws(
+            "",
+            F.transform(
+                F.slice("embedding", 1, 8),
+                lambda x: F.when(x >= 0, F.lit("1")).otherwise(F.lit("0")),
+            ),
+        ).alias("orthant"),
+    )
+    a = qq.alias("a")
+    b = qq.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    p = a.join(
+        b,
+        (F.col("a.orthant") == F.col("b.orthant"))
+        & (F.col("a.vec_id") != F.col("b.vec_id")),
+    ).select(F.col("a.vec_id").alias("ia"), dot.alias("dot"))
+    wk = Window.partitionBy("ia").orderBy(F.col("dot").desc())
+    wn = Window.partitionBy("ia")
+    kd = p.select(
+        F.col("ia").alias("vec_id"),
+        "dot",
+        F.row_number().over(wk).alias("rk"),
+        F.count("*").over(wn).cast("bigint").alias("n_bucket"),
+    )
+    return (
+        kd.filter(F.col("rk") == 3)
+        .select(
+            "vec_id", F.col("dot").alias("k3_dot_milli2"), "n_bucket"
+        )
+        .orderBy(F.col("k3_dot_milli2").asc(), "vec_id")
+        .limit(15)
+    )
+
+
 def _rotate_front(front: list[str]) -> None:
     global QUERIES, ORACLE
     missing = [n for n in front if n not in QUERIES]
@@ -20091,6 +20365,9 @@ _PENDING_ROUND7: list[str] = list(_ROUND6_DEFERRED) + [
     "greedy_set_cover_sources",  # new in round 6 (max-coverage acquisition)
     "incremental_join_maintenance",  # new in round 6 (join-view delta rule)
     "report_restatement_audit",  # new in round 6 (late-data restatement)
+    "column_stats_drift",  # new in round 6 (schema-stats contract drift)
+    "ltv_cohort_curve",  # new in round 6 (cohort lifetime-value money curve)
+    "knn_kdistance_outliers",  # new in round 6 (distance-based outliers)
 ]
 
 # ROUND-7 BUILDER: round 6's window is the 41-name backlog + 9 round-6

@@ -141,6 +141,10 @@ HEADLINE = [
     "t_closeness_audit",
     "wasserstein_value_drift",
     "incremental_join_maintenance",
+    "report_restatement_audit",
+    "column_stats_drift",
+    "ltv_cohort_curve",
+    "knn_kdistance_outliers",
 ]
 
 
