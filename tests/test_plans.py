@@ -718,6 +718,11 @@ def test_round6_wave_plans_stay_jvm_and_broadcast(spark, sf_dir):
         "haar_wavelet_energy",
         "gini_split_gain_deciles",
         "greedy_set_cover_sources",
+        "incremental_join_maintenance",
+        "report_restatement_audit",
+        "column_stats_drift",
+        "ltv_cohort_curve",
+        "knn_kdistance_outliers",
     ]
     for name in wave:
         plan = plans.executed_plan(q.QUERIES[name](spark, sf_dir))
