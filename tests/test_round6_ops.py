@@ -494,3 +494,65 @@ def test_greedy_cover_rounds_match_reference_greedy(sets_):
         cov2 |= won
         pairs = {(i, t) for i, t in pairs if i != best_i and t not in won}
     assert picked == chosen and cov2 == covered
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 8), st.booleans()), max_size=30
+    ),
+    st.lists(
+        st.tuples(st.integers(0, 8), st.booleans()), max_size=30
+    ),
+)
+@settings(max_examples=200, deadline=None)
+def test_join_delta_rule_is_lossless(orders, lines):
+    """(O u dO) join (L u dL) == O|><|L u O|><|dL u dO|><|L u dO|><|dL as
+    MULTISETS — the algebra `incremental_join_maintenance` executes (the
+    boolean marks delta membership)."""
+    from collections import Counter
+
+    o_old = [k for k, d in orders if not d]
+    o_new = [k for k, d in orders if d]
+    l_old = [k for k, d in lines if not d]
+    l_new = [k for k, d in lines if d]
+
+    def join(os_, ls_):
+        return Counter(
+            (o, l) for o in os_ for l in ls_ if o == l
+        )
+
+    full = join(o_old + o_new, l_old + l_new)
+    pieces = (
+        join(o_old, l_old)
+        + join(o_old, l_new)
+        + join(o_new, l_old)
+        + join(o_new, l_new)
+    )
+    assert full == pieces
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=10**6), min_size=1, max_size=50)
+)
+@settings(max_examples=100, deadline=None)
+def test_restatement_partition_is_exact(delays):
+    """v1 + late_missed == final for ANY delay assignment — the report
+    restatement audit is a partition, never an estimate."""
+    run_deadline = 30 * 60  # minutes after day start, arbitrary
+    v1 = sum(1 for d in delays if d < run_deadline)
+    late = sum(1 for d in delays if d >= run_deadline)
+    assert v1 + late == len(delays)
+
+
+@given(
+    st.lists(st.integers(min_value=-100, max_value=100), min_size=3, max_size=40)
+)
+@settings(max_examples=200, deadline=None)
+def test_kdistance_rank_pick_is_third_best(dots):
+    """row_number()=3 over dot DESC picks exactly the third-largest dot
+    (with the deterministic ordering both engines share)."""
+    ranked = sorted(dots, reverse=True)
+    third = ranked[2]
+    # emulate the window: stable rank over (dot desc, arrival order)
+    order = sorted(range(len(dots)), key=lambda i: (-dots[i], i))
+    assert dots[order[2]] == third
