@@ -12601,21 +12601,23 @@ def mase_forecast_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     "skyline_parts_pareto",
     oracle="""
     WITH p AS (
-      SELECT p_partkey, CAST(p_retailprice AS DECIMAL(18,2)) AS price,
+      SELECT p_partkey,
+             CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS price_cents,
              CAST(p_size AS BIGINT) AS p_size
       FROM part
     ),
     g AS (
-      SELECT price, max(p_size) AS gmax FROM p GROUP BY price
+      SELECT price_cents, max(p_size) AS gmax FROM p GROUP BY price_cents
     ),
     c AS (
-      SELECT price, gmax,
-             max(gmax) OVER (ORDER BY price
+      SELECT price_cents, gmax,
+             max(gmax) OVER (ORDER BY price_cents
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS cm
       FROM g
     )
-    SELECT p.p_partkey, p.price, p.p_size
-    FROM p JOIN c ON p.price = c.price
+    SELECT p.p_partkey, p.price_cents, p.p_size
+    FROM p JOIN c ON p.price_cents = c.price_cents
     WHERE p.p_size = c.gmax AND (c.cm IS NULL OR p.p_size > c.cm)
     """,
 )
@@ -12630,23 +12632,29 @@ def skyline_parts_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     max AND beats that running max. Equal (price, size) duplicates are
     mutually non-dominating and all survive, matching the strict
     definition. Scale: the window runs over DISTINCT prices (cardinality
-    orders below row count); the join back is broadcast-size."""
+    orders below row count); the join back is broadcast-size.  Price is
+    emitted as exact integer cents (decimal-domain x100 — house rule: no
+    float and no decimal in output schemas, because DuckDB's pandas
+    bridge lowers DECIMAL(18,2) to float64 and the driver's value hash
+    then diverges even when values are numerically identical)."""
     part = load_table(spark, sf_dir, "part")
     p = part.select(
         "p_partkey",
-        _dec("p_retailprice").alias("price"),
+        (_dec("p_retailprice") * 100).cast("bigint").alias("price_cents"),
         F.col("p_size").cast("bigint").alias("p_size"),
     )
-    g = p.groupBy("price").agg(F.max("p_size").alias("gmax"))
-    w = Window.orderBy("price").rowsBetween(Window.unboundedPreceding, -1)
-    c = g.select("price", "gmax", F.max("gmax").over(w).alias("cm"))
+    g = p.groupBy("price_cents").agg(F.max("p_size").alias("gmax"))
+    w = Window.orderBy("price_cents").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    c = g.select("price_cents", "gmax", F.max("gmax").over(w).alias("cm"))
     return (
-        p.join(F.broadcast(c), "price")
+        p.join(F.broadcast(c), "price_cents")
         .filter(
             (F.col("p_size") == F.col("gmax"))
             & (F.col("cm").isNull() | (F.col("p_size") > F.col("cm")))
         )
-        .select("p_partkey", "price", "p_size")
+        .select("p_partkey", "price_cents", "p_size")
     )
 
 
@@ -15146,8 +15154,6 @@ def recs_coverage_popularity(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM h
     )
     SELECT CAST(hr AS BIGINT) AS hr, n, e, n6, e6,
-           CAST(e AS DOUBLE) / n AS err_1h,
-           CAST(e6 AS DOUBLE) / n6 AS err_6h,
            (e * 1000 > n * 144 AND e6 * 1000 > n6 * 144) AS page,
            (e * 1000 > n * 36 AND e6 * 1000 > n6 * 36) AS ticket
     FROM w
@@ -15159,11 +15165,12 @@ def slo_burn_rate_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
     mix runs ~20% 'error'), PAGE when BOTH the 1h and trailing-6h error
     ratios burn faster than 14.4x budget, TICKET at 3.6x — the two-
     window AND is what kills both flappy single-spike pages and slow
-    undetected burns. Ratios are emitted as exact-input doubles, but the
-    ALERT DECISIONS are integer cross-multiplications (e*1000 > n*144 ==
-    e/n > 14.4*0.01... scaled exactly) — no float at the threshold.
-    Scale: one hourly pre-aggregate, then RANGE-frame windows over the
-    tiny hour series."""
+    undetected burns. The error ratios are carried as exact unreduced
+    rationals (e/n and e6/n6 — the consumer divides), and the ALERT
+    DECISIONS are integer cross-multiplications (e*1000 > n*144 ==
+    e/n > 14.4*0.01 scaled exactly) — no float anywhere, per the house
+    rule banning float/decimal output columns. Scale: one hourly
+    pre-aggregate, then RANGE-frame windows over the tiny hour series."""
     ev = load_table(spark, sf_dir, "events")
     h = ev.groupBy(
         F.expr("unix_micros(ts) div 3600000000").alias("hr")
@@ -15187,8 +15194,6 @@ def slo_burn_rate_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "e",
         "n6",
         "e6",
-        (F.col("e").cast("double") / F.col("n")).alias("err_1h"),
-        (F.col("e6").cast("double") / F.col("n6")).alias("err_6h"),
         (
             (F.col("e") * 1000 > F.col("n") * 144)
             & (F.col("e6") * 1000 > F.col("n6") * 144)
@@ -15204,11 +15209,9 @@ def slo_burn_rate_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "vwap_daily",
     oracle="""
     SELECT CAST(l_shipdate AS DATE) AS day,
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
-             / CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
-             AS vwap,
-           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
-             AS volume,
+           CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                         AS BIGINT)) AS BIGINT) AS vwap_num_cents,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS volume_qty,
            CAST(count(*) AS BIGINT) AS n_trades
     FROM lineitem GROUP BY CAST(l_shipdate AS DATE)
     """,
@@ -15218,18 +15221,22 @@ def vwap_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     extendedprice, volume = quantity) — the execution-quality benchmark
     next to `twap_daily`'s time weighting and `ohlc_daily_bars`'
     endpoints: TWAP answers "what did the day look like", VWAP answers
-    "what did it cost to actually trade the day's volume". Decimal-
-    domain sums (order-insensitive, exact) with ONE double division per
-    day. One scan, one day-hash aggregate with map-side combine."""
+    "what did it cost to actually trade the day's volume". The VWAP is
+    emitted as an UNREDUCED exact rational — numerator = the day's
+    notional in integer cents, denominator = the day's total quantity
+    (integer units in the fixture) — per the house rule banning float
+    and decimal output columns; the consumer divides. One scan, one
+    day-hash aggregate with map-side combine."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy(
         F.col("l_shipdate").cast("date").alias("day")
     ).agg(
-        (
-            F.sum(_dec("l_extendedprice")).cast("double")
-            / F.sum(_dec("l_quantity")).cast("double")
-        ).alias("vwap"),
-        F.sum(_dec("l_quantity")).cast("double").alias("volume"),
+        F.sum((_dec("l_extendedprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("vwap_num_cents"),
+        F.sum(F.col("l_quantity").cast("bigint"))
+        .cast("bigint")
+        .alias("volume_qty"),
         F.count("*").cast("bigint").alias("n_trades"),
     )
 
@@ -20370,16 +20377,29 @@ _PENDING_ROUND7: list[str] = list(_ROUND6_DEFERRED) + [
     "knn_kdistance_outliers",  # new in round 6 (distance-based outliers)
 ]
 
-# ROUND-7 BUILDER: round 6's window is the 41-name backlog + 9 round-6
-# additions (all preflighted green at sf0.001/0.01; sweep sf0.1 before
-# the driver does).  _PENDING_ROUND7 holds 51 names (the 2 deferrals +
-# 49 round-6 additions, every one preflighted at sf0.001/0.01 and swept
-# at sf0.1 modulo the documented slow-oracle skips) — one more than the
-# 50-name window.  Build _ROUND7_FRONT = re-checks of any round-6 reds +
-# the first 50 of _PENDING_ROUND7; whatever the window can't take
-# (at minimum the newest name, plus any greens displaced by red
-# re-checks) seeds _PENDING_ROUND8.  Call _rotate_front(_ROUND7_FRONT)
-# in place of the round-6 call below and update
+# Round 7 front window.  Round 6 went 49/50: the one red is
+# `skyline_parts_pareto` — values numerically identical on both engines,
+# but the decimal(18,2) `price` column hash-flipped across DuckDB's
+# pandas bridge (DECIMAL lowers to float64).  Re-expressed this round as
+# exact integer cents (house rule), it re-enters the window first for its
+# green row.  The rest of the window is the first 49 of the 55-name
+# backlog — which includes the two round-6 deferrals `vwap_daily` and
+# `slo_burn_rate_alerts`, both re-expressed this round with NO float
+# output columns (unreduced bigint rationals; they were the only two
+# pending names with float outputs, the likeliest next hash-flips).  The
+# 6 overflow names (the newest round-6 additions) seed _PENDING_ROUND8.
+_ROUND7_FRONT = ["skyline_parts_pareto"] + _PENDING_ROUND7[:49]
+
+# Oracle-bearing queries awaiting a driver correctness row AFTER the
+# round-7 window runs.  Every oracle-bearing query ADDED during round 7
+# must be appended here (tests/test_coverage_claims.py enforces it).
+_PENDING_ROUND8: list[str] = _PENDING_ROUND7[49:]
+
+# ROUND-8 BUILDER: build _ROUND8_FRONT = re-checks of any round-7 reds +
+# _PENDING_ROUND8 (6 rollover names + whatever round 7 added), padded to
+# the 50-name window with the longest-unchecked greens if the backlog is
+# short; overflow seeds _PENDING_ROUND9.  Call _rotate_front(_ROUND8_FRONT)
+# in place of the round-7 call below and update
 # tests/test_coverage_claims.py to the new window/pending names.
 
-_rotate_front(_ROUND6_FRONT)
+_rotate_front(_ROUND7_FRONT)

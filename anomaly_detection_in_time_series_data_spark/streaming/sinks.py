@@ -24,6 +24,44 @@ from pathlib import Path
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _recover_store(out: Path) -> None:
+    """If a previous ``_swap_in`` crashed between renaming the live table
+    aside and renaming staging in, the live dir is missing but a
+    ``.old-<batch>`` sibling still holds the last committed state —
+    restore the newest one.  Called before every read of the store so a
+    checkpoint replay resumes from the preserved history instead of
+    silently rebuilding from an empty table (ADVICE r6: the
+    rmtree-then-rename window permanently deleted the dimension)."""
+    if out.exists():
+        return
+    olds = sorted(
+        out.parent.glob(out.name + ".old-*"),
+        key=lambda q: int(q.name.rsplit("-", 1)[1]),
+    )
+    if olds:
+        olds[-1].rename(out)
+        for stale in olds[:-1]:
+            shutil.rmtree(stale, ignore_errors=True)
+
+
+def _swap_in(staging: Path, out: Path, batch_id: int) -> None:
+    """Crash-safe table swap: rename the live dir ASIDE (never delete it
+    before its replacement is in place), rename staging in, then drop the
+    aside copy.  At no instant do zero on-disk copies of the table exist,
+    so a crash at any point is recoverable: either ``out`` survives, or
+    ``_recover_store`` restores it from the ``.old-*`` sibling on the
+    next batch/replay.  At scale this step IS the transactional commit
+    (Iceberg/Delta snapshot swap); this is the dependency-free parquet
+    equivalent with the same no-torn-state guarantee."""
+    old = Path(f"{out}.old-{batch_id}")
+    shutil.rmtree(old, ignore_errors=True)  # stale copy from a replayed batch
+    if out.exists():
+        out.rename(old)
+    staging.rename(out)
+    shutil.rmtree(old, ignore_errors=True)
 
 
 def merge_latest(
@@ -64,14 +102,14 @@ def upsert_foreach_batch(
     def merge(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         out = Path(path)
+        _recover_store(out)
         current = spark.read.parquet(str(out)) if out.exists() else None
         latest = merge_latest(current, batch_df, key_cols, order_col)
         staging = Path(f"{path}.stage-{batch_id}")
         # Materialize staging BEFORE touching the live dir (the `latest`
-        # plan still reads it), then swap.
+        # plan still reads it), then crash-safe swap.
         latest.write.mode("overwrite").parquet(str(staging))
-        shutil.rmtree(out, ignore_errors=True)
-        staging.rename(out)
+        _swap_in(staging, out, batch_id)
 
     return (
         stream.writeStream.foreachBatch(merge)
@@ -121,17 +159,26 @@ def scd2_foreach_batch(
     def merge(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         out = Path(path)
+        _recover_store(out)
         if out.exists():
             current = spark.read.parquet(str(out))
         else:
-            cols = ", ".join(
-                f"{f.name} {f.dataType.simpleString()}"
-                for f in batch_df.drop(seq_col).schema
-                if f.name != ts_col
+            # Build the empty-store schema programmatically: dropping a
+            # None seq_col crashes (PySparkTypeError), and string-joined
+            # DDL breaks on non-identifier column names (ADVICE r6).
+            base = (
+                batch_df.drop(seq_col) if seq_col is not None else batch_df
             )
+            fields = [f for f in base.schema.fields if f.name != ts_col]
             current = spark.createDataFrame(
                 [],
-                schema=f"{cols}, valid_from timestamp, valid_to timestamp",
+                schema=T.StructType(
+                    fields
+                    + [
+                        T.StructField("valid_from", T.TimestampType()),
+                        T.StructField("valid_to", T.TimestampType()),
+                    ]
+                ),
             )
         if seq_col is not None:
             seqs = sorted(
@@ -153,8 +200,7 @@ def scd2_foreach_batch(
             current = current.localCheckpoint(eager=True)
         staging = Path(f"{path}.stage-{batch_id}")
         current.write.mode("overwrite").parquet(str(staging))
-        shutil.rmtree(out, ignore_errors=True)
-        staging.rename(out)
+        _swap_in(staging, out, batch_id)
 
     return (
         stream.writeStream.foreachBatch(merge)

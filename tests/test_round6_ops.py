@@ -556,3 +556,30 @@ def test_kdistance_rank_pick_is_third_best(dots):
     # emulate the window: stable rank over (dot desc, arrival order)
     order = sorted(range(len(dots)), key=lambda i: (-dots[i], i))
     assert dots[order[2]] == third
+
+
+def test_mahalanobis_degenerate_covariance_emits_no_ranking(spark, tmp_path):
+    """VERDICT r6 item 6: the det==0 guard needs a degenerate fixture, not
+    just the guard expression.  A corpus whose first two embedding
+    components are CONSTANT has a singular covariance matrix — the
+    unguarded adjugate formula divides by zero and NaN/Inf scores would
+    sort into the top-15.  The guarded query must return an EMPTY ranking
+    (d2 NULL -> filtered), matching the oracle's mirrored CASE."""
+    from anomaly_detection_in_time_series_data_spark import queries as q
+
+    spark.createDataFrame(
+        [(i, [0.5, -0.25, float(i)]) for i in range(20)],
+        "vec_id long, embedding array<float>",
+    ).write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+    out = q.QUERIES["mahalanobis_outliers_2d"](spark, str(tmp_path))
+    assert out.count() == 0
+
+    # Collinear (u = 2v + 0.25) is singular too, not just constant.
+    # Power-of-two coordinates so the floor(x*1e6) micro-int domain
+    # preserves the exact linear relation (1/64 and 0.25 are exact in
+    # float32; i/64 * 1e6 = 15625*i with no rounding).
+    spark.createDataFrame(
+        [(i, [i / 32.0 + 0.25, i / 64.0]) for i in range(20)],
+        "vec_id long, embedding array<float>",
+    ).write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+    assert q.QUERIES["mahalanobis_outliers_2d"](spark, str(tmp_path)).count() == 0

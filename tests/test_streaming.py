@@ -556,3 +556,110 @@ def test_scd2_sink_checkpoint_recovery_and_idempotence(spark, tmp_path):
         (r.user_id, r.event_type, r.valid_from, r.valid_to)
         for r in again.collect()
     } == final
+
+
+def test_scd2_sink_default_seq_col_none_on_fresh_store(spark, tmp_path):
+    """ADVICE r6 (medium): the documented default ``seq_col=None`` crashed
+    on the FIRST micro-batch of a fresh store — ``batch_df.drop(None)``
+    raises PySparkTypeError while building the empty-table schema, so the
+    default path of the public API was unusable.  Pin the guarded path:
+    one delivery, no seq column, fresh store -> open versions appear."""
+    import datetime as dt
+
+    from anomaly_detection_in_time_series_data_spark.streaming.sinks import (
+        scd2_foreach_batch,
+    )
+
+    schema = "user_id bigint, event_type string, ts timestamp"
+    _stage_deliveries(
+        spark,
+        str(tmp_path / "src"),
+        [[(1, "a", dt.datetime(2024, 1, 1)), (2, "x", dt.datetime(2024, 1, 1))]],
+        schema,
+    )
+    stream = spark.readStream.schema(schema).parquet(str(tmp_path / "src"))
+    scd2_foreach_batch(
+        stream,
+        str(tmp_path / "dim"),
+        keys=["user_id"],
+        tracked=["event_type"],
+        ts_col="ts",
+        checkpoint=str(tmp_path / "ck"),
+        # seq_col deliberately omitted: the documented default
+    ).awaitTermination()
+    rows = {
+        (r.user_id, r.event_type, r.valid_to)
+        for r in spark.read.parquet(str(tmp_path / "dim")).collect()
+    }
+    assert rows == {(1, "a", None), (2, "x", None)}
+
+
+def test_scd2_sink_reserved_word_column_names(spark, tmp_path):
+    """ADVICE r6 (low): the empty-store schema was a string-joined DDL of
+    unquoted column names — reserved words broke the parse.  The schema is
+    now built as a StructType, so SQL-reserved names (``order``,
+    ``select``) must flow through the fresh-store path untouched."""
+    import datetime as dt
+
+    from anomaly_detection_in_time_series_data_spark.streaming.sinks import (
+        scd2_foreach_batch,
+    )
+
+    schema = "`order` bigint, `select` string, ts timestamp"
+    _stage_deliveries(
+        spark,
+        str(tmp_path / "src"),
+        [[(7, "a", dt.datetime(2024, 1, 1))]],
+        schema,
+    )
+    stream = spark.readStream.schema(schema).parquet(str(tmp_path / "src"))
+    scd2_foreach_batch(
+        stream,
+        str(tmp_path / "dim"),
+        keys=["order"],
+        tracked=["select"],
+        ts_col="ts",
+        checkpoint=str(tmp_path / "ck"),
+    ).awaitTermination()
+    out = spark.read.parquet(str(tmp_path / "dim")).collect()
+    assert [(r["order"], r["select"], r["valid_to"]) for r in out] == [
+        (7, "a", None)
+    ]
+
+
+def test_sink_swap_crash_window_is_recoverable(spark, tmp_path):
+    """ADVICE r6 (low): the old rmtree-then-rename swap had a window where
+    ZERO copies of the store existed — a crash there permanently deleted
+    the SCD2 history and checkpoint replay silently rebuilt from empty.
+    The swap now renames the live dir ASIDE first; simulate the worst
+    crash instant (live dir renamed aside, staging not yet renamed in)
+    and assert ``_recover_store`` restores the committed state."""
+    from anomaly_detection_in_time_series_data_spark.streaming.sinks import (
+        _recover_store,
+        _swap_in,
+    )
+    from pathlib import Path
+
+    store = tmp_path / "dim"
+    spark.createDataFrame([(1, "a")], "k long, v string").write.parquet(
+        str(store)
+    )
+    committed = {(r.k, r.v) for r in spark.read.parquet(str(store)).collect()}
+
+    # Crash instant: live renamed aside, staging never arrived.
+    store.rename(Path(f"{store}.old-7"))
+    assert not store.exists()
+    _recover_store(store)
+    assert {(r.k, r.v) for r in spark.read.parquet(str(store)).collect()} == committed
+    assert not Path(f"{store}.old-7").exists()
+
+    # And the happy-path swap leaves exactly the new table, no residue.
+    staging = tmp_path / "dim.stage-8"
+    spark.createDataFrame([(2, "b")], "k long, v string").write.parquet(
+        str(staging)
+    )
+    _swap_in(staging, store, 8)
+    assert {(r.k, r.v) for r in spark.read.parquet(str(store)).collect()} == {
+        (2, "b")
+    }
+    assert not staging.exists() and not Path(f"{store}.old-8").exists()

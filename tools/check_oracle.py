@@ -51,11 +51,64 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(by=list(df.columns), ignore_index=True)
 
 
+def _kind(s: pd.Series) -> str:
+    """Coarse dtype class for the parity check.  Decimal columns surface
+    in pandas as object dtype; dates surface as object (Spark) OR
+    datetime64 (DuckDB) — the driver's hash canonicalizes dates
+    consistently (date-emitting queries have been tri-green since r3),
+    so both map to 'date' here.  Numeric classes do NOT merge: the r6
+    red (`skyline_parts_pareto`) was numerically identical on both
+    engines but Spark returned Decimal objects where DuckDB's pandas
+    bridge returned float64, and the driver's value hash diverged."""
+    k = s.dtype.kind
+    if k in "iu":
+        return "int"
+    if k == "f":
+        return "float"
+    if k == "b":
+        return "bool"
+    if k == "M":
+        return "date"
+    nonnull = s.dropna()
+    if nonnull.empty:
+        return "empty"
+    import datetime
+    import decimal
+
+    v = nonnull.iloc[0]
+    if isinstance(v, decimal.Decimal):
+        return "decimal"
+    if isinstance(v, bool):
+        return "bool"
+    if isinstance(v, int):
+        return "int"
+    if isinstance(v, float):
+        return "float"
+    if isinstance(v, (datetime.date, datetime.datetime)):
+        return "date"
+    return "str"
+
+
 def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> tuple[bool, str]:
     if sorted(sdf.columns) != sorted(odf.columns):
         return False, f"columns differ: {sorted(sdf.columns)} vs {sorted(odf.columns)}"
     if len(sdf) != len(odf):
         return False, f"row count differs: {len(sdf)} vs {len(odf)}"
+    # Dtype parity gate (r6 lesson): a Decimal-vs-float64 (or int-vs-float)
+    # divergence scores "max float delta 0.0" in the numeric compare below
+    # yet hash-flips at the driver.  Fail BEFORE comparing values so the
+    # class is visible in preflight, not first seen in CORRECTNESS_r*.json.
+    for col in sdf.columns:
+        ks, ko = _kind(sdf[col]), _kind(odf[col])
+        if "empty" in (ks, ko):
+            continue
+        if ks != ko:
+            return (
+                False,
+                f"dtype divergence on col {col}: spark={ks}"
+                f"({sdf[col].dtype}) vs oracle={ko}({odf[col].dtype}) — "
+                "the driver's value hash will flip even if values match",
+            )
     a, b = canon(sdf), canon(odf)
     max_delta = 0.0
     for col in a.columns:
