@@ -130,3 +130,153 @@ def compact_small_files(
     fs.delete(jvm_path, True)
     fs.rename(spark.sparkContext._jvm.org.apache.hadoop.fs.Path(tmp), jvm_path)
     return n_files
+
+
+def zone_map_stats(
+    spark, path: str, cols: list[str]
+) -> "list[dict]":
+    """Measure the table's REAL zone maps: per parquet file, the min/max of
+    each of ``cols`` plus the row count, keyed by ``input_file_name()``.
+    One column-pruned scan (only ``cols`` are read); the result is
+    file-count-sized — the same metadata a lakehouse reader gets from
+    parquet footers, here measured engine-side so the audit has no
+    footer-parsing dependency."""
+    df = spark.read.parquet(path)
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("n_rows")]
+    for c in cols:
+        aggs += [F.min(c).alias(f"min_{c}"), F.max(c).alias(f"max_{c}")]
+    rows = (
+        df.groupBy(F.input_file_name().alias("file"))
+        .agg(*aggs)
+        .collect()
+    )
+    return [r.asDict() for r in rows]
+
+
+def _scan_fraction(stats: "list[dict]", col: str, lo, hi) -> "tuple[int, int]":
+    """(files_scanned, rows_scanned) for a ``col >= lo AND col < hi``
+    predicate under min/max skipping: a file is touched iff its zone
+    overlaps the half-open range."""
+    files = rows = 0
+    for s in stats:
+        mn, mx = s[f"min_{col}"], s[f"max_{col}"]
+        if mn is None or mx is None:
+            continue
+        if mx >= lo and mn < hi:
+            files += 1
+            rows += s["n_rows"]
+    return files, rows
+
+
+def optimize_table(
+    spark,
+    path: str,
+    *,
+    zorder_by: list[str],
+    target_file_bytes: int = 128 * 1024 * 1024,
+    bits: int = 8,
+    probe_quantiles: "tuple[float, float]" = (0.45, 0.55),
+) -> dict:
+    """``OPTIMIZE <table> ZORDER BY (cols)`` — the table-maintenance pass
+    that graduates ``with_zorder``/``write_zordered`` from a layout
+    primitive into an operational command (Delta/Iceberg OPTIMIZE): it
+    rewrites ``path`` in place, compacted to ``ceil(bytes/target)`` files
+    and clustered on the Morton interleave of ``zorder_by``, and returns
+    MEASURED before/after scan metrics so the caller sees exactly what
+    the rewrite bought.
+
+    The report probes each ``zorder_by`` column with a central
+    ``probe_quantiles`` range predicate (default: the middle 10% of the
+    observed value range) against the REAL per-file zone maps
+    (``zone_map_stats``) — files/rows a min-max-skipping reader would
+    touch before vs after.  A single-column sort would ace its own column
+    and do nothing for the others; the Z-order layout prunes on EVERY
+    participating column, which is the quantitative claim
+    `zone_map_skipping_audit` simulates and this operator realizes.
+
+    Crash-safe swap: the staging dir is renamed in only after the live
+    dir is renamed ASIDE (same no-zero-copies discipline as the
+    streaming sinks' ``_swap_in``); a crash between the two renames
+    leaves the previous layout recoverable next to the table.
+
+    Scale: the rewrite is one range-shuffle over the Morton key (the same
+    shuffle OPTIMIZE pays on any engine); metrics are two column-pruned
+    aggregates sized by file count.  On a 100 TB table, run per
+    partition: the operator takes the directory it is pointed at.
+    """
+    import math
+
+    jvm = spark.sparkContext._jvm
+    jvm_path = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jvm_path.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    total_bytes = 0
+    n_before = 0
+    it = fs.listFiles(jvm_path, True)
+    while it.hasNext():
+        s = it.next()
+        p = s.getPath()
+        if p.getName().endswith(".parquet"):
+            if "=" in p.getParent().getName():
+                raise ValueError(
+                    f"optimize_table: {path} contains Hive partition "
+                    "subdirectories; optimize each partition directory "
+                    "instead (a flat rewrite would flatten the layout)"
+                )
+            total_bytes += s.getLen()
+            n_before += 1
+    before = zone_map_stats(spark, path, zorder_by)
+
+    # Probe ranges from the observed global bounds (quantile-positioned).
+    df = spark.read.parquet(path)
+    bounds = df.agg(
+        *[F.min(c).alias(f"_min_{c}") for c in zorder_by],
+        *[F.max(c).alias(f"_max_{c}") for c in zorder_by],
+    ).collect()[0]
+    qlo, qhi = probe_quantiles
+    probes = {}
+    for c in zorder_by:
+        lo, hi = bounds[f"_min_{c}"], bounds[f"_max_{c}"]
+        span = float(hi) - float(lo)
+        probes[c] = (
+            type(lo)(float(lo) + qlo * span),
+            type(hi)(float(lo) + qhi * span),
+        )
+
+    n_files = max(1, math.ceil(total_bytes / target_file_bytes))
+    staging = path.rstrip("/") + "__optimize_stage"
+    (
+        with_zorder(df, zorder_by, bits=bits)
+        .repartitionByRange(n_files, "_zorder")
+        .sortWithinPartitions("_zorder")
+        .drop("_zorder")
+        .write.mode("overwrite")
+        .parquet(staging)
+    )
+    old = path.rstrip("/") + "__optimize_old"
+    fs.delete(jvm.org.apache.hadoop.fs.Path(old), True)
+    if fs.exists(jvm_path):
+        fs.rename(jvm_path, jvm.org.apache.hadoop.fs.Path(old))
+    fs.rename(jvm.org.apache.hadoop.fs.Path(staging), jvm_path)
+    fs.delete(jvm.org.apache.hadoop.fs.Path(old), True)
+
+    after = zone_map_stats(spark, path, zorder_by)
+    report: dict = {
+        "path": path,
+        "zorder_by": list(zorder_by),
+        "files_before": n_before,
+        "files_after": len(after),
+        "bytes_before": total_bytes,
+        "probes": {},
+    }
+    for c in zorder_by:
+        lo, hi = probes[c]
+        fb, rb = _scan_fraction(before, c, lo, hi)
+        fa, ra = _scan_fraction(after, c, lo, hi)
+        report["probes"][c] = {
+            "range": (lo, hi),
+            "files_scanned_before": fb,
+            "files_scanned_after": fa,
+            "rows_scanned_before": rb,
+            "rows_scanned_after": ra,
+        }
+    return report

@@ -225,7 +225,10 @@ def main() -> None:
     )
     print(json.dumps(dict(summary, queries=slowest,
                           queries_note="slowest 20 of "
-                          f"{len(timings)}; full map in bench_full.json")))
+                          f"{len(timings)}; full map in bench_full.json",
+                          queries_full_path=os.path.join(
+                              os.path.dirname(os.path.abspath(__file__)),
+                              "bench_full.json"))))
 
 
 if __name__ == "__main__":
