@@ -20377,6 +20377,853 @@ _PENDING_ROUND7: list[str] = list(_ROUND6_DEFERRED) + [
     "knn_kdistance_outliers",  # new in round 6 (distance-based outliers)
 ]
 
+
+# ---------------------------------------------------------------------------
+# Round-7 additions: theta-NN graph analytics (shared edge derivation)
+# ---------------------------------------------------------------------------
+
+# The similarity graph every round-7 graph query runs on: sign-orthant
+# bucketed (first 8 dims — the production LSH band), milli-quantized
+# integer dot >= 250000 as the exact verify.  Identical derivation to
+# `ann_graph_link_prediction`; factored so the new queries share one
+# tested definition on both engines.
+_THETA_EDGES_SQL = """
+    q AS (
+      SELECT vec_id,
+             list_transform(embedding,
+                            x -> CAST(floor(x * 1000.0) AS BIGINT)) AS v,
+             list_aggregate(list_transform(embedding[1:8],
+                            x -> CASE WHEN x >= 0 THEN 1 ELSE 0 END),
+                            'string_agg', '') AS orthant
+      FROM embeddings
+    ),
+    theta_pairs AS (
+      SELECT a.vec_id AS ia, b.vec_id AS ib,
+             list_reduce(list_transform(range(1, len(a.v) + 1),
+                                        i -> a.v[i] * b.v[i]),
+                         (x, y) -> x + y) AS dot
+      FROM q a JOIN q b ON a.orthant = b.orthant AND a.vec_id < b.vec_id
+    ),
+    theta_edges AS (SELECT ia, ib FROM theta_pairs WHERE dot >= 250000),
+    theta_und AS (
+      SELECT ia AS a, ib AS b FROM theta_edges
+      UNION ALL SELECT ib, ia FROM theta_edges
+    )"""
+
+
+def _theta_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-orthant candidate pairs (ia < ib) with exact integer dot —
+    the Spark twin of the ``theta_pairs`` CTE.  Bucket-local join only;
+    never all-pairs (cites `ann_graph_link_prediction`'s scale notes)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "vec_id",
+        F.transform(
+            "embedding", lambda x: F.floor(x * 1000.0).cast("bigint")
+        ).alias("v"),
+        F.concat_ws(
+            "",
+            F.transform(
+                F.slice("embedding", 1, 8),
+                lambda x: F.when(x >= 0, F.lit("1")).otherwise(F.lit("0")),
+            ),
+        ).alias("orthant"),
+    )
+    a = q.alias("a")
+    b = q.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    return a.join(
+        b,
+        (F.col("a.orthant") == F.col("b.orthant"))
+        & (F.col("a.vec_id") < F.col("b.vec_id")),
+    ).select(
+        F.col("a.vec_id").alias("ia"),
+        F.col("b.vec_id").alias("ib"),
+        dot.alias("dot"),
+    )
+
+
+def _theta_und(pairs: DataFrame) -> DataFrame:
+    edges = pairs.filter(F.col("dot") >= 250000)
+    return edges.select(
+        F.col("ia").alias("a"), F.col("ib").alias("b")
+    ).unionAll(edges.select(F.col("ib").alias("a"), F.col("ia").alias("b")))
+
+
+@query(
+    "reciprocal_best_match_pairs",
+    oracle="WITH "
+    + _THETA_EDGES_SQL
+    + """,
+    sym AS (
+      SELECT ia AS a, ib AS b, dot FROM theta_pairs
+      UNION ALL SELECT ib, ia, dot FROM theta_pairs
+    ),
+    best AS (
+      SELECT a, b, dot FROM (
+        SELECT a, b, dot,
+               row_number() OVER (PARTITION BY a
+                                  ORDER BY dot DESC, b) AS rk
+        FROM sym
+      ) WHERE rk = 1
+    )
+    SELECT x.a AS vec_a, x.b AS vec_b, x.dot AS dot_milli2
+    FROM best x JOIN best y ON x.b = y.a AND y.b = x.a AND x.a < x.b
+    ORDER BY dot_milli2 DESC, vec_a
+    """,
+)
+def reciprocal_best_match_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual-nearest-neighbor (reciprocal best match) pairs over the
+    embedding corpus — the symmetric-match primitive behind
+    bioinformatics orthologs, stereo correspondence, and high-precision
+    entity linking: a pair survives only if each side is the OTHER's
+    single best neighbor (exact integer dot within the orthant bucket,
+    min-id tiebreak).  MNN is the high-precision screen on top of plain
+    top-k ANN: top-k says "b is near a", reciprocity certifies the
+    relation both ways, filtering hub vectors that appear in everyone's
+    top-k but reciprocate almost none.  Scale: best-match is one
+    row_number window over the bucket-local candidate pairs (never
+    all-pairs); the reciprocity check is an equi-self-join of the
+    1-row-per-node best table."""
+    pairs = _theta_pairs(spark, sf_dir)
+    sym = pairs.select(
+        F.col("ia").alias("a"), F.col("ib").alias("b"), "dot"
+    ).unionAll(pairs.select(F.col("ib").alias("a"), F.col("ia").alias("b"), "dot"))
+    w = Window.partitionBy("a").orderBy(F.col("dot").desc(), F.col("b"))
+    best = (
+        sym.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("a", "b", "dot")
+    )
+    x = best.alias("x")
+    y = best.alias("y")
+    return (
+        x.join(
+            y,
+            (F.col("x.b") == F.col("y.a"))
+            & (F.col("y.b") == F.col("x.a"))
+            & (F.col("x.a") < F.col("x.b")),
+        )
+        .select(
+            F.col("x.a").alias("vec_a"),
+            F.col("x.b").alias("vec_b"),
+            F.col("x.dot").alias("dot_milli2"),
+        )
+        .orderBy(F.col("dot_milli2").desc(), "vec_a")
+    )
+
+
+@query(
+    "clustering_coefficient_local",
+    oracle="WITH "
+    + _THETA_EDGES_SQL
+    + """,
+    deg AS (SELECT a AS node, CAST(count(*) AS BIGINT) AS degree
+            FROM theta_und GROUP BY a),
+    tri AS (
+      SELECT u1.a AS node, CAST(count(*) AS BIGINT) AS triangles
+      FROM theta_und u1
+      JOIN theta_und u2 ON u1.a = u2.a AND u1.b < u2.b
+      JOIN theta_edges e ON e.ia = u1.b AND e.ib = u2.b
+      GROUP BY u1.a
+    )
+    SELECT d.node AS vec_id, d.degree,
+           coalesce(t.triangles, 0) AS triangles,
+           2 * coalesce(t.triangles, 0) AS cc_num,
+           d.degree * (d.degree - 1) AS cc_den
+    FROM deg d LEFT JOIN tri t ON t.node = d.node
+    WHERE d.degree >= 2
+    ORDER BY vec_id
+    """,
+)
+def clustering_coefficient_local(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node local clustering coefficient on the theta-NN similarity
+    graph: 2T(v) / deg(v)(deg(v)-1), emitted as the exact unreduced
+    rational (cc_num, cc_den) per the no-float house rule.  The
+    transitivity profile separates near-dup CLIQUES (cc -> 1: template
+    families, safe to collapse to one representative) from similarity
+    HUBS (cc -> 0: a vector near many mutually-unrelated vectors —
+    exactly the rows semantic dedup must NOT collapse).  Triangle
+    counting is the wedge-close join (u1.a=u2.a, u1.b<u2.b, closed by an
+    edge lookup) — degree-bounded, the same shape as
+    `near_dup_triangles`, never all-pairs.  Nodes with degree < 2 have
+    an undefined coefficient and are excluded (cc_den would be 0)."""
+    pairs = _theta_pairs(spark, sf_dir)
+    edges = pairs.filter(F.col("dot") >= 250000).select("ia", "ib")
+    und = _theta_und(pairs)
+    deg = und.groupBy(F.col("a").alias("node")).agg(
+        F.count("*").cast("bigint").alias("degree")
+    )
+    u1 = und.alias("u1")
+    u2 = und.alias("u2")
+    tri = (
+        u1.join(
+            u2,
+            (F.col("u1.a") == F.col("u2.a")) & (F.col("u1.b") < F.col("u2.b")),
+        )
+        .join(
+            edges,
+            (edges["ia"] == F.col("u1.b")) & (edges["ib"] == F.col("u2.b")),
+        )
+        .groupBy(F.col("u1.a").alias("node"))
+        .agg(F.count("*").cast("bigint").alias("triangles"))
+    )
+    t = F.coalesce(F.col("triangles"), F.lit(0).cast("bigint"))
+    return (
+        deg.join(tri, "node", "left")
+        .filter(F.col("degree") >= 2)
+        .select(
+            F.col("node").alias("vec_id"),
+            "degree",
+            t.alias("triangles"),
+            (2 * t).alias("cc_num"),
+            (F.col("degree") * (F.col("degree") - 1)).alias("cc_den"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+
+def _lpa_round_sql(i: int) -> str:
+    """One synchronous label-propagation round as a CTE triple: neighbor
+    label counts -> (count desc, label asc) argmax -> coalesce for
+    isolated nodes."""
+    prev, cur = f"l{i - 1}", f"l{i}"
+    return f""",
+    r{i}c AS (
+      SELECT u.a AS node, l.label, CAST(count(*) AS BIGINT) AS c
+      FROM theta_und u JOIN {prev} l ON l.node = u.b
+      GROUP BY u.a, l.label
+    ),
+    r{i}p AS (
+      SELECT node, label FROM (
+        SELECT node, label,
+               row_number() OVER (PARTITION BY node
+                                  ORDER BY c DESC, label) AS rk
+        FROM r{i}c
+      ) WHERE rk = 1
+    ),
+    {cur} AS (
+      SELECT l.node, coalesce(p.label, l.label) AS label
+      FROM {prev} l LEFT JOIN r{i}p p ON p.node = l.node
+    )"""
+
+
+@query(
+    "lpa_communities_modularity",
+    oracle="WITH "
+    + _THETA_EDGES_SQL
+    + """,
+    l0 AS (SELECT vec_id AS node, vec_id AS label FROM q)"""
+    + "".join(_lpa_round_sql(i) for i in (1, 2, 3))
+    + """,
+    mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM theta_edges),
+    deg AS (SELECT a AS node, CAST(count(*) AS BIGINT) AS degree
+            FROM theta_und GROUP BY a),
+    memb AS (
+      SELECT l3.node, l3.label, coalesce(d.degree, 0) AS degree
+      FROM l3 LEFT JOIN deg d ON d.node = l3.node
+    ),
+    e_in AS (
+      SELECT ma.label, CAST(count(*) AS BIGINT) AS e_c
+      FROM theta_edges e
+      JOIN memb ma ON ma.node = e.ia
+      JOIN memb mb ON mb.node = e.ib AND mb.label = ma.label
+      GROUP BY ma.label
+    )
+    SELECT g.label AS community,
+           CAST(count(*) AS BIGINT) AS n_members,
+           coalesce(any_value(e.e_c), 0) AS e_internal,
+           CAST(sum(g.degree) AS BIGINT) AS d_total,
+           4 * any_value(mm.m) * coalesce(any_value(e.e_c), 0)
+             - CAST(sum(g.degree) AS BIGINT)
+               * CAST(sum(g.degree) AS BIGINT) AS q_num_c,
+           4 * any_value(mm.m) * any_value(mm.m) AS q_den
+    FROM memb g CROSS JOIN mm LEFT JOIN e_in e ON e.label = g.label
+    GROUP BY g.label
+    ORDER BY n_members DESC, community
+    """,
+)
+def lpa_communities_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous label propagation (3 unrolled rounds, frequency argmax
+    with deterministic count-desc/min-label tiebreak) on the theta-NN
+    graph, scored by Newman modularity — communities FINER than connected
+    components (CC merges everything touching a hub; LPA keeps dense
+    cores separate), which is what semantic-dedup grouping actually
+    wants.  Modularity Q = sum_c(e_c/m - (d_c/2m)^2) is emitted exactly
+    as per-community integer contributions q_num_c over the shared
+    denominator 4m^2 (multiply-through by 4m^2 keeps every term bigint;
+    the consumer sums q_num_c/q_den).  Isolated nodes stay singleton
+    communities with a zero contribution.  Scale: each round is one
+    edge-list join + a per-node window over candidate labels (linear in
+    edges, the textbook Pregel iteration as a static DAG); modularity
+    adds one membership self-join on the edge list."""
+    pairs = _theta_pairs(spark, sf_dir)
+    edges = pairs.filter(F.col("dot") >= 250000).select("ia", "ib")
+    und = _theta_und(pairs)
+    emb = load_table(spark, sf_dir, "embeddings")
+    labels = emb.select(
+        F.col("vec_id").alias("node"), F.col("vec_id").alias("label")
+    )
+    for i in range(3):
+        nb = und.alias("u").join(
+            labels.alias("l"), F.col("l.node") == F.col("u.b")
+        )
+        cnt = nb.groupBy(
+            F.col("u.a").alias("node"), F.col("l.label").alias("nlabel")
+        ).agg(F.count("*").cast("bigint").alias("c"))
+        w = Window.partitionBy("node").orderBy(
+            F.col("c").desc(), F.col("nlabel")
+        )
+        pick = (
+            cnt.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select("node", F.col("nlabel").alias("plabel"))
+        )
+        labels = (
+            labels.join(pick, "node", "left")
+            .select(
+                "node",
+                F.coalesce(F.col("plabel"), F.col("label")).alias("label"),
+            )
+            .localCheckpoint(eager=True)  # 3 rounds of joins: fence the
+            # lineage so Catalyst does not re-derive the edge list per round
+        )
+    mm = edges.agg(F.count("*").cast("bigint").alias("m"))
+    deg = und.groupBy(F.col("a").alias("node")).agg(
+        F.count("*").cast("bigint").alias("degree")
+    )
+    memb = labels.join(deg, "node", "left").select(
+        "node",
+        "label",
+        F.coalesce(F.col("degree"), F.lit(0).cast("bigint")).alias("degree"),
+    )
+    ma = memb.alias("ma")
+    mb = memb.alias("mb")
+    e_in = (
+        edges.join(ma, F.col("ma.node") == edges["ia"])
+        .join(
+            mb,
+            (F.col("mb.node") == edges["ib"])
+            & (F.col("mb.label") == F.col("ma.label")),
+        )
+        .groupBy(F.col("ma.label").alias("elabel"))
+        .agg(F.count("*").cast("bigint").alias("e_c"))
+    )
+    g = (
+        memb.crossJoin(F.broadcast(mm))
+        .join(e_in, memb["label"] == e_in["elabel"], "left")
+        .groupBy("label")
+        .agg(
+            F.count("*").cast("bigint").alias("n_members"),
+            F.coalesce(F.any_value("e_c"), F.lit(0).cast("bigint")).alias(
+                "e_internal"
+            ),
+            F.sum("degree").cast("bigint").alias("d_total"),
+            F.any_value("m").alias("_m"),
+        )
+    )
+    return g.select(
+        F.col("label").alias("community"),
+        "n_members",
+        "e_internal",
+        "d_total",
+        (
+            4 * F.col("_m") * F.col("e_internal")
+            - F.col("d_total") * F.col("d_total")
+        ).alias("q_num_c"),
+        (4 * F.col("_m") * F.col("_m")).alias("q_den"),
+    ).orderBy(F.col("n_members").desc(), "community")
+
+
+
+@query(
+    "hits_micro",
+    oracle="""
+    WITH w AS (
+      SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS w
+      FROM events GROUP BY user_id, event_type
+    ),
+    a1 AS (
+      SELECT event_type, CAST(sum(w) AS BIGINT) AS a
+      FROM w GROUP BY event_type
+    ),
+    h1 AS (
+      SELECT w.user_id, CAST(sum(w.w * a1.a) AS BIGINT) AS h
+      FROM w JOIN a1 ON a1.event_type = w.event_type
+      GROUP BY w.user_id
+    ),
+    a2 AS (
+      SELECT w.event_type, CAST(sum(w.w * h1.h) AS BIGINT) AS a
+      FROM w JOIN h1 ON h1.user_id = w.user_id
+      GROUP BY w.event_type
+    ),
+    h2 AS (
+      SELECT w.user_id, CAST(sum(w.w * a2.a) AS BIGINT) AS h
+      FROM w JOIN a2 ON a2.event_type = w.event_type
+      GROUP BY w.user_id
+    ),
+    auth AS (
+      SELECT 'authority' AS kind, event_type AS node, a AS score,
+             CAST(row_number() OVER (ORDER BY a DESC, event_type)
+                  AS BIGINT) AS rank
+      FROM a2
+    ),
+    hub AS (
+      SELECT 'hub' AS kind, CAST(user_id AS VARCHAR) AS node, h AS score,
+             CAST(row_number() OVER (ORDER BY h DESC, CAST(user_id AS VARCHAR))
+                  AS BIGINT) AS rank
+      FROM h2
+    )
+    SELECT kind, node, score, rank FROM auth
+    UNION ALL
+    SELECT kind, node, score, rank FROM hub WHERE rank <= 10
+    """,
+)
+def hits_micro(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS (hubs & authorities) on the bipartite user -> event-type
+    interaction graph, two UNNORMALIZED integer power-iteration
+    half-steps (a1 = W^T 1, h1 = W a1, a2 = W^T h1, h2 = W a2) — the
+    mutual-reinforcement ranking Kleinberg's algorithm extracts and
+    plain degree counting cannot: a hub is a user whose activity
+    concentrates in high-authority event types, an authority is a type
+    frequented by high-hub users.  Skipping normalization keeps every
+    score an exact bigint (the RANKING is invariant to the dropped
+    positive scaling; bounds: w<=1e3, a2<=1e11, h2<=1e13 at sf0.1 —
+    int64-safe by construction, the same unnormalized-k-steps idiom as
+    `markov_stationary_micro`).  Scale: each half-step is one
+    map-side-combinable join-aggregate on the weighted edge list; the
+    5-row authority side broadcasts."""
+    ev = load_table(spark, sf_dir, "events")
+    w = ev.groupBy("user_id", "event_type").agg(
+        F.count("*").cast("bigint").alias("w")
+    )
+    a1 = w.groupBy("event_type").agg(F.sum("w").cast("bigint").alias("a"))
+    h1 = (
+        w.join(F.broadcast(a1), "event_type")
+        .groupBy("user_id")
+        .agg(F.sum(F.col("w") * F.col("a")).cast("bigint").alias("h"))
+    )
+    a2 = (
+        w.join(h1, "user_id")
+        .groupBy("event_type")
+        .agg(F.sum(F.col("w") * F.col("h")).cast("bigint").alias("a"))
+    )
+    h2 = (
+        w.join(F.broadcast(a2), "event_type")
+        .groupBy("user_id")
+        .agg(F.sum(F.col("w") * F.col("a")).cast("bigint").alias("h"))
+    )
+    auth = a2.select(
+        F.lit("authority").alias("kind"),
+        F.col("event_type").alias("node"),
+        F.col("a").alias("score"),
+        F.row_number()
+        .over(Window.orderBy(F.col("a").desc(), "event_type"))
+        .cast("bigint")
+        .alias("rank"),
+    )
+    hub = h2.select(
+        F.lit("hub").alias("kind"),
+        F.col("user_id").cast("string").alias("node"),
+        F.col("h").alias("score"),
+        F.row_number()
+        .over(
+            Window.orderBy(F.col("h").desc(), F.col("user_id").cast("string"))
+        )
+        .cast("bigint")
+        .alias("rank"),
+    )
+    return auth.unionAll(hub.filter(F.col("rank") <= 10))
+
+
+def _fdiv(p, q):
+    """Portable floor division (bigint, q > 0): identical semantics on
+    Spark and DuckDB regardless of how each engine rounds integer
+    division toward zero vs negative infinity."""
+    pm = ((p % q) + q) % q
+    return (p - pm) / q
+
+
+@query(
+    "pca_top_component_micro",
+    oracle="""
+    WITH x AS (
+      SELECT CAST(floor(CAST(embedding[1] AS DOUBLE) * 1000.0) AS BIGINT)
+               AS u,
+             CAST(floor(CAST(embedding[2] AS DOUBLE) * 1000.0) AS BIGINT)
+               AS v
+      FROM embeddings
+    ),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(u) AS BIGINT) AS su, CAST(sum(v) AS BIGINT) AS sv
+      FROM x
+    ),
+    mu AS (
+      SELECT n,
+             CAST((su - ((su % n) + n) % n) // n AS BIGINT) AS mu,
+             CAST((sv - ((sv % n) + n) % n) // n AS BIGINT) AS mv
+      FROM m
+    ),
+    s AS (
+      SELECT any_value(mu.n) AS n,
+             CAST(sum((x.u - mu.mu) * (x.u - mu.mu)) AS BIGINT) AS sxx,
+             CAST(sum((x.v - mu.mv) * (x.v - mu.mv)) AS BIGINT) AS syy,
+             CAST(sum((x.u - mu.mu) * (x.v - mu.mv)) AS BIGINT) AS sxy
+      FROM x CROSS JOIN mu
+    ),
+    it1 AS (
+      SELECT n, sxx, syy, sxy,
+             sxx * 1000000 AS rx, sxy * 1000000 AS ry
+      FROM s
+    ),
+    v1 AS (
+      SELECT n, sxx, syy, sxy,
+             CASE WHEN greatest(abs(rx), abs(ry)) = 0 THEN NULL ELSE
+               (rx * 1000000
+                - ((rx * 1000000 % greatest(abs(rx), abs(ry)))
+                   + greatest(abs(rx), abs(ry)))
+                  % greatest(abs(rx), abs(ry)))
+               // greatest(abs(rx), abs(ry)) END AS x1,
+             CASE WHEN greatest(abs(rx), abs(ry)) = 0 THEN NULL ELSE
+               (ry * 1000000
+                - ((ry * 1000000 % greatest(abs(rx), abs(ry)))
+                   + greatest(abs(rx), abs(ry)))
+                  % greatest(abs(rx), abs(ry)))
+               // greatest(abs(rx), abs(ry)) END AS y1
+      FROM it1
+    ),
+    it2 AS (
+      SELECT n, sxx, syy, sxy,
+             sxx * x1 + sxy * y1 AS rx, sxy * x1 + syy * y1 AS ry
+      FROM v1
+    ),
+    v2 AS (
+      SELECT n, sxx, syy, sxy,
+             CASE WHEN greatest(abs(rx), abs(ry)) = 0 THEN NULL ELSE
+               (rx * 1000000
+                - ((rx * 1000000 % greatest(abs(rx), abs(ry)))
+                   + greatest(abs(rx), abs(ry)))
+                  % greatest(abs(rx), abs(ry)))
+               // greatest(abs(rx), abs(ry)) END AS x2,
+             CASE WHEN greatest(abs(rx), abs(ry)) = 0 THEN NULL ELSE
+               (ry * 1000000
+                - ((ry * 1000000 % greatest(abs(rx), abs(ry)))
+                   + greatest(abs(rx), abs(ry)))
+                  % greatest(abs(rx), abs(ry)))
+               // greatest(abs(rx), abs(ry)) END AS y2
+      FROM it2
+    )
+    SELECT n, sxx, syy, sxy,
+           CAST(CASE WHEN x2 < 0 OR (x2 = 0 AND y2 < 0)
+                     THEN -x2 ELSE x2 END AS BIGINT) AS pc_x_micro,
+           CAST(CASE WHEN x2 < 0 OR (x2 = 0 AND y2 < 0)
+                     THEN -y2 ELSE y2 END AS BIGINT) AS pc_y_micro
+    FROM v2
+    """,
+)
+def pca_top_component_micro(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the (embedding[0], embedding[1]) cloud
+    by INTEGER power iteration — the eigenvector twin of
+    `markov_stationary_micro` and the covariance companion of
+    `mahalanobis_outliers_2d`: milli-quantized coordinates, floor-mean
+    centering, exact bigint scatter matrix, then two S*v half-steps with
+    the vector renormalized to +-1e6 scale by portable floor division
+    (the `_fdiv` pmod identity, immune to the trunc-vs-floor integer
+    division divergence between engines).  Every number is bigint-exact
+    end to end (|coords| < 1e3 => scatter < 2e11 at sf0.1, products
+    < 4e17 — int64-safe by construction); the final direction is
+    canonicalized to x >= 0.  The zero-matrix degenerate case emits
+    NULL components instead of dividing by zero.  Scale: one scan for
+    moments, one broadcast re-scan for the scatter; the iteration is
+    driver-free scalar algebra on a 1-row frame."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    x = emb.select(
+        F.expr(
+            "cast(floor(cast(embedding[0] as double) * 1000.0) as bigint)"
+        ).alias("u"),
+        F.expr(
+            "cast(floor(cast(embedding[1] as double) * 1000.0) as bigint)"
+        ).alias("v"),
+    )
+    m = x.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("u").cast("bigint").alias("su"),
+        F.sum("v").cast("bigint").alias("sv"),
+    )
+    mu = m.select(
+        "n",
+        _fdiv(F.col("su"), F.col("n")).cast("bigint").alias("mu"),
+        _fdiv(F.col("sv"), F.col("n")).cast("bigint").alias("mv"),
+    )
+    s = x.crossJoin(F.broadcast(mu)).agg(
+        F.any_value("n").alias("n"),
+        F.sum((F.col("u") - F.col("mu")) * (F.col("u") - F.col("mu")))
+        .cast("bigint")
+        .alias("sxx"),
+        F.sum((F.col("v") - F.col("mv")) * (F.col("v") - F.col("mv")))
+        .cast("bigint")
+        .alias("syy"),
+        F.sum((F.col("u") - F.col("mu")) * (F.col("v") - F.col("mv")))
+        .cast("bigint")
+        .alias("sxy"),
+    )
+
+    def half_step(df, xc, yc):
+        rx = (F.col("sxx") * xc + F.col("sxy") * yc).alias("rx")
+        ry = (F.col("sxy") * xc + F.col("syy") * yc).alias("ry")
+        it = df.select("n", "sxx", "syy", "sxy", rx, ry)
+        mx = F.greatest(F.abs(F.col("rx")), F.abs(F.col("ry")))
+        scaled = lambda c: F.when(  # noqa: E731
+            mx == 0, F.lit(None).cast("bigint")
+        ).otherwise(_fdiv(c * 1000000, mx).cast("bigint"))
+        return it.select(
+            "n", "sxx", "syy", "sxy",
+            scaled(F.col("rx")).alias("vx"),
+            scaled(F.col("ry")).alias("vy"),
+        )
+
+    v1 = half_step(s, F.lit(1), F.lit(0))
+    v2 = half_step(v1, F.col("vx"), F.col("vy"))
+    flip = (F.col("vx") < 0) | ((F.col("vx") == 0) & (F.col("vy") < 0))
+    return v2.select(
+        "n", "sxx", "syy", "sxy",
+        F.when(flip, -F.col("vx")).otherwise(F.col("vx")).alias("pc_x_micro"),
+        F.when(flip, -F.col("vy")).otherwise(F.col("vy")).alias("pc_y_micro"),
+    )
+
+
+
+@query(
+    "cdc_apply_changeset",
+    oracle="""
+    WITH ranked2 AS (
+      SELECT user_id, event_type, ts,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts DESC,
+                                event_id DESC) AS rn
+      FROM events WHERE weekofyear(ts) >= 4
+    )
+    SELECT user_id, event_type AS state_type
+    FROM ranked2 WHERE rn = 1
+    """,
+)
+def cdc_apply_changeset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPLY-side of the CDC algebra, proven by round-trip: the engine
+    computes changeset = diff(old, new) (same derivation as
+    `cdc_snapshot_diff` — insert/update/delete between the week<=3 and
+    week>=4 latest-per-user snapshots) and then APPLIES it to the old
+    snapshot (delete keys drop, insert/update rows win via anti-join +
+    union).  The oracle computes the new snapshot DIRECTLY — hash
+    equality is the algebraic identity apply(old, diff(old, new)) == new,
+    the invariant every incremental-replication pipeline (Debezium ->
+    MERGE) silently depends on.  Scale: one key-shuffle per snapshot, an
+    anti-join and a union — the apply never touches rows outside the
+    changeset's key set."""
+    ev = load_table(spark, sf_dir, "events")
+    wk = F.weekofyear("ts")
+
+    def snap(pred):
+        w = Window.partitionBy("user_id").orderBy(
+            F.col("ts").desc(), F.col("event_id").desc()
+        )
+        return (
+            ev.filter(pred)
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("user_id", "event_type")
+        )
+
+    old = snap(wk <= 3)
+    new = snap(wk >= 4)
+    j = old.withColumnRenamed("event_type", "old_type").join(
+        new.withColumnRenamed("event_type", "new_type"), "user_id", "full_outer"
+    )
+    changeset = j.filter(
+        F.col("old_type").isNull()
+        | F.col("new_type").isNull()
+        | (F.col("old_type") != F.col("new_type"))
+    ).select(
+        "user_id",
+        F.when(F.col("old_type").isNull(), F.lit("insert"))
+        .when(F.col("new_type").isNull(), F.lit("delete"))
+        .otherwise(F.lit("update"))
+        .alias("op"),
+        F.col("new_type"),
+    )
+    # APPLY: untouched keys survive, deleted/updated keys drop from the
+    # base, insert/update rows come from the changeset payload.
+    survivors = old.join(changeset.select("user_id"), "user_id", "left_anti")
+    upserts = changeset.filter(F.col("op") != "delete").select(
+        "user_id", F.col("new_type").alias("event_type")
+    )
+    return survivors.unionByName(upserts).select(
+        "user_id", F.col("event_type").alias("state_type")
+    )
+
+
+@query(
+    "double_charge_candidates",
+    oracle="""
+    WITH p AS (
+      SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+             CAST(floor(value * 100.0) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'
+    ),
+    lagged AS (
+      SELECT user_id, cents, ts_us, event_id,
+             lag(ts_us) OVER (PARTITION BY user_id
+                              ORDER BY ts_us, event_id) AS prev_ts_us,
+             lag(event_id) OVER (PARTITION BY user_id
+                                 ORDER BY ts_us, event_id) AS prev_event_id,
+             lag(cents) OVER (PARTITION BY user_id
+                              ORDER BY ts_us, event_id) AS prev_cents
+      FROM p
+    )
+    SELECT user_id, prev_event_id AS first_event_id,
+           event_id AS second_event_id,
+           prev_cents AS first_cents, cents AS second_cents,
+           ts_us - prev_ts_us AS gap_us,
+           prev_cents = cents AS same_amount
+    FROM lagged
+    WHERE prev_ts_us IS NOT NULL AND ts_us - prev_ts_us <= 1800000000
+    ORDER BY user_id, second_event_id
+    """,
+)
+def double_charge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-payment screen (the payments-ops classic): two purchase
+    events by the SAME user within 30 minutes are double-charge
+    candidates — retried checkouts, double-clicked pay buttons, replayed
+    webhooks — with the amounts of both sides emitted as exact integer
+    cents (the fixture's value has exactly 2 decimals) and a
+    `same_amount` verdict separating certain duplicates from rapid but
+    distinct purchases.  Proximity is one lag window per user — linear,
+    never a self-join; chains of k rapid retries surface as k-1
+    adjacent pairs.  Scale: one pushed-down filtered scan, one user
+    window — skew-immune (no user has unbounded purchases per 30 min
+    without being exactly the fraud this flags)."""
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.floor(F.col("value") * 100.0).cast("bigint").alias("cents"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    lagged = p.select(
+        "user_id",
+        "cents",
+        "ts_us",
+        "event_id",
+        F.lag("ts_us").over(w).alias("prev_ts_us"),
+        F.lag("event_id").over(w).alias("prev_event_id"),
+        F.lag("cents").over(w).alias("prev_cents"),
+    )
+    return (
+        lagged.filter(
+            F.col("prev_ts_us").isNotNull()
+            & (F.col("ts_us") - F.col("prev_ts_us") <= 1_800_000_000)
+        )
+        .select(
+            "user_id",
+            F.col("prev_event_id").alias("first_event_id"),
+            F.col("event_id").alias("second_event_id"),
+            F.col("prev_cents").alias("first_cents"),
+            F.col("cents").alias("second_cents"),
+            (F.col("ts_us") - F.col("prev_ts_us")).alias("gap_us"),
+            (F.col("prev_cents") == F.col("cents")).alias("same_amount"),
+        )
+        .orderBy("user_id", "second_event_id")
+    )
+
+
+@query(
+    "allen_interval_relations",
+    oracle="""
+    WITH iv AS (
+      SELECT user_id, event_id, epoch_us(ts) AS s,
+             epoch_us(ts) + CAST(floor(value * 60.0) AS BIGINT) * 1000000
+               AS e
+      FROM events
+    ),
+    pairs AS (
+      SELECT s AS sb, e AS eb,
+             lag(s) OVER (PARTITION BY user_id
+                          ORDER BY s, e, event_id) AS sa,
+             lag(e) OVER (PARTITION BY user_id
+                          ORDER BY s, e, event_id) AS ea
+      FROM iv
+    ),
+    rel AS (
+      SELECT CASE
+               WHEN sa = sb AND ea = eb THEN 'equals'
+               WHEN sa = sb AND ea < eb THEN 'starts'
+               WHEN sa = sb AND ea > eb THEN 'started_by'
+               WHEN ea < sb THEN 'before'
+               WHEN ea = sb THEN 'meets'
+               WHEN ea = eb THEN 'finished_by'
+               WHEN ea > eb THEN 'contains'
+               ELSE 'overlaps'
+             END AS relation
+      FROM pairs WHERE sa IS NOT NULL
+    )
+    SELECT relation, CAST(count(*) AS BIGINT) AS n
+    FROM rel GROUP BY relation ORDER BY relation
+    """,
+)
+def allen_interval_relations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Allen interval-algebra profile of each user's activity stream:
+    consecutive event intervals ([ts, ts + value*60s), the
+    `interval_union_coverage` envelope) are classified into Allen's
+    relations — because the stream is sorted by start, exactly the 8
+    left-anchored relations can occur (before/meets/overlaps/
+    finished_by/contains/starts/equals/started_by), and their histogram
+    is the workload's temporal signature: 'before'-dominated means
+    sparse sessions, 'overlaps/contains' growth means concurrent
+    activity the sessionizer must handle, 'meets/equals' spikes flag
+    quantized timestamps.  Exact microsecond integers, one lag window
+    per user — no interval self-join.  Scale: linear; the histogram is a
+    5-to-8-row aggregate with map-side combine."""
+    ev = load_table(spark, sf_dir, "events")
+    iv = ev.select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("s"),
+        (
+            F.unix_micros("ts")
+            + F.floor(F.col("value") * 60.0).cast("bigint") * 1_000_000
+        ).alias("e"),
+    )
+    w = Window.partitionBy("user_id").orderBy("s", "e", "event_id")
+    pairs = iv.select(
+        F.col("s").alias("sb"),
+        F.col("e").alias("eb"),
+        F.lag("s").over(w).alias("sa"),
+        F.lag("e").over(w).alias("ea"),
+    ).filter(F.col("sa").isNotNull())
+    sa, sb, ea, eb = F.col("sa"), F.col("sb"), F.col("ea"), F.col("eb")
+    relation = (
+        F.when((sa == sb) & (ea == eb), "equals")
+        .when((sa == sb) & (ea < eb), "starts")
+        .when((sa == sb) & (ea > eb), "started_by")
+        .when(ea < sb, "before")
+        .when(ea == sb, "meets")
+        .when(ea == eb, "finished_by")
+        .when(ea > eb, "contains")
+        .otherwise("overlaps")
+    )
+    return (
+        pairs.select(relation.alias("relation"))
+        .groupBy("relation")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .orderBy("relation")
+    )
+
+
 # Round 7 front window.  Round 6 went 49/50: the one red is
 # `skyline_parts_pareto` — values numerically identical on both engines,
 # but the decimal(18,2) `price` column hash-flipped across DuckDB's
@@ -20393,7 +21240,16 @@ _ROUND7_FRONT = ["skyline_parts_pareto"] + _PENDING_ROUND7[:49]
 # Oracle-bearing queries awaiting a driver correctness row AFTER the
 # round-7 window runs.  Every oracle-bearing query ADDED during round 7
 # must be appended here (tests/test_coverage_claims.py enforces it).
-_PENDING_ROUND8: list[str] = _PENDING_ROUND7[49:]
+_PENDING_ROUND8: list[str] = _PENDING_ROUND7[49:] + [
+    "reciprocal_best_match_pairs",  # new in round 7 (mutual-NN certification)
+    "clustering_coefficient_local",  # new in round 7 (clique-vs-hub profile)
+    "lpa_communities_modularity",  # new in round 7 (community structure + exact Q)
+    "hits_micro",  # new in round 7 (bipartite hubs/authorities)
+    "pca_top_component_micro",  # new in round 7 (integer power-iteration PCA)
+    "cdc_apply_changeset",  # new in round 7 (apply(old, diff) == new identity)
+    "double_charge_candidates",  # new in round 7 (payments duplicate screen)
+    "allen_interval_relations",  # new in round 7 (temporal-algebra histogram)
+]
 
 # ROUND-8 BUILDER: build _ROUND8_FRONT = re-checks of any round-7 reds +
 # _PENDING_ROUND8 (6 rollover names + whatever round 7 added), padded to
