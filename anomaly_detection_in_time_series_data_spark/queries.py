@@ -21224,6 +21224,326 @@ def allen_interval_relations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+@query(
+    "shapley_attribution_components",
+    oracle="""
+    WITH u AS (
+      SELECT user_id,
+             max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c_click,
+             max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS c_view,
+             max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+               AS c_signup,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+      FROM events GROUP BY user_id
+    ),
+    s AS (
+      SELECT c_click, c_view, c_signup,
+             CAST(count(*) AS BIGINT) AS n_users,
+             CAST(sum(conv) AS BIGINT) AS n_conv
+      FROM u GROUP BY c_click, c_view, c_signup
+    ),
+    combos(channel, s_click, s_view, s_signup, subset, w_num) AS (
+      VALUES
+        ('click',  0, 0, 0, '',            2), ('click',  0, 1, 0, 'view', 1),
+        ('click',  0, 0, 1, 'signup',      1),
+        ('click',  0, 1, 1, 'signup+view', 2),
+        ('view',   0, 0, 0, '',            2), ('view',   1, 0, 0, 'click', 1),
+        ('view',   0, 0, 1, 'signup',      1),
+        ('view',   1, 0, 1, 'click+signup', 2),
+        ('signup', 0, 0, 0, '',            2), ('signup', 1, 0, 0, 'click', 1),
+        ('signup', 0, 1, 0, 'view',        1),
+        ('signup', 1, 1, 0, 'click+view',  2)
+    )
+    SELECT c.channel, c.subset,
+           CAST(c.w_num AS BIGINT) AS w_num, CAST(6 AS BIGINT) AS w_den,
+           coalesce(w.n_conv, 0) AS v_with_num,
+           coalesce(w.n_users, 0) AS v_with_den,
+           coalesce(wo.n_conv, 0) AS v_wo_num,
+           coalesce(wo.n_users, 0) AS v_wo_den
+    FROM combos c
+    LEFT JOIN s w ON w.c_click = c.s_click
+                       + CASE WHEN c.channel = 'click' THEN 1 ELSE 0 END
+                 AND w.c_view = c.s_view
+                       + CASE WHEN c.channel = 'view' THEN 1 ELSE 0 END
+                 AND w.c_signup = c.s_signup
+                       + CASE WHEN c.channel = 'signup' THEN 1 ELSE 0 END
+    LEFT JOIN s wo ON wo.c_click = c.s_click AND wo.c_view = c.s_view
+                  AND wo.c_signup = c.s_signup
+    ORDER BY channel, subset
+    """,
+)
+def shapley_attribution_components(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """EXACT Shapley-value attribution over the three pre-purchase
+    channels (click/view/signup) — the game-theoretic credit split that
+    first/last-touch and time-decay (`multitouch_attribution`) only
+    approximate: each channel's credit is the weighted mean of its
+    marginal conversion-rate lift v(S+c) - v(S) over all coalitions S it
+    can join.  With 3 channels the coalition lattice is enumerable, and
+    every term is emitted as exact integer components — permutation
+    weights |S|!(2-|S|)!/3! as w_num/6, coalition conversion rates as
+    (converted, cohort-size) count pairs — so phi(c) = sum w/6 *
+    (v_with - v_wo) reduces without any float; empty cohorts emit 0/0
+    and the consumer treats v as 0 (documented convention).  Scale: one
+    per-user presence aggregate (map-side combinable), an 8-row coalition
+    table, and a 12-row static lattice join — constant beyond the first
+    aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    flag = lambda t: F.max(  # noqa: E731
+        F.when(F.col("event_type") == t, 1).otherwise(0)
+    )
+    u = ev.groupBy("user_id").agg(
+        flag("click").alias("c_click"),
+        flag("view").alias("c_view"),
+        flag("signup").alias("c_signup"),
+        flag("purchase").alias("conv"),
+    )
+    s = u.groupBy("c_click", "c_view", "c_signup").agg(
+        F.count("*").cast("bigint").alias("n_users"),
+        F.sum("conv").cast("bigint").alias("n_conv"),
+    )
+    combos = spark.createDataFrame(
+        [
+            ("click", 0, 0, 0, "", 2), ("click", 0, 1, 0, "view", 1),
+            ("click", 0, 0, 1, "signup", 1),
+            ("click", 0, 1, 1, "signup+view", 2),
+            ("view", 0, 0, 0, "", 2), ("view", 1, 0, 0, "click", 1),
+            ("view", 0, 0, 1, "signup", 1),
+            ("view", 1, 0, 1, "click+signup", 2),
+            ("signup", 0, 0, 0, "", 2), ("signup", 1, 0, 0, "click", 1),
+            ("signup", 0, 1, 0, "view", 1),
+            ("signup", 1, 1, 0, "click+view", 2),
+        ],
+        "channel string, s_click int, s_view int, s_signup int, "
+        "subset string, w_num int",
+    )
+    inc = lambda ch: F.when(  # noqa: E731
+        F.col("channel") == ch, 1
+    ).otherwise(0)
+    w = s.alias("w")
+    wo = s.alias("wo")
+    z = F.lit(0).cast("bigint")
+    return (
+        combos.join(
+            F.broadcast(w),
+            (F.col("w.c_click") == F.col("s_click") + inc("click"))
+            & (F.col("w.c_view") == F.col("s_view") + inc("view"))
+            & (F.col("w.c_signup") == F.col("s_signup") + inc("signup")),
+            "left",
+        )
+        .join(
+            F.broadcast(wo),
+            (F.col("wo.c_click") == F.col("s_click"))
+            & (F.col("wo.c_view") == F.col("s_view"))
+            & (F.col("wo.c_signup") == F.col("s_signup")),
+            "left",
+        )
+        .select(
+            "channel",
+            "subset",
+            F.col("w_num").cast("bigint").alias("w_num"),
+            F.lit(6).cast("bigint").alias("w_den"),
+            F.coalesce(F.col("w.n_conv"), z).alias("v_with_num"),
+            F.coalesce(F.col("w.n_users"), z).alias("v_with_den"),
+            F.coalesce(F.col("wo.n_conv"), z).alias("v_wo_num"),
+            F.coalesce(F.col("wo.n_users"), z).alias("v_wo_den"),
+        )
+        .orderBy("channel", "subset")
+    )
+
+
+@query(
+    "best_burst_window",
+    oracle="""
+    WITH d AS (
+      SELECT event_type, date_trunc('day', ts) AS day,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY event_type, date_trunc('day', ts)
+    ),
+    t AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS d_days,
+             CAST(sum(n) AS BIGINT) AS n_total
+      FROM d GROUP BY event_type
+    ),
+    dev AS (
+      SELECT d.event_type, d.day, d.n * t.d_days - t.n_total AS dev,
+             t.d_days, t.n_total
+      FROM d JOIN t ON t.event_type = d.event_type
+    ),
+    pre AS (
+      SELECT event_type, day, d_days, n_total,
+             CAST(sum(dev) OVER (PARTITION BY event_type ORDER BY day
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS BIGINT) AS p
+      FROM dev
+    ),
+    best AS (
+      SELECT event_type, day, d_days, n_total,
+             p - least(CAST(0 AS BIGINT),
+                       coalesce(min(p) OVER (PARTITION BY event_type
+                                             ORDER BY day
+                                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                             AND 1 PRECEDING),
+                                CAST(0 AS BIGINT))) AS score
+      FROM pre
+    )
+    SELECT event_type, d_days, n_total,
+           CAST(score AS BIGINT) AS burst_score,
+           CAST(day AS DATE) AS burst_end_day
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY event_type
+                                   ORDER BY score DESC, day) AS rk
+      FROM best
+    ) WHERE rk = 1
+    ORDER BY event_type
+    """,
+)
+def best_burst_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum-sum contiguous window of activity deviation per event type
+    — Kadane's max-subarray made shuffle-free-parallel via the
+    prefix-sum/running-min identity (best window ending at day j =
+    P_j - min(0, min_{k<j} P_k)): finds the date range where the type ran
+    hottest RELATIVE to its own uniform rate, without fixing a window
+    length in advance (the structural difference from every fixed-window
+    burst metric in the registry — `user_burst_scores` and
+    `fano_burstiness_hourly` score preset grains; this OPTIMIZES over
+    all contiguous ranges).  Deviations are integerized without division
+    (dev = n_d * D - N, which sums to 0 over the full span), so the
+    whole computation is bigint-exact.  Scale: one daily pre-aggregate,
+    two frame windows per type partition, one argmax row_number — linear
+    over type x day, never materializing candidate windows."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count("*").cast("bigint").alias("n"))
+    t = d.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("d_days"),
+        F.sum("n").cast("bigint").alias("n_total"),
+    )
+    dev = d.join(F.broadcast(t), "event_type").select(
+        "event_type",
+        "day",
+        "d_days",
+        "n_total",
+        (F.col("n") * F.col("d_days") - F.col("n_total")).alias("dev"),
+    )
+    wp = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wm = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    z = F.lit(0).cast("bigint")
+    pre = dev.select(
+        "event_type",
+        "day",
+        "d_days",
+        "n_total",
+        F.sum("dev").over(wp).alias("p"),
+    )
+    best = pre.select(
+        "event_type",
+        "day",
+        "d_days",
+        "n_total",
+        (
+            F.col("p") - F.least(z, F.coalesce(F.min("p").over(wm), z))
+        ).alias("score"),
+    )
+    wr = Window.partitionBy("event_type").orderBy(
+        F.col("score").desc(), "day"
+    )
+    return (
+        best.withColumn("rk", F.row_number().over(wr))
+        .filter(F.col("rk") == 1)
+        .select(
+            "event_type",
+            "d_days",
+            "n_total",
+            F.col("score").alias("burst_score"),
+            F.col("day").cast("date").alias("burst_end_day"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "dataset_card_stats",
+    oracle="""
+    WITH ranked AS (
+      SELECT source, lang, n_chars, text,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY n_chars, doc_id) AS rk,
+             count(*) OVER (PARTITION BY source) AS n_src
+      FROM documents
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_unique_texts,
+           CAST(count(*) AS BIGINT)
+             - CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_exact_dups,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(min(n_chars) AS BIGINT) AS chars_min,
+           CAST(max(CASE WHEN rk = (n_src + 1) // 2 THEN n_chars END)
+                AS BIGINT) AS chars_p50,
+           CAST(max(n_chars) AS BIGINT) AS chars_max
+    FROM ranked GROUP BY source ORDER BY source
+    """,
+)
+def dataset_card_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source dataset-card ("datasheet for datasets") summary — the
+    one-table report a training-data curator reads before mixing
+    sources: volume (docs, chars), language spread, exact-duplicate load
+    (md5 fingerprint distinct-count, the `dedup_exact_groups` signal as
+    a per-source rate), and the char-length profile with the median as a
+    rank-pick (house rule: never interpolated).  Everything is one
+    window + one aggregate over documents; the md5 runs engine-side on
+    the raw text (Spark and DuckDB agree byte-for-byte on hex md5 —
+    the repo's standard portable-hash idiom).  Scale: the window
+    partitions by source; all aggregates are map-side combinable except
+    the two exact distincts, which shuffle digests, not documents."""
+    docs = load_table(spark, sf_dir, "documents")
+    wr = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    wn = Window.partitionBy("source")
+    ranked = docs.select(
+        "source",
+        "lang",
+        "n_chars",
+        "text",
+        F.row_number().over(wr).alias("rk"),
+        F.count("*").over(wn).alias("n_src"),
+    )
+    uniq = F.count_distinct(F.md5("text")).cast("bigint")
+    return (
+        ranked.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.count_distinct("lang").cast("bigint").alias("n_langs"),
+            uniq.alias("n_unique_texts"),
+            (F.count("*").cast("bigint") - uniq).alias("n_exact_dups"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.min("n_chars").cast("bigint").alias("chars_min"),
+            F.max(
+                F.when(
+                    F.col("rk") == F.floor((F.col("n_src") + 1) / 2),
+                    F.col("n_chars"),
+                )
+            )
+            .cast("bigint")
+            .alias("chars_p50"),
+            F.max("n_chars").cast("bigint").alias("chars_max"),
+        )
+        .orderBy("source")
+    )
+
+
 # Round 7 front window.  Round 6 went 49/50: the one red is
 # `skyline_parts_pareto` — values numerically identical on both engines,
 # but the decimal(18,2) `price` column hash-flipped across DuckDB's
@@ -21249,6 +21569,9 @@ _PENDING_ROUND8: list[str] = _PENDING_ROUND7[49:] + [
     "cdc_apply_changeset",  # new in round 7 (apply(old, diff) == new identity)
     "double_charge_candidates",  # new in round 7 (payments duplicate screen)
     "allen_interval_relations",  # new in round 7 (temporal-algebra histogram)
+    "shapley_attribution_components",  # new in round 7 (exact coalition credit)
+    "best_burst_window",  # new in round 7 (Kadane max-subarray via prefix/min)
+    "dataset_card_stats",  # new in round 7 (per-source datasheet report)
 ]
 
 # ROUND-8 BUILDER: build _ROUND8_FRONT = re-checks of any round-7 reds +
