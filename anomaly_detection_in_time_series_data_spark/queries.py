@@ -20844,7 +20844,11 @@ def hits_micro(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _fdiv(p, q):
     """Portable floor division (bigint, q > 0): identical semantics on
     Spark and DuckDB regardless of how each engine rounds integer
-    division toward zero vs negative infinity."""
+    division toward zero vs negative infinity.  CAUTION: Spark's `/` on
+    longs is DOUBLE division, so this form is exact only while the
+    numerator stays under 2^53 — for larger magnitudes use the
+    named-column `div` form (see `pca_top_component_micro.half_step`,
+    which hit the 2^53 edge at sf0.1 as an off-by-one)."""
     pm = ((p % q) + q) % q
     return (p - pm) / q
 
@@ -20882,42 +20886,38 @@ def _fdiv(p, q):
              sxx * 1000000 AS rx, sxy * 1000000 AS ry
       FROM s
     ),
+    d1 AS (
+      SELECT n, sxx, syy, sxy, rx, ry,
+             greatest(CAST(1 AS BIGINT),
+                      greatest(abs(rx), abs(ry)) // 1000000) AS d
+      FROM it1
+    ),
     v1 AS (
       SELECT n, sxx, syy, sxy,
              CASE WHEN greatest(abs(rx), abs(ry)) = 0 THEN NULL ELSE
-               (rx * 1000000
-                - ((rx * 1000000 % greatest(abs(rx), abs(ry)))
-                   + greatest(abs(rx), abs(ry)))
-                  % greatest(abs(rx), abs(ry)))
-               // greatest(abs(rx), abs(ry)) END AS x1,
+               CAST((rx - ((rx % d) + d) % d) // d AS BIGINT) END AS x1,
              CASE WHEN greatest(abs(rx), abs(ry)) = 0 THEN NULL ELSE
-               (ry * 1000000
-                - ((ry * 1000000 % greatest(abs(rx), abs(ry)))
-                   + greatest(abs(rx), abs(ry)))
-                  % greatest(abs(rx), abs(ry)))
-               // greatest(abs(rx), abs(ry)) END AS y1
-      FROM it1
+               CAST((ry - ((ry % d) + d) % d) // d AS BIGINT) END AS y1
+      FROM d1
     ),
     it2 AS (
       SELECT n, sxx, syy, sxy,
              sxx * x1 + sxy * y1 AS rx, sxy * x1 + syy * y1 AS ry
       FROM v1
     ),
+    d2 AS (
+      SELECT n, sxx, syy, sxy, rx, ry,
+             greatest(CAST(1 AS BIGINT),
+                      greatest(abs(rx), abs(ry)) // 1000000) AS d
+      FROM it2
+    ),
     v2 AS (
       SELECT n, sxx, syy, sxy,
              CASE WHEN greatest(abs(rx), abs(ry)) = 0 THEN NULL ELSE
-               (rx * 1000000
-                - ((rx * 1000000 % greatest(abs(rx), abs(ry)))
-                   + greatest(abs(rx), abs(ry)))
-                  % greatest(abs(rx), abs(ry)))
-               // greatest(abs(rx), abs(ry)) END AS x2,
+               CAST((rx - ((rx % d) + d) % d) // d AS BIGINT) END AS x2,
              CASE WHEN greatest(abs(rx), abs(ry)) = 0 THEN NULL ELSE
-               (ry * 1000000
-                - ((ry * 1000000 % greatest(abs(rx), abs(ry)))
-                   + greatest(abs(rx), abs(ry)))
-                  % greatest(abs(rx), abs(ry)))
-               // greatest(abs(rx), abs(ry)) END AS y2
-      FROM it2
+               CAST((ry - ((ry % d) + d) % d) // d AS BIGINT) END AS y2
+      FROM d2
     )
     SELECT n, sxx, syy, sxy,
            CAST(CASE WHEN x2 < 0 OR (x2 = 0 AND y2 < 0)
@@ -20938,8 +20938,10 @@ def pca_top_component_micro(spark: SparkSession, sf_dir: str) -> DataFrame:
     division divergence between engines).  Every number is bigint-exact
     end to end (|coords| < 1e3 => scatter < 2e11 at sf0.1, products
     < 4e17 — int64-safe by construction); the final direction is
-    canonicalized to x >= 0.  The zero-matrix degenerate case emits
-    NULL components instead of dividing by zero.  Scale: one scan for
+    canonicalized to x >= 0; renormalization divides by
+    max(1, |r|_inf // 1e6) (never multiplies up), so no intermediate
+    exceeds ~8e17 at any corpus size.  The zero-matrix degenerate case
+    emits NULL components instead of dividing by zero.  Scale: one scan for
     moments, one broadcast re-scan for the scatter; the iteration is
     driver-free scalar algebra on a 1-row frame."""
     emb = load_table(spark, sf_dir, "embeddings")
@@ -20975,20 +20977,38 @@ def pca_top_component_micro(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def half_step(df, xc, yc):
-        rx = (F.col("sxx") * xc + F.col("sxy") * yc).alias("rx")
-        ry = (F.col("sxy") * xc + F.col("syy") * yc).alias("ry")
-        it = df.select("n", "sxx", "syy", "sxy", rx, ry)
-        mx = F.greatest(F.abs(F.col("rx")), F.abs(F.col("ry")))
-        scaled = lambda c: F.when(  # noqa: E731
-            mx == 0, F.lit(None).cast("bigint")
-        ).otherwise(_fdiv(c * 1000000, mx).cast("bigint"))
+        # Renormalize by DIVIDING by d = max(1, mx div 1e6) rather than
+        # multiplying the components up to the 1e6 scale: rx can reach
+        # ~8e17 at sf0.1, so a *1e6 rescale multiply overflows int64 —
+        # the divide-only form keeps every intermediate < 1e18 at any
+        # corpus size while still bounding the vector to ~2e6.  The
+        # divisions use SQL `div` (exact integral) — Spark's `/` on
+        # longs is double division and mis-rounds past 2^53.
+        it = df.select(
+            "n", "sxx", "syy", "sxy",
+            (F.col("sxx") * xc + F.col("sxy") * yc).alias("rx"),
+            (F.col("sxy") * xc + F.col("syy") * yc).alias("ry"),
+        ).withColumn(
+            "mx", F.greatest(F.abs(F.col("rx")), F.abs(F.col("ry")))
+        ).withColumn(
+            "d",
+            F.expr("greatest(CAST(1 AS BIGINT), mx div 1000000)"),
+        )
+        scaled = lambda c: F.expr(  # noqa: E731
+            f"CASE WHEN mx = 0 THEN CAST(NULL AS BIGINT) "
+            f"ELSE CAST(({c} - (({c} % d) + d) % d) div d AS BIGINT) END"
+        )
         return it.select(
             "n", "sxx", "syy", "sxy",
-            scaled(F.col("rx")).alias("vx"),
-            scaled(F.col("ry")).alias("vy"),
+            scaled("rx").alias("vx"),
+            scaled("ry").alias("vy"),
         )
 
-    v1 = half_step(s, F.lit(1), F.lit(0))
+    # v0 = (1e6, 0) — matches the oracle's it1 scale exactly (the first
+    # multiply is sxx*1e6 <= 2e17 at any corpus size, int64-safe).
+    v1 = half_step(
+        s, F.lit(1000000).cast("bigint"), F.lit(0).cast("bigint")
+    )
     v2 = half_step(v1, F.col("vx"), F.col("vy"))
     flip = (F.col("vx") < 0) | ((F.col("vx") == 0) & (F.col("vy") < 0))
     return v2.select(
