@@ -145,6 +145,17 @@ HEADLINE = [
     "column_stats_drift",
     "ltv_cohort_curve",
     "knn_kdistance_outliers",
+    # round-7 additions: theta-NN graph analytics, integer eigen-methods,
+    # CDC algebra closure, exact Shapley, Kadane burst windows
+    "reciprocal_best_match_pairs",
+    "clustering_coefficient_local",
+    "lpa_communities_modularity",
+    "hits_micro",
+    "pca_top_component_micro",
+    "cdc_apply_changeset",
+    "shapley_attribution_components",
+    "best_burst_window",
+    "dataset_card_stats",
 ]
 
 
