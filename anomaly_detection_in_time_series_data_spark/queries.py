@@ -21564,6 +21564,436 @@ def dataset_card_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+@query(
+    "hourly_acf_lags",
+    oracle="""
+    WITH bounds AS (
+      SELECT date_trunc('hour', min(ts)) AS hmin,
+             date_trunc('hour', max(ts)) AS hmax
+      FROM events
+    ),
+    spine AS (
+      SELECT unnest(generate_series(hmin, hmax, INTERVAL 1 HOUR)) AS hr
+      FROM bounds
+    ),
+    obs AS (
+      SELECT date_trunc('hour', ts) AS hr, CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1
+    ),
+    dense AS (
+      SELECT row_number() OVER (ORDER BY s.hr) AS t, COALESCE(o.c, 0) AS c
+      FROM spine s LEFT JOIN obs o ON o.hr = s.hr
+    ),
+    lags(lag) AS (VALUES (1), (2), (3), (6), (12), (24)),
+    pairs AS (
+      SELECT l.lag, a.c AS x, b.c AS y
+      FROM lags l
+      JOIN dense a ON TRUE
+      JOIN dense b ON b.t = a.t + l.lag
+    )
+    SELECT CAST(lag AS BIGINT) AS lag,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(count(*) * sum(x * y) - sum(x) * sum(y) AS BIGINT) AS r_num,
+           CAST(count(*) * sum(x * x) - sum(x) * sum(x) AS BIGINT) AS den_x,
+           CAST(count(*) * sum(y * y) - sum(y) * sum(y) AS BIGINT) AS den_y,
+           count(*) * sum(x * y) - sum(x) * sum(y) > 0 AS positive
+    FROM pairs GROUP BY lag ORDER BY lag
+    """,
+)
+def hourly_acf_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelogram of the global hourly arrival series at lags
+    1/2/3/6/12/24 — the seasonality-detection input (a 24-lag peak means
+    daily rhythm; fast decay means short memory) that extends
+    `acf_by_event_type`'s single lag-1 point into the curve an ARIMA/
+    seasonal-model choice actually needs.  Zero-event hours are real
+    observations (dense spine, the `fano_burstiness_hourly` discipline);
+    each lag's Pearson statistic is emitted as exact bigints — r_num
+    over the factored denominator (den_x, den_y; consumer takes
+    num/sqrt(dx*dy)) because the sqrt must never materialize in the
+    gate.  Scale: the series is calendar-sized; the lag self-join is
+    |lags| x |hours| rows — metadata-scale, while raw events are touched
+    once."""
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("hmin"),
+        F.date_trunc("hour", F.max("ts")).alias("hmax"),
+    )
+    spine = bounds.select(
+        F.explode(
+            F.sequence("hmin", "hmax", F.expr("interval 1 hour"))
+        ).alias("hr")
+    )
+    obs = ev.groupBy(F.date_trunc("hour", "ts").alias("hr")).agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    dense = (
+        spine.join(obs, "hr", "left")
+        .select("hr", F.coalesce("c", F.lit(0).cast("bigint")).alias("c"))
+        .withColumn("t", F.row_number().over(Window.orderBy("hr")))
+        .select("t", "c")
+    )
+    lags = spark.createDataFrame([(L,) for L in (1, 2, 3, 6, 12, 24)], "lag int")
+    a = dense.alias("a")
+    b = dense.alias("b")
+    pairs = (
+        F.broadcast(lags)
+        .join(a, F.lit(True))
+        .join(b, F.col("b.t") == F.col("a.t") + F.col("lag"))
+        .select("lag", F.col("a.c").alias("x"), F.col("b.c").alias("y"))
+    )
+    n = F.count("*")
+    sx, sy = F.sum("x"), F.sum("y")
+    sxy = F.sum(F.col("x") * F.col("y"))
+    sxx = F.sum(F.col("x") * F.col("x"))
+    syy = F.sum(F.col("y") * F.col("y"))
+    return (
+        pairs.groupBy("lag")
+        .agg(
+            n.cast("bigint").alias("n_pairs"),
+            (n * sxy - sx * sy).cast("bigint").alias("r_num"),
+            (n * sxx - sx * sx).cast("bigint").alias("den_x"),
+            (n * syy - sy * sy).cast("bigint").alias("den_y"),
+            (n * sxy - sx * sy > 0).alias("positive"),
+        )
+        .select(
+            F.col("lag").cast("bigint").alias("lag"),
+            "n_pairs", "r_num", "den_x", "den_y", "positive",
+        )
+        .orderBy("lag")
+    )
+
+
+@query(
+    "topk_membership_churn",
+    oracle="""
+    WITH wk AS (
+      SELECT user_id,
+             CAST(epoch_us(date_trunc('week', ts)) AS BIGINT) AS week_us,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    top AS (
+      SELECT week_us, user_id FROM (
+        SELECT week_us, user_id,
+               row_number() OVER (PARTITION BY week_us
+                                  ORDER BY c DESC, user_id) AS rk
+        FROM wk
+      ) WHERE rk <= 10
+    ),
+    weeks AS (
+      SELECT week_us,
+             lead(week_us) OVER (ORDER BY week_us) AS next_week_us
+      FROM (SELECT DISTINCT week_us FROM top)
+    ),
+    sizes AS (
+      SELECT week_us, CAST(count(*) AS BIGINT) AS n FROM top GROUP BY 1
+    ),
+    stay AS (
+      SELECT w.week_us, w.next_week_us, CAST(count(*) AS BIGINT) AS n_stayed
+      FROM weeks w
+      JOIN top a ON a.week_us = w.week_us
+      JOIN top b ON b.week_us = w.next_week_us AND b.user_id = a.user_id
+      GROUP BY w.week_us, w.next_week_us
+    )
+    SELECT w.week_us, w.next_week_us,
+           sa.n AS n_a, sb.n AS n_b,
+           coalesce(st.n_stayed, 0) AS n_stayed,
+           sa.n - coalesce(st.n_stayed, 0) AS n_dropped,
+           sb.n - coalesce(st.n_stayed, 0) AS n_entered,
+           coalesce(st.n_stayed, 0) AS jaccard_num,
+           sa.n + sb.n - coalesce(st.n_stayed, 0) AS jaccard_den
+    FROM weeks w
+    JOIN sizes sa ON sa.week_us = w.week_us
+    JOIN sizes sb ON sb.week_us = w.next_week_us
+    LEFT JOIN stay st ON st.week_us = w.week_us
+    WHERE w.next_week_us IS NOT NULL
+    ORDER BY w.week_us
+    """,
+)
+def topk_membership_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leaderboard MEMBERSHIP churn between consecutive weekly top-10
+    user sets — the set-dynamics complement of
+    `kendall_tau_user_ranks` (which scores ordering among a fixed
+    population): how many of last week's heavy users stayed, dropped,
+    were replaced, with the set overlap as an exact Jaccard rational.
+    High churn means the "top users" segment is noise, not a cohort —
+    the difference between a loyalty program and a lottery.  Scale: the
+    top-k extraction is one per-week window; everything after operates
+    on k x weeks rows (constant-bounded by construction, the
+    `kendall_tau_user_ranks` capping discipline)."""
+    ev = load_table(spark, sf_dir, "events")
+    wk = ev.groupBy(
+        "user_id",
+        F.unix_micros(F.date_trunc("week", "ts")).alias("week_us"),
+    ).agg(F.count("*").cast("bigint").alias("c"))
+    wr = Window.partitionBy("week_us").orderBy(F.col("c").desc(), "user_id")
+    top = (
+        wk.withColumn("rk", F.row_number().over(wr))
+        .filter(F.col("rk") <= 10)
+        .select("week_us", "user_id")
+    )
+    weeks = (
+        top.select("week_us")
+        .distinct()
+        .withColumn(
+            "next_week_us", F.lead("week_us").over(Window.orderBy("week_us"))
+        )
+        .filter(F.col("next_week_us").isNotNull())
+    )
+    sizes = top.groupBy("week_us").agg(F.count("*").cast("bigint").alias("n"))
+    a = top.alias("a")
+    b = top.alias("b")
+    stay = (
+        weeks.join(a, F.col("a.week_us") == weeks["week_us"])
+        .join(
+            b,
+            (F.col("b.week_us") == weeks["next_week_us"])
+            & (F.col("b.user_id") == F.col("a.user_id")),
+        )
+        .groupBy(weeks["week_us"], weeks["next_week_us"])
+        .agg(F.count("*").cast("bigint").alias("n_stayed"))
+    )
+    z = F.lit(0).cast("bigint")
+    sa = sizes.select(
+        F.col("week_us").alias("sa_week"), F.col("n").alias("sa_n")
+    )
+    sb = sizes.select(
+        F.col("week_us").alias("sb_week"), F.col("n").alias("sb_n")
+    )
+    stay = stay.select(
+        F.col("week_us").alias("st_week"),
+        F.col("next_week_us").alias("st_next"),
+        "n_stayed",
+    )
+    st = F.coalesce(F.col("n_stayed"), z)
+    return (
+        weeks.join(F.broadcast(sa), F.col("sa_week") == weeks["week_us"])
+        .join(F.broadcast(sb), F.col("sb_week") == weeks["next_week_us"])
+        .join(
+            F.broadcast(stay),
+            (F.col("st_week") == weeks["week_us"])
+            & (F.col("st_next") == weeks["next_week_us"]),
+            "left",
+        )
+        .select(
+            weeks["week_us"],
+            weeks["next_week_us"],
+            F.col("sa_n").alias("n_a"),
+            F.col("sb_n").alias("n_b"),
+            st.alias("n_stayed"),
+            (F.col("sa_n") - st).alias("n_dropped"),
+            (F.col("sb_n") - st).alias("n_entered"),
+            st.alias("jaccard_num"),
+            (F.col("sa_n") + F.col("sb_n") - st).alias("jaccard_den"),
+        )
+        .orderBy("week_us")
+    )
+
+
+@query(
+    "embedding_norm_profile",
+    oracle="""
+    WITH nrm AS (
+      SELECT vec_id,
+             list_reduce(list_transform(embedding,
+                           x -> CAST(floor(x * 1000.0) AS BIGINT)
+                                * CAST(floor(x * 1000.0) AS BIGINT)),
+                         (a, b) -> a + b) AS norm2
+      FROM embeddings
+    ),
+    ranked AS (
+      SELECT vec_id, norm2,
+             row_number() OVER (ORDER BY norm2 DESC, vec_id) AS rk_heavy,
+             row_number() OVER (ORDER BY norm2 ASC, vec_id) AS rk_light,
+             count(*) OVER () AS n
+      FROM nrm
+    )
+    SELECT 'heaviest' AS kind, vec_id, CAST(norm2 AS BIGINT) AS norm2_milli2,
+           CAST(rk_heavy AS BIGINT) AS rank
+    FROM ranked WHERE rk_heavy <= 5
+    UNION ALL
+    SELECT 'lightest', vec_id, CAST(norm2 AS BIGINT),
+           CAST(rk_light AS BIGINT)
+    FROM ranked WHERE rk_light <= 5
+    UNION ALL
+    SELECT 'median', vec_id, CAST(norm2 AS BIGINT), CAST(1 AS BIGINT)
+    FROM ranked WHERE rk_light = (n + 1) // 2
+    """,
+)
+def embedding_norm_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-norm QA: squared L2 norms in the exact milli-int domain
+    (sum of squared quantized components — no float accumulates), with
+    the 5 heaviest, 5 lightest, and the rank-picked median vector.  Norm
+    pathologies are the embedding pipeline's canary: near-zero norms are
+    dead/padding inputs, heavy tails dominate dot-product rankings and
+    break cosine/IP interchangeability — exactly what `similarity_topk`
+    and the ANN family assume away.  Scale: one scan with a 64-term JVM
+    fold per row, two TakeOrderedAndProject-shaped extremes + one
+    rank-pick — no shuffle beyond the final tiny windows."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    m = F.transform(
+        "embedding", lambda x: F.floor(x * 1000.0).cast("bigint")
+    )
+    nrm = emb.select(
+        "vec_id",
+        F.aggregate(
+            F.zip_with(m, m, lambda a, b: a * b),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ).alias("norm2"),
+    )
+    wh = Window.orderBy(F.col("norm2").desc(), "vec_id")
+    wl = Window.orderBy(F.col("norm2").asc(), "vec_id")
+    ranked = nrm.select(
+        "vec_id",
+        "norm2",
+        F.row_number().over(wh).alias("rk_heavy"),
+        F.row_number().over(wl).alias("rk_light"),
+        F.count("*").over(Window.partitionBy()).alias("n"),
+    )
+    heavy = ranked.filter(F.col("rk_heavy") <= 5).select(
+        F.lit("heaviest").alias("kind"),
+        "vec_id",
+        F.col("norm2").alias("norm2_milli2"),
+        F.col("rk_heavy").cast("bigint").alias("rank"),
+    )
+    light = ranked.filter(F.col("rk_light") <= 5).select(
+        F.lit("lightest").alias("kind"),
+        "vec_id",
+        F.col("norm2").alias("norm2_milli2"),
+        F.col("rk_light").cast("bigint").alias("rank"),
+    )
+    med = ranked.filter(
+        F.col("rk_light") == F.floor((F.col("n") + 1) / 2)
+    ).select(
+        F.lit("median").alias("kind"),
+        "vec_id",
+        F.col("norm2").alias("norm2_milli2"),
+        F.lit(1).cast("bigint").alias("rank"),
+    )
+    return heavy.unionAll(light).unionAll(med)
+
+
+@query(
+    "seasonal_dow_profile",
+    oracle="""
+    WITH d AS (
+      SELECT event_type,
+             (epoch_us(ts) // 86400000000 + 3) % 7 AS dow,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    t AS (
+      SELECT event_type, CAST(sum(c) AS BIGINT) AS total FROM d GROUP BY 1
+    )
+    SELECT d.event_type, CAST(d.dow AS BIGINT) AS dow_iso,
+           d.c AS n_events, t.total AS type_total,
+           7 * d.c AS idx_num, t.total AS idx_den,
+           row_number() OVER (PARTITION BY d.event_type
+                              ORDER BY d.c DESC, d.dow) = 1 AS is_peak
+    FROM d JOIN t ON t.event_type = d.event_type
+    ORDER BY d.event_type, dow_iso
+    """,
+)
+def seasonal_dow_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonality index per event type: the classic
+    calendar-effect profile (index = 7*share, so a uniform week scores
+    1 on every day) as the exact rational idx_num/idx_den, with the peak
+    day flagged by deterministic argmax.  The day-of-week is computed
+    ARITHMETICALLY from the epoch day (+3 shift: 1970-01-01 was a
+    Thursday; 0 = Monday) — Spark's dayofweek() is Sunday-first while
+    DuckDB's is 0-based, a classic cross-engine off-by-one this integer
+    form sidesteps entirely.  Scale: one 5x7-cell aggregate with
+    map-side combine."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        "event_type",
+        (
+            (F.floor(F.unix_micros("ts") / 86_400_000_000) + 3) % 7
+        ).alias("dow"),
+    ).agg(F.count("*").cast("bigint").alias("c"))
+    t = d.groupBy("event_type").agg(F.sum("c").cast("bigint").alias("total"))
+    wp = Window.partitionBy("event_type").orderBy(F.col("c").desc(), "dow")
+    return (
+        d.join(F.broadcast(t), "event_type")
+        .select(
+            "event_type",
+            F.col("dow").cast("bigint").alias("dow_iso"),
+            F.col("c").alias("n_events"),
+            F.col("total").alias("type_total"),
+            (7 * F.col("c")).alias("idx_num"),
+            F.col("total").alias("idx_den"),
+            (F.row_number().over(wp) == 1).alias("is_peak"),
+        )
+        .orderBy("event_type", "dow_iso")
+    )
+
+
+@query(
+    "user_longest_streaks",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT user_id,
+             epoch_us(date_trunc('day', ts)) // 86400000000 AS day_idx
+      FROM events
+    ),
+    isl AS (
+      SELECT user_id, day_idx,
+             day_idx - row_number() OVER (PARTITION BY user_id
+                                          ORDER BY day_idx) AS grp
+      FROM days
+    ),
+    streaks AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS len
+      FROM isl GROUP BY user_id, grp
+    )
+    SELECT user_id,
+           CAST(sum(len) AS BIGINT) AS n_active_days,
+           CAST(max(len) AS BIGINT) AS longest_streak,
+           CAST(count(*) AS BIGINT) AS n_streaks
+    FROM streaks GROUP BY user_id ORDER BY user_id
+    """,
+)
+def user_longest_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-active-day streak per user (the engagement
+    metric behind every habit-loop dashboard) by the gaps-and-islands
+    identity: on distinct active days, day_index - row_number is
+    constant exactly within a consecutive run, so streaks fall out of
+    one window + one group-by — no self-join, no recursion.  Also emits
+    total active days and number of distinct streaks (n_active/n_streaks
+    = mean streak as a downstream rational).  Scale: the distinct
+    collapses events to user x day; the window partitions by user —
+    linear, skew-bounded by the calendar."""
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id",
+        F.floor(
+            F.unix_micros(F.date_trunc("day", "ts")) / 86_400_000_000
+        )
+        .cast("bigint")
+        .alias("day_idx"),
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day_idx")
+    isl = days.select(
+        "user_id",
+        "day_idx",
+        (F.col("day_idx") - F.row_number().over(w)).alias("grp"),
+    )
+    streaks = isl.groupBy("user_id", "grp").agg(
+        F.count("*").cast("bigint").alias("len")
+    )
+    return (
+        streaks.groupBy("user_id")
+        .agg(
+            F.sum("len").cast("bigint").alias("n_active_days"),
+            F.max("len").cast("bigint").alias("longest_streak"),
+            F.count("*").cast("bigint").alias("n_streaks"),
+        )
+        .orderBy("user_id")
+    )
+
+
 # Round 7 front window.  Round 6 went 49/50: the one red is
 # `skyline_parts_pareto` — values numerically identical on both engines,
 # but the decimal(18,2) `price` column hash-flipped across DuckDB's
@@ -21592,6 +22022,11 @@ _PENDING_ROUND8: list[str] = _PENDING_ROUND7[49:] + [
     "shapley_attribution_components",  # new in round 7 (exact coalition credit)
     "best_burst_window",  # new in round 7 (Kadane max-subarray via prefix/min)
     "dataset_card_stats",  # new in round 7 (per-source datasheet report)
+    "hourly_acf_lags",  # new in round 7 (exact multi-lag autocorrelogram)
+    "topk_membership_churn",  # new in round 7 (leaderboard set dynamics)
+    "embedding_norm_profile",  # new in round 7 (norm-pathology QA)
+    "seasonal_dow_profile",  # new in round 7 (calendar-effect index)
+    "user_longest_streaks",  # new in round 7 (gaps-and-islands streaks)
 ]
 
 # ROUND-8 BUILDER: build _ROUND8_FRONT = re-checks of any round-7 reds +
