@@ -732,3 +732,47 @@ def test_round6_wave_plans_stay_jvm_and_broadcast(spark, sf_dir):
                  "wasserstein_value_drift"):
         plan = plans.executed_plan(q.QUERIES[name](spark, sf_dir))
         assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, name
+
+
+def test_round7_wave_plans_stay_jvm_and_broadcast(spark, sf_dir):
+    """The round-7 wave: every query stays JVM-side (no Python eval in
+    the plan) and contains no Cartesian product (the 6-row lag table and
+    1-row scalar frames ride broadcasts); the graph queries derive
+    candidates from equi-joins (orthant hash join), never all-pairs."""
+    wave = [
+        "reciprocal_best_match_pairs",
+        "clustering_coefficient_local",
+        "lpa_communities_modularity",
+        "hits_micro",
+        "pca_top_component_micro",
+        "cdc_apply_changeset",
+        "double_charge_candidates",
+        "allen_interval_relations",
+        "shapley_attribution_components",
+        "best_burst_window",
+        "dataset_card_stats",
+        "hourly_acf_lags",
+        "topk_membership_churn",
+        "embedding_norm_profile",
+        "seasonal_dow_profile",
+        "user_longest_streaks",
+    ]
+    for name in wave:
+        plan = plans.executed_plan(q.QUERIES[name](spark, sf_dir))
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+        assert "CartesianProduct" not in plan, name
+    # The theta-NN candidate join must be an equi (hash) join on the
+    # orthant key — the plan that scales to bucketed fan-out — not a
+    # nested-loop over all pairs.
+    for name in ("reciprocal_best_match_pairs", "clustering_coefficient_local"):
+        plan = plans.executed_plan(q.QUERIES[name](spark, sf_dir))
+        assert (
+            "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+            or "ShuffledHashJoin" in plan
+        ), name
+    # Dimension/spine/scalar sides broadcast in the calendar + scalar
+    # queries (no shuffle of the tiny side).
+    for name in ("hits_micro", "hourly_acf_lags", "best_burst_window",
+                 "shapley_attribution_components"):
+        plan = plans.executed_plan(q.QUERIES[name](spark, sf_dir))
+        assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, name
