@@ -875,20 +875,23 @@ def _lang_oracle_sql() -> str:
         f"WHEN s_{lang} = {best} AND {best} > 0 THEN '{lang}'" for lang in order
     )
     scores = ",\n".join(score_exprs)
-    return f"""
-    WITH toked AS (
+    return f"""toked AS (
       SELECT doc_id, text,
              CASE WHEN length(trim(text)) = 0 THEN []
                   ELSE string_split_regex(trim(lower(text)), '\\s+') END AS toks
       FROM documents
     ), scored AS (
       SELECT doc_id, text, {scores} FROM toked
-    )
-    SELECT doc_id, CASE {whens} ELSE 'und' END AS lang_pred FROM scored
-    """
+    ), lang_pred_cte AS (
+      SELECT doc_id, CASE {whens} ELSE 'und' END AS lang_pred FROM scored
+    )"""
 
 
-@query("lang_id", oracle=_lang_oracle_sql())
+@query(
+    "lang_id",
+    oracle="WITH " + _lang_oracle_sql()
+    + "\n    SELECT doc_id, lang_pred FROM lang_pred_cte",
+)
 def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic n-gram/stopword language ID over documents (JVM-side
     marker-hit scoring; ties resolve en>es>fr>de>zh)."""
@@ -21994,6 +21997,199 @@ def user_longest_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+@query(
+    "lang_confusion_matrix",
+    oracle="WITH "
+    + _lang_oracle_sql()
+    + """,
+    cells AS (
+      SELECT d.lang AS label, p.lang_pred AS pred,
+             CAST(count(*) AS BIGINT) AS n
+      FROM documents d JOIN lang_pred_cte p ON p.doc_id = d.doc_id
+      GROUP BY d.lang, p.lang_pred
+    )
+    SELECT label, pred, n,
+           CAST(sum(n) OVER (PARTITION BY label) AS BIGINT) AS label_total,
+           CAST(sum(n) OVER (PARTITION BY pred) AS BIGINT) AS pred_total,
+           label = pred AS is_correct
+    FROM cells ORDER BY label, pred
+    """,
+)
+def lang_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the heuristic language-ID (`lang_id`, F-family
+    marker scoring) against the corpus's labeled lang column — the
+    model-evaluation loop run ON the engine: each (label, pred) cell
+    carries its count plus the row/column marginals, so per-class recall
+    (n/label_total on the diagonal) and precision (n/pred_total) reduce
+    as exact rationals downstream.  This is the audit that decides
+    whether the cheap in-engine classifier is good enough to gate
+    source mixing, or the corpus needs a real model pass.  Scale: the
+    classifier is pure JVM expression (no UDF), the matrix is
+    |langs|^2 cells — one join on doc_id, one aggregate, two marginal
+    windows over the tiny cell table."""
+    docs = load_table(spark, sf_dir, "documents")
+    pred = text.with_lang_id(docs).select("doc_id", "lang_pred")
+    cells = (
+        docs.select("doc_id", "lang")
+        .join(pred, "doc_id")
+        .groupBy(F.col("lang").alias("label"), F.col("lang_pred").alias("pred"))
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    wl = Window.partitionBy("label")
+    wp = Window.partitionBy("pred")
+    return cells.select(
+        "label",
+        "pred",
+        "n",
+        F.sum("n").over(wl).cast("bigint").alias("label_total"),
+        F.sum("n").over(wp).cast("bigint").alias("pred_total"),
+        (F.col("label") == F.col("pred")).alias("is_correct"),
+    ).orderBy("label", "pred")
+
+
+@query(
+    "orthant_balance_audit",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id,
+             list_aggregate(list_transform(embedding[1:8],
+                            x -> CASE WHEN x >= 0 THEN 1 ELSE 0 END),
+                            'string_agg', '') AS orthant
+      FROM embeddings
+    ),
+    b AS (
+      SELECT orthant, CAST(count(*) AS BIGINT) AS n_vectors
+      FROM q GROUP BY orthant
+    ),
+    g AS (
+      SELECT orthant, n_vectors,
+             n_vectors * (n_vectors - 1) / 2 AS n_candidate_pairs,
+             CAST(sum(n_vectors) OVER () AS BIGINT) AS total_vectors,
+             CAST(sum(n_vectors * (n_vectors - 1) / 2) OVER () AS BIGINT)
+               AS total_pairs,
+             CAST(count(*) OVER () AS BIGINT) AS n_buckets,
+             row_number() OVER (ORDER BY n_vectors DESC, orthant) AS rk
+      FROM b
+    )
+    SELECT orthant, n_vectors,
+           CAST(n_candidate_pairs AS BIGINT) AS n_candidate_pairs,
+           total_vectors, total_pairs, n_buckets,
+           CAST(rk AS BIGINT) AS rank
+    FROM g WHERE rk <= 15 ORDER BY rank
+    """,
+)
+def orthant_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH bucket-balance audit for the sign-orthant banding every
+    theta-NN query rides on: the 15 heaviest orthants with their
+    candidate-pair load n(n-1)/2 against the global totals — THE ops
+    diagnostic for bucketed similarity joins, because candidate cost is
+    sum-of-squares-shaped: one hot orthant (an embedding-mean offset, a
+    dead dimension) quietly turns the bucket-local join quadratic while
+    the mean bucket size still looks fine.  Pairs-load per bucket is
+    exactly what AQE skew-split sees; this measures it BEFORE the join
+    runs.  Scale: one 256-cell aggregate + windows over the cell
+    table."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    b = (
+        emb.select(
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.slice("embedding", 1, 8),
+                    lambda x: F.when(x >= 0, F.lit("1")).otherwise(
+                        F.lit("0")
+                    ),
+                ),
+            ).alias("orthant")
+        )
+        .groupBy("orthant")
+        .agg(F.count("*").cast("bigint").alias("n_vectors"))
+    )
+    pairs = (F.col("n_vectors") * (F.col("n_vectors") - 1) / 2).cast(
+        "bigint"
+    )
+    wall = Window.partitionBy()
+    g = b.select(
+        "orthant",
+        "n_vectors",
+        pairs.alias("n_candidate_pairs"),
+        F.sum("n_vectors").over(wall).cast("bigint").alias("total_vectors"),
+        F.sum(pairs).over(wall).cast("bigint").alias("total_pairs"),
+        F.count("*").over(wall).cast("bigint").alias("n_buckets"),
+        F.row_number()
+        .over(Window.orderBy(F.col("n_vectors").desc(), "orthant"))
+        .cast("bigint")
+        .alias("rank"),
+    )
+    return g.filter(F.col("rank") <= 15).orderBy("rank")
+
+
+@query(
+    "truss_edge_support",
+    oracle="WITH "
+    + _THETA_EDGES_SQL
+    + """,
+    sup AS (
+      SELECT e.ia, e.ib, CAST(count(*) AS BIGINT) AS support
+      FROM theta_edges e
+      JOIN theta_und u1 ON u1.a = e.ia
+      JOIN theta_und u2 ON u2.a = e.ib AND u2.b = u1.b
+      GROUP BY e.ia, e.ib
+    )
+    SELECT e.ia AS vec_a, e.ib AS vec_b,
+           coalesce(s.support, 0) AS support,
+           coalesce(s.support, 0) >= 1 AS in_3truss,
+           coalesce(s.support, 0) >= 2 AS in_4truss
+    FROM theta_edges e LEFT JOIN sup s ON s.ia = e.ia AND s.ib = e.ib
+    ORDER BY support DESC, vec_a, vec_b
+    """,
+)
+def truss_edge_support(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edge support (triangles through each edge = common-neighbor
+    count) on the theta-NN graph, with 3-truss/4-truss membership
+    verdicts — the EDGE-centric dual of `clustering_coefficient_local`'s
+    node view and the standard cohesion filter for similarity graphs: an
+    edge with zero support is a bridge between otherwise-unrelated
+    regions (keep for diversity), a high-support edge sits inside a
+    dense near-dup core (collapse candidate).  k-truss peeling starts
+    from exactly this table.  Scale: support is the two-hop equi-join
+    (edge endpoints x shared neighbor), sum(deg^2)-bounded like every
+    wedge pass — never all-pairs; the verdict thresholds are free."""
+    pairs = _theta_pairs(spark, sf_dir)
+    edges = pairs.filter(F.col("dot") >= 250000).select("ia", "ib")
+    und = _theta_und(pairs)
+    u1 = und.alias("u1")
+    u2 = und.alias("u2")
+    sup = (
+        edges.join(u1, F.col("u1.a") == edges["ia"])
+        .join(
+            u2,
+            (F.col("u2.a") == edges["ib"])
+            & (F.col("u2.b") == F.col("u1.b")),
+        )
+        .groupBy(edges["ia"].alias("sia"), edges["ib"].alias("sib"))
+        .agg(F.count("*").cast("bigint").alias("support"))
+    )
+    z = F.lit(0).cast("bigint")
+    s = F.coalesce(F.col("support"), z)
+    return (
+        edges.join(
+            sup,
+            (F.col("sia") == edges["ia"]) & (F.col("sib") == edges["ib"]),
+            "left",
+        )
+        .select(
+            edges["ia"].alias("vec_a"),
+            edges["ib"].alias("vec_b"),
+            s.alias("support"),
+            (s >= 1).alias("in_3truss"),
+            (s >= 2).alias("in_4truss"),
+        )
+        .orderBy(F.col("support").desc(), "vec_a", "vec_b")
+    )
+
+
 # Round 7 front window.  Round 6 went 49/50: the one red is
 # `skyline_parts_pareto` — values numerically identical on both engines,
 # but the decimal(18,2) `price` column hash-flipped across DuckDB's
@@ -22027,6 +22223,9 @@ _PENDING_ROUND8: list[str] = _PENDING_ROUND7[49:] + [
     "embedding_norm_profile",  # new in round 7 (norm-pathology QA)
     "seasonal_dow_profile",  # new in round 7 (calendar-effect index)
     "user_longest_streaks",  # new in round 7 (gaps-and-islands streaks)
+    "lang_confusion_matrix",  # new in round 7 (in-engine classifier eval)
+    "orthant_balance_audit",  # new in round 7 (LSH bucket-load diagnostic)
+    "truss_edge_support",  # new in round 7 (edge-centric cohesion dual)
 ]
 
 # ROUND-8 BUILDER: build _ROUND8_FRONT = re-checks of any round-7 reds +
