@@ -408,3 +408,167 @@ def test_shapley_components_reduce_to_exact_credits(spark):
         vo = Fraction(r.v_wo_num, r.v_wo_den) if r.v_wo_den else Fraction(0)
         got[r.channel] += Fraction(r.w_num, r.w_den) * (vw - vo)
     assert dict(got) == phi
+
+
+def test_seasonal_dow_arithmetic_matches_python_weekday(spark):
+    """(epoch_day + 3) % 7 must equal datetime.weekday() (Monday=0) —
+    the independent check that the portable arithmetic dow is ISO."""
+    rows = spark.read.parquet(f"{SF}/events.parquet").collect()
+    from collections import Counter
+
+    exp = Counter((r.event_type, r.ts.date().weekday()) for r in rows)
+    got = {
+        (r.event_type, r.dow_iso): (r.n_events, r.is_peak)
+        for r in q.QUERIES["seasonal_dow_profile"](spark, SF).collect()
+    }
+    assert {k: v[0] for k, v in got.items()} == dict(exp)
+    # peak day per type is the argmax (count desc, dow asc)
+    for t in {k[0] for k in exp}:
+        best = min(
+            ((d, c) for (tt, d), c in exp.items() if tt == t),
+            key=lambda dc: (-dc[1], dc[0]),
+        )[0]
+        peaks = [d for (tt, d), (_, p) in got.items() if tt == t and p]
+        assert peaks == [best]
+
+
+def test_user_longest_streaks_vs_bruteforce(spark):
+    rows = spark.read.parquet(f"{SF}/events.parquet").collect()
+    from collections import defaultdict
+
+    days = defaultdict(set)
+    for r in rows:
+        days[r.user_id].add(r.ts.date().toordinal())
+    expected = {}
+    for u, ds in days.items():
+        ds = sorted(ds)
+        streaks = []
+        cur = 1
+        for a, b in zip(ds, ds[1:]):
+            if b == a + 1:
+                cur += 1
+            else:
+                streaks.append(cur)
+                cur = 1
+        streaks.append(cur)
+        expected[u] = (len(ds), max(streaks), len(streaks))
+    got = {
+        r.user_id: (r.n_active_days, r.longest_streak, r.n_streaks)
+        for r in q.QUERIES["user_longest_streaks"](spark, SF).collect()
+    }
+    assert got == expected
+
+
+def test_hourly_acf_lags_vs_pure_python(spark):
+    rows = spark.read.parquet(f"{SF}/events.parquet").collect()
+    from collections import Counter
+    import datetime as dt
+
+    hrs = Counter(r.ts.replace(minute=0, second=0, microsecond=0) for r in rows)
+    lo, hi = min(hrs), max(hrs)
+    series = []
+    t = lo
+    while t <= hi:
+        series.append(hrs.get(t, 0))
+        t += dt.timedelta(hours=1)
+    expected = {}
+    for L in (1, 2, 3, 6, 12, 24):
+        xs, ys = series[:-L], series[L:]
+        n = len(xs)
+        sx, sy = sum(xs), sum(ys)
+        sxy = sum(a * b for a, b in zip(xs, ys))
+        sxx = sum(a * a for a in xs)
+        syy = sum(b * b for b in ys)
+        expected[L] = (
+            n, n * sxy - sx * sy, n * sxx - sx * sx, n * syy - sy * sy
+        )
+    got = {
+        r.lag: (r.n_pairs, r.r_num, r.den_x, r.den_y)
+        for r in q.QUERIES["hourly_acf_lags"](spark, SF).collect()
+    }
+    assert got == expected
+
+
+def test_truss_support_vs_bruteforce(spark):
+    pairs = _theta_pairs_py(spark)
+    edges = {p for p, d in pairs.items() if d >= 250000}
+    from collections import defaultdict
+
+    nbr = defaultdict(set)
+    for a, b in edges:
+        nbr[a].add(b)
+        nbr[b].add(a)
+    expected = {
+        (a, b): len(nbr[a] & nbr[b]) for a, b in edges
+    }
+    got = {
+        (r.vec_a, r.vec_b): r.support
+        for r in q.QUERIES["truss_edge_support"](spark, SF).collect()
+    }
+    assert got == expected and len(got) > 0
+
+
+def test_orthant_balance_totals_consistent(spark):
+    out = q.QUERIES["orthant_balance_audit"](spark, SF).collect()
+    n_emb = spark.read.parquet(f"{SF}/embeddings.parquet").count()
+    assert out and all(r.total_vectors == n_emb for r in out)
+    # candidate-pair identity per listed bucket
+    for r in out:
+        assert r.n_candidate_pairs == r.n_vectors * (r.n_vectors - 1) // 2
+    # the listed heaviest buckets are ranked consistently
+    sizes = [r.n_vectors for r in sorted(out, key=lambda r: r.rank)]
+    assert sizes == sorted(sizes, reverse=True)
+
+
+def test_lang_confusion_matrix_marginals(spark):
+    out = q.QUERIES["lang_confusion_matrix"](spark, SF).collect()
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    n_docs = docs.count()
+    assert sum(r.n for r in out) == n_docs
+    from collections import Counter
+
+    label_counts = Counter(r.lang for r in docs.select("lang").collect())
+    for lab in {r.label for r in out}:
+        rows = [r for r in out if r.label == lab]
+        assert sum(r.n for r in rows) == label_counts[lab]
+        assert all(r.label_total == label_counts[lab] for r in rows)
+
+
+def test_topk_membership_churn_vs_bruteforce(spark):
+    rows = spark.read.parquet(f"{SF}/events.parquet").collect()
+    from collections import Counter, defaultdict
+    import datetime as dt
+
+    wk = defaultdict(Counter)
+    for r in rows:
+        d = r.ts.date()
+        monday = d - dt.timedelta(days=d.weekday())
+        wk[monday][r.user_id] += 1
+    tops = {
+        w: {
+            u
+            for u, _ in sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+        }
+        for w, c in wk.items()
+    }
+    weeks = sorted(tops)
+    expected = {}
+    for a, b in zip(weeks, weeks[1:]):
+        stay = len(tops[a] & tops[b])
+        expected[a] = (
+            len(tops[a]), len(tops[b]), stay,
+            len(tops[a]) - stay, len(tops[b]) - stay,
+            stay, len(tops[a] | tops[b]),
+        )
+    got = {}
+    import datetime as dt2
+
+    for r in q.QUERIES["topk_membership_churn"](spark, SF).collect():
+        wdate = dt2.datetime.fromtimestamp(
+            r.week_us / 1e6, dt2.timezone.utc
+        ).date()
+        got[wdate] = (
+            r.n_a, r.n_b, r.n_stayed, r.n_dropped, r.n_entered,
+            r.jaccard_num, r.jaccard_den,
+        )
+    assert got == expected
