@@ -20666,8 +20666,20 @@ def lpa_communities_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges, the textbook Pregel iteration as a static DAG); modularity
     adds one membership self-join on the edge list."""
     pairs = _theta_pairs(spark, sf_dir)
-    edges = pairs.filter(F.col("dot") >= 250000).select("ia", "ib")
-    und = _theta_und(pairs)
+    # Materialize the edge list ONCE: three Pregel rounds each join the
+    # undirected edges against the evolving labels, and without the fence
+    # Catalyst re-derives the orthant candidate join per round.  At
+    # sf0.1 the wall time is round-overhead-bound (~2.3s warm either
+    # way); the fence matters at corpus sizes where the candidate join
+    # dominates — it must run once, not once per round.
+    edges = (
+        pairs.filter(F.col("dot") >= 250000)
+        .select("ia", "ib")
+        .localCheckpoint(eager=True)
+    )
+    und = edges.select(
+        F.col("ia").alias("a"), F.col("ib").alias("b")
+    ).unionAll(edges.select(F.col("ib").alias("a"), F.col("ia").alias("b")))
     emb = load_table(spark, sf_dir, "embeddings")
     labels = emb.select(
         F.col("vec_id").alias("node"), F.col("vec_id").alias("label")
