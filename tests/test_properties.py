@@ -208,3 +208,88 @@ def test_rollup_merge_split_invariance(rows, rng):
     cut = rng.randrange(1, len(shuffled))
     merged = merge(partial(shuffled[:cut]), partial(shuffled[cut:]))
     assert merged == direct
+
+
+# --- round-7 exact-arithmetic helpers -------------------------------------
+
+
+@given(
+    st.integers(min_value=-(2**62), max_value=2**62),
+    st.integers(min_value=1, max_value=2**31),
+)
+def test_pmod_floor_div_identity_matches_python(p, q):
+    """The portable floor-division identity (p - ((p % q) + q) % q) / q
+    used by `queries._fdiv` and the pca/mu oracles must equal Python's
+    floor division for any sign of p — in EXACT integer arithmetic (the
+    Spark-side caveat about / being double division past 2^53 is why
+    the big-magnitude call sites use SQL `div`; this pins the algebra
+    itself)."""
+    pm = ((p % q) + q) % q
+    assert (p - pm) % q == 0
+    assert (p - pm) // q == p // q
+
+
+@given(st.lists(st.integers(min_value=-1000, max_value=1000),
+                min_size=1, max_size=40))
+@settings(max_examples=200)
+def test_kadane_prefix_min_identity(xs):
+    """best_burst_window's shuffle-free identity: for every j,
+    max subarray ending at j = P_j - min(0, min_{k<j} P_k), so the global
+    max over j equals the O(n^2) direct maximum."""
+    pre = []
+    s = 0
+    for x in xs:
+        s += x
+        pre.append(s)
+    best_direct = max(
+        sum(xs[i:j + 1]) for i in range(len(xs)) for j in range(i, len(xs))
+    )
+    best_id = max(
+        pre[j] - min([0] + pre[:j]) for j in range(len(xs))
+    )
+    assert best_id == best_direct
+
+
+@given(st.lists(st.tuples(st.booleans(), st.booleans(), st.booleans(),
+                          st.booleans()), min_size=1, max_size=60))
+@settings(max_examples=100)
+def test_shapley_lattice_weights_reduce_to_permutation_formula(rows):
+    """The 12-row coalition-lattice components (weights 2/6, 1/6, 1/6,
+    2/6 per channel) must reduce to the direct 3!-permutation Shapley
+    average for ANY cohort table — the algebra
+    shapley_attribution_components hard-codes."""
+    from collections import defaultdict
+    from fractions import Fraction
+    from itertools import permutations
+
+    cohorts = defaultdict(lambda: [0, 0])
+    for c1, c2, c3, conv in rows:
+        key = frozenset(
+            ch for ch, on in (("a", c1), ("b", c2), ("c", c3)) if on
+        )
+        cohorts[key][0] += 1
+        cohorts[key][1] += int(conv)
+
+    def v(S):
+        n, c = cohorts.get(frozenset(S), (0, 0))
+        return Fraction(c, n) if n else Fraction(0)
+
+    chans = ["a", "b", "c"]
+    direct = {ch: Fraction(0) for ch in chans}
+    for perm in permutations(chans):
+        S = set()
+        for ch in perm:
+            direct[ch] += v(S | {ch}) - v(S)
+            S.add(ch)
+    direct = {ch: x / 6 for ch, x in direct.items()}
+
+    lattice = {ch: Fraction(0) for ch in chans}
+    for ch in chans:
+        others = [o for o in chans if o != ch]
+        subsets = [
+            (frozenset(), 2), (frozenset({others[0]}), 1),
+            (frozenset({others[1]}), 1), (frozenset(others), 2),
+        ]
+        for S, w in subsets:
+            lattice[ch] += Fraction(w, 6) * (v(S | {ch}) - v(S))
+    assert lattice == direct
