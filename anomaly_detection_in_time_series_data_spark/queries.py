@@ -22202,6 +22202,114 @@ def truss_edge_support(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+@query(
+    "streaming_streak_maintenance",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT user_id,
+             epoch_us(date_trunc('day', ts)) // 86400000000 AS day_idx
+      FROM events
+    ),
+    isl AS (
+      SELECT user_id, day_idx,
+             day_idx - row_number() OVER (PARTITION BY user_id
+                                          ORDER BY day_idx) AS grp
+      FROM days
+    ),
+    streaks AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS len
+      FROM isl GROUP BY user_id, grp
+    )
+    SELECT user_id,
+           CAST(sum(len) AS BIGINT) AS n_active_days,
+           CAST(max(len) AS BIGINT) AS longest_streak,
+           CAST(count(*) AS BIGINT) AS n_streaks
+    FROM streaks GROUP BY user_id ORDER BY user_id
+    """,
+)
+def streaming_streak_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`user_longest_streaks` as an INCREMENTALLY MAINTAINED streaming
+    view: the per-user activity days are staged as five weekly parquet
+    deliveries (mod-time ordered), replayed one file per trigger through
+    a checkpointed foreachBatch sink
+    (`streaming.sinks.streaks_foreach_batch`) that folds each batch into
+    per-user streak state WITHOUT rescanning history — the
+    gaps-and-islands identity run incrementally, with the open streak
+    carried as state and extended exactly when a batch's first island
+    starts at last_day + 1.  Exactly-once comes from batch-id fencing in
+    the store (the fold adds counts, so unlike `scd2_merge` replay is
+    NOT an algebraic no-op — the complementary idempotence discipline).
+    Hash-equality with the single-pass batch oracle proves the
+    incremental fold loses nothing — the IVM guarantee beside
+    `incremental_agg_maintenance` (self-maintainable aggregates) and
+    `incremental_join_maintenance` (join delta rule), now for a
+    window-over-history analytic.  Scale: state is one row per user,
+    each trigger shuffles only the delivery's users."""
+    import glob as _glob
+    import os
+    import shutil as _sh
+    import tempfile
+
+    from .streaming.sinks import streaks_foreach_batch
+
+    ev = load_table(spark, sf_dir, "events")
+    days = (
+        ev.select(
+            "user_id",
+            F.floor(
+                F.unix_micros(F.date_trunc("day", "ts")) / 86_400_000_000
+            )
+            .cast("bigint")
+            .alias("day_idx"),
+            F.weekofyear("ts").alias("wk"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    stray = days.filter(~F.col("wk").isin(1, 2, 3, 4, 5))
+    if not stray.isEmpty():
+        bad = [r.wk for r in stray.select("wk").distinct().collect()]
+        raise ValueError(
+            f"streaming_streak_maintenance: events fall in ISO weeks "
+            f"{sorted(bad)} outside the staged replay deliveries (1-5)"
+        )
+    root = tempfile.mkdtemp(prefix="adts_streaks_stream_")
+    try:
+        src = os.path.join(root, "activity")
+        os.makedirs(src)
+        base = 1_000_000_000
+        for i, wkn in enumerate((1, 2, 3, 4, 5)):
+            stage = os.path.join(root, f"_stage{wkn}")
+            days.filter(F.col("wk") == wkn).select(
+                "user_id", "day_idx"
+            ).coalesce(1).write.mode("overwrite").parquet(stage)
+            part = _glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+            dst = os.path.join(src, f"delivery-{wkn}.parquet")
+            _sh.move(part, dst)
+            # mod time IS the delivery order: ISO weeks are ascending in
+            # day_idx, satisfying the sink's in-order contract
+            os.utime(dst, (base + i, base + i))
+        stream = (
+            spark.readStream.schema("user_id bigint, day_idx bigint")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        store = os.path.join(root, "state")
+        streaks_foreach_batch(
+            stream, store, checkpoint=os.path.join(root, "ckpt")
+        ).awaitTermination()
+        out = (
+            spark.read.parquet(store)
+            .select("user_id", "n_active_days", "longest_streak", "n_streaks")
+            .orderBy("user_id")
+            .localCheckpoint(eager=True)  # detach from the temp store
+        )
+        return out
+    finally:
+        _sh.rmtree(root, ignore_errors=True)
+
+
 # Round 7 front window.  Round 6 went 49/50: the one red is
 # `skyline_parts_pareto` — values numerically identical on both engines,
 # but the decimal(18,2) `price` column hash-flipped across DuckDB's
@@ -22238,6 +22346,7 @@ _PENDING_ROUND8: list[str] = _PENDING_ROUND7[49:] + [
     "lang_confusion_matrix",  # new in round 7 (in-engine classifier eval)
     "orthant_balance_audit",  # new in round 7 (LSH bucket-load diagnostic)
     "truss_edge_support",  # new in round 7 (edge-centric cohesion dual)
+    "streaming_streak_maintenance",  # new in round 7 (streaming IVM streaks)
 ]
 
 # ROUND-8 BUILDER: build _ROUND8_FRONT = re-checks of any round-7 reds +

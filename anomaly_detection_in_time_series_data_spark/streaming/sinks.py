@@ -208,3 +208,163 @@ def scd2_foreach_batch(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def streaks_foreach_batch(
+    stream: DataFrame,
+    path: str,
+    *,
+    checkpoint: str,
+):
+    """Start a foreachBatch streaming query that INCREMENTALLY maintains
+    per-user consecutive-day streak statistics at ``path`` — the
+    gaps-and-islands computation (`user_longest_streaks`) as an
+    incrementally-maintained view: each micro-batch of (user_id,
+    day_idx) activity folds into per-user state (active days, longest
+    streak, streak count, current open streak, last seen day) WITHOUT
+    rescanning history.
+
+    The fold is pure DataFrame algebra: islands WITHIN the batch (one
+    window), then a full-outer merge with state where the batch's first
+    island extends the open streak iff it starts at last_day + 1.
+    Unlike ``scd2_merge`` the fold is NOT naturally idempotent (counts
+    add), so exactly-once comes from the OTHER standard foreachBatch
+    discipline: the store carries the last applied ``_batch_id`` and a
+    replayed batch (<= applied) is skipped — idempotence by batch-id
+    fencing rather than by algebraic no-op.
+
+    Contract: deliveries must arrive in ascending day order per user
+    (every batch day > the user's stored last_day); the file-source
+    staging in `streaming_streak_maintenance` guarantees it.  Out-of-
+    order history would need the full recompute — which is exactly the
+    trade an incremental view buys into.
+
+    Scale: state is one row per user; each fold shuffles only the
+    batch's user set; the store swap is the crash-safe rename-aside
+    (`_swap_in`/`_recover_store`).
+    """
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        out = Path(path)
+        _recover_store(out)
+        state = None
+        if out.exists():
+            state = spark.read.parquet(str(out))
+            applied = state.agg(F.max("_batch_id")).collect()[0][0]
+            if applied is not None and applied >= batch_id:
+                return  # replayed delivery: already folded (exactly-once)
+        w = Window.partitionBy("user_id").orderBy("day_idx")
+        isl = (
+            batch_df.select("user_id", "day_idx")
+            .distinct()
+            .select(
+                "user_id",
+                "day_idx",
+                (F.col("day_idx") - F.row_number().over(w)).alias("grp"),
+            )
+        )
+        g = isl.groupBy("user_id", "grp").agg(
+            F.min("day_idx").alias("start"),
+            F.max("day_idx").alias("end"),
+            F.count("*").cast("bigint").alias("len"),
+        )
+        wr = Window.partitionBy("user_id").orderBy("start")
+        wn = Window.partitionBy("user_id")
+        r = g.select(
+            "user_id", "start", "end", "len",
+            F.row_number().over(wr).alias("rk"),
+            F.count("*").over(wn).alias("ni"),
+        )
+        agg = r.groupBy("user_id").agg(
+            F.max("ni").cast("bigint").alias("n_islands"),
+            F.max(F.when(F.col("rk") == 1, F.col("start"))).alias("first_start"),
+            F.max(F.when(F.col("rk") == 1, F.col("len"))).alias("first_len"),
+            F.max(F.when(F.col("rk") == F.col("ni"), F.col("len"))).alias(
+                "last_len"
+            ),
+            F.max(F.when(F.col("rk") == F.col("ni"), F.col("end"))).alias(
+                "last_end"
+            ),
+            F.max(F.when(F.col("rk") > 1, F.col("len"))).alias("max_rest_len"),
+            F.sum("len").cast("bigint").alias("batch_days"),
+        )
+        if state is None:
+            state = spark.createDataFrame(
+                [],
+                schema=T.StructType(
+                    [
+                        T.StructField("user_id", T.LongType()),
+                        T.StructField("n_active_days", T.LongType()),
+                        T.StructField("longest_streak", T.LongType()),
+                        T.StructField("n_streaks", T.LongType()),
+                        T.StructField("cur_streak", T.LongType()),
+                        T.StructField("last_day", T.LongType()),
+                        T.StructField("_batch_id", T.LongType()),
+                    ]
+                ),
+            )
+        st = state.drop("_batch_id").alias("st")
+        ba = agg.alias("ba")
+        z = F.lit(0).cast("bigint")
+        ext = F.col("st.last_day").isNotNull() & (
+            F.col("ba.first_start") == F.col("st.last_day") + 1
+        )
+        adj_first = F.col("ba.first_len") + F.when(
+            ext, F.col("st.cur_streak")
+        ).otherwise(z)
+        has_batch = F.col("ba.user_id").isNotNull()
+        merged = st.join(
+            ba, F.col("st.user_id") == F.col("ba.user_id"), "full_outer"
+        ).select(
+            F.coalesce(F.col("st.user_id"), F.col("ba.user_id")).alias(
+                "user_id"
+            ),
+            F.when(
+                has_batch,
+                F.coalesce(F.col("st.n_active_days"), z)
+                + F.col("ba.batch_days"),
+            )
+            .otherwise(F.col("st.n_active_days"))
+            .alias("n_active_days"),
+            F.when(
+                has_batch,
+                F.greatest(
+                    F.coalesce(F.col("st.longest_streak"), z),
+                    adj_first,
+                    F.coalesce(F.col("ba.max_rest_len"), z),
+                ),
+            )
+            .otherwise(F.col("st.longest_streak"))
+            .alias("longest_streak"),
+            F.when(
+                has_batch,
+                F.coalesce(F.col("st.n_streaks"), z)
+                + F.col("ba.n_islands")
+                - F.when(ext, F.lit(1).cast("bigint")).otherwise(z),
+            )
+            .otherwise(F.col("st.n_streaks"))
+            .alias("n_streaks"),
+            F.when(
+                has_batch,
+                F.when(F.col("ba.n_islands") == 1, adj_first).otherwise(
+                    F.col("ba.last_len")
+                ),
+            )
+            .otherwise(F.col("st.cur_streak"))
+            .alias("cur_streak"),
+            F.when(has_batch, F.col("ba.last_end"))
+            .otherwise(F.col("st.last_day"))
+            .alias("last_day"),
+            F.lit(batch_id).cast("bigint").alias("_batch_id"),
+        )
+        staging = Path(f"{path}.stage-{batch_id}")
+        merged.write.mode("overwrite").parquet(str(staging))
+        _swap_in(staging, out, batch_id)
+
+    return (
+        stream.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

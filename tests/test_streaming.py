@@ -663,3 +663,63 @@ def test_sink_swap_crash_window_is_recoverable(spark, tmp_path):
         (2, "b")
     }
     assert not staging.exists() and not Path(f"{store}.old-8").exists()
+
+
+def test_streaks_sink_batch_id_fencing_and_fold(spark, tmp_path):
+    """``sinks.streaks_foreach_batch``'s two claims: (1) the incremental
+    fold handles every boundary case — extension of the open streak,
+    gap-opening new streaks, multi-island batches, users absent from a
+    batch; (2) exactly-once is batch-id FENCING (the fold adds counts,
+    so a replayed delivery must be skipped, not re-folded)."""
+    from anomaly_detection_in_time_series_data_spark.streaming.sinks import (
+        streaks_foreach_batch,
+    )
+
+    deliveries = [
+        # batch 0: user 1 days 10,11 (one streak); user 2 day 5
+        [(1, 10), (1, 11), (2, 5)],
+        # batch 1: user 1 day 12 (extends) + 14,15 (new streak);
+        #          user 2 day 7 (gap -> new streak); user 3 day 1 (new user)
+        [(1, 12), (1, 14), (1, 15), (2, 7), (3, 1)],
+        # batch 2: user 2 day 8 (extends the 7-streak)
+        [(2, 8)],
+    ]
+    schema = "user_id bigint, day_idx bigint"
+    _stage_deliveries(spark, str(tmp_path / "src"), deliveries, schema)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path / "src"))
+    )
+    store = str(tmp_path / "state")
+    streaks_foreach_batch(
+        stream, store, checkpoint=str(tmp_path / "ck")
+    ).awaitTermination()
+    got = {
+        r.user_id: (r.n_active_days, r.longest_streak, r.n_streaks,
+                    r.cur_streak, r.last_day)
+        for r in spark.read.parquet(store).collect()
+    }
+    assert got == {
+        1: (5, 3, 2, 2, 15),   # 10-12 (3), 14-15 (2 open)
+        2: (3, 2, 2, 2, 8),    # 5 (1), 7-8 (2 open)
+        3: (1, 1, 1, 1, 1),
+    }
+
+    # Replay: a fresh stream over the SAME files with a FRESH checkpoint
+    # re-delivers batch ids 0..2; the store's fence must skip them all.
+    before = got
+    stream2 = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path / "src"))
+    )
+    streaks_foreach_batch(
+        stream2, store, checkpoint=str(tmp_path / "ck2")
+    ).awaitTermination()
+    after = {
+        r.user_id: (r.n_active_days, r.longest_streak, r.n_streaks,
+                    r.cur_streak, r.last_day)
+        for r in spark.read.parquet(store).collect()
+    }
+    assert after == before  # re-folding would have doubled the counts
