@@ -156,6 +156,7 @@ HEADLINE = [
     "shapley_attribution_components",
     "best_burst_window",
     "dataset_card_stats",
+    "streaming_streak_maintenance",
 ]
 
 
