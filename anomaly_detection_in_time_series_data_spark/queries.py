@@ -22310,6 +22310,433 @@ def streaming_streak_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         _sh.rmtree(root, ignore_errors=True)
 
 
+
+@query(
+    "copurchase_brand_pairs",
+    oracle="""
+    WITH ob AS (
+      SELECT DISTINCT l.l_orderkey AS okey, p.p_brand AS brand
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    ),
+    n AS (SELECT CAST(count(DISTINCT okey) AS BIGINT) AS n_orders FROM ob),
+    bc AS (
+      SELECT brand, CAST(count(*) AS BIGINT) AS n_b FROM ob GROUP BY brand
+    ),
+    pairs AS (
+      SELECT a.brand AS brand_a, b.brand AS brand_b,
+             CAST(count(*) AS BIGINT) AS support
+      FROM ob a JOIN ob b ON b.okey = a.okey AND a.brand < b.brand
+      GROUP BY a.brand, b.brand
+    )
+    SELECT brand_a, brand_b, support,
+           ca.n_b AS n_a, cb.n_b AS n_b, n.n_orders,
+           support * n.n_orders AS lift_num,
+           ca.n_b * cb.n_b AS lift_den,
+           CAST(rk AS BIGINT) AS rank
+    FROM (
+      SELECT *, row_number() OVER (ORDER BY support DESC, brand_a, brand_b)
+               AS rk
+      FROM pairs
+    ) pairs
+    JOIN bc ca ON ca.brand = pairs.brand_a
+    JOIN bc cb ON cb.brand = pairs.brand_b
+    CROSS JOIN n
+    WHERE rk <= 20
+    ORDER BY rank
+    """,
+)
+def copurchase_brand_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association on the REAL order-line fact (the
+    `event_type_lift` shape lifted from a 5-value toy domain to the
+    25-brand part dimension): top-20 co-purchased brand pairs by
+    support, with lift as the exact rational (support * N) /
+    (n_a * n_b) — lift > 1 reads as lift_num > lift_den, no float.
+    The within-order pair join is bounded by basket size (TPC-H
+    baskets are <= 7 lines, so <= 21 pairs per order — candidate
+    volume is sum-of-squares over BASKETS, never over the catalog).
+    Scale: one dim broadcast (part), one distinct, one basket-local
+    self-join with map-side-combinable counting."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pt = load_table(spark, sf_dir, "part")
+    ob = (
+        li.join(F.broadcast(pt), li["l_partkey"] == pt["p_partkey"])
+        .select(F.col("l_orderkey").alias("okey"), F.col("p_brand").alias("brand"))
+        .distinct()
+    )
+    n = ob.agg(F.count_distinct("okey").cast("bigint").alias("n_orders"))
+    bc = ob.groupBy("brand").agg(F.count("*").cast("bigint").alias("n_b"))
+    a = ob.alias("a")
+    b = ob.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("b.okey") == F.col("a.okey"))
+            & (F.col("a.brand") < F.col("b.brand")),
+        )
+        .groupBy(
+            F.col("a.brand").alias("brand_a"), F.col("b.brand").alias("brand_b")
+        )
+        .agg(F.count("*").cast("bigint").alias("support"))
+    )
+    ranked = pairs.withColumn(
+        "rank",
+        F.row_number()
+        .over(Window.orderBy(F.col("support").desc(), "brand_a", "brand_b"))
+        .cast("bigint"),
+    ).filter(F.col("rank") <= 20)
+    ca = bc.select(F.col("brand").alias("ca_brand"), F.col("n_b").alias("ca_n"))
+    cb = bc.select(F.col("brand").alias("cb_brand"), F.col("n_b").alias("cb_n"))
+    return (
+        ranked.join(F.broadcast(ca), F.col("ca_brand") == F.col("brand_a"))
+        .join(F.broadcast(cb), F.col("cb_brand") == F.col("brand_b"))
+        .crossJoin(F.broadcast(n))
+        .select(
+            "brand_a",
+            "brand_b",
+            "support",
+            F.col("ca_n").alias("n_a"),
+            F.col("cb_n").alias("n_b"),
+            "n_orders",
+            (F.col("support") * F.col("n_orders")).alias("lift_num"),
+            (F.col("ca_n") * F.col("cb_n")).alias("lift_den"),
+            "rank",
+        )
+        .orderBy("rank")
+    )
+
+
+# Weekday-count helper: W(x) = number of Mon-Fri days in [0, x) epoch days
+# (epoch day 0 = Thursday).  The residue table is the cumulative weekday
+# count of the week pattern starting Thursday: Thu,Fri,Sat,Sun,Mon,Tue,Wed.
+_WEEKDAY_CUM = [0, 1, 2, 2, 2, 3, 4]
+_WEEKDAY_CUM_SQL = (
+    "CASE x % 7 "
+    + " ".join(f"WHEN {r} THEN {c}" for r, c in enumerate(_WEEKDAY_CUM))
+    + " END"
+)
+
+
+@query(
+    "business_days_to_ship",
+    oracle="""
+    WITH f AS (
+      SELECT l_orderkey,
+             epoch_us(date_trunc('day', min(l_shipdate))) // 86400000000
+               AS ship_day
+      FROM lineitem GROUP BY l_orderkey
+    ),
+    lag_days AS (
+      SELECT o.o_orderkey,
+             epoch_us(date_trunc('day', o.o_orderdate)) // 86400000000
+               AS order_day,
+             f.ship_day
+      FROM orders o JOIN f ON f.l_orderkey = o.o_orderkey
+    ),
+    wd AS (
+      SELECT o_orderkey,
+             (SELECT 5 * (x // 7) + CASE x % 7 WHEN 0 THEN 0 WHEN 1 THEN 1
+                WHEN 2 THEN 2 WHEN 3 THEN 2 WHEN 4 THEN 2 WHEN 5 THEN 3
+                WHEN 6 THEN 4 END
+              FROM (SELECT ship_day + 1 AS x))
+             -
+             (SELECT 5 * (x // 7) + CASE x % 7 WHEN 0 THEN 0 WHEN 1 THEN 1
+                WHEN 2 THEN 2 WHEN 3 THEN 2 WHEN 4 THEN 2 WHEN 5 THEN 3
+                WHEN 6 THEN 4 END
+              FROM (SELECT order_day + 1 AS x)) AS bdays
+      FROM lag_days
+    )
+    SELECT CAST(bdays AS BIGINT) AS business_days,
+           CAST(count(*) AS BIGINT) AS n_orders
+    FROM wd GROUP BY bdays ORDER BY business_days
+    """,
+)
+def business_days_to_ship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-first-shipment lead time in BUSINESS days (the SLA metric
+    ops teams actually commit to — calendar days overstate weekend-
+    spanning orders): weekdays in (order_day, ship_day], computed in
+    closed form as W(b+1) - W(a+1) where W(x) = 5*(x div 7) + a 7-entry
+    cumulative residue table anchored at epoch day 0 = Thursday — pure
+    integer arithmetic, no calendar UDF, no generate_series per row, and
+    immune to the engines' day-of-week numbering mismatch (same
+    discipline as `seasonal_dow_profile`).  Output is the lead-time
+    histogram.  Scale: one per-order min, one key join, O(1) arithmetic
+    per row; the histogram is tens of cells."""
+    li = load_table(spark, sf_dir, "lineitem")
+    od = load_table(spark, sf_dir, "orders")
+    f = li.groupBy("l_orderkey").agg(
+        F.floor(
+            F.unix_micros(F.date_trunc("day", F.min("l_shipdate")))
+            / 86_400_000_000
+        )
+        .cast("bigint")
+        .alias("ship_day")
+    )
+    lag_days = od.join(f, od["o_orderkey"] == f["l_orderkey"]).select(
+        "o_orderkey",
+        F.floor(
+            F.unix_micros(F.date_trunc("day", "o_orderdate")) / 86_400_000_000
+        )
+        .cast("bigint")
+        .alias("order_day"),
+        "ship_day",
+    )
+
+    def W(day_col):
+        x = day_col + 1
+        resid = F.lit(None).cast("bigint")
+        expr = None
+        for r, c in enumerate(_WEEKDAY_CUM):
+            cond = (x % 7) == r
+            expr = F.when(cond, c) if expr is None else expr.when(cond, c)
+        return 5 * F.floor(x / 7).cast("bigint") + expr.cast("bigint")
+
+    wd = lag_days.select(
+        (W(F.col("ship_day")) - W(F.col("order_day"))).alias("business_days")
+    )
+    return (
+        wd.groupBy("business_days")
+        .agg(F.count("*").cast("bigint").alias("n_orders"))
+        .orderBy("business_days")
+    )
+
+
+@query(
+    "median_polish_micro",
+    oracle="""
+    WITH grid0 AS (
+      SELECT t.event_type, d.dow, coalesce(o.c, 0) AS v
+      FROM (SELECT DISTINCT event_type FROM events) t
+      CROSS JOIN (SELECT unnest(range(0, 7)) AS dow) d
+      LEFT JOIN (
+        SELECT event_type,
+               (epoch_us(ts) // 86400000000 + 3) % 7 AS dow,
+               CAST(count(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2
+      ) o ON o.event_type = t.event_type AND o.dow = d.dow
+    ),
+    re AS (
+      SELECT event_type, CAST(max(CASE WHEN rk = 4 THEN v END) AS BIGINT)
+               AS row_eff
+      FROM (
+        SELECT event_type, v,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY v, dow) AS rk
+        FROM grid0
+      ) GROUP BY event_type
+    ),
+    g1 AS (
+      SELECT g.event_type, g.dow, g.v - r.row_eff AS v, r.row_eff
+      FROM grid0 g JOIN re r ON r.event_type = g.event_type
+    ),
+    ce AS (
+      SELECT dow, CAST(max(CASE WHEN rk = 3 THEN v END) AS BIGINT)
+               AS col_eff
+      FROM (
+        SELECT dow, v,
+               row_number() OVER (PARTITION BY dow
+                                  ORDER BY v, event_type) AS rk
+        FROM g1
+      ) GROUP BY dow
+    )
+    SELECT g.event_type, CAST(g.dow AS BIGINT) AS dow_iso,
+           g.row_eff, c.col_eff,
+           CAST(g.v - c.col_eff AS BIGINT) AS residual
+    FROM g1 g JOIN ce c ON c.dow = g.dow
+    ORDER BY g.event_type, dow_iso
+    """,
+)
+def median_polish_micro(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One sweep of Tukey's MEDIAN POLISH on the (event_type x
+    day-of-week) count grid — the robust two-way decomposition
+    (value = row effect + column effect + residual) that, unlike the
+    mean-based two-way ANOVA, does not let one anomalous cell drag its
+    whole row/column baseline: subtract per-row rank-pick medians (rank
+    4 of 7), then per-column medians of the residuals (rank 3 of 5).
+    Large |residual| cells are the genuine type x weekday interactions —
+    the calendar-anomaly signal `seasonal_dow_profile`'s marginal index
+    cannot see.  Everything is integer: counts, rank-pick medians (odd
+    cell counts by construction: 5 types x 7 dows, dense zero-filled
+    grid), differences.  Scale: the grid is 35 cells regardless of data
+    size; the only data-sized pass is the first aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    obs = ev.groupBy(
+        "event_type",
+        ((F.floor(F.unix_micros("ts") / 86_400_000_000) + 3) % 7).alias(
+            "dow"
+        ),
+    ).agg(F.count("*").cast("bigint").alias("c"))
+    types = ev.select("event_type").distinct()
+    dows = spark.range(7).select(F.col("id").cast("bigint").alias("dow"))
+    grid0 = (
+        types.crossJoin(F.broadcast(dows))
+        .join(obs, ["event_type", "dow"], "left")
+        .select(
+            "event_type",
+            "dow",
+            F.coalesce("c", F.lit(0).cast("bigint")).alias("v"),
+        )
+    )
+    wr = Window.partitionBy("event_type").orderBy("v", "dow")
+    re_ = (
+        grid0.withColumn("rk", F.row_number().over(wr))
+        .groupBy("event_type")
+        .agg(
+            F.max(F.when(F.col("rk") == 4, F.col("v")))
+            .cast("bigint")
+            .alias("row_eff")
+        )
+    )
+    g1 = grid0.join(F.broadcast(re_), "event_type").select(
+        "event_type",
+        "dow",
+        (F.col("v") - F.col("row_eff")).alias("v"),
+        "row_eff",
+    )
+    wc = Window.partitionBy("dow").orderBy("v", "event_type")
+    ce = (
+        g1.withColumn("rk", F.row_number().over(wc))
+        .groupBy("dow")
+        .agg(
+            F.max(F.when(F.col("rk") == 3, F.col("v")))
+            .cast("bigint")
+            .alias("col_eff")
+        )
+    )
+    return (
+        g1.join(F.broadcast(ce), "dow")
+        .select(
+            "event_type",
+            F.col("dow").cast("bigint").alias("dow_iso"),
+            "row_eff",
+            "col_eff",
+            (F.col("v") - F.col("col_eff")).cast("bigint").alias("residual"),
+        )
+        .orderBy("event_type", "dow_iso")
+    )
+
+
+@query(
+    "order_line_date_consistency",
+    oracle="""
+    WITH j AS (
+      SELECT o.o_orderkey,
+             epoch_us(date_trunc('day', o.o_orderdate)) // 86400000000
+               AS od,
+             epoch_us(date_trunc('day', l.l_shipdate)) // 86400000000
+               AS sd
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ),
+    b AS (
+      SELECT CASE WHEN sd < od THEN 'violation_ship_before_order'
+                  WHEN sd - od < 7 THEN 'week_0'
+                  WHEN sd - od < 30 THEN 'week_1_4'
+                  WHEN sd - od < 90 THEN 'month_1_3'
+                  ELSE 'over_90d' END AS bucket,
+             o_orderkey
+      FROM j
+    )
+    SELECT bucket, CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_orders
+    FROM b GROUP BY bucket ORDER BY bucket
+    """,
+)
+def order_line_date_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table TEMPORAL referential consistency — the complement of
+    `referential_integrity_audit`'s key-existence check: no line may
+    ship before its order exists.  Violations are counted alongside the
+    ship-lag bucket distribution (week/month bands) so the same one-join
+    pass yields both the hard DQ gate and the fulfilment-latency
+    profile.  Day arithmetic is exact integer epoch days.  Scale: one
+    key-shuffled join (the orders side prunes to two columns), counts
+    with map-side combine; the distinct-orders count shuffles keys, not
+    lines."""
+    od = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    day = lambda c: F.floor(  # noqa: E731
+        F.unix_micros(F.date_trunc("day", c)) / 86_400_000_000
+    ).cast("bigint")
+    j = od.join(li, od["o_orderkey"] == li["l_orderkey"]).select(
+        "o_orderkey",
+        day(F.col("o_orderdate")).alias("od"),
+        day(F.col("l_shipdate")).alias("sd"),
+    )
+    lag = F.col("sd") - F.col("od")
+    bucket = (
+        F.when(F.col("sd") < F.col("od"), "violation_ship_before_order")
+        .when(lag < 7, "week_0")
+        .when(lag < 30, "week_1_4")
+        .when(lag < 90, "month_1_3")
+        .otherwise("over_90d")
+    )
+    return (
+        j.select(bucket.alias("bucket"), "o_orderkey")
+        .groupBy("bucket")
+        .agg(
+            F.count("*").cast("bigint").alias("n_lines"),
+            F.count_distinct("o_orderkey").cast("bigint").alias("n_orders"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@query(
+    "zipf_rank_frequency",
+    oracle="""
+    WITH toks AS (
+      SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+      FROM documents WHERE length(trim(text)) > 0
+    ),
+    freq AS (
+      SELECT tok, CAST(count(*) AS BIGINT) AS freq
+      FROM toks WHERE tok <> '' GROUP BY tok
+    )
+    SELECT tok, freq, CAST(rk AS BIGINT) AS rank,
+           CAST(rk AS BIGINT) * freq AS zipf_product
+    FROM (
+      SELECT tok, freq, row_number() OVER (ORDER BY freq DESC, tok) AS rk
+      FROM freq
+    ) WHERE rk <= 20
+    ORDER BY rank
+    """,
+)
+def zipf_rank_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency profile of the token vocabulary: top-20 tokens
+    with rank, frequency, and the rank x frequency product — under
+    Zipf's law the product is near-constant, so its TREND across ranks
+    is the one-glance naturalness check for a corpus (template-generated
+    text like this fixture shows a flat-then-cliff profile; natural
+    language decays smoothly).  Exact integers only — the log-log
+    regression slope stays out of the gate, its sufficient statistics
+    don't.  Scale: explode -> map-side-combinable count -> top-20
+    window on the vocabulary table (vocabulary-sized, not corpus-
+    sized)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (
+        docs.filter(F.length(F.trim("text")) > 0)
+        .select(
+            F.explode(
+                F.split(F.trim(F.lower("text")), r"\s+")
+            ).alias("tok")
+        )
+        .filter(F.col("tok") != "")
+    )
+    freq = toks.groupBy("tok").agg(F.count("*").cast("bigint").alias("freq"))
+    return (
+        freq.withColumn(
+            "rank",
+            F.row_number()
+            .over(Window.orderBy(F.col("freq").desc(), "tok"))
+            .cast("bigint"),
+        )
+        .filter(F.col("rank") <= 20)
+        .select(
+            "tok", "freq", "rank",
+            (F.col("rank") * F.col("freq")).alias("zipf_product"),
+        )
+        .orderBy("rank")
+    )
+
+
 # Round 7 front window.  Round 6 went 49/50: the one red is
 # `skyline_parts_pareto` — values numerically identical on both engines,
 # but the decimal(18,2) `price` column hash-flipped across DuckDB's
@@ -22347,6 +22774,11 @@ _PENDING_ROUND8: list[str] = _PENDING_ROUND7[49:] + [
     "orthant_balance_audit",  # new in round 7 (LSH bucket-load diagnostic)
     "truss_edge_support",  # new in round 7 (edge-centric cohesion dual)
     "streaming_streak_maintenance",  # new in round 7 (streaming IVM streaks)
+    "copurchase_brand_pairs",  # new in round 7 (order-basket market basket)
+    "business_days_to_ship",  # new in round 7 (closed-form weekday counting)
+    "median_polish_micro",  # new in round 7 (robust two-way decomposition)
+    "order_line_date_consistency",  # new in round 7 (temporal referential DQ)
+    "zipf_rank_frequency",  # new in round 7 (corpus naturalness profile)
 ]
 
 # ROUND-8 BUILDER: build _ROUND8_FRONT = re-checks of any round-7 reds +
