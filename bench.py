@@ -157,6 +157,9 @@ HEADLINE = [
     "best_burst_window",
     "dataset_card_stats",
     "streaming_streak_maintenance",
+    "copurchase_brand_pairs",
+    "business_days_to_ship",
+    "median_polish_micro",
 ]
 
 

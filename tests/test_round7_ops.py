@@ -572,3 +572,102 @@ def test_topk_membership_churn_vs_bruteforce(spark):
             r.jaccard_num, r.jaccard_den,
         )
     assert got == expected
+
+
+def test_business_days_formula_vs_python_calendar(spark):
+    """The closed-form W(b+1)-W(a+1) must equal a literal Python loop
+    over datetime.weekday() for the fixture's (order, ship) day pairs —
+    the independent calendar check of the residue table."""
+    import datetime as dt
+
+    od = spark.read.parquet(f"{SF}/orders.parquet").collect()
+    li = spark.read.parquet(f"{SF}/lineitem.parquet").collect()
+    first_ship = {}
+    for r in li:
+        d = r.l_shipdate.date()
+        k = r.l_orderkey
+        if k not in first_ship or d < first_ship[k]:
+            first_ship[k] = d
+    from collections import Counter
+
+    exp = Counter()
+    for r in od:
+        if r.o_orderkey not in first_ship:
+            continue
+        a, b = r.o_orderdate.date(), first_ship[r.o_orderkey]
+        if b >= a:
+            n = sum(
+                1
+                for i in range(1, (b - a).days + 1)
+                if (a + dt.timedelta(days=i)).weekday() < 5
+            )
+        else:
+            n = -sum(
+                1
+                for i in range(1, (a - b).days + 1)
+                if (b + dt.timedelta(days=i)).weekday() < 5
+            )
+        exp[n] += 1
+    got = {
+        r.business_days: r.n_orders
+        for r in q.QUERIES["business_days_to_ship"](spark, SF).collect()
+    }
+    assert got == dict(exp)
+
+
+def test_median_polish_reconstruction_identity(spark):
+    """row_eff + col_eff + residual must reconstruct the original grid
+    cell exactly, and the row medians of (v - row_eff) must be zero —
+    the defining property of the first polish sweep."""
+    rows = q.QUERIES["median_polish_micro"](spark, SF).collect()
+    ev = spark.read.parquet(f"{SF}/events.parquet").collect()
+    from collections import Counter
+
+    grid = Counter(
+        (r.event_type, r.ts.date().weekday()) for r in ev
+    )
+    for r in rows:
+        v = grid.get((r.event_type, r.dow_iso), 0)
+        assert r.row_eff + r.col_eff + r.residual == v, r
+    # per-row median of (residual + col_eff) is zero (7 cells, rank 4)
+    from collections import defaultdict
+
+    by_type = defaultdict(list)
+    for r in rows:
+        by_type[r.event_type].append(r.residual + r.col_eff)
+    for t, vals in by_type.items():
+        assert sorted(vals)[3] == 0, (t, sorted(vals))
+
+
+def test_copurchase_pairs_vs_bruteforce(spark):
+    li = spark.read.parquet(f"{SF}/lineitem.parquet").collect()
+    pt = {
+        r.p_partkey: r.p_brand
+        for r in spark.read.parquet(f"{SF}/part.parquet").collect()
+    }
+    from collections import Counter, defaultdict
+    from itertools import combinations
+
+    baskets = defaultdict(set)
+    for r in li:
+        baskets[r.l_orderkey].add(pt[r.l_partkey])
+    support = Counter()
+    n_b = Counter()
+    for brands in baskets.values():
+        for b in brands:
+            n_b[b] += 1
+        for a, b in combinations(sorted(brands), 2):
+            support[(a, b)] += 1
+    n_orders = len(baskets)
+    expected = sorted(
+        support.items(), key=lambda kv: (-kv[1], kv[0])
+    )[:20]
+    got = q.QUERIES["copurchase_brand_pairs"](spark, SF).collect()
+    assert [( (r.brand_a, r.brand_b), r.support) for r in got] == expected
+    for r in got:
+        assert (r.n_a, r.n_b, r.n_orders) == (
+            n_b[r.brand_a], n_b[r.brand_b], n_orders
+        )
+        assert (r.lift_num, r.lift_den) == (
+            r.support * n_orders, n_b[r.brand_a] * n_b[r.brand_b]
+        )
