@@ -22737,6 +22737,329 @@ def zipf_rank_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+@query(
+    "label_separation_components",
+    oracle="""
+    WITH x AS (
+      SELECT label, d.dim,
+             CAST(floor(CAST(embedding[d.dim + 1] AS DOUBLE) * 1000.0)
+                  AS BIGINT) AS v
+      FROM embeddings
+      CROSS JOIN (SELECT unnest(range(0, 8)) AS dim) d
+    ),
+    g AS (
+      SELECT dim, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(v) AS BIGINT) AS s
+      FROM x GROUP BY dim
+    ),
+    c AS (
+      SELECT dim, label, CAST(count(*) AS BIGINT) AS n_c,
+             CAST(sum(v) AS BIGINT) AS s_c,
+             CAST(sum(v * v) AS BIGINT) AS q_c
+      FROM x GROUP BY dim, label
+    )
+    SELECT c.dim, CAST(c.label AS BIGINT) AS label, c.n_c,
+           (g.n * c.s_c - c.n_c * g.s) * (g.n * c.s_c - c.n_c * g.s)
+             AS ssb_num,
+           g.n * g.n * c.n_c AS ssb_den,
+           c.n_c * c.q_c - c.s_c * c.s_c AS ssw_num,
+           c.n_c AS ssw_den
+    FROM c JOIN g ON g.dim = c.dim
+    ORDER BY c.dim, label
+    """,
+)
+def label_separation_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fisher-style class-separation decomposition of the embedding
+    space over its labeled classes, per leading dimension (0-7): each
+    (dim, label) row carries the EXACT between-class scatter term
+    (n*S_c - n_c*S)^2 / (n^2 * n_c) and within-class scatter
+    (n_c*Q_c - S_c^2) / n_c as unreduced bigint rationals — summing
+    ssb/ssw over labels and dividing gives the Fisher discriminant
+    ratio per dimension, the is-this-embedding-learnable audit that
+    sits beside `gaussian_nll_anomalies`' per-class densities and the
+    kNN probes: a dimension with SSB << SSW carries no label signal
+    and a supervised probe on it is doomed.  Magnitudes are int64-safe
+    (milli coords, 2k vectors; the squared cross term tops out ~1.6e17).
+    Scale: one explode-to-8-dims scan, two map-side-combinable
+    aggregates — output is 8 x 10 rows."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    dims = spark.range(8).select(F.col("id").cast("int").alias("dim"))
+    x = emb.crossJoin(F.broadcast(dims)).select(
+        "label",
+        "dim",
+        F.floor(
+            F.element_at("embedding", F.col("dim") + 1).cast("double")
+            * 1000.0
+        )
+        .cast("bigint")
+        .alias("v"),
+    )
+    g = x.groupBy("dim").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("v").cast("bigint").alias("s"),
+    )
+    c = x.groupBy("dim", "label").agg(
+        F.count("*").cast("bigint").alias("n_c"),
+        F.sum("v").cast("bigint").alias("s_c"),
+        F.sum(F.col("v") * F.col("v")).cast("bigint").alias("q_c"),
+    )
+    diff = F.col("n") * F.col("s_c") - F.col("n_c") * F.col("s")
+    return (
+        c.join(F.broadcast(g), "dim")
+        .select(
+            "dim",
+            F.col("label").cast("bigint").alias("label"),
+            "n_c",
+            (diff * diff).alias("ssb_num"),
+            (F.col("n") * F.col("n") * F.col("n_c")).alias("ssb_den"),
+            (F.col("n_c") * F.col("q_c") - F.col("s_c") * F.col("s_c")).alias(
+                "ssw_num"
+            ),
+            F.col("n_c").alias("ssw_den"),
+        )
+        .orderBy("dim", "label")
+    )
+
+
+@query(
+    "windowed_funnel_steps",
+    oracle="""
+    WITH clicks AS (
+      SELECT user_id, event_id, epoch_us(ts) AS t0
+      FROM events WHERE event_type = 'click'
+    ),
+    s2 AS (
+      SELECT c.user_id, c.event_id, c.t0, min(epoch_us(v.ts)) AS t1
+      FROM clicks c
+      JOIN events v ON v.user_id = c.user_id AND v.event_type = 'view'
+                   AND epoch_us(v.ts) > c.t0
+                   AND epoch_us(v.ts) <= c.t0 + 3600000000
+      GROUP BY c.user_id, c.event_id, c.t0
+    ),
+    s3 AS (
+      SELECT s.user_id, s.event_id, min(epoch_us(p.ts)) AS t2
+      FROM s2 s
+      JOIN events p ON p.user_id = s.user_id AND p.event_type = 'purchase'
+                   AND epoch_us(p.ts) > s.t1
+                   AND epoch_us(p.ts) <= s.t0 + 3600000000
+      GROUP BY s.user_id, s.event_id
+    ),
+    per_user AS (
+      SELECT c.user_id,
+             max(CASE WHEN s3.event_id IS NOT NULL THEN 3
+                      WHEN s2.event_id IS NOT NULL THEN 2
+                      ELSE 1 END) AS max_step
+      FROM clicks c
+      LEFT JOIN s2 ON s2.user_id = c.user_id AND s2.event_id = c.event_id
+      LEFT JOIN s3 ON s3.user_id = c.user_id AND s3.event_id = c.event_id
+      GROUP BY c.user_id
+    )
+    SELECT CAST(max_step AS BIGINT) AS max_step,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM per_user GROUP BY max_step ORDER BY max_step
+    """,
+)
+def windowed_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """windowFunnel semantics (the ClickHouse/Amplitude conversion
+    metric): the deepest click -> later view -> later purchase chain
+    COMPLETED WITHIN ONE HOUR of the anchoring click, maximized over
+    every candidate anchor per user — the time-boxed discipline
+    `event_funnel_counts` (unbounded ordering) cannot express: a view
+    that arrives a day later is a new session, not a conversion.  Step
+    timestamps chain strictly (view strictly after click, purchase
+    strictly after THAT view, both inside the anchor's window), so the
+    histogram is over genuine within-window paths.  Scale: each chain
+    hop is a user-keyed range join bounded by per-user activity inside
+    one hour — AQE-skew-safe, never a cross join; the histogram is 3
+    cells."""
+    ev = load_table(spark, sf_dir, "events")
+    W = 3_600_000_000
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", F.unix_micros("ts").alias("t0")
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"), F.unix_micros("ts").alias("vt")
+    )
+    buys = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.unix_micros("ts").alias("pt")
+    )
+    s2 = (
+        clicks.join(
+            views,
+            (F.col("v_user") == F.col("user_id"))
+            & (F.col("vt") > F.col("t0"))
+            & (F.col("vt") <= F.col("t0") + W),
+        )
+        .groupBy("user_id", "event_id", "t0")
+        .agg(F.min("vt").alias("t1"))
+    )
+    s3 = (
+        s2.join(
+            buys,
+            (F.col("p_user") == F.col("user_id"))
+            & (F.col("pt") > F.col("t1"))
+            & (F.col("pt") <= F.col("t0") + W),
+        )
+        .groupBy("user_id", "event_id")
+        .agg(F.min("pt").alias("t2"))
+    )
+    per_user = (
+        clicks.join(
+            s2.select("user_id", "event_id", F.lit(1).alias("has2")),
+            ["user_id", "event_id"],
+            "left",
+        )
+        .join(
+            s3.select("user_id", "event_id", F.lit(1).alias("has3")),
+            ["user_id", "event_id"],
+            "left",
+        )
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(F.col("has3").isNotNull(), 3)
+                .when(F.col("has2").isNotNull(), 2)
+                .otherwise(1)
+            ).alias("max_step")
+        )
+    )
+    return (
+        per_user.groupBy(F.col("max_step").cast("bigint").alias("max_step"))
+        .agg(F.count("*").cast("bigint").alias("n_users"))
+        .orderBy("max_step")
+    )
+
+
+@query(
+    "detector_threshold_sweep",
+    oracle="""
+    WITH b AS (
+      SELECT event_type, date_trunc('day', ts) AS day,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    stats AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n_days,
+             CAST(sum(n) AS BIGINT) AS total,
+             CAST(max(n) AS BIGINT) AS mx
+      FROM b GROUP BY event_type
+    ),
+    med AS (
+      SELECT event_type, n AS median_n FROM (
+        SELECT event_type, n,
+               row_number() OVER (PARTITION BY event_type ORDER BY n, day)
+                 AS rn,
+               count(*) OVER (PARTITION BY event_type) AS cnt
+        FROM b
+      ) WHERE rn = (cnt + 1) // 2
+    ),
+    truth AS (
+      SELECT b.event_type, b.day,
+             CASE WHEN (CASE WHEN b.n * s.n_days > 2 * s.total
+                             THEN 1 ELSE 0 END)
+                     + (CASE WHEN b.n > 2 * m.median_n THEN 1 ELSE 0 END)
+                     + (CASE WHEN 2 * b.n > s.mx THEN 1 ELSE 0 END) >= 2
+                  THEN 1 ELSE 0 END AS t,
+             b.n, s.n_days, s.total
+      FROM b JOIN stats s ON s.event_type = b.event_type
+             JOIN med m ON m.event_type = b.event_type
+    ),
+    ks(k2) AS (VALUES (2), (3), (4), (6), (8)),
+    flagged AS (
+      SELECT ks.k2, t.t,
+             CASE WHEN 2 * t.n * t.n_days > ks.k2 * t.total
+                  THEN 1 ELSE 0 END AS f
+      FROM truth t CROSS JOIN ks
+    )
+    SELECT CAST(k2 AS BIGINT) AS k_half,
+           CAST(sum(CASE WHEN f = 1 AND t = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS tp,
+           CAST(sum(CASE WHEN f = 1 AND t = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS fp,
+           CAST(sum(CASE WHEN f = 0 AND t = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS fn,
+           CAST(sum(CASE WHEN f = 0 AND t = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS tn
+    FROM flagged GROUP BY k2 ORDER BY k_half
+    """,
+)
+def detector_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold sweep (ROC-curve sufficient statistics) for the
+    mean-ratio daily-count detector against the 2-of-3 ensemble
+    pseudo-truth of `detector_pr_vs_ensemble` — that query scores ONE
+    operating point; tuning needs the CURVE: five thresholds
+    (x1.0/1.5/2.0/3.0/4.0 of the mean, encoded as integer half-units
+    k_half ∈ {2,3,4,6,8} so the gate 2*n*days > k*total never touches
+    float) each with exact confusion counts.  TP falls and TN rises
+    monotonically in k by construction — the audit that catches a
+    detector whose precision CANNOT reach target at any threshold
+    before anyone burns a week tuning it.  Scale: the sweep
+    cross-joins a 5-row constant against the day-grain table — free."""
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count("*").cast("bigint").alias("n"))
+    stats = b.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_days"),
+        F.sum("n").cast("bigint").alias("total"),
+        F.max("n").cast("bigint").alias("mx"),
+    )
+    wm = Window.partitionBy("event_type").orderBy("n", "day")
+    wc = Window.partitionBy("event_type")
+    med = (
+        b.withColumn("rn", F.row_number().over(wm))
+        .withColumn("cnt", F.count("*").over(wc))
+        .filter(F.col("rn") == F.floor((F.col("cnt") + 1) / 2))
+        .select("event_type", F.col("n").alias("median_n"))
+    )
+    truth = (
+        b.join(F.broadcast(stats), "event_type")
+        .join(F.broadcast(med), "event_type")
+        .select(
+            "n",
+            "n_days",
+            "total",
+            (
+                (
+                    F.when(
+                        F.col("n") * F.col("n_days") > 2 * F.col("total"), 1
+                    ).otherwise(0)
+                    + F.when(F.col("n") > 2 * F.col("median_n"), 1).otherwise(0)
+                    + F.when(2 * F.col("n") > F.col("mx"), 1).otherwise(0)
+                )
+                >= 2
+            )
+            .cast("int")
+            .alias("t"),
+        )
+    )
+    ks = spark.createDataFrame([(2,), (3,), (4,), (6,), (8,)], "k2 int")
+    flagged = truth.crossJoin(F.broadcast(ks)).select(
+        "k2",
+        "t",
+        F.when(
+            2 * F.col("n") * F.col("n_days") > F.col("k2") * F.col("total"), 1
+        )
+        .otherwise(0)
+        .alias("f"),
+    )
+    cnt = lambda fv, tv: F.sum(  # noqa: E731
+        F.when((F.col("f") == fv) & (F.col("t") == tv), 1).otherwise(0)
+    ).cast("bigint")
+    return (
+        flagged.groupBy(F.col("k2").cast("bigint").alias("k_half"))
+        .agg(
+            cnt(1, 1).alias("tp"),
+            cnt(1, 0).alias("fp"),
+            cnt(0, 1).alias("fn"),
+            cnt(0, 0).alias("tn"),
+        )
+        .orderBy("k_half")
+    )
+
+
 # Round 7 front window.  Round 6 went 49/50: the one red is
 # `skyline_parts_pareto` — values numerically identical on both engines,
 # but the decimal(18,2) `price` column hash-flipped across DuckDB's
@@ -22779,6 +23102,9 @@ _PENDING_ROUND8: list[str] = _PENDING_ROUND7[49:] + [
     "median_polish_micro",  # new in round 7 (robust two-way decomposition)
     "order_line_date_consistency",  # new in round 7 (temporal referential DQ)
     "zipf_rank_frequency",  # new in round 7 (corpus naturalness profile)
+    "label_separation_components",  # new in round 7 (Fisher class-separation)
+    "windowed_funnel_steps",  # new in round 7 (time-boxed windowFunnel)
+    "detector_threshold_sweep",  # new in round 7 (ROC sufficient statistics)
 ]
 
 # ROUND-8 BUILDER: build _ROUND8_FRONT = re-checks of any round-7 reds +
