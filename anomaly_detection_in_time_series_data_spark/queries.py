@@ -23060,6 +23060,262 @@ def detector_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+@query(
+    "sampled_join_cardinality_audit",
+    oracle="""
+    WITH keysamp AS (
+      SELECT o_orderkey AS k
+      FROM orders
+      WHERE ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 2))::BIGINT
+            % 16 = 0
+    ),
+    exact AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_exact
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ),
+    samp AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_samp
+      FROM lineitem l JOIN keysamp s ON s.k = l.l_orderkey
+    )
+    SELECT samp.n_samp, 16 * samp.n_samp AS n_estimated, exact.n_exact,
+           abs(16 * samp.n_samp - exact.n_exact) AS abs_err,
+           100 * abs(16 * samp.n_samp - exact.n_exact) AS err_pct_num,
+           exact.n_exact AS err_pct_den,
+           10 * abs(16 * samp.n_samp - exact.n_exact) <= exact.n_exact
+             AS within_10_pct
+    FROM samp CROSS JOIN exact
+    """,
+)
+def sampled_join_cardinality_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """UNIVERSE (key-domain) sampling for join-size estimation, audited
+    against the exact count — the CBO input `join_cardinality_estimate`
+    computes exactly, now at sample cost: hashing the JOIN KEY with the
+    repo's portable md5 gate and keeping 1/16 of the key universe
+    preserves complete join neighborhoods (every line of a sampled
+    order survives), so 16x the sampled join count is an unbiased
+    estimator — the property independent Bernoulli row-sampling of each
+    side famously lacks (it thins pairs quadratically).  The audit
+    emits the estimate, the exact count, and integer error rationals
+    with a 10%-band verdict.  Scale: the sampled side prunes BEFORE the
+    join (the hash gate pushes to the scan); the exact twin is the
+    one-shuffle count it audits."""
+    od = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    keysamp = od.filter(
+        F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 2),
+               16, 10).cast("bigint") % 16 == 0
+    ).select(F.col("o_orderkey").alias("k"))
+    exact = (
+        od.join(li, od["o_orderkey"] == li["l_orderkey"])
+        .agg(F.count("*").cast("bigint").alias("n_exact"))
+    )
+    samp = li.join(F.broadcast(keysamp), keysamp["k"] == li["l_orderkey"]).agg(
+        F.count("*").cast("bigint").alias("n_samp")
+    )
+    est = 16 * F.col("n_samp")
+    err = F.abs(est - F.col("n_exact"))
+    return samp.crossJoin(F.broadcast(exact)).select(
+        "n_samp",
+        est.alias("n_estimated"),
+        "n_exact",
+        err.alias("abs_err"),
+        (100 * err).alias("err_pct_num"),
+        F.col("n_exact").alias("err_pct_den"),
+        (10 * err <= F.col("n_exact")).alias("within_10_pct"),
+    )
+
+
+@query(
+    "bitemporal_asof_snapshot",
+    oracle="""
+    WITH log AS (
+      SELECT user_id, event_type,
+             epoch_us(date_trunc('day', ts)) // 86400000000 AS valid_day,
+             epoch_us(ts) AS recorded_us, event_id
+      FROM events
+    ),
+    bounds AS (
+      SELECT epoch_us(date_trunc('day', min(ts))) // 86400000000 AS d0,
+             CAST(epoch_us(min(ts) + INTERVAL 21 DAY) AS BIGINT) AS t_rec
+      FROM events
+    ),
+    visible AS (
+      SELECT l.user_id, l.event_type, l.valid_day, l.recorded_us, l.event_id,
+             b.d0
+      FROM log l CROSS JOIN bounds b
+      WHERE l.recorded_us <= b.t_rec AND l.valid_day <= b.d0 + 14
+    )
+    SELECT user_id, event_type AS state_type,
+           CAST(valid_day AS BIGINT) AS state_valid_day
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY user_id
+                 ORDER BY valid_day DESC, recorded_us DESC, event_id DESC)
+               AS rk
+      FROM visible
+    ) WHERE rk = 1
+    ORDER BY user_id
+    """,
+)
+def bitemporal_asof_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BITEMPORAL as-of reconstruction — the temporal-database query the
+    SCD2 family cannot answer: "what did we BELIEVE on transaction day
+    21 the state was ON validity day 14?"  Each event is a recorded
+    assertion (valid_day = its business day, recorded_us = when we
+    learned it); the snapshot keeps, per user, the assertion with the
+    latest validity <= V among those recorded <= T — so corrections
+    recorded AFTER T are invisible even when their validity qualifies,
+    which is exactly what a reproducible regulatory restatement or a
+    leakage-safe training cut requires (the same discipline
+    `report_restatement_audit` measures, now as a point query).  One
+    filtered scan + one per-user window; both cuts are integer
+    micro/day arithmetic.  Scale: linear, pushdown-friendly, no
+    joins beyond the 1-row bounds broadcast."""
+    ev = load_table(spark, sf_dir, "events")
+    log = ev.select(
+        "user_id",
+        "event_type",
+        F.floor(
+            F.unix_micros(F.date_trunc("day", "ts")) / 86_400_000_000
+        )
+        .cast("bigint")
+        .alias("valid_day"),
+        F.unix_micros("ts").alias("recorded_us"),
+        "event_id",
+    )
+    bounds = ev.agg(
+        F.floor(
+            F.unix_micros(F.date_trunc("day", F.min("ts"))) / 86_400_000_000
+        )
+        .cast("bigint")
+        .alias("d0"),
+        F.unix_micros(F.min("ts") + F.expr("INTERVAL 21 DAY"))
+        .cast("bigint")
+        .alias("t_rec"),
+    )
+    visible = log.crossJoin(F.broadcast(bounds)).filter(
+        (F.col("recorded_us") <= F.col("t_rec"))
+        & (F.col("valid_day") <= F.col("d0") + 14)
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("valid_day").desc(),
+        F.col("recorded_us").desc(),
+        F.col("event_id").desc(),
+    )
+    return (
+        visible.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "user_id",
+            F.col("event_type").alias("state_type"),
+            F.col("valid_day").alias("state_valid_day"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "period_to_date_pacing",
+    oracle="""
+    WITH d AS (
+      SELECT event_type,
+             epoch_us(date_trunc('week', ts)) // 86400000000 AS wk_start,
+             epoch_us(date_trunc('day', ts)) // 86400000000 AS day_idx,
+             CAST(sum(CAST(floor(value * 100.0) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM events GROUP BY 1, 2, 3
+    ),
+    cur AS (SELECT max(wk_start) AS cw FROM d),
+    elapsed AS (
+      SELECT CAST(max(day_idx) - max(wk_start) + 1 AS BIGINT) AS n_days
+      FROM d CROSS JOIN cur WHERE wk_start = cw
+    ),
+    ptd AS (
+      SELECT d.event_type,
+             CAST(sum(CASE WHEN d.wk_start = c.cw
+                           THEN d.cents ELSE 0 END) AS BIGINT) AS cur_cents,
+             CAST(sum(CASE WHEN d.wk_start = c.cw - 7
+                            AND d.day_idx - d.wk_start < e.n_days
+                           THEN d.cents ELSE 0 END) AS BIGINT)
+               AS prior_same_days_cents,
+             CAST(sum(CASE WHEN d.wk_start = c.cw - 7
+                           THEN d.cents ELSE 0 END) AS BIGINT)
+               AS prior_full_cents,
+             any_value(e.n_days) AS n_days_elapsed
+      FROM d CROSS JOIN cur c CROSS JOIN elapsed e
+      GROUP BY d.event_type
+    )
+    SELECT event_type, n_days_elapsed, cur_cents, prior_same_days_cents,
+           prior_full_cents,
+           cur_cents >= prior_same_days_cents AS pacing_ahead
+    FROM ptd ORDER BY event_type
+    """,
+)
+def period_to_date_pacing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Period-to-date pacing — the BI comparison every weekly dashboard
+    gets wrong by default: the current (PARTIAL) week's value compared
+    against the SAME ELAPSED DAYS of the prior week, not its full
+    total (comparing 3 elapsed days to 7 is the classic
+    panic-on-Tuesday artifact).  The elapsed-day count is derived from
+    the data's own maximum day, the prior-week slice is clipped to it,
+    and the verdict is an integer comparison of exact cents; the full
+    prior week rides along so the dashboard can show both pace and
+    projection.  Scale: one day-grain pre-aggregate, two 1-row
+    broadcasts, one group-by over types."""
+    ev = load_table(spark, sf_dir, "events")
+    day = lambda c: F.floor(  # noqa: E731
+        F.unix_micros(F.date_trunc(c[0], c[1])) / 86_400_000_000
+    ).cast("bigint")
+    d = ev.groupBy(
+        "event_type",
+        day(("week", F.col("ts"))).alias("wk_start"),
+        day(("day", F.col("ts"))).alias("day_idx"),
+    ).agg(
+        F.sum(F.floor(F.col("value") * 100.0).cast("bigint"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    cur = d.agg(F.max("wk_start").alias("cw"))
+    elapsed = (
+        d.crossJoin(F.broadcast(cur))
+        .filter(F.col("wk_start") == F.col("cw"))
+        .agg(
+            (F.max("day_idx") - F.max("wk_start") + 1)
+            .cast("bigint")
+            .alias("n_days")
+        )
+    )
+    j = d.crossJoin(F.broadcast(cur)).crossJoin(F.broadcast(elapsed))
+    is_cur = F.col("wk_start") == F.col("cw")
+    is_prior = F.col("wk_start") == F.col("cw") - 7
+    in_window = F.col("day_idx") - F.col("wk_start") < F.col("n_days")
+    z = F.lit(0).cast("bigint")
+    ptd = j.groupBy("event_type").agg(
+        F.sum(F.when(is_cur, F.col("cents")).otherwise(z))
+        .cast("bigint")
+        .alias("cur_cents"),
+        F.sum(F.when(is_prior & in_window, F.col("cents")).otherwise(z))
+        .cast("bigint")
+        .alias("prior_same_days_cents"),
+        F.sum(F.when(is_prior, F.col("cents")).otherwise(z))
+        .cast("bigint")
+        .alias("prior_full_cents"),
+        F.any_value("n_days").alias("n_days_elapsed"),
+    )
+    return ptd.select(
+        "event_type",
+        "n_days_elapsed",
+        "cur_cents",
+        "prior_same_days_cents",
+        "prior_full_cents",
+        (F.col("cur_cents") >= F.col("prior_same_days_cents")).alias(
+            "pacing_ahead"
+        ),
+    ).orderBy("event_type")
+
+
 # Round 7 front window.  Round 6 went 49/50: the one red is
 # `skyline_parts_pareto` — values numerically identical on both engines,
 # but the decimal(18,2) `price` column hash-flipped across DuckDB's
@@ -23105,6 +23361,9 @@ _PENDING_ROUND8: list[str] = _PENDING_ROUND7[49:] + [
     "label_separation_components",  # new in round 7 (Fisher class-separation)
     "windowed_funnel_steps",  # new in round 7 (time-boxed windowFunnel)
     "detector_threshold_sweep",  # new in round 7 (ROC sufficient statistics)
+    "sampled_join_cardinality_audit",  # new in round 7 (universe-sampling CBO)
+    "bitemporal_asof_snapshot",  # new in round 7 (valid-time x transaction-time)
+    "period_to_date_pacing",  # new in round 7 (partial-period BI comparison)
 ]
 
 # ROUND-8 BUILDER: build _ROUND8_FRONT = re-checks of any round-7 reds +
