@@ -196,8 +196,15 @@ def optimize_table(
 
     Crash-safe swap: the staging dir is renamed in only after the live
     dir is renamed ASIDE (same no-zero-copies discipline as the
-    streaming sinks' ``_swap_in``); a crash between the two renames
-    leaves the previous layout recoverable next to the table.
+    streaming sinks' ``_swap_in``).  Every rename's boolean return is
+    checked — Hadoop ``FileSystem.rename`` reports failure by returning
+    false, not by throwing, and an unchecked false on the aside rename
+    would let the staging rename move staging INTO the still-live
+    directory (local-FS rename-onto-existing-dir semantics).  On a
+    failed swap-in the aside copy is restored so the table is never
+    lost; on entry, a crash between the two renames (path missing,
+    ``__optimize_old`` present) is recovered by renaming the aside back
+    before proceeding — mirroring the sinks' ``_recover_store``.
 
     Scale: the rewrite is one range-shuffle over the Morton key (the same
     shuffle OPTIMIZE pays on any engine); metrics are two column-pruned
@@ -209,6 +216,19 @@ def optimize_table(
     jvm = spark.sparkContext._jvm
     jvm_path = jvm.org.apache.hadoop.fs.Path(path)
     fs = jvm_path.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+
+    # Recovery from a prior crash between the two swap renames: the live
+    # dir is missing and only the __optimize_old aside exists.  Restore
+    # the aside before doing anything else (same discipline as the
+    # streaming sinks' _recover_store).
+    old_path = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "__optimize_old")
+    if not fs.exists(jvm_path) and fs.exists(old_path):
+        if not fs.rename(old_path, jvm_path):
+            raise IOError(
+                f"optimize_table: recovery rename {old_path} -> {path} "
+                "failed; table left as-is for manual inspection"
+            )
+
     total_bytes = 0
     n_before = 0
     it = fs.listFiles(jvm_path, True)
@@ -236,6 +256,18 @@ def optimize_table(
     probes = {}
     for c in zorder_by:
         lo, hi = bounds[f"_min_{c}"], bounds[f"_max_{c}"]
+        if lo is None or hi is None:
+            raise ValueError(
+                f"optimize_table: zorder column {c!r} is empty or all-null "
+                "in {path!r}; cannot position probe ranges"
+            )
+        if not isinstance(lo, (int, float)) or isinstance(lo, bool):
+            raise TypeError(
+                f"optimize_table: zorder column {c!r} has non-numeric type "
+                f"{type(lo).__name__}; zorder_by currently supports numeric "
+                "columns only (encode dates/timestamps to epoch days/micros "
+                "first)"
+            )
         span = float(hi) - float(lo)
         probes[c] = (
             type(lo)(float(lo) + qlo * span),
@@ -252,12 +284,28 @@ def optimize_table(
         .write.mode("overwrite")
         .parquet(staging)
     )
-    old = path.rstrip("/") + "__optimize_old"
-    fs.delete(jvm.org.apache.hadoop.fs.Path(old), True)
+    staging_path = jvm.org.apache.hadoop.fs.Path(staging)
+    fs.delete(old_path, True)
     if fs.exists(jvm_path):
-        fs.rename(jvm_path, jvm.org.apache.hadoop.fs.Path(old))
-    fs.rename(jvm.org.apache.hadoop.fs.Path(staging), jvm_path)
-    fs.delete(jvm.org.apache.hadoop.fs.Path(old), True)
+        if not fs.rename(jvm_path, old_path):
+            fs.delete(staging_path, True)
+            raise IOError(
+                f"optimize_table: aside rename {path} -> {old_path} failed; "
+                "original table left intact, staging discarded"
+            )
+    if not fs.rename(staging_path, jvm_path):
+        # Restore the aside copy so the table is never left missing.
+        if fs.exists(old_path) and not fs.rename(old_path, jvm_path):
+            raise IOError(
+                f"optimize_table: swap-in failed AND restore of {old_path} "
+                f"failed; recover manually by renaming it back to {path}"
+            )
+        fs.delete(staging_path, True)
+        raise IOError(
+            f"optimize_table: swap-in rename {staging} -> {path} failed; "
+            "previous layout restored, staging discarded"
+        )
+    fs.delete(old_path, True)
 
     after = zone_map_stats(spark, path, zorder_by)
     report: dict = {

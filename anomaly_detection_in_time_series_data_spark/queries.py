@@ -3138,11 +3138,19 @@ def _near_dup_edges(
             FROM documents WHERE length(trim(text)) > 0)
       WHERE len(toks) >= 3
     ),
+    sz AS (SELECT doc_id, len(shingles) AS n FROM sh),
+    ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+    cand AS (
+      SELECT x.doc_id AS ida, y.doc_id AS idb, count(*) AS inter
+      FROM ex x JOIN ex y ON x.s = y.s AND x.doc_id < y.doc_id
+      GROUP BY 1, 2
+    ),
     edges AS (
-      SELECT a.doc_id AS ida, b.doc_id AS idb
-      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-      WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
-            / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.5
+      SELECT ida, idb
+      FROM cand
+      JOIN sz sa ON cand.ida = sa.doc_id
+      JOIN sz sb ON cand.idb = sb.doc_id
+      WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5
     ),
     und AS (
       SELECT ida AS a, idb AS b FROM edges
@@ -3832,6 +3840,15 @@ def bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Bounded exact-Jaccard edge derivation (VERDICT r7 task 4): a pair with
+# zero shared shingles has Jaccard 0 and can never reach the threshold, so
+# the candidate set is the shingle-inverted-index self-join (linear in
+# posting-list mass), NOT the all-pairs doc x doc join — the same identity
+# the Spark side exploits.  inter = COUNT of shared (distinct) shingles;
+# union = |A| + |B| - inter; numerator/denominator are the identical
+# integers the all-pairs form produced, so the DOUBLE division is
+# bit-identical and the edge set is unchanged — only the oracle's cost
+# drops from quadratic to join-shaped, unlocking sf0.1 oracle sweeps.
 _PR_EDGES_SQL = """
     sh AS (
       SELECT doc_id,
@@ -3842,11 +3859,19 @@ _PR_EDGES_SQL = """
             FROM documents WHERE length(trim(text)) > 0)
       WHERE len(toks) >= 3
     ),
+    sz AS (SELECT doc_id, len(shingles) AS n FROM sh),
+    ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+    cand AS (
+      SELECT x.doc_id AS ida, y.doc_id AS idb, count(*) AS inter
+      FROM ex x JOIN ex y ON x.s = y.s AND x.doc_id < y.doc_id
+      GROUP BY 1, 2
+    ),
     edges AS (
-      SELECT a.doc_id AS ida, b.doc_id AS idb
-      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-      WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
-            / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.5
+      SELECT ida, idb
+      FROM cand
+      JOIN sz sa ON cand.ida = sa.doc_id
+      JOIN sz sb ON cand.idb = sb.doc_id
+      WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5
     ),
     und AS (
       SELECT ida AS a, idb AS b FROM edges
@@ -7692,11 +7717,19 @@ def holt_forecast_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM documents WHERE length(trim(text)) > 0)
       WHERE len(toks) >= 3
     ),
+    sz AS (SELECT doc_id, len(shingles) AS n FROM sh),
+    ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+    cand AS (
+      SELECT x.doc_id AS ida, y.doc_id AS idb, count(*) AS inter
+      FROM ex x JOIN ex y ON x.s = y.s AND x.doc_id < y.doc_id
+      GROUP BY 1, 2
+    ),
     edges AS (
-      SELECT a.doc_id AS a, b.doc_id AS b
-      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-      WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
-            / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.5
+      SELECT ida AS a, idb AS b
+      FROM cand
+      JOIN sz sa ON cand.ida = sa.doc_id
+      JOIN sz sb ON cand.idb = sb.doc_id
+      WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5
     ),
     tri AS (
       SELECT e1.a AS n1, e1.b AS n2, e2.b AS n3
@@ -13725,11 +13758,19 @@ def event_lateness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM documents WHERE length(trim(text)) > 0)
       WHERE len(toks) >= 3
     ),
+    sz AS (SELECT doc_id, len(shingles) AS n FROM sh),
+    ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+    cand AS (
+      SELECT x.doc_id AS ida, y.doc_id AS idb, count(*) AS inter
+      FROM ex x JOIN ex y ON x.s = y.s AND x.doc_id < y.doc_id
+      GROUP BY 1, 2
+    ),
     edges AS (
-      SELECT a.doc_id AS a, b.doc_id AS b
-      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-      WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
-            / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.5
+      SELECT ida AS a, idb AS b
+      FROM cand
+      JOIN sz sa ON cand.ida = sa.doc_id
+      JOIN sz sb ON cand.idb = sb.doc_id
+      WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5
     ),
     e0 AS (SELECT a, b FROM edges UNION ALL SELECT b, a FROM edges),
     d1 AS (SELECT a AS n FROM e0 GROUP BY a HAVING count(*) >= 2),
@@ -22354,12 +22395,15 @@ def copurchase_brand_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     The within-order pair join is bounded by basket size (TPC-H
     baskets are <= 7 lines, so <= 21 pairs per order — candidate
     volume is sum-of-squares over BASKETS, never over the catalog).
-    Scale: one dim broadcast (part), one distinct, one basket-local
-    self-join with map-side-combinable counting."""
+    Scale: `part` scales with SF (it is NOT a fixed-size dim), so no
+    forced broadcast — project it to the two needed columns and let
+    AQE/Catalyst pick broadcast-vs-shuffle by measured size; then one
+    distinct and one basket-local self-join with map-side-combinable
+    counting."""
     li = load_table(spark, sf_dir, "lineitem")
-    pt = load_table(spark, sf_dir, "part")
+    pt = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
     ob = (
-        li.join(F.broadcast(pt), li["l_partkey"] == pt["p_partkey"])
+        li.join(pt, li["l_partkey"] == pt["p_partkey"])
         .select(F.col("l_orderkey").alias("okey"), F.col("p_brand").alias("brand"))
         .distinct()
     )
@@ -23099,20 +23143,30 @@ def sampled_join_cardinality_audit(
     estimator — the property independent Bernoulli row-sampling of each
     side famously lacks (it thins pairs quadratically).  The audit
     emits the estimate, the exact count, and integer error rationals
-    with a 10%-band verdict.  Scale: the sampled side prunes BEFORE the
-    join (the hash gate pushes to the scan); the exact twin is the
-    one-shuffle count it audits."""
+    with a 10%-band verdict.  Scale: the md5 universe gate is a pure
+    function of the key, so it is applied DIRECTLY to `l_orderkey` at
+    the lineitem scan — no sampled-key side, no join, no broadcast that
+    grows with SF; by FK construction (every l_orderkey exists in
+    orders) the gated count equals the sampled-join count exactly, and
+    the predicate is scan-local.  The exact twin is the one-shuffle
+    count it audits."""
     od = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
-    keysamp = od.filter(
-        F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 2),
-               16, 10).cast("bigint") % 16 == 0
-    ).select(F.col("o_orderkey").alias("k"))
+
+    def _in_universe(col: str):
+        return (
+            F.conv(
+                F.substring(F.md5(F.col(col).cast("string")), 1, 2), 16, 10
+            ).cast("bigint")
+            % 16
+            == 0
+        )
+
     exact = (
         od.join(li, od["o_orderkey"] == li["l_orderkey"])
         .agg(F.count("*").cast("bigint").alias("n_exact"))
     )
-    samp = li.join(F.broadcast(keysamp), keysamp["k"] == li["l_orderkey"]).agg(
+    samp = li.filter(_in_universe("l_orderkey")).agg(
         F.count("*").cast("bigint").alias("n_samp")
     )
     est = 16 * F.col("n_samp")
@@ -23366,11 +23420,40 @@ _PENDING_ROUND8: list[str] = _PENDING_ROUND7[49:] + [
     "period_to_date_pacing",  # new in round 7 (partial-period BI comparison)
 ]
 
-# ROUND-8 BUILDER: build _ROUND8_FRONT = re-checks of any round-7 reds +
-# _PENDING_ROUND8 (6 rollover names + whatever round 7 added), padded to
-# the 50-name window with the longest-unchecked greens if the backlog is
-# short; overflow seeds _PENDING_ROUND9.  Call _rotate_front(_ROUND8_FRONT)
-# in place of the round-7 call below and update
-# tests/test_coverage_claims.py to the new window/pending names.
+# Round 8 front window.  Round 7 went 50/50 with zero reds, so no
+# re-checks lead the window: it is exactly the 37-name _PENDING_ROUND8
+# backlog (6 round-6 rollovers + 31 round-7 additions — all preflighted
+# at sf0.01 and swept at sf0.1 in the committed round-7 logs), padded to
+# the driver's 50-name window with the 13 longest-unchecked greens (all
+# last driver-checked in round 1, taken in their original r1 insertion
+# order) so their rows refresh.
+_ROUND8_PAD = [
+    "flagship_anomaly_zscore",
+    "flagship_anomaly_zscore_chunked",
+    "scan_filter_project",
+    "flatten_struct",
+    "composite_key",
+    "validation_flags",
+    "agg_pricing_summary",
+    "agg_distinct",
+    "agg_group_minmax",
+    "argmin_per_group",
+    "rollup_pricing",
+    "cube_order_status",
+    "join_star_revenue",
+]
+_ROUND8_FRONT = list(_PENDING_ROUND8) + _ROUND8_PAD
 
-_rotate_front(_ROUND7_FRONT)
+# Oracle-bearing queries awaiting a driver correctness row AFTER the
+# round-8 window runs.  Every oracle-bearing query ADDED during round 8
+# must be appended here (tests/test_coverage_claims.py enforces it).
+_PENDING_ROUND9: list[str] = []
+
+# ROUND-9 BUILDER: build _ROUND9_FRONT = re-checks of any round-8 reds +
+# _PENDING_ROUND9 (whatever round 8 added), padded to the 50-name window
+# with the longest-unchecked greens if the backlog is short; overflow
+# seeds _PENDING_ROUND10.  Call _rotate_front(_ROUND9_FRONT) in place of
+# the round-8 call below and update tests/test_coverage_claims.py to the
+# new window/pending names.
+
+_rotate_front(_ROUND8_FRONT)

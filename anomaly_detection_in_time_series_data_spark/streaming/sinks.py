@@ -237,7 +237,15 @@ def streaks_foreach_batch(
     (every batch day > the user's stored last_day); the file-source
     staging in `streaming_streak_maintenance` guarantees it.  Out-of-
     order history would need the full recompute — which is exactly the
-    trade an incremental view buys into.
+    trade an incremental view buys into.  The contract is MECHANICAL,
+    not documentary (ADVICE r7): a batch whose per-user min day is <=
+    the user's stored last_day raises with a recompute hint instead of
+    silently corrupting streak counts, and a FENCED batch (id <= the
+    stored max — e.g. a fresh checkpoint over an existing store
+    restarting ids at 0) is only skipped when it contains no unseen
+    (user, day) pairs; a fenced batch carrying novel days raises loudly
+    (checkpoint/store mismatch) rather than dropping deliveries.  Both
+    guards are joins against the batch's own user set only.
 
     Scale: state is one row per user; each fold shuffles only the
     batch's user set; the store swap is the crash-safe rename-aside
@@ -253,6 +261,36 @@ def streaks_foreach_batch(
             state = spark.read.parquet(str(out))
             applied = state.agg(F.max("_batch_id")).collect()[0][0]
             if applied is not None and applied >= batch_id:
+                # Fenced batch.  Skipping is only safe for a true REPLAY
+                # of already-folded data; a fresh checkpoint over an
+                # existing store restarts batch ids at 0, and silently
+                # skipping would drop genuinely new deliveries.  Any
+                # (user, day) beyond the user's stored last_day proves
+                # the batch is novel -> fail loudly.
+                novel = (
+                    batch_df.select("user_id", "day_idx")
+                    .distinct()
+                    .join(
+                        state.select("user_id", "last_day"),
+                        "user_id",
+                        "left",
+                    )
+                    .filter(
+                        F.col("last_day").isNull()
+                        | (F.col("day_idx") > F.col("last_day"))
+                    )
+                    .limit(1)
+                    .count()
+                )
+                if novel:
+                    raise ValueError(
+                        f"streaks_foreach_batch: batch {batch_id} is fenced "
+                        f"(store already applied batch {applied}) but carries "
+                        "unseen (user, day) activity — checkpoint/store "
+                        "mismatch (fresh checkpoint over an existing store?). "
+                        "Point the query at a fresh store path or recompute "
+                        "the view from full history."
+                    )
                 return  # replayed delivery: already folded (exactly-once)
         w = Window.partitionBy("user_id").orderBy("day_idx")
         isl = (
@@ -289,6 +327,27 @@ def streaks_foreach_batch(
             F.max(F.when(F.col("rk") > 1, F.col("len"))).alias("max_rest_len"),
             F.sum("len").cast("bigint").alias("batch_days"),
         )
+        if state is not None:
+            # Ascending-order contract, enforced in-fold: a batch whose
+            # first day for some user is <= that user's stored last_day
+            # is out-of-order (or a partial overlap) and would corrupt
+            # the additive streak counts.  Join is bounded by the
+            # batch's user set.
+            ooo = (
+                agg.select("user_id", "first_start")
+                .join(state.select("user_id", "last_day"), "user_id")
+                .filter(F.col("first_start") <= F.col("last_day"))
+                .limit(1)
+                .count()
+            )
+            if ooo:
+                raise ValueError(
+                    f"streaks_foreach_batch: batch {batch_id} violates the "
+                    "ascending-day contract (some user's batch activity "
+                    "starts at or before their stored last_day). The "
+                    "incremental fold cannot apply out-of-order history — "
+                    "recompute the view from full history instead."
+                )
         if state is None:
             state = spark.createDataFrame(
                 [],

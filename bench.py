@@ -227,14 +227,26 @@ def main() -> None:
     # the judge can diff every query regardless of capture limits.
     full = dict(summary, queries=timings)
     print(json.dumps(full))
-    try:
-        with open(
-            os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                         "bench_full.json"), "w"
-        ) as f:
-            json.dump(full, f, indent=1, sort_keys=True)
-    except OSError:
-        pass  # read-only checkout: the printed lines still carry everything
+    # Round-stamped archive (VERDICT r7 task 5): bench_full.json is
+    # overwritten each run, which already cost the r6 per-query map.
+    # Also write bench_full_r{N}.json, N = 1 + the highest recorded
+    # BENCH_r* round, so every round's full map survives for diffing.
+    repo = os.path.dirname(os.path.abspath(__file__))
+    import glob as _glob
+    import re as _re
+
+    rounds = [
+        int(m.group(1))
+        for p in _glob.glob(os.path.join(repo, "BENCH_r*.json"))
+        if (m := _re.search(r"BENCH_r0*(\d+)\.json$", p))
+    ]
+    stamp = f"bench_full_r{max(rounds, default=0) + 1:02d}.json"
+    for fname in ("bench_full.json", stamp):
+        try:
+            with open(os.path.join(repo, fname), "w") as f:
+                json.dump(full, f, indent=1, sort_keys=True)
+        except OSError:
+            pass  # read-only checkout: the printed lines still carry everything
     slowest = dict(
         sorted(timings.items(), key=lambda kv: -kv[1])[:20]
     )

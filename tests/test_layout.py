@@ -176,3 +176,60 @@ def test_optimize_table_refuses_hive_partitioned_tree(spark, tmp_path):
     ).write.partitionBy("p").parquet(path)
     with pytest.raises(ValueError, match="partition"):
         optimize_table(spark, path, zorder_by=["id"])
+
+
+def test_optimize_table_recovers_aside_on_entry(spark, tmp_path):
+    """ADVICE r7: a crash between the two swap renames leaves the table
+    path missing with only the __optimize_old aside.  The next
+    optimize_table call must rename the aside back before proceeding
+    (mirroring the streaming sinks' _recover_store) instead of failing
+    on the missing path."""
+    import os
+
+    from anomaly_detection_in_time_series_data_spark.operators.layout import (
+        optimize_table,
+    )
+
+    path = str(tmp_path / "t")
+    spark.range(10_000).select(
+        F.col("id"),
+        (F.col("id") * 2654435761 % 1000).cast("long").alias("u"),
+    ).repartition(8).write.parquet(path)
+    rows = {(r.id, r.u) for r in spark.read.parquet(path).collect()}
+
+    # Simulate the crash window: live dir renamed aside, swap-in never ran.
+    os.rename(path, path + "__optimize_old")
+    assert not os.path.exists(path)
+
+    report = optimize_table(
+        spark, path, zorder_by=["u"], target_file_bytes=64 * 1024
+    )
+    assert report["files_before"] == 8
+    assert {(r.id, r.u) for r in spark.read.parquet(path).collect()} == rows
+    assert not os.path.exists(path + "__optimize_old")
+
+
+def test_optimize_table_rejects_non_numeric_zorder_column(spark, tmp_path):
+    """ADVICE r7: probe construction assumed numeric bounds; a string (or
+    date) zorder column must raise a clear TypeError, and an all-null
+    column a ValueError — not an opaque float(None)/TypeError deep in
+    probe math."""
+    import pytest
+
+    from anomaly_detection_in_time_series_data_spark.operators.layout import (
+        optimize_table,
+    )
+
+    path = str(tmp_path / "t")
+    spark.range(100).select(
+        F.col("id"), F.concat(F.lit("k"), F.col("id")).alias("s")
+    ).write.parquet(path)
+    with pytest.raises(TypeError, match="non-numeric"):
+        optimize_table(spark, path, zorder_by=["s"])
+
+    path2 = str(tmp_path / "t2")
+    spark.range(100).select(
+        F.col("id"), F.lit(None).cast("long").alias("n")
+    ).write.parquet(path2)
+    with pytest.raises(ValueError, match="all-null"):
+        optimize_table(spark, path2, zorder_by=["n"])

@@ -723,3 +723,66 @@ def test_streaks_sink_batch_id_fencing_and_fold(spark, tmp_path):
         for r in spark.read.parquet(store).collect()
     }
     assert after == before  # re-folding would have doubled the counts
+
+
+def test_streaks_sink_fenced_batch_with_novel_days_raises(spark, tmp_path):
+    """ADVICE r7: batch-id fencing alone would silently DROP genuinely new
+    deliveries when a fresh checkpoint restarts batch ids at 0 over an
+    existing store.  A fenced batch that carries unseen (user, day)
+    activity must raise (checkpoint/store mismatch), not skip."""
+    import pytest
+
+    from anomaly_detection_in_time_series_data_spark.streaming.sinks import (
+        streaks_foreach_batch,
+    )
+
+    schema = "user_id bigint, day_idx bigint"
+    src1 = str(tmp_path / "src1")
+    _stage_deliveries(spark, src1, [[(1, 10), (1, 11)], [(1, 12)]], schema)
+    store = str(tmp_path / "state")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src1)
+    )
+    streaks_foreach_batch(
+        stream, store, checkpoint=str(tmp_path / "ck1")
+    ).awaitTermination()  # store now has applied _batch_id = 1
+
+    # NEW data in a NEW source with a FRESH checkpoint: batch ids restart
+    # at 0 (fenced), but day 13 is unseen -> must raise, not drop.
+    src2 = str(tmp_path / "src2")
+    _stage_deliveries(spark, src2, [[(1, 13)]], schema)
+    stream2 = spark.readStream.schema(schema).parquet(src2)
+    q = streaks_foreach_batch(stream2, store, checkpoint=str(tmp_path / "ck2"))
+    with pytest.raises(Exception, match="unseen|mismatch"):
+        q.awaitTermination()
+
+
+def test_streaks_sink_out_of_order_batch_raises(spark, tmp_path):
+    """ADVICE r7 / task 6: the ascending-day contract is enforced in-fold —
+    a non-fenced batch whose activity for some user starts at or before
+    that user's stored last_day raises with a recompute hint instead of
+    silently corrupting the additive streak counts."""
+    import pytest
+
+    from anomaly_detection_in_time_series_data_spark.streaming.sinks import (
+        streaks_foreach_batch,
+    )
+
+    schema = "user_id bigint, day_idx bigint"
+    src = str(tmp_path / "src")
+    _stage_deliveries(spark, src, [[(1, 10), (1, 11)]], schema)
+    store = str(tmp_path / "state")
+    ck = str(tmp_path / "ck")
+    stream = spark.readStream.schema(schema).parquet(src)
+    streaks_foreach_batch(stream, store, checkpoint=ck).awaitTermination()
+
+    # Same checkpoint, new delivery that REWINDS to day 11 (<= last_day):
+    # batch id advances past the fence, so the fold-path order guard must
+    # fire.
+    _stage_deliveries(spark, src, [[(1, 11), (1, 12)]], schema, start=1)
+    stream2 = spark.readStream.schema(schema).parquet(src)
+    q = streaks_foreach_batch(stream2, store, checkpoint=ck)
+    with pytest.raises(Exception, match="ascending|out-of-order"):
+        q.awaitTermination()
