@@ -23420,6 +23420,308 @@ _PENDING_ROUND8: list[str] = _PENDING_ROUND7[49:] + [
     "period_to_date_pacing",  # new in round 7 (partial-period BI comparison)
 ]
 
+# ---------------------------------------------------------------------------
+# Round 8 additions: sequence-pattern matching (MATCH_RECOGNIZE-lite),
+# hierarchical BOM rollup (native recursive CTE), AMS F2 sketch (CBO
+# self-join-size estimation), and exact PAV isotonic calibration.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "event_sequence_pattern_match",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id,
+             string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id)
+               AS journey
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(len(regexp_extract_all(journey, 'v+c+p')) AS BIGINT)
+             AS n_matches,
+           CAST(length(journey) AS BIGINT) AS journey_len
+    FROM seq
+    WHERE len(regexp_extract_all(journey, 'v+c+p')) >= 1
+    ORDER BY user_id
+    """,
+)
+def event_sequence_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-lite sequence-pattern matching (the SQL:2016 /
+    Flink CEP row-pattern feature Spark lacks natively): each user's
+    event timeline is encoded as a character journey (the five fixture
+    event types have distinct initials) and a row pattern — here
+    ``v+c+p``, one-or-more views, then one-or-more clicks, then a
+    purchase — is counted per user with a plain regexp scan.  The regex
+    is alternation-free, so greedy leftmost matching (Java regex on the
+    JVM, RE2 in DuckDB) is leftmost-longest in both engines and the
+    non-overlapping match COUNT is engine-exact.  Generalizes the
+    fixed-shape ``cep_*`` queries to arbitrary row patterns.
+
+    Scale: one user-keyed shuffle (the same partitioning every
+    sessionization query pays), per-user state bounded by timeline
+    length, and the pattern scan is a JVM-side regexp over the encoded
+    string — no Python, no self-joins, no per-pattern passes."""
+    ev = load_table(spark, sf_dir, "events")
+    journey = F.concat_ws(
+        "",
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct("ts", "event_id", "event_type"))
+            ),
+            lambda s: F.substring(s["event_type"], 1, 1),
+        ),
+    )
+    seq = ev.groupBy("user_id").agg(journey.alias("journey"))
+    n_matches = F.size(
+        F.regexp_extract_all("journey", F.lit("v+c+p"), F.lit(0))
+    ).cast("bigint")
+    return (
+        seq.select(
+            "user_id",
+            n_matches.alias("n_matches"),
+            F.length("journey").cast("bigint").alias("journey_len"),
+        )
+        .filter(F.col("n_matches") >= 1)
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "bom_explosion_rollup",
+    oracle="""
+    WITH RECURSIVE up(node, anc, depth, cents) AS (
+      SELECT p_partkey, p_partkey, 0,
+             CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      FROM part
+      UNION ALL
+      SELECT node, anc // 10, depth + 1, cents FROM up WHERE anc >= 10
+    )
+    SELECT CAST(anc AS BIGINT) AS root_key,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           CAST(sum(cents) AS BIGINT) AS assembly_cents,
+           CAST(max(depth) AS BIGINT) AS max_depth
+    FROM up WHERE anc < 10
+    GROUP BY anc ORDER BY root_key
+    """,
+)
+def bom_explosion_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-level BILL-OF-MATERIALS explosion — the classic hierarchy
+    rollup (parts explosion / org-chart costing) via Spark 4's NATIVE
+    recursive CTE, the same engine feature `near_dup_bfs_hops` uses for
+    BFS.  The part catalog is folded into a synthetic forest by decimal
+    truncation (parent(k) = k // 10, roots below 10 — a deterministic
+    ~5-level hierarchy over any key domain), and each root's assembly
+    is costed: descendant count, total extended cost in exact integer
+    cents, and maximum depth.  The recursion ascends node->ancestor one
+    level per step, so total work is rows x depth (depth = log10 of the
+    key domain), never rows^2; the identical SQL text runs on both
+    engines.
+
+    Scale: each recursion step is one equi-join-shaped self-map with no
+    growing frontier (every node carries exactly one row per level);
+    the final rollup is a single map-side-combinable aggregate on the
+    root key.  At 100 TB the same plan holds — depth is bounded by the
+    hierarchy, not the data volume."""
+    pt = load_table(spark, sf_dir, "part").select("p_partkey", "p_retailprice")
+    view = f"_bom_part_{uuid.uuid4().hex}"
+    pt.createOrReplaceTempView(view)
+    try:
+        return spark.sql(
+            f"""
+            WITH RECURSIVE up(node, anc, depth, cents) AS (
+              SELECT p_partkey, p_partkey, 0,
+                     CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+              FROM {view}
+              UNION ALL
+              SELECT node, anc DIV 10, depth + 1, cents FROM up WHERE anc >= 10
+            )
+            SELECT CAST(anc AS BIGINT) AS root_key,
+                   CAST(count(*) AS BIGINT) AS n_parts,
+                   CAST(sum(cents) AS BIGINT) AS assembly_cents,
+                   CAST(max(depth) AS BIGINT) AS max_depth
+            FROM up WHERE anc < 10
+            GROUP BY anc ORDER BY root_key
+            """
+        )
+    finally:
+        spark.catalog.dropTempView(view)
+
+
+@query(
+    "ams_f2_sketch_estimate",
+    oracle="""
+    WITH s AS (
+      SELECT r,
+             CAST(sum(CASE WHEN ('0x' || substr(md5('ams|' || l_orderkey),
+                                                r + 1, 1))::BIGINT % 2 = 0
+                           THEN 1 ELSE -1 END) AS BIGINT) AS sr
+      FROM lineitem, range(16) t(r)
+      GROUP BY r
+    ),
+    e AS (SELECT sr * sr AS est,
+                 row_number() OVER (ORDER BY sr * sr) AS rk
+          FROM s),
+    m AS (SELECT CAST(est AS BIGINT) AS f2_est FROM e WHERE rk = 8),
+    f AS (SELECT CAST(sum(c * c) AS BIGINT) AS f2_exact
+          FROM (SELECT count(*) AS c FROM lineitem GROUP BY l_orderkey))
+    SELECT f2_exact, f2_est,
+           CAST(abs(f2_est - f2_exact) AS BIGINT) AS abs_err,
+           (f2_est <= 4 * f2_exact AND f2_exact <= 4 * f2_est) AS within_4x
+    FROM f CROSS JOIN m
+    """,
+)
+def ams_f2_sketch_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMS (Alon-Matias-Szegedy) second-frequency-moment sketch — the
+    classic streaming estimator for SELF-JOIN SIZE (F2 = sum of squared
+    key frequencies = |lineitem JOIN lineitem ON l_orderkey|), the
+    third leg of the CBO-input family next to the exact
+    `join_cardinality_estimate` and the universe-sampled
+    `sampled_join_cardinality_audit`.  Sixteen independent +/-1
+    projections (sign r = parity of hex digit r of the portable md5 of
+    the key) are summed in ONE pass; each sum squared is an unbiased F2
+    estimate and the LOWER MEDIAN of the 16 squares (rank 8 — integer
+    selection, never the averaged median that would mint a float) is
+    the variance-reduced estimate.  The audit emits estimate, exact F2,
+    absolute error, and the within-4x verdict — all exact integers.
+
+    Scale: the sketch is 16 bigint sums — map-side-combinable,
+    mergeable across partitions/streams (THE sketch property), one
+    narrow pass with no shuffle beyond the 16-value combine; the exact
+    twin it audits is the one-shuffle groupBy it would replace at
+    100 TB."""
+    li = load_table(spark, sf_dir, "lineitem")
+    h = F.md5(F.concat(F.lit("ams|"), F.col("l_orderkey").cast("string")))
+    sums = [
+        F.sum(
+            F.when(
+                F.conv(F.substring(h, r + 1, 1), 16, 10).cast("bigint") % 2
+                == 0,
+                F.lit(1),
+            ).otherwise(F.lit(-1))
+        )
+        .cast("bigint")
+        .alias(f"s{r}")
+        for r in range(16)
+    ]
+    sk = li.agg(*sums)
+    ests = F.array_sort(
+        F.array(*[F.col(f"s{r}") * F.col(f"s{r}") for r in range(16)])
+    )
+    est = sk.select(
+        F.element_at(ests, 8).cast("bigint").alias("f2_est")
+    )
+    exact = (
+        li.groupBy("l_orderkey")
+        .agg(F.count("*").alias("c"))
+        .agg(F.sum(F.col("c") * F.col("c")).cast("bigint").alias("f2_exact"))
+    )
+    return est.crossJoin(F.broadcast(exact)).select(
+        "f2_exact",
+        "f2_est",
+        F.abs(F.col("f2_est") - F.col("f2_exact"))
+        .cast("bigint")
+        .alias("abs_err"),
+        (
+            (F.col("f2_est") <= 4 * F.col("f2_exact"))
+            & (F.col("f2_exact") <= 4 * F.col("f2_est"))
+        ).alias("within_4x"),
+    )
+
+
+@query(
+    "isotonic_calibration_pav",
+    oracle="""
+    WITH b AS (
+      SELECT ntile(20) OVER (ORDER BY value, event_id) AS bin,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      FROM events WHERE value IS NOT NULL
+    ),
+    agg AS (
+      SELECT bin, CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS pos
+      FROM b GROUP BY bin
+    ),
+    pre AS (
+      SELECT bin, n, pos,
+             sum(n) OVER (ORDER BY bin) AS cn,
+             sum(pos) OVER (ORDER BY bin) AS cp
+      FROM agg
+    ),
+    pairs AS (
+      SELECT j.bin AS j, k.bin AS k,
+             (k.cp - j.cp + j.pos) AS num,
+             (k.cn - j.cn + j.n) AS den
+      FROM pre j JOIN pre k ON j.bin <= k.bin
+    ),
+    mj AS (
+      SELECT i.bin AS i, p.j, min(CAST(p.num AS DOUBLE) / p.den) AS mn
+      FROM agg i JOIN pairs p ON p.j <= i.bin AND p.k >= i.bin
+      GROUP BY i.bin, p.j
+    ),
+    fit AS (SELECT i, max(mn) AS fitted FROM mj GROUP BY i)
+    SELECT a.bin AS bin, a.n, a.pos, f.fitted
+    FROM agg a JOIN fit f ON f.i = a.bin ORDER BY bin
+    """,
+)
+def isotonic_calibration_pav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT isotonic regression (pool-adjacent-violators) for score
+    calibration — the monotone probability-calibration step an ML data
+    pipeline runs between raw model scores and decision thresholds
+    (`score_calibration_bins` reports the raw reliability curve; this
+    FITS the monotone curve).  Events are scored by `value`, labeled by
+    purchase, and grouped into 20 equal-count bins (deterministic ntile
+    over the total order (value, event_id)); the PAV fit uses the
+    minimax identity fitted(i) = max_{j<=i} min_{k>=i} mean(y[j..k]) —
+    an O(B^2) closed form over BIN AGGREGATES, sequential-pass-free, so
+    both engines evaluate the identical arithmetic.  Every mean is ONE
+    IEEE division of the same bigint prefix-sum differences, and min/max
+    over identical doubles are bitwise-stable cross-engine (no
+    accumulation, no libm).
+
+    Scale: the data-sized work is one pass to bin (at 100 TB the ntile
+    becomes KLL/approx-quantile boundary lookup — same bins, no global
+    sort) plus one groupBy; the PAV itself runs on B=20 aggregate rows
+    — constant work regardless of data volume."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    wb = Window.orderBy("value", "event_id")
+    b = ev.select(
+        F.ntile(20).over(wb).alias("bin"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+    )
+    agg = b.groupBy("bin").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("pos"),
+    )
+    wo = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    pre = agg.select(
+        "bin", "n", "pos",
+        F.sum("n").over(wo).alias("cn"),
+        F.sum("pos").over(wo).alias("cp"),
+    )
+    j = pre.alias("j")
+    k = pre.alias("k")
+    pairs = j.join(k, F.col("j.bin") <= F.col("k.bin")).select(
+        F.col("j.bin").alias("pj"),
+        F.col("k.bin").alias("pk"),
+        (F.col("k.cp") - F.col("j.cp") + F.col("j.pos")).alias("num"),
+        (F.col("k.cn") - F.col("j.cn") + F.col("j.n")).alias("den"),
+    )
+    i = agg.select(F.col("bin").alias("i"))
+    mj = (
+        i.join(
+            pairs,
+            (F.col("pj") <= F.col("i")) & (F.col("pk") >= F.col("i")),
+        )
+        .groupBy("i", "pj")
+        .agg(F.min(F.col("num").cast("double") / F.col("den")).alias("mn"))
+    )
+    fit = mj.groupBy("i").agg(F.max("mn").alias("fitted"))
+    return (
+        agg.join(fit, agg["bin"] == fit["i"])
+        .select("bin", "n", "pos", "fitted")
+        .orderBy("bin")
+    )
+
+
 # Round 8 front window.  Round 7 went 50/50 with zero reds, so no
 # re-checks lead the window: it is exactly the 37-name _PENDING_ROUND8
 # backlog (6 round-6 rollovers + 31 round-7 additions — all preflighted
@@ -23447,7 +23749,12 @@ _ROUND8_FRONT = list(_PENDING_ROUND8) + _ROUND8_PAD
 # Oracle-bearing queries awaiting a driver correctness row AFTER the
 # round-8 window runs.  Every oracle-bearing query ADDED during round 8
 # must be appended here (tests/test_coverage_claims.py enforces it).
-_PENDING_ROUND9: list[str] = []
+_PENDING_ROUND9: list[str] = [
+    "event_sequence_pattern_match",  # new in round 8 (MATCH_RECOGNIZE-lite)
+    "bom_explosion_rollup",  # new in round 8 (recursive hierarchy costing)
+    "ams_f2_sketch_estimate",  # new in round 8 (AMS self-join-size sketch)
+    "isotonic_calibration_pav",  # new in round 8 (exact monotone calibration)
+]
 
 # ROUND-9 BUILDER: build _ROUND9_FRONT = re-checks of any round-8 reds +
 # _PENDING_ROUND9 (whatever round 8 added), padded to the 50-name window

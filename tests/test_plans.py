@@ -776,3 +776,27 @@ def test_round7_wave_plans_stay_jvm_and_broadcast(spark, sf_dir):
                  "shapley_attribution_components"):
         plan = plans.executed_plan(q.QUERIES[name](spark, sf_dir))
         assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, name
+
+
+def test_round8_wave_plans_stay_jvm(spark, sf_dir):
+    """The round-8 wave: every query stays JVM-side (no Python eval in
+    the plan) and contains no Cartesian product.  The sequence-pattern
+    scan is one regexp over a grouped string (no self-joins); the AMS
+    sketch is a single-pass 16-sum aggregate whose 1-row exact twin
+    rides a broadcast; the PAV fit's theta-joins run over 20 aggregate
+    rows (broadcast NLJ by size, never data-sized)."""
+    wave = [
+        "event_sequence_pattern_match",
+        "bom_explosion_rollup",
+        "ams_f2_sketch_estimate",
+        "isotonic_calibration_pav",
+    ]
+    for name in wave:
+        plan = plans.executed_plan(q.QUERIES[name](spark, sf_dir))
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+        assert "CartesianProduct" not in plan, name
+    # The AMS sketch must be ONE aggregate pass over lineitem (16
+    # map-side-combinable sums), with the exact-F2 side broadcast into
+    # the final 1-row combine.
+    plan = plans.executed_plan(q.QUERIES["ams_f2_sketch_estimate"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
