@@ -328,3 +328,67 @@ def optimize_table(
             "rows_scanned_after": ra,
         }
     return report
+
+
+def vacuum_residue(spark, path: str, *, dry_run: bool = False) -> dict:
+    """``VACUUM``-style cleanup of crash residue beside a table — the
+    operational complement of ``optimize_table``'s and the streaming
+    sinks' rename-aside swap discipline.  Both leave deterministic
+    sibling names behind when a job dies mid-swap:
+
+    - ``{path}__optimize_stage`` — an OPTIMIZE rewrite that never swapped
+      in (always safe to delete: the live table was untouched);
+    - ``{path}__optimize_old`` / ``{path}.old-<n>`` — the renamed-aside
+      previous layout (residue ONLY while the live table exists);
+    - ``{path}.stage-<n>`` — a foreachBatch store staging dir.
+
+    Safety rule: when the live table directory is MISSING, an aside copy
+    is not residue — it is the recovery artifact ``optimize_table`` /
+    ``_recover_store`` would rename back — so vacuum REFUSES to run
+    rather than deleting the only copy of the data.
+
+    Returns ``{"removed": [...], "bytes_reclaimed": n}`` (with
+    ``dry_run=True`` nothing is deleted and the same report is returned).
+
+    Scale: one parent-directory listing plus per-residue recursive
+    deletes — metadata-only, no data scan."""
+    jvm = spark.sparkContext._jvm
+    jvm_path = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jvm_path.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+
+    base = path.rstrip("/")
+    name = base.rsplit("/", 1)[-1]
+    parent = jvm_path.getParent()
+
+    import re
+
+    aside_pat = re.compile(
+        re.escape(name) + r"(__optimize_old|\.old-\d+)$"
+    )
+    stage_pat = re.compile(
+        re.escape(name) + r"(__optimize_stage|\.stage-\d+)$"
+    )
+
+    residue = []
+    for st in fs.listStatus(parent):
+        n = st.getPath().getName()
+        if aside_pat.match(n) or stage_pat.match(n):
+            residue.append((n, st.getPath()))
+
+    has_aside = any(aside_pat.match(n) for n, _ in residue)
+    if has_aside and not fs.exists(jvm_path):
+        raise RuntimeError(
+            f"vacuum_residue: {path} is missing but an aside copy exists — "
+            "that aside is the recovery artifact, not residue; run "
+            "optimize_table/_recover_store recovery (rename it back) "
+            "instead of vacuuming"
+        )
+
+    removed, reclaimed = [], 0
+    for n, p in sorted(residue):
+        summary = fs.getContentSummary(p)
+        reclaimed += summary.getLength()
+        if not dry_run:
+            fs.delete(p, True)
+        removed.append(n)
+    return {"removed": removed, "bytes_reclaimed": reclaimed}

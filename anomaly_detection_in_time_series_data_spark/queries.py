@@ -23722,6 +23722,319 @@ def isotonic_calibration_pav(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "kcenter_coreset_micro",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(embedding,
+                            x -> CAST(floor(x * 1000.0) AS BIGINT)) AS v
+      FROM embeddings
+    ),
+    c0 AS (SELECT vec_id, v FROM q ORDER BY vec_id LIMIT 1),
+    d0 AS (
+      SELECT q.vec_id, q.v,
+             CAST(list_sum(list_transform(range(1, 65),
+                    i -> (q.v[i] - c.v[i]) * (q.v[i] - c.v[i])))
+                  AS BIGINT) AS d
+      FROM q CROSS JOIN c0 c
+    ),
+    c1 AS (SELECT vec_id, v, d FROM d0 ORDER BY d DESC, vec_id LIMIT 1),
+    d1 AS (
+      SELECT p.vec_id, p.v,
+             least(p.d, CAST(list_sum(list_transform(range(1, 65),
+                    i -> (p.v[i] - c.v[i]) * (p.v[i] - c.v[i])))
+                  AS BIGINT)) AS d
+      FROM d0 p CROSS JOIN c1 c
+    ),
+    c2 AS (SELECT vec_id, v, d FROM d1 ORDER BY d DESC, vec_id LIMIT 1),
+    d2 AS (
+      SELECT p.vec_id, p.v,
+             least(p.d, CAST(list_sum(list_transform(range(1, 65),
+                    i -> (p.v[i] - c.v[i]) * (p.v[i] - c.v[i])))
+                  AS BIGINT)) AS d
+      FROM d1 p CROSS JOIN c2 c
+    ),
+    c3 AS (SELECT vec_id, v, d FROM d2 ORDER BY d DESC, vec_id LIMIT 1),
+    d3 AS (
+      SELECT p.vec_id,
+             least(p.d, CAST(list_sum(list_transform(range(1, 65),
+                    i -> (p.v[i] - c.v[i]) * (p.v[i] - c.v[i])))
+                  AS BIGINT)) AS d
+      FROM d2 p CROSS JOIN c3 c
+    ),
+    c4 AS (SELECT vec_id, d FROM d3 ORDER BY d DESC, vec_id LIMIT 1)
+    SELECT CAST(0 AS BIGINT) AS rank, vec_id,
+           CAST(0 AS BIGINT) AS d_sel FROM c0
+    UNION ALL SELECT 1, vec_id, d FROM c1
+    UNION ALL SELECT 2, vec_id, d FROM c2
+    UNION ALL SELECT 3, vec_id, d FROM c3
+    UNION ALL SELECT 4, vec_id, d FROM c4
+    ORDER BY rank
+    """,
+)
+def kcenter_coreset_micro(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gonzalez FARTHEST-POINT k-center selection — the classic 2-approx
+    coreset/data-selection pass (pick the point farthest from everything
+    already picked) a curation pipeline uses to choose maximally-diverse
+    exemplars for labeling or distillation.  Four unrolled rounds (the
+    `kmeans_micro_lloyd` fixed-iteration idiom) over milli-quantized
+    embeddings keep every distance an exact bigint; each round is one
+    scan computing the running min-distance-to-centers and one
+    TakeOrderedAndProject argmax (deterministic vec_id tiebreak).  Rank
+    4 emits the farthest REMAINING point — its distance IS the coverage
+    radius certificate (the value the 2-approximation bounds).
+
+    Scale: k rounds x one narrow scan each; centers ride a 1-row
+    broadcast; no pairwise materialization ever (the k-center dual of
+    the bucketed ANN family's candidate discipline)."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform(
+            "embedding", lambda x: F.floor(x * 1000.0).cast("bigint")
+        ).alias("v"),
+    )
+
+    def dist(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("bigint"),
+            lambda acc, t: acc + t,
+        )
+
+    z = F.lit(0).cast("bigint")
+    c0 = emb.orderBy("vec_id").limit(1)
+    cur = emb.crossJoin(
+        F.broadcast(c0.select(F.col("v").alias("cv")))
+    ).select("vec_id", "v", dist(F.col("v"), F.col("cv")).alias("d"))
+    rows = [c0.select(z.alias("rank"), "vec_id", z.alias("d_sel"))]
+    for r in (1, 2, 3):
+        ctr = cur.orderBy(F.col("d").desc(), "vec_id").limit(1)
+        rows.append(
+            ctr.select(
+                F.lit(r).cast("bigint").alias("rank"),
+                "vec_id",
+                F.col("d").alias("d_sel"),
+            )
+        )
+        cur = cur.crossJoin(
+            F.broadcast(ctr.select(F.col("v").alias("cv")))
+        ).select(
+            "vec_id",
+            "v",
+            F.least(F.col("d"), dist(F.col("v"), F.col("cv"))).alias("d"),
+        )
+    radius = cur.orderBy(F.col("d").desc(), "vec_id").limit(1)
+    rows.append(
+        radius.select(
+            F.lit(4).cast("bigint").alias("rank"),
+            "vec_id",
+            F.col("d").alias("d_sel"),
+        )
+    )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionAll(r)
+    return out.orderBy("rank")
+
+
+@query(
+    "ols_leverage_influence",
+    oracle="""
+    WITH d AS (
+      SELECT event_type,
+             epoch_us(date_trunc('day', ts)) // 86400000000 AS day,
+             CAST(sum(CAST(floor(value * 100.0) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM events GROUP BY 1, 2
+    ),
+    x AS (
+      SELECT event_type,
+             CAST(day - min(day) OVER (PARTITION BY event_type) AS BIGINT)
+               AS xi,
+             cents AS yi
+      FROM d
+    ),
+    s AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(xi) AS BIGINT) AS sx, CAST(sum(yi) AS BIGINT) AS sy,
+             CAST(sum(xi * xi) AS BIGINT) AS sxx,
+             CAST(sum(xi * yi) AS BIGINT) AS sxy
+      FROM x GROUP BY 1
+    ),
+    j AS (
+      SELECT x.event_type, x.xi, x.yi, s.n, s.sx, s.sy,
+             (s.n * s.sxx - s.sx * s.sx) AS c,
+             (s.n * s.sxy - s.sx * s.sy) AS b
+      FROM x JOIN s USING (event_type)
+    ),
+    lev AS (
+      SELECT event_type, xi,
+             (c + (n * xi - sx) * (n * xi - sx)) AS h_num,
+             n * c AS den,
+             (n * c * yi - c * sy + b * sx - n * b * xi) AS e_num,
+             ((c + (n * xi - sx) * (n * xi - sx)) > 4 * c) AS high_leverage,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY (c + (n * xi - sx) * (n * xi - sx))
+                                         DESC, xi) AS rk
+      FROM j
+    )
+    SELECT event_type, CAST(xi AS BIGINT) AS day_off,
+           CAST(h_num AS BIGINT) AS h_num, CAST(den AS BIGINT) AS den,
+           CAST(e_num AS BIGINT) AS e_num, high_leverage,
+           CAST(rk AS BIGINT) AS rank
+    FROM lev WHERE rk <= 5
+    ORDER BY event_type, rank
+    """,
+)
+def ols_leverage_influence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regression INFLUENCE diagnostics — leverage (hat values) and exact
+    residuals for the per-type daily-revenue trend fit, completing the
+    OLS family: `ols_trend_residuals` flags large residuals (outliers in
+    y), this flags the days that DOMINATE the fit (outliers in x) — the
+    points whose removal moves the trend, which is what a
+    forecasting/backtest pipeline must audit before trusting a slope.
+    Everything is exact bigint rationals on a common denominator n*C
+    (C = n*Sxx - Sx^2): leverage h_i = (C + (n*x_i - Sx)^2) / (n*C),
+    residual e_i = (n*C*y_i - C*Sy + B*Sx - n*B*x_i) / (n*C) with
+    B = n*Sxy - Sx*Sy, and the standard 2p/n rule h_i > 4/n reduces to
+    the integer comparison h_num > 4*C.  Day indices are re-based per
+    type (x_i = day - min_day) so every product stays far inside int64.
+    Top-5 leverage days per type, deterministic tiebreak.
+
+    Scale: one day-grain pre-aggregate (map-side combinable), one
+    5-row-per-type stats broadcast joined back, one per-type top-5
+    window — the sufficient-statistics pattern the whole drift family
+    uses; nothing data-sized crosses the wire twice."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        "event_type",
+        F.floor(F.unix_micros(F.date_trunc("day", "ts")) / 86_400_000_000)
+        .cast("bigint")
+        .alias("day"),
+    ).agg(
+        F.sum(F.floor(F.col("value") * 100.0).cast("bigint"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    wmin = Window.partitionBy("event_type")
+    x = d.select(
+        "event_type",
+        (F.col("day") - F.min("day").over(wmin)).cast("bigint").alias("xi"),
+        F.col("cents").alias("yi"),
+    )
+    s = x.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("xi").cast("bigint").alias("sx"),
+        F.sum("yi").cast("bigint").alias("sy"),
+        F.sum(F.col("xi") * F.col("xi")).cast("bigint").alias("sxx"),
+        F.sum(F.col("xi") * F.col("yi")).cast("bigint").alias("sxy"),
+    )
+    j = x.join(F.broadcast(s), "event_type").select(
+        "event_type", "xi", "yi", "n", "sx", "sy",
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).alias("c"),
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).alias("b"),
+    )
+    gap = F.col("n") * F.col("xi") - F.col("sx")
+    h_num = F.col("c") + gap * gap
+    e_num = (
+        F.col("n") * F.col("c") * F.col("yi")
+        - F.col("c") * F.col("sy")
+        + F.col("b") * F.col("sx")
+        - F.col("n") * F.col("b") * F.col("xi")
+    )
+    wr = Window.partitionBy("event_type").orderBy(h_num.desc(), "xi")
+    lev = j.select(
+        "event_type",
+        F.col("xi").alias("day_off"),
+        h_num.cast("bigint").alias("h_num"),
+        (F.col("n") * F.col("c")).cast("bigint").alias("den"),
+        e_num.cast("bigint").alias("e_num"),
+        (h_num > 4 * F.col("c")).alias("high_leverage"),
+        F.row_number().over(wr).cast("bigint").alias("rank"),
+    )
+    return lev.filter(F.col("rank") <= 5).orderBy("event_type", "rank")
+
+
+@query(
+    "woe_iv_binning",
+    oracle="""
+    WITH b AS (
+      SELECT ntile(10) OVER (ORDER BY value, event_id) AS bin,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      FROM events WHERE value IS NOT NULL
+    ),
+    agg AS (
+      SELECT bin, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(y) AS BIGINT) AS pos,
+             CAST(count(*) - sum(y) AS BIGINT) AS neg
+      FROM b GROUP BY bin
+    ),
+    tot AS (
+      SELECT CAST(sum(pos) AS BIGINT) AS pos_tot,
+             CAST(sum(neg) AS BIGINT) AS neg_tot
+      FROM agg
+    )
+    SELECT bin, n, pos, neg,
+           CAST(pos * neg_tot AS BIGINT) AS woe_num,
+           CAST(neg * pos_tot AS BIGINT) AS woe_den,
+           CAST(pos * neg_tot - neg * pos_tot AS BIGINT) AS iv_diff_num,
+           CAST(pos_tot * neg_tot AS BIGINT) AS iv_diff_den,
+           (pos * neg_tot > neg * pos_tot) AS woe_positive
+    FROM agg CROSS JOIN tot
+    ORDER BY bin
+    """,
+)
+def woe_iv_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-evidence / information-value binning — the credit-risk
+    feature-engineering standard: per score decile, the evidence ratio
+    WOE_b = ln((pos_b/pos_tot)/(neg_b/neg_tot)) and the IV contribution
+    (pos_b/pos_tot - neg_b/neg_tot) * WOE_b.  Per the house float rule
+    the ln never materializes in the gate: the query emits the exact
+    integer ratio components (woe_num/woe_den — WOE > 0 iff num > den,
+    which IS the emitted verdict) and the IV difference factor as an
+    unreduced bigint rational; ln(woe_num/woe_den) is one expression
+    away for any consumer.  Complements `gini_split_gain_deciles`
+    (impurity view) and `score_calibration_bins` (probability view)
+    with the evidence-ratio view on the same decile spine.
+
+    Scale: one global ntile (at 100 TB: precomputed KLL quantile
+    boundaries, same bins without the sort), one groupBy to 10 rows,
+    one 1-row total broadcast."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    wb = Window.orderBy("value", "event_id")
+    b = ev.select(
+        F.ntile(10).over(wb).alias("bin"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+    )
+    agg = b.groupBy("bin").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("pos"),
+        (F.count("*") - F.sum("y")).cast("bigint").alias("neg"),
+    )
+    tot = agg.agg(
+        F.sum("pos").cast("bigint").alias("pos_tot"),
+        F.sum("neg").cast("bigint").alias("neg_tot"),
+    )
+    return (
+        agg.crossJoin(F.broadcast(tot))
+        .select(
+            "bin", "n", "pos", "neg",
+            (F.col("pos") * F.col("neg_tot")).cast("bigint").alias("woe_num"),
+            (F.col("neg") * F.col("pos_tot")).cast("bigint").alias("woe_den"),
+            (F.col("pos") * F.col("neg_tot") - F.col("neg") * F.col("pos_tot"))
+            .cast("bigint")
+            .alias("iv_diff_num"),
+            (F.col("pos_tot") * F.col("neg_tot"))
+            .cast("bigint")
+            .alias("iv_diff_den"),
+            (F.col("pos") * F.col("neg_tot") > F.col("neg") * F.col("pos_tot"))
+            .alias("woe_positive"),
+        )
+        .orderBy("bin")
+    )
+
+
 # Round 8 front window.  Round 7 went 50/50 with zero reds, so no
 # re-checks lead the window: it is exactly the 37-name _PENDING_ROUND8
 # backlog (6 round-6 rollovers + 31 round-7 additions — all preflighted
@@ -23754,6 +24067,9 @@ _PENDING_ROUND9: list[str] = [
     "bom_explosion_rollup",  # new in round 8 (recursive hierarchy costing)
     "ams_f2_sketch_estimate",  # new in round 8 (AMS self-join-size sketch)
     "isotonic_calibration_pav",  # new in round 8 (exact monotone calibration)
+    "kcenter_coreset_micro",  # new in round 8 (farthest-point data selection)
+    "ols_leverage_influence",  # new in round 8 (hat-value fit diagnostics)
+    "woe_iv_binning",  # new in round 8 (weight-of-evidence components)
 ]
 
 # ROUND-9 BUILDER: build _ROUND9_FRONT = re-checks of any round-8 reds +

@@ -233,3 +233,46 @@ def test_optimize_table_rejects_non_numeric_zorder_column(spark, tmp_path):
     ).write.parquet(path2)
     with pytest.raises(ValueError, match="all-null"):
         optimize_table(spark, path2, zorder_by=["n"])
+
+
+def test_vacuum_residue_cleans_crash_siblings(spark, tmp_path):
+    """vacuum_residue removes swap residue (staging, aside-with-live,
+    sink .stage-/.old- siblings), reports reclaimed bytes, honors
+    dry_run, and REFUSES to delete an aside when the live table is
+    missing (that aside is the recovery artifact)."""
+    import os
+
+    import pytest
+
+    from anomaly_detection_in_time_series_data_spark.operators.layout import (
+        vacuum_residue,
+    )
+
+    path = str(tmp_path / "t")
+    df = spark.range(100).selectExpr("id", "id * 2 AS v")
+    df.write.parquet(path)
+    for sib in ("t__optimize_stage", "t__optimize_old", "t.stage-3", "t.old-7"):
+        df.write.parquet(str(tmp_path / sib))
+    # Unrelated sibling must survive.
+    df.write.parquet(str(tmp_path / "t2"))
+
+    dry = vacuum_residue(spark, path, dry_run=True)
+    assert sorted(dry["removed"]) == [
+        "t.old-7", "t.stage-3", "t__optimize_old", "t__optimize_stage",
+    ]
+    assert dry["bytes_reclaimed"] > 0
+    assert os.path.exists(str(tmp_path / "t__optimize_old"))  # dry run
+
+    rep = vacuum_residue(spark, path)
+    assert rep["removed"] == dry["removed"]
+    for sib in rep["removed"]:
+        assert not os.path.exists(str(tmp_path / sib))
+    assert os.path.exists(path) and os.path.exists(str(tmp_path / "t2"))
+
+    # Missing live dir + aside present -> refuse.
+    df.write.parquet(str(tmp_path / "t__optimize_old"))
+    import shutil
+
+    shutil.rmtree(path)
+    with pytest.raises(RuntimeError, match="recovery artifact"):
+        vacuum_residue(spark, path)

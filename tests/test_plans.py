@@ -790,6 +790,9 @@ def test_round8_wave_plans_stay_jvm(spark, sf_dir):
         "bom_explosion_rollup",
         "ams_f2_sketch_estimate",
         "isotonic_calibration_pav",
+        "kcenter_coreset_micro",
+        "ols_leverage_influence",
+        "woe_iv_binning",
     ]
     for name in wave:
         plan = plans.executed_plan(q.QUERIES[name](spark, sf_dir))
