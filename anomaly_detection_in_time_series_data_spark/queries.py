@@ -24035,6 +24035,167 @@ def woe_iv_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "point_in_polygon_counts",
+    oracle="""
+    WITH pts AS (
+      SELECT c_nationkey,
+             CAST((c_custkey * 7) % 200 - 100 AS BIGINT) AS px,
+             CAST((c_custkey * 13) % 200 - 100 AS BIGINT) AS py
+      FROM customer
+    ),
+    edges(x1, y1, x2, y2) AS (
+      VALUES (-80, -60, 0, 80), (0, 80, 80, -60),
+             (80, -60, 0, -10), (0, -10, -80, -60)
+    ),
+    wn AS (
+      SELECT p.c_nationkey, p.px, p.py,
+             CAST(sum(CASE
+               WHEN e.y1 <= p.py AND e.y2 > p.py
+                    AND (e.x2 - e.x1) * (p.py - e.y1)
+                        - (e.y2 - e.y1) * (p.px - e.x1) > 0 THEN 1
+               WHEN e.y2 <= p.py AND e.y1 > p.py
+                    AND (e.x2 - e.x1) * (p.py - e.y1)
+                        - (e.y2 - e.y1) * (p.px - e.x1) < 0 THEN -1
+               ELSE 0 END) AS BIGINT) AS w
+      FROM pts p CROSS JOIN edges e
+      GROUP BY 1, 2, 3
+    )
+    SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+           CAST(sum(CASE WHEN w <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_inside,
+           CAST(count(*) AS BIGINT) AS n_total
+    FROM wn GROUP BY 1 ORDER BY nationkey
+    """,
+)
+def point_in_polygon_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Computational-geometry containment — WINDING-NUMBER point-in-
+    polygon over a CONCAVE quad (the dart (-80,-60)->(0,80)->(80,-60)->
+    (0,-10)), the geofencing primitive the geohash family (F1-F3) stops
+    short of: geohash prefixes give rectangular cells, real fences are
+    polygons.  Every predicate is an exact integer cross product
+    ((x2-x1)(py-y1) - (y2-y1)(px-x1)) with half-open vertical-span rules
+    (y1 <= py < y2 ascending, descending mirrored), so boundary cases
+    are decided identically on both engines — no epsilon, no float.
+    Points are fixture-derived integer coordinates keyed per customer.
+
+    Scale: the polygon rides a broadcast (4 edges x any fan-out); the
+    per-point work is |edges| integer predicates folded into one
+    aggregate — linear scan, no shuffle beyond the final nation
+    grouping.  A 100 TB geofence run is this exact plan with the edge
+    table per fence."""
+    cust = load_table(spark, sf_dir, "customer")
+    pts = cust.select(
+        "c_nationkey",
+        ((F.col("c_custkey") * 7) % 200 - 100).cast("bigint").alias("px"),
+        ((F.col("c_custkey") * 13) % 200 - 100).cast("bigint").alias("py"),
+    )
+    edges = spark.createDataFrame(
+        [(-80, -60, 0, 80), (0, 80, 80, -60),
+         (80, -60, 0, -10), (0, -10, -80, -60)],
+        "x1 long, y1 long, x2 long, y2 long",
+    )
+    d = (F.col("x2") - F.col("x1")) * (F.col("py") - F.col("y1")) - (
+        F.col("y2") - F.col("y1")
+    ) * (F.col("px") - F.col("x1"))
+    contrib = (
+        F.when(
+            (F.col("y1") <= F.col("py")) & (F.col("y2") > F.col("py")) & (d > 0),
+            1,
+        )
+        .when(
+            (F.col("y2") <= F.col("py")) & (F.col("y1") > F.col("py")) & (d < 0),
+            -1,
+        )
+        .otherwise(0)
+    )
+    wn = (
+        pts.crossJoin(F.broadcast(edges))
+        .groupBy("c_nationkey", "px", "py")
+        .agg(F.sum(contrib).cast("bigint").alias("w"))
+    )
+    return (
+        wn.groupBy(F.col("c_nationkey").cast("bigint").alias("nationkey"))
+        .agg(
+            F.sum(F.when(F.col("w") != 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_inside"),
+            F.count("*").cast("bigint").alias("n_total"),
+        )
+        .orderBy("nationkey")
+    )
+
+
+@query(
+    "fiscal_445_calendar_rollup",
+    oracle="""
+    WITH d AS (
+      SELECT epoch_us(o_orderdate) // 86400000000 AS day,
+             CAST(floor(o_totalprice * 100.0) AS BIGINT) AS cents
+      FROM orders
+    ),
+    f AS (
+      SELECT cents,
+             (day - 9131) // 7 AS wk
+      FROM d
+    ),
+    p AS (
+      SELECT cents, wk // 52 AS fy, (wk % 52) // 13 AS fq,
+             CASE WHEN (wk % 52) % 13 < 4 THEN 0
+                  WHEN (wk % 52) % 13 < 8 THEN 1 ELSE 2 END AS pq
+      FROM f
+    )
+    SELECT CAST(fy AS BIGINT) AS fiscal_year,
+           CAST(fq + 1 AS BIGINT) AS fiscal_quarter,
+           CAST(fq * 3 + pq + 1 AS BIGINT) AS fiscal_period,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(cents) AS BIGINT) AS revenue_cents
+    FROM p GROUP BY 1, 2, 3
+    ORDER BY fiscal_year, fiscal_period
+    """,
+)
+def fiscal_445_calendar_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-4-5 FISCAL calendar rollup — the retail/finance reporting
+    calendar (quarters of 13 weeks split into 4+4+5-week periods) that
+    Gregorian date_trunc cannot express and BI teams reimplement
+    endlessly.  The mapping is pure integer arithmetic on the epoch day
+    (fiscal epoch = day 9131, Sunday 1995-01-01 — the fixture's first
+    order date, so offsets are non-negative and // is unambiguous):
+    week = (day - epoch) // 7, year = week // 52,
+    quarter = week % 52 // 13, period by the 4/8 week split — no
+    calendar table, no join, identical closed form on both engines
+    (`business_days_to_ship` is the day-grain sibling of this
+    week-grain discipline).  Revenue in exact integer cents per fiscal
+    period.
+
+    Scale: a scan-local expression feeding one map-side-combinable
+    aggregate over ~dozens of groups; the fiscal mapping costs nothing
+    at any volume."""
+    od = load_table(spark, sf_dir, "orders")
+    day = F.floor(
+        F.unix_micros(F.col("o_orderdate").cast("timestamp")) / 86_400_000_000
+    )
+    wk = F.floor((day - 9131) / 7)
+    wiy = wk % 52
+    fq = F.floor(wiy / 13)
+    wiq = wiy % 13
+    pq = F.when(wiq < 4, 0).when(wiq < 8, 1).otherwise(2)
+    return (
+        od.select(
+            F.floor(wk / 52).cast("bigint").alias("fiscal_year"),
+            (fq + 1).cast("bigint").alias("fiscal_quarter"),
+            (fq * 3 + pq + 1).cast("bigint").alias("fiscal_period"),
+            F.floor(F.col("o_totalprice") * 100.0).cast("bigint").alias("cents"),
+        )
+        .groupBy("fiscal_year", "fiscal_quarter", "fiscal_period")
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.sum("cents").cast("bigint").alias("revenue_cents"),
+        )
+        .orderBy("fiscal_year", "fiscal_period")
+    )
+
+
 # Round 8 front window.  Round 7 went 50/50 with zero reds, so no
 # re-checks lead the window: it is exactly the 37-name _PENDING_ROUND8
 # backlog (6 round-6 rollovers + 31 round-7 additions — all preflighted
@@ -24070,6 +24231,8 @@ _PENDING_ROUND9: list[str] = [
     "kcenter_coreset_micro",  # new in round 8 (farthest-point data selection)
     "ols_leverage_influence",  # new in round 8 (hat-value fit diagnostics)
     "woe_iv_binning",  # new in round 8 (weight-of-evidence components)
+    "point_in_polygon_counts",  # new in round 8 (winding-number geofencing)
+    "fiscal_445_calendar_rollup",  # new in round 8 (4-4-5 fiscal calendar)
 ]
 
 # ROUND-9 BUILDER: build _ROUND9_FRONT = re-checks of any round-8 reds +

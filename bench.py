@@ -160,6 +160,16 @@ HEADLINE = [
     "copurchase_brand_pairs",
     "business_days_to_ship",
     "median_polish_micro",
+    # round 8 additions
+    "event_sequence_pattern_match",
+    "bom_explosion_rollup",
+    "ams_f2_sketch_estimate",
+    "isotonic_calibration_pav",
+    "kcenter_coreset_micro",
+    "ols_leverage_influence",
+    "woe_iv_binning",
+    "point_in_polygon_counts",
+    "fiscal_445_calendar_rollup",
 ]
 
 

@@ -793,6 +793,8 @@ def test_round8_wave_plans_stay_jvm(spark, sf_dir):
         "kcenter_coreset_micro",
         "ols_leverage_influence",
         "woe_iv_binning",
+        "point_in_polygon_counts",
+        "fiscal_445_calendar_rollup",
     ]
     for name in wave:
         plan = plans.executed_plan(q.QUERIES[name](spark, sf_dir))
