@@ -24196,6 +24196,193 @@ def fiscal_445_calendar_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "functional_dependency_audit",
+    oracle="""
+    WITH fd1 AS (
+      SELECT 'orders: o_orderkey -> o_custkey' AS fd,
+             CAST(count(*) AS BIGINT) AS n_lhs,
+             CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_violating,
+             CAST(max(nd) AS BIGINT) AS max_rhs_distinct
+      FROM (SELECT o_orderkey, count(DISTINCT o_custkey) AS nd
+            FROM orders GROUP BY 1)
+    ),
+    fd2 AS (
+      SELECT 'part: p_partkey -> p_brand',
+             CAST(count(*) AS BIGINT),
+             CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT),
+             CAST(max(nd) AS BIGINT)
+      FROM (SELECT p_partkey, count(DISTINCT p_brand) AS nd
+            FROM part GROUP BY 1)
+    ),
+    fd3 AS (
+      SELECT 'events: user_id -> event_type',
+             CAST(count(*) AS BIGINT),
+             CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT),
+             CAST(max(nd) AS BIGINT)
+      FROM (SELECT user_id, count(DISTINCT event_type) AS nd
+            FROM events GROUP BY 1)
+    ),
+    fd4 AS (
+      SELECT 'lineitem: l_orderkey -> l_suppkey',
+             CAST(count(*) AS BIGINT),
+             CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT),
+             CAST(max(nd) AS BIGINT)
+      FROM (SELECT l_orderkey, count(DISTINCT l_suppkey) AS nd
+            FROM lineitem GROUP BY 1)
+    )
+    SELECT fd, n_lhs, n_violating, max_rhs_distinct,
+           (n_violating = 0) AS holds
+    FROM (SELECT * FROM fd1 UNION ALL SELECT * FROM fd2
+          UNION ALL SELECT * FROM fd3 UNION ALL SELECT * FROM fd4)
+    ORDER BY fd
+    """,
+)
+def functional_dependency_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FUNCTIONAL-DEPENDENCY discovery audit (Metanome/profiling-style):
+    does X -> Y hold, and if not, how badly broken — per candidate FD,
+    the lhs-key count, the number of lhs values with more than one rhs
+    value, and the worst fan-out.  Two true dependencies (key -> column
+    in its own table), one expected-false behavioral pair (user ->
+    event_type), and one expected-false fact fan-out (order ->
+    supplier) give the audit discriminative teeth; `holds` is the
+    discovered verdict, not an assumed constraint —
+    `referential_integrity_audit` checks DECLARED constraints, this
+    DISCOVERS them.
+
+    Scale: each FD is one groupBy(lhs) count-distinct(rhs) — map-side
+    partials, one shuffle per table scanned; candidates over the same
+    lhs share the scan in production (grouping-sets form)."""
+
+    def fd(df, label, lhs, rhs):
+        g = df.groupBy(lhs).agg(F.count_distinct(rhs).alias("nd"))
+        return g.agg(
+            F.lit(label).alias("fd"),
+            F.count("*").cast("bigint").alias("n_lhs"),
+            F.sum(F.when(F.col("nd") > 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_violating"),
+            F.max("nd").cast("bigint").alias("max_rhs_distinct"),
+        )
+    od = load_table(spark, sf_dir, "orders")
+    pt = load_table(spark, sf_dir, "part")
+    ev = load_table(spark, sf_dir, "events")
+    li = load_table(spark, sf_dir, "lineitem")
+    parts = [
+        fd(od, "orders: o_orderkey -> o_custkey", "o_orderkey", "o_custkey"),
+        fd(pt, "part: p_partkey -> p_brand", "p_partkey", "p_brand"),
+        fd(ev, "events: user_id -> event_type", "user_id", "event_type"),
+        fd(li, "lineitem: l_orderkey -> l_suppkey", "l_orderkey", "l_suppkey"),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out.select(
+        "fd", "n_lhs", "n_violating", "max_rhs_distinct",
+        (F.col("n_violating") == 0).alias("holds"),
+    ).orderBy("fd")
+
+
+@query(
+    "inclusion_dependency_audit",
+    oracle="""
+    WITH i1 AS (
+      SELECT 'lineitem.l_orderkey <= orders.o_orderkey' AS ind,
+             CAST(count(*) AS BIGINT) AS n_distinct,
+             CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_unmatched
+      FROM (SELECT DISTINCT l_orderkey FROM lineitem) l
+      LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+        ON l.l_orderkey = o.o_orderkey
+    ),
+    i2 AS (
+      SELECT 'orders.o_custkey <= customer.c_custkey',
+             CAST(count(*) AS BIGINT),
+             CAST(sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT)
+      FROM (SELECT DISTINCT o_custkey FROM orders) o
+      LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+        ON o.o_custkey = c.c_custkey
+    ),
+    i3 AS (
+      SELECT 'customer.c_nationkey <= nation.n_nationkey',
+             CAST(count(*) AS BIGINT),
+             CAST(sum(CASE WHEN n_nationkey IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT)
+      FROM (SELECT DISTINCT c_nationkey FROM customer) c
+      LEFT JOIN (SELECT DISTINCT n_nationkey FROM nation) n
+        ON c.c_nationkey = n.n_nationkey
+    ),
+    i4 AS (
+      SELECT 'events.user_id <= customer.c_custkey',
+             CAST(count(*) AS BIGINT),
+             CAST(sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT)
+      FROM (SELECT DISTINCT user_id FROM events) e
+      LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+        ON e.user_id = c.c_custkey
+    )
+    SELECT ind, n_distinct, n_unmatched, (n_unmatched = 0) AS holds
+    FROM (SELECT * FROM i1 UNION ALL SELECT * FROM i2
+          UNION ALL SELECT * FROM i3 UNION ALL SELECT * FROM i4)
+    ORDER BY ind
+    """,
+)
+def inclusion_dependency_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCLUSION-DEPENDENCY discovery (foreign-key candidate mining, the
+    profiling dual of `functional_dependency_audit`): for each candidate
+    column pair A <= B, the distinct-value count of A and how many of
+    them are absent from B — zero unmatched means A <= B holds and the
+    pair is an FK candidate.  Three true containments from the star
+    schema and one cross-domain negative (event users vs customer keys)
+    keep the audit honest.  `referential_integrity_audit` counts
+    violating ROWS of declared FKs; this mines candidate edges from
+    distinct-value containment, which is how schema-on-read lakes
+    recover their join graph.
+
+    Scale: per candidate, two distinct-projections (map-side combined)
+    and one left join on the deduplicated sides — the smallest join
+    that answers containment; at production scale the left side's
+    distinct set is typically sketched (bloom/theta — see
+    `bloom_prejoin_fpr` / `theta_vocab_overlap_bounds`) before the
+    exact pass."""
+
+    def ind(label, a_df, a_col, b_df, b_col):
+        a = a_df.select(F.col(a_col).alias("a")).distinct()
+        b = b_df.select(F.col(b_col).alias("b")).distinct()
+        j = a.join(b, a["a"] == b["b"], "left")
+        return j.agg(
+            F.lit(label).alias("ind"),
+            F.count("*").cast("bigint").alias("n_distinct"),
+            F.sum(F.when(F.col("b").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_unmatched"),
+        )
+    li = load_table(spark, sf_dir, "lineitem")
+    od = load_table(spark, sf_dir, "orders")
+    cu = load_table(spark, sf_dir, "customer")
+    na = load_table(spark, sf_dir, "nation")
+    ev = load_table(spark, sf_dir, "events")
+    parts = [
+        ind("lineitem.l_orderkey <= orders.o_orderkey",
+            li, "l_orderkey", od, "o_orderkey"),
+        ind("orders.o_custkey <= customer.c_custkey",
+            od, "o_custkey", cu, "c_custkey"),
+        ind("customer.c_nationkey <= nation.n_nationkey",
+            cu, "c_nationkey", na, "n_nationkey"),
+        ind("events.user_id <= customer.c_custkey",
+            ev, "user_id", cu, "c_custkey"),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out.select(
+        "ind", "n_distinct", "n_unmatched",
+        (F.col("n_unmatched") == 0).alias("holds"),
+    ).orderBy("ind")
+
+
 # Round 8 front window.  Round 7 went 50/50 with zero reds, so no
 # re-checks lead the window: it is exactly the 37-name _PENDING_ROUND8
 # backlog (6 round-6 rollovers + 31 round-7 additions — all preflighted
@@ -24233,6 +24420,8 @@ _PENDING_ROUND9: list[str] = [
     "woe_iv_binning",  # new in round 8 (weight-of-evidence components)
     "point_in_polygon_counts",  # new in round 8 (winding-number geofencing)
     "fiscal_445_calendar_rollup",  # new in round 8 (4-4-5 fiscal calendar)
+    "functional_dependency_audit",  # new in round 8 (FD discovery profiling)
+    "inclusion_dependency_audit",  # new in round 8 (FK-candidate mining)
 ]
 
 # ROUND-9 BUILDER: build _ROUND9_FRONT = re-checks of any round-8 reds +

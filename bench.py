@@ -170,6 +170,8 @@ HEADLINE = [
     "woe_iv_binning",
     "point_in_polygon_counts",
     "fiscal_445_calendar_rollup",
+    "functional_dependency_audit",
+    "inclusion_dependency_audit",
 ]
 
 

@@ -795,6 +795,8 @@ def test_round8_wave_plans_stay_jvm(spark, sf_dir):
         "woe_iv_binning",
         "point_in_polygon_counts",
         "fiscal_445_calendar_rollup",
+        "functional_dependency_audit",
+        "inclusion_dependency_audit",
     ]
     for name in wave:
         plan = plans.executed_plan(q.QUERIES[name](spark, sf_dir))
