@@ -24383,6 +24383,199 @@ def inclusion_dependency_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("ind")
 
 
+@query(
+    "lttb_downsample_lite",
+    oracle="""
+    WITH h AS (
+      SELECT epoch_us(date_trunc('hour', ts)) // 3600000000 AS hr,
+             CAST(sum(CAST(floor(value * 100.0) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM events GROUP BY 1
+    ),
+    hb AS (
+      SELECT hr, cents,
+             (hr - (SELECT min(hr) FROM h)) // 24 AS bucket
+      FROM h
+    ),
+    ba AS (
+      SELECT bucket, CAST(sum(hr) AS BIGINT) AS sx,
+             CAST(sum(cents) AS BIGINT) AS sy,
+             CAST(count(*) AS BIGINT) AS n
+      FROM hb GROUP BY bucket
+    ),
+    ctx AS (
+      SELECT p.bucket, p.hr, p.cents,
+             l.sx AS lx, l.sy AS ly, l.n AS ln,
+             r.sx AS rx, r.sy AS ry, r.n AS rn
+      FROM hb p
+      JOIN ba l ON l.bucket = p.bucket - 1
+      JOIN ba r ON r.bucket = p.bucket + 1
+    ),
+    scored AS (
+      SELECT bucket, hr, cents,
+             abs( (lx - hr * ln) * (ry - cents * rn)
+                - (rx - hr * rn) * (ly - cents * ln) ) AS area2
+      FROM ctx
+    ),
+    pick AS (
+      SELECT bucket, hr, cents,
+             row_number() OVER (PARTITION BY bucket
+                                ORDER BY area2 DESC, hr) AS rk
+      FROM scored
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket, CAST(hr AS BIGINT) AS hr,
+           cents
+    FROM pick WHERE rk = 1 ORDER BY bucket
+    """,
+)
+def lttb_downsample_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-Triangle-Three-Buckets downsampling (LTTB-lite) — the
+    standard dashboard decimation that keeps the visually dominant point
+    per bucket: within each 24-hour bucket, select the hour maximizing
+    the triangle area against the NEIGHBOR BUCKET CENTROIDS.  Classic
+    LTTB anchors on the previously SELECTED point (strictly sequential);
+    the -lite variant anchors on bucket averages, which is the
+    documented parallel approximation — every bucket scores
+    independently, so the operator distributes.  The area is kept
+    integer-exact by multiplying the centroid rationals through by
+    their denominators (ln*rn is constant within a bucket, so it never
+    affects the argmax): area2 = |(lx - x*ln)*(ry - y*rn) -
+    (rx - x*rn)*(ly - y*ln)| over bigint hour/cents sums — no division
+    ever happens, so the argmax (deterministic hr tiebreak) is
+    engine-exact.
+
+    Scale: one hour-grain pre-aggregate, one 2-row-per-bucket centroid
+    join (bucket table is data-size/24h — broadcastable), one per-bucket
+    top-1 window.  Downsampling a year of metrics to 365 points on
+    100 TB is this exact plan."""
+    ev = load_table(spark, sf_dir, "events")
+    h = ev.groupBy(
+        F.floor(F.unix_micros(F.date_trunc("hour", "ts")) / 3_600_000_000)
+        .cast("bigint")
+        .alias("hr")
+    ).agg(
+        F.sum(F.floor(F.col("value") * 100.0).cast("bigint"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    mn = h.agg(F.min("hr").alias("m"))
+    hb = h.crossJoin(F.broadcast(mn)).select(
+        "hr", "cents", F.floor((F.col("hr") - F.col("m")) / 24).alias("bucket")
+    )
+    ba = hb.groupBy("bucket").agg(
+        F.sum("hr").cast("bigint").alias("sx"),
+        F.sum("cents").cast("bigint").alias("sy"),
+        F.count("*").cast("bigint").alias("n"),
+    )
+    l = ba.select(
+        (F.col("bucket") + 1).alias("pb"),
+        F.col("sx").alias("lx"), F.col("sy").alias("ly"),
+        F.col("n").alias("ln"),
+    )
+    r = ba.select(
+        (F.col("bucket") - 1).alias("pb2"),
+        F.col("sx").alias("rx"), F.col("sy").alias("ry"),
+        F.col("n").alias("rn"),
+    )
+    ctx = hb.join(F.broadcast(l), hb["bucket"] == l["pb"]).join(
+        F.broadcast(r), hb["bucket"] == r["pb2"]
+    )
+    area2 = F.abs(
+        (F.col("lx") - F.col("hr") * F.col("ln"))
+        * (F.col("ry") - F.col("cents") * F.col("rn"))
+        - (F.col("rx") - F.col("hr") * F.col("rn"))
+        * (F.col("ly") - F.col("cents") * F.col("ln"))
+    )
+    wpick = Window.partitionBy("bucket").orderBy(area2.desc(), "hr")
+    return (
+        ctx.select(
+            F.col("bucket").cast("bigint").alias("bucket"),
+            F.col("hr").cast("bigint").alias("hr"),
+            "cents",
+            F.row_number().over(wpick).alias("rk"),
+        )
+        .filter(F.col("rk") == 1)
+        .drop("rk")
+        .orderBy("bucket")
+    )
+
+
+@query(
+    "table_fingerprint_checksum",
+    oracle="""
+    WITH rh AS (
+      SELECT CAST(('0x' || substr(md5(
+               'fp|' || o_orderkey || '|' || o_custkey || '|' ||
+               o_orderstatus || '|' ||
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+             ), 1, 15))::BIGINT AS BIGINT) AS h
+      FROM orders
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(h) % 9223372036854775807 AS BIGINT) AS checksum_sum,
+           CAST(bit_xor(h) AS BIGINT) AS checksum_xor,
+           CAST(min(h) AS BIGINT) AS h_min,
+           CAST(max(h) AS BIGINT) AS h_max
+    FROM rh
+    """,
+)
+def table_fingerprint_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDER-INSENSITIVE table content fingerprint — the O(1)-output
+    replication/migration verification primitive (Percona-style table
+    checksum): every row folds to a 60-bit md5 integer over its
+    canonicalized columns (money canonicalized to exact integer cents —
+    the same discipline the whole money family uses), and the table
+    digest is the commutative fold (sum mod M, xor, min, max, count).
+    Two replicas agree iff all five values agree; a single flipped row
+    flips the digest.  `cdc_snapshot_diff` finds WHICH rows changed
+    (row-level join); this answers DID anything change in one narrow
+    pass with no join at all — the cheap gate you run before the
+    expensive diff.
+
+    Scale: scan-local hashing folded by fully map-side-combinable
+    commutative aggregates; zero shuffle beyond the 1-row combine.
+    This is THE pattern for verifying a 100 TB copy without moving
+    data."""
+    od = load_table(spark, sf_dir, "orders")
+    cents = (
+        F.col("o_totalprice").cast("decimal(18,2)") * 100
+    ).cast("bigint")
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.lit("fp"),
+                    F.col("o_orderkey"),
+                    F.col("o_custkey"),
+                    F.col("o_orderstatus"),
+                    cents,
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    rh = od.select(h.alias("h"))
+    # Sum accumulates in decimal(38,0) BEFORE the mod: 60-bit hashes over
+    # billions of rows overflow int64 (DuckDB auto-promotes to HUGEINT;
+    # Spark's ANSI mode rightly refuses), and decimal-38 holds ~1e24 rows.
+    return rh.agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        (
+            F.sum(F.col("h").cast("decimal(38,0)"))
+            % F.lit(9223372036854775807).cast("decimal(38,0)")
+        )
+        .cast("bigint")
+        .alias("checksum_sum"),
+        F.expr("bit_xor(h)").cast("bigint").alias("checksum_xor"),
+        F.min("h").cast("bigint").alias("h_min"),
+        F.max("h").cast("bigint").alias("h_max"),
+    )
+
+
 # Round 8 front window.  Round 7 went 50/50 with zero reds, so no
 # re-checks lead the window: it is exactly the 37-name _PENDING_ROUND8
 # backlog (6 round-6 rollovers + 31 round-7 additions — all preflighted
@@ -24422,6 +24615,8 @@ _PENDING_ROUND9: list[str] = [
     "fiscal_445_calendar_rollup",  # new in round 8 (4-4-5 fiscal calendar)
     "functional_dependency_audit",  # new in round 8 (FD discovery profiling)
     "inclusion_dependency_audit",  # new in round 8 (FK-candidate mining)
+    "lttb_downsample_lite",  # new in round 8 (dashboard decimation, exact)
+    "table_fingerprint_checksum",  # new in round 8 (O(1) replication verify)
 ]
 
 # ROUND-9 BUILDER: build _ROUND9_FRONT = re-checks of any round-8 reds +

@@ -172,6 +172,8 @@ HEADLINE = [
     "fiscal_445_calendar_rollup",
     "functional_dependency_audit",
     "inclusion_dependency_audit",
+    "lttb_downsample_lite",
+    "table_fingerprint_checksum",
 ]
 
 

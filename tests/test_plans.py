@@ -797,6 +797,8 @@ def test_round8_wave_plans_stay_jvm(spark, sf_dir):
         "fiscal_445_calendar_rollup",
         "functional_dependency_audit",
         "inclusion_dependency_audit",
+        "lttb_downsample_lite",
+        "table_fingerprint_checksum",
     ]
     for name in wave:
         plan = plans.executed_plan(q.QUERIES[name](spark, sf_dir))
