@@ -24576,6 +24576,150 @@ def table_fingerprint_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "venn3_source_overlap",
+    oracle="""
+    WITH tg AS (
+      SELECT DISTINCT
+             unnest(list_transform(generate_series(1, len(toks) - 2),
+                    i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))
+               AS term,
+             CAST(substr(source, 4) AS BIGINT) % 3 AS grp
+      FROM (SELECT string_split(trim(lower(text)), ' ') AS toks, source
+            FROM documents WHERE length(trim(text)) > 0)
+      WHERE len(toks) >= 3
+    ),
+    mask AS (
+      SELECT term,
+             CAST(sum(DISTINCT CASE grp WHEN 0 THEN 1 WHEN 1 THEN 2
+                                        ELSE 4 END) AS BIGINT) AS m
+      FROM tg GROUP BY term
+    )
+    SELECT m AS region_mask,
+           (m % 2 = 1) AS in_g0,
+           (m // 2 % 2 = 1) AS in_g1,
+           (m // 4 % 2 = 1) AS in_g2,
+           CAST(count(*) AS BIGINT) AS n_terms
+    FROM mask GROUP BY m ORDER BY m
+    """,
+)
+def venn3_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THREE-WAY Venn decomposition of vocabulary across source groups —
+    the full inclusion-exclusion picture the pairwise
+    `source_shingle_overlap` / `theta_vocab_overlap_bounds` matrices
+    cannot give (pairwise overlaps do not determine the triple region).
+    Sources are folded into 3 groups by their numeric suffix mod 3; each
+    distinct 3-gram SHINGLE (the dedup family's unit — rare enough that
+    all 7 regions populate, where raw unigrams collapse to the
+    everything-shared region) gets a 3-bit membership MASK (sum of
+    DISTINCT per-group bits — one aggregate, no joins, no 2^3
+    subqueries) and the 7 Venn regions are the mask histogram.  The
+    exact-bitmask trick scales to any k as sum(DISTINCT 1<<group).
+
+    Scale: one distinct projection of (shingle, group), one sum-distinct
+    aggregate per shingle, one 7-group histogram — two shuffles total,
+    both map-side combinable."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length(F.trim("text")) > 0
+    )
+    toked = docs.select(
+        (F.substring("source", 4, 10).cast("bigint") % 3).alias("grp"),
+        text.tokens(F.lower("text")).alias("_toks"),
+    ).filter(F.size("_toks") >= 3)
+    tg = toked.select(
+        F.explode(dedup.shingles_of(F.col("_toks"), 3)).alias("term"), "grp"
+    ).distinct()
+    mask = tg.groupBy("term").agg(
+        F.sum_distinct(
+            F.when(F.col("grp") == 0, 1).when(F.col("grp") == 1, 2).otherwise(4)
+        )
+        .cast("bigint")
+        .alias("m")
+    )
+    return (
+        mask.groupBy(F.col("m").alias("region_mask"))
+        .agg(F.count("*").cast("bigint").alias("n_terms"))
+        .select(
+            "region_mask",
+            (F.col("region_mask") % 2 == 1).alias("in_g0"),
+            (F.floor(F.col("region_mask") / 2) % 2 == 1).alias("in_g1"),
+            (F.floor(F.col("region_mask") / 4) % 2 == 1).alias("in_g2"),
+            "n_terms",
+        )
+        .orderBy("region_mask")
+    )
+
+
+@query(
+    "schema_evolution_union_audit",
+    oracle="""
+    WITH v1 AS (
+      SELECT o_orderkey, o_custkey, CAST(NULL AS VARCHAR) AS o_orderstatus
+      FROM orders WHERE o_orderkey % 2 = 0
+    ),
+    v2 AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus
+      FROM orders WHERE o_orderkey % 2 = 1
+    ),
+    u AS (SELECT * FROM v1 UNION ALL SELECT * FROM v2)
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_nullfilled,
+           CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS n_statuses,
+           CAST(sum(o_custkey) AS BIGINT) AS custkey_sum
+    FROM u
+    """,
+)
+def schema_evolution_union_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCHEMA EVOLUTION across physical snapshots — the lake reality
+    `referential_integrity_audit` et al. assume away: an old writer
+    produced v1 files WITHOUT a column, a new writer adds it, and the
+    reader must merge both vintages.  The query materializes the two
+    vintages as real parquet trees (v1 lacks o_orderstatus entirely),
+    reads them back with ``mergeSchema=true`` (Spark's schema-union
+    scan), and audits the merge: total rows, rows null-filled for the
+    missing column, surviving status cardinality, and a content checksum
+    column.  The oracle mirrors the semantics (old rows get NULL) in
+    plain SQL — proving mergeSchema's null-fill contract equals the
+    relational UNION definition.
+
+    Scale: mergeSchema costs one footer read per file at planning time;
+    the scan itself is unchanged — this is the zero-rewrite migration
+    path (contrast with rewriting 100 TB to add a nullable column)."""
+    import shutil as _sh
+    import tempfile
+
+    od = load_table(spark, sf_dir, "orders")
+    root = tempfile.mkdtemp(prefix="adts_schema_evo_")
+    try:
+        od.filter(F.col("o_orderkey") % 2 == 0).select(
+            "o_orderkey", "o_custkey"
+        ).write.parquet(f"{root}/t/vintage=1")
+        od.filter(F.col("o_orderkey") % 2 == 1).select(
+            "o_orderkey", "o_custkey", "o_orderstatus"
+        ).write.parquet(f"{root}/t/vintage=2")
+        merged = spark.read.option("mergeSchema", "true").parquet(
+            f"{root}/t/vintage=1", f"{root}/t/vintage=2"
+        )
+        return (
+            merged.agg(
+                F.count("*").cast("bigint").alias("n_rows"),
+                F.sum(
+                    F.when(F.col("o_orderstatus").isNull(), 1).otherwise(0)
+                )
+                .cast("bigint")
+                .alias("n_nullfilled"),
+                F.count_distinct("o_orderstatus")
+                .cast("bigint")
+                .alias("n_statuses"),
+                F.sum("o_custkey").cast("bigint").alias("custkey_sum"),
+            )
+            .localCheckpoint(eager=True)  # detach from the temp files
+        )
+    finally:
+        _sh.rmtree(root, ignore_errors=True)
+
+
 # Round 8 front window.  Round 7 went 50/50 with zero reds, so no
 # re-checks lead the window: it is exactly the 37-name _PENDING_ROUND8
 # backlog (6 round-6 rollovers + 31 round-7 additions — all preflighted
@@ -24617,6 +24761,8 @@ _PENDING_ROUND9: list[str] = [
     "inclusion_dependency_audit",  # new in round 8 (FK-candidate mining)
     "lttb_downsample_lite",  # new in round 8 (dashboard decimation, exact)
     "table_fingerprint_checksum",  # new in round 8 (O(1) replication verify)
+    "venn3_source_overlap",  # new in round 8 (3-way vocab inclusion-exclusion)
+    "schema_evolution_union_audit",  # new in round 8 (mergeSchema contract)
 ]
 
 # ROUND-9 BUILDER: build _ROUND9_FRONT = re-checks of any round-8 reds +

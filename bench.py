@@ -174,6 +174,8 @@ HEADLINE = [
     "inclusion_dependency_audit",
     "lttb_downsample_lite",
     "table_fingerprint_checksum",
+    "venn3_source_overlap",
+    "schema_evolution_union_audit",
 ]
 
 

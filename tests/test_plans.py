@@ -799,6 +799,8 @@ def test_round8_wave_plans_stay_jvm(spark, sf_dir):
         "inclusion_dependency_audit",
         "lttb_downsample_lite",
         "table_fingerprint_checksum",
+        "venn3_source_overlap",
+        "schema_evolution_union_audit",
     ]
     for name in wave:
         plan = plans.executed_plan(q.QUERIES[name](spark, sf_dir))
