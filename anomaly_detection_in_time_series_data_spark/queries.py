@@ -24720,6 +24720,150 @@ def schema_evolution_union_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         _sh.rmtree(root, ignore_errors=True)
 
 
+@query(
+    "dfa_conformance_audit",
+    oracle="""
+    WITH tr AS (
+      SELECT user_id, event_type AS src,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS dst
+      FROM events
+    ),
+    allowed(a_src, a_dst) AS (
+      VALUES ('signup', 'view'), ('signup', 'click'),
+             ('view', 'view'), ('view', 'click'),
+             ('click', 'view'), ('click', 'click'), ('click', 'purchase'),
+             ('purchase', 'view'), ('error', 'view'), ('view', 'error'),
+             ('click', 'error'), ('error', 'error')
+    )
+    SELECT src, dst,
+           CAST(count(*) AS BIGINT) AS n_transitions,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           (a_src IS NOT NULL) AS allowed
+    FROM tr LEFT JOIN allowed
+      ON tr.src = allowed.a_src AND tr.dst = allowed.a_dst
+    WHERE dst IS NOT NULL
+    GROUP BY src, dst, a_src IS NOT NULL
+    ORDER BY src, dst
+    """,
+)
+def dfa_conformance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PROCESS-MINING conformance checking: observed user-journey
+    transitions audited against a declared process model (the allowed
+    edge set of a DFA over event types) — the fitness half of
+    conformance analysis, answering "which real transitions does the
+    designed funnel not permit, and how common are they?"
+    (`event_transition_counts` measures the empirical Markov matrix;
+    this JUDGES it against the spec).  Every observed (src, dst) pair is
+    reported with volume, user reach, and the allowed verdict from a
+    left join against the 12-edge model.
+
+    Scale: one user-keyed window for the lag pairs (the sessionization
+    shuffle), a |types|^2-bounded aggregate, and the model rides a
+    12-row broadcast — conformance over any volume costs one window
+    pass."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tr = ev.select(
+        "user_id",
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(w).alias("dst"),
+    ).filter(F.col("dst").isNotNull())
+    allowed = spark.createDataFrame(
+        [
+            ("signup", "view"), ("signup", "click"),
+            ("view", "view"), ("view", "click"),
+            ("click", "view"), ("click", "click"), ("click", "purchase"),
+            ("purchase", "view"), ("error", "view"), ("view", "error"),
+            ("click", "error"), ("error", "error"),
+        ],
+        "a_src string, a_dst string",
+    )
+    j = tr.join(
+        F.broadcast(allowed),
+        (tr["src"] == allowed["a_src"]) & (tr["dst"] == allowed["a_dst"]),
+        "left",
+    )
+    return (
+        j.groupBy("src", "dst", F.col("a_src").isNotNull().alias("allowed"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_transitions"),
+            F.count_distinct("user_id").cast("bigint").alias("n_users"),
+        )
+        .select("src", "dst", "n_transitions", "n_users", "allowed")
+        .orderBy("src", "dst")
+    )
+
+
+@query(
+    "borda_rank_aggregation",
+    oracle="""
+    WITH wkly AS (
+      SELECT user_id, weekofyear(ts) AS wk,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT user_id, wk,
+             row_number() OVER (PARTITION BY wk
+                                ORDER BY n DESC, user_id) AS rk,
+             count(*) OVER (PARTITION BY wk) AS sz
+      FROM wkly
+    ),
+    borda AS (
+      SELECT user_id,
+             CAST(sum(sz - rk) AS BIGINT) AS borda_points,
+             CAST(count(*) AS BIGINT) AS n_weeks,
+             CAST(min(rk) AS BIGINT) AS best_rank,
+             CAST(max(rk) AS BIGINT) AS worst_rank
+      FROM ranked GROUP BY user_id
+    )
+    SELECT user_id, borda_points, n_weeks, best_rank, worst_rank,
+           CAST(row_number() OVER (ORDER BY borda_points DESC, user_id)
+                AS BIGINT) AS consensus_rank
+    FROM borda
+    ORDER BY consensus_rank LIMIT 25
+    """,
+)
+def borda_rank_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANK AGGREGATION by Borda count — the classic voting rule for
+    merging K independent rankings (weekly activity leaderboards) into
+    one consensus list: each week awards a user (list_size - rank)
+    points, the consensus orders by total points.  The social-choice
+    complement of `kendall_tau_user_ranks` (which measures how much two
+    rankings AGREE, while this produces the merged ranking) and of
+    `rrf_hybrid_retrieval` (reciprocal-rank fusion — Borda's retrieval
+    cousin with 1/(k+rank) weights; Borda's integer weights keep the
+    whole pipeline in exact bigints).  Per-user spread (best/worst rank)
+    rides along as the stability signal.
+
+    Scale: one week-grain aggregate, two windows partitioned by week
+    (each week's leaderboard sorts independently — embarrassingly
+    parallel), one final top-25 TakeOrderedAndProject."""
+    ev = load_table(spark, sf_dir, "events")
+    wkly = ev.groupBy("user_id", F.weekofyear("ts").alias("wk")).agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    ww = Window.partitionBy("wk").orderBy(F.col("n").desc(), "user_id")
+    ranked = wkly.select(
+        "user_id",
+        "wk",
+        F.row_number().over(ww).alias("rk"),
+        F.count("*").over(Window.partitionBy("wk")).alias("sz"),
+    )
+    borda = ranked.groupBy("user_id").agg(
+        F.sum(F.col("sz") - F.col("rk")).cast("bigint").alias("borda_points"),
+        F.count("*").cast("bigint").alias("n_weeks"),
+        F.min("rk").cast("bigint").alias("best_rank"),
+        F.max("rk").cast("bigint").alias("worst_rank"),
+    )
+    sel = borda.orderBy(F.col("borda_points").desc(), "user_id").limit(25)
+    wc = Window.orderBy(F.col("borda_points").desc(), "user_id")
+    return sel.withColumn(
+        "consensus_rank", F.row_number().over(wc).cast("bigint")
+    ).orderBy("consensus_rank")
+
+
 # Round 8 front window.  Round 7 went 50/50 with zero reds, so no
 # re-checks lead the window: it is exactly the 37-name _PENDING_ROUND8
 # backlog (6 round-6 rollovers + 31 round-7 additions — all preflighted
@@ -24763,6 +24907,8 @@ _PENDING_ROUND9: list[str] = [
     "table_fingerprint_checksum",  # new in round 8 (O(1) replication verify)
     "venn3_source_overlap",  # new in round 8 (3-way vocab inclusion-exclusion)
     "schema_evolution_union_audit",  # new in round 8 (mergeSchema contract)
+    "dfa_conformance_audit",  # new in round 8 (process-mining conformance)
+    "borda_rank_aggregation",  # new in round 8 (consensus rank merging)
 ]
 
 # ROUND-9 BUILDER: build _ROUND9_FRONT = re-checks of any round-8 reds +

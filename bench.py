@@ -176,6 +176,8 @@ HEADLINE = [
     "table_fingerprint_checksum",
     "venn3_source_overlap",
     "schema_evolution_union_audit",
+    "dfa_conformance_audit",
+    "borda_rank_aggregation",
 ]
 
 

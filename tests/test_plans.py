@@ -801,6 +801,8 @@ def test_round8_wave_plans_stay_jvm(spark, sf_dir):
         "table_fingerprint_checksum",
         "venn3_source_overlap",
         "schema_evolution_union_audit",
+        "dfa_conformance_audit",
+        "borda_rank_aggregation",
     ]
     for name in wave:
         plan = plans.executed_plan(q.QUERIES[name](spark, sf_dir))
