@@ -79,3 +79,22 @@ def test_all_null_column_does_not_trip_the_gate():
     odf = pd.DataFrame({"x": [float("nan"), float("nan")]})
     ok, _ = compare("t", sdf, odf)
     assert ok
+
+
+def test_mixed_decimal_float_column_fails_regardless_of_first_value():
+    """ADVICE r7: _kind classified by the FIRST non-null value only, so a
+    mixed Decimal/float column passed when its first value's class
+    matched the oracle.  The gate now classifies a bounded sample and
+    surfaces heterogeneity as its own kind."""
+    sdf = pd.DataFrame({"price": [900.5, Decimal("1.25"), 2.5]})  # mixed
+    odf = pd.DataFrame({"price": [900.5, 1.25, 2.5]})  # pure float
+    ok, msg = compare("t", sdf, odf)
+    assert not ok
+    assert "mixed" in msg
+
+    # Symmetric: identical mixing on BOTH sides is equal kinds -> the
+    # dtype gate passes and the value compare decides.
+    sdf2 = pd.DataFrame({"price": [900.5, Decimal("1.25")]})
+    odf2 = pd.DataFrame({"price": [900.5, Decimal("1.25")]})
+    ok2, msg2 = compare("t", sdf2, odf2)
+    assert ok2, msg2

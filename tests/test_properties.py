@@ -293,3 +293,64 @@ def test_shapley_lattice_weights_reduce_to_permutation_formula(rows):
         for S, w in subsets:
             lattice[ch] += Fraction(w, 6) * (v(S | {ch}) - v(S))
     assert lattice == direct
+
+
+# --- winding-number point-in-polygon (point_in_polygon_counts) ----------
+# The query's integer winding predicate must agree with an independent
+# even-odd ray-casting implementation on every point not exactly on an
+# edge (the dart polygon is simple, so |winding| == crossing parity).
+
+_DART = [(-80, -60), (0, 80), (80, -60), (0, -10)]
+
+
+def _winding(px: int, py: int, poly) -> int:
+    wn = 0
+    n = len(poly)
+    for i in range(n):
+        x1, y1 = poly[i]
+        x2, y2 = poly[(i + 1) % n]
+        d = (x2 - x1) * (py - y1) - (y2 - y1) * (px - x1)
+        if y1 <= py < y2 and d > 0:
+            wn += 1
+        elif y2 <= py < y1 and d < 0:
+            wn -= 1
+    return wn
+
+
+def _even_odd(px: int, py: int, poly) -> bool:
+    # Independent formulation: count strict crossings of the rightward
+    # ray using exact rational x-intersections (Fraction, no floats).
+    from fractions import Fraction
+
+    inside = False
+    n = len(poly)
+    for i in range(n):
+        x1, y1 = poly[i]
+        x2, y2 = poly[(i + 1) % n]
+        if (y1 > py) != (y2 > py):
+            xi = Fraction(x1) + Fraction(py - y1, y2 - y1) * (x2 - x1)
+            if xi > px:
+                inside = not inside
+    return inside
+
+
+def _on_edge(px: int, py: int, poly) -> bool:
+    n = len(poly)
+    for i in range(n):
+        x1, y1 = poly[i]
+        x2, y2 = poly[(i + 1) % n]
+        d = (x2 - x1) * (py - y1) - (y2 - y1) * (px - x1)
+        if d == 0 and min(x1, x2) <= px <= max(x1, x2) and (
+            min(y1, y2) <= py <= max(y1, y2)
+        ):
+            return True
+    return False
+
+
+@given(st.integers(-120, 120), st.integers(-120, 120))
+@settings(max_examples=500, deadline=None)
+def test_winding_number_matches_even_odd_for_simple_polygon(px, py):
+    from hypothesis import assume
+
+    assume(not _on_edge(px, py, _DART))
+    assert (_winding(px, py, _DART) != 0) == _even_odd(px, py, _DART)
