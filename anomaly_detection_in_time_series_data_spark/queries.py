@@ -24864,6 +24864,215 @@ def borda_rank_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("consensus_rank")
 
 
+@query(
+    "percentile_cont_exact_rationals",
+    oracle="""
+    WITH c AS (
+      SELECT event_type, CAST(floor(value * 100.0) AS BIGINT) AS cents
+      FROM events WHERE value IS NOT NULL
+    ),
+    r AS (
+      SELECT event_type, cents,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY cents, cents) AS rk,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM c
+    ),
+    q AS (
+      SELECT event_type, n,
+             max(CASE WHEN rk = (n + 1) // 2 THEN cents END) AS lo_med,
+             max(CASE WHEN rk = n // 2 + 1 THEN cents END) AS hi_med,
+             max(CASE WHEN rk = (n - 1) // 4 + 1 THEN cents END) AS lo_q1,
+             max(CASE WHEN rk = (n - 1) // 4 + 2 THEN cents END) AS hi_q1,
+             max(CASE WHEN rk - 1 = (n - 1) * 3 // 4 THEN cents END) AS lo_q3,
+             max(CASE WHEN rk - 2 = (n - 1) * 3 // 4 THEN cents END) AS hi_q3,
+             max(CASE WHEN rk = n THEN 1 ELSE 0 END) AS _chk
+      FROM r GROUP BY event_type, n
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n,
+           CAST(lo_med + hi_med AS BIGINT) AS median_num,
+           CAST(2 AS BIGINT) AS median_den,
+           CAST(4 * lo_q1 + ((n - 1) % 4) * (hi_q1 - lo_q1) AS BIGINT)
+             AS q1_num,
+           CAST(4 AS BIGINT) AS q1_den,
+           CAST(4 * lo_q3 + (3 * (n - 1) % 4) * (hi_q3 - lo_q3) AS BIGINT)
+             AS q3_num,
+           CAST(4 AS BIGINT) AS q3_den
+    FROM q ORDER BY event_type
+    """,
+)
+def percentile_cont_exact_rationals(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PERCENTILE_CONT with EXACT rational output — the linear-
+    interpolation percentile (SQL standard, numpy default) that every
+    engine computes in floating point, here emitted as unreduced integer
+    rationals so the gate never sees a float: with h = (n-1)p the
+    interpolated quantile is x[floor(h)] + (h - floor(h)) * (x[floor(h)+1]
+    - x[floor(h)]); for p = 1/4, 1/2, 3/4 the fraction (h - floor(h)) is
+    a quarter-integer, so 4*Q is an exact bigint (median_num/2,
+    q1_num/4, q3_num/4 over integer cents).  `percentile_disc_totalprice`
+    picks order statistics; this interpolates between them — the CONT
+    vs DISC half of the SQL surface, float-free.
+
+    Scale: one rank window per type (the distribution family's standard
+    shuffle) and a constant-width conditional aggregate — no sort
+    beyond the per-type window, rank positions computed arithmetically
+    from n."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    c = ev.select(
+        "event_type",
+        F.floor(F.col("value") * 100.0).cast("bigint").alias("cents"),
+    )
+    w = Window.partitionBy("event_type").orderBy("cents", "cents")
+    r = c.select(
+        "event_type",
+        "cents",
+        F.row_number().over(w).alias("rk"),
+        F.count("*").over(Window.partitionBy("event_type")).alias("n"),
+    )
+    pick = lambda cond: F.max(F.when(cond, F.col("cents")))  # noqa: E731
+    n = F.col("n")
+    q = r.groupBy("event_type", "n").agg(
+        pick(F.col("rk") == F.floor((n + 1) / 2)).alias("lo_med"),
+        pick(F.col("rk") == F.floor(n / 2) + 1).alias("hi_med"),
+        pick(F.col("rk") == F.floor((n - 1) / 4) + 1).alias("lo_q1"),
+        pick(F.col("rk") == F.floor((n - 1) / 4) + 2).alias("hi_q1"),
+        pick(F.col("rk") - 1 == F.floor((n - 1) * 3 / 4)).alias("lo_q3"),
+        pick(F.col("rk") - 2 == F.floor((n - 1) * 3 / 4)).alias("hi_q3"),
+    )
+    return q.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n"),
+        (F.col("lo_med") + F.col("hi_med")).cast("bigint").alias("median_num"),
+        F.lit(2).cast("bigint").alias("median_den"),
+        (
+            4 * F.col("lo_q1")
+            + ((F.col("n") - 1) % 4) * (F.col("hi_q1") - F.col("lo_q1"))
+        )
+        .cast("bigint")
+        .alias("q1_num"),
+        F.lit(4).cast("bigint").alias("q1_den"),
+        (
+            4 * F.col("lo_q3")
+            + ((3 * (F.col("n") - 1)) % 4) * (F.col("hi_q3") - F.col("lo_q3"))
+        )
+        .cast("bigint")
+        .alias("q3_num"),
+        F.lit(4).cast("bigint").alias("q3_den"),
+    ).orderBy("event_type")
+
+
+@query(
+    "rolling_ols_slope",
+    oracle="""
+    WITH d AS (
+      SELECT event_type,
+             epoch_us(date_trunc('day', ts)) // 86400000000 AS day,
+             CAST(sum(CAST(floor(value * 100.0) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM events GROUP BY 1, 2
+    ),
+    w AS (
+      SELECT event_type, day, cents,
+             CAST(count(*) OVER win AS BIGINT) AS n,
+             CAST(sum(day) OVER win AS BIGINT) AS sx,
+             CAST(sum(cents) OVER win AS BIGINT) AS sy,
+             CAST(sum(day * day) OVER win AS BIGINT) AS sxx,
+             CAST(sum(day * cents) OVER win AS BIGINT) AS sxy
+      FROM d
+      WINDOW win AS (PARTITION BY event_type ORDER BY day
+                     ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    ),
+    s AS (
+      SELECT event_type, day,
+             (n * sxy - sx * sy) AS slope_num,
+             (n * sxx - sx * sx) AS slope_den
+      FROM w WHERE n = 7
+    ),
+    flagged AS (
+      SELECT event_type, day, slope_num, slope_den,
+             (slope_num > 0) AS rising,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY abs(slope_num) * 1.0 / slope_den
+                                         DESC, day) AS rk
+      FROM s
+    )
+    SELECT event_type, CAST(day AS BIGINT) AS day,
+           CAST(slope_num AS BIGINT) AS slope_num,
+           CAST(slope_den AS BIGINT) AS slope_den, rising,
+           CAST(rk AS BIGINT) AS rank
+    FROM flagged WHERE rk <= 3
+    ORDER BY event_type, rank
+    """,
+)
+def rolling_ols_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLING regression — the 7-day moving OLS slope per event type as
+    exact integer rationals from windowed sufficient statistics
+    (slope = (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2) over a ROWS BETWEEN
+    frame), surfacing each type's 3 steepest local trends (argmax by
+    |slope|, compared via one IEEE division of identical bigints —
+    identical ordering on both engines — with the emitted values pure
+    integers).  The global-fit family (`ols_trend_residuals`,
+    `ols_leverage_influence`, `theil_sen_trend`) assumes ONE trend; the
+    rolling frame finds where the trend itself turns — local slope is
+    the standard momentum feature a forecasting pipeline derives.
+
+    Scale: day-grain pre-aggregate, then five windowed sums over a
+    7-row frame per type (one shuffle, incremental frame evaluation),
+    then a per-type top-3 — nothing rescans raw events."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        "event_type",
+        F.floor(F.unix_micros(F.date_trunc("day", "ts")) / 86_400_000_000)
+        .cast("bigint")
+        .alias("day"),
+    ).agg(
+        F.sum(F.floor(F.col("value") * 100.0).cast("bigint"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    win = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-6, 0)
+    )
+    w = d.select(
+        "event_type", "day", "cents",
+        F.count("*").over(win).cast("bigint").alias("n"),
+        F.sum("day").over(win).cast("bigint").alias("sx"),
+        F.sum("cents").over(win).cast("bigint").alias("sy"),
+        F.sum(F.col("day") * F.col("day")).over(win).cast("bigint").alias("sxx"),
+        F.sum(F.col("day") * F.col("cents"))
+        .over(win)
+        .cast("bigint")
+        .alias("sxy"),
+    ).filter(F.col("n") == 7)
+    s = w.select(
+        "event_type", "day",
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).alias(
+            "slope_num"
+        ),
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).alias(
+            "slope_den"
+        ),
+    )
+    wr = Window.partitionBy("event_type").orderBy(
+        (F.abs(F.col("slope_num")) * 1.0 / F.col("slope_den")).desc(), "day"
+    )
+    return (
+        s.select(
+            "event_type", "day",
+            F.col("slope_num").cast("bigint").alias("slope_num"),
+            F.col("slope_den").cast("bigint").alias("slope_den"),
+            (F.col("slope_num") > 0).alias("rising"),
+            F.row_number().over(wr).cast("bigint").alias("rank"),
+        )
+        .filter(F.col("rank") <= 3)
+        .orderBy("event_type", "rank")
+    )
+
+
 # Round 8 front window.  Round 7 went 50/50 with zero reds, so no
 # re-checks lead the window: it is exactly the 37-name _PENDING_ROUND8
 # backlog (6 round-6 rollovers + 31 round-7 additions — all preflighted
@@ -24909,6 +25118,8 @@ _PENDING_ROUND9: list[str] = [
     "schema_evolution_union_audit",  # new in round 8 (mergeSchema contract)
     "dfa_conformance_audit",  # new in round 8 (process-mining conformance)
     "borda_rank_aggregation",  # new in round 8 (consensus rank merging)
+    "percentile_cont_exact_rationals",  # new in round 8 (CONT, float-free)
+    "rolling_ols_slope",  # new in round 8 (windowed regression momentum)
 ]
 
 # ROUND-9 BUILDER: build _ROUND9_FRONT = re-checks of any round-8 reds +

@@ -178,6 +178,8 @@ HEADLINE = [
     "schema_evolution_union_audit",
     "dfa_conformance_audit",
     "borda_rank_aggregation",
+    "percentile_cont_exact_rationals",
+    "rolling_ols_slope",
 ]
 
 

@@ -803,6 +803,8 @@ def test_round8_wave_plans_stay_jvm(spark, sf_dir):
         "schema_evolution_union_audit",
         "dfa_conformance_audit",
         "borda_rank_aggregation",
+        "percentile_cont_exact_rationals",
+        "rolling_ols_slope",
     ]
     for name in wave:
         plan = plans.executed_plan(q.QUERIES[name](spark, sf_dir))
