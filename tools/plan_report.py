@@ -65,6 +65,10 @@ SHOWCASE = [
     ("gini_split_gain_deciles", "decision-stump scan: 9-row threshold grid broadcast, ALL contingency tables from one conditional-agg pass"),
     ("ann_graph_link_prediction", "ANN recall audit: orthant-bucketed edge join, degree-bounded wedge enumeration, TakeOrderedAndProject(20) — never all-pairs"),
     ("haar_wavelet_energy", "Haar ladder: log2(T) pairwise GROUP BYs over the daily pre-aggregate — a parallel wavelet transform, no sequential fold"),
+    ("ams_f2_sketch_estimate", "AMS sketch: ONE aggregate pass folding 16 map-side-combinable sums; exact-F2 twin rides a 1-row broadcast into the combine"),
+    ("point_in_polygon_counts", "winding-number geofence: 4-edge polygon broadcast, per-point integer predicates folded in one aggregate, nation-sized output"),
+    ("event_sequence_pattern_match", "MATCH_RECOGNIZE-lite: one user shuffle, per-user collect+encode, JVM regexp scan — no joins, no Python eval"),
+    ("lttb_downsample_lite", "LTTB-lite decimation: hour-grain pre-aggregate, 2-row-per-bucket centroid broadcast join, per-bucket top-1 window"),
 ]
 
 
