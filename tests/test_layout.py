@@ -276,3 +276,41 @@ def test_vacuum_residue_cleans_crash_siblings(spark, tmp_path):
     shutil.rmtree(path)
     with pytest.raises(RuntimeError, match="recovery artifact"):
         vacuum_residue(spark, path)
+
+
+def test_write_with_bloom_adds_filter_bytes_and_preserves_data(spark, tmp_path):
+    """Bloom-filter writes must (1) round-trip the data exactly and
+    (2) actually embed the filters — asserted as a strictly positive
+    size overhead vs the plain twin of the same data and layout."""
+    from anomaly_detection_in_time_series_data_spark.operators.layout import (
+        write_with_bloom,
+    )
+
+    df = spark.range(50_000).selectExpr(
+        "id", "CAST(id * 2654435761 % 1000000 AS LONG) AS k"
+    ).coalesce(2)
+    path = str(tmp_path / "b")
+    rep = write_with_bloom(df, path, ["k"], expected_ndv=50_000)
+    assert rep["bloom_overhead_bytes"] > 0, rep
+    got = spark.read.parquet(path)
+    assert got.count() == 50_000
+    assert got.selectExpr("sum(k)").collect()[0][0] == (
+        df.selectExpr("sum(k)").collect()[0][0]
+    )
+
+
+def test_codec_size_audit_orders_and_verifies(spark, tmp_path):
+    from anomaly_detection_in_time_series_data_spark.operators.layout import (
+        codec_size_audit,
+    )
+
+    df = spark.range(20_000).selectExpr(
+        "id", "concat('text-', id % 100) AS s"
+    ).coalesce(1)
+    rep = codec_size_audit(df, str(tmp_path / "c"))
+    assert [r["codec"] for r in rep] == ["snappy", "zstd", "gzip"]
+    assert all(r["rows"] == 20_000 for r in rep)
+    assert all(r["bytes"] > 0 for r in rep)
+    # zstd and gzip both beat snappy on this repetitive column
+    assert rep[1]["bytes"] < rep[0]["bytes"]
+    assert rep[2]["bytes"] < rep[0]["bytes"]
