@@ -25073,6 +25073,102 @@ def rolling_ols_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "streaming_fingerprint_maintenance",
+    oracle="""
+    WITH rh AS (
+      SELECT CAST(('0x' || substr(md5(
+               'fp|' || o_orderkey || '|' || o_custkey || '|' ||
+               o_orderstatus || '|' ||
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+             ), 1, 15))::BIGINT AS BIGINT) AS h
+      FROM orders
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(h) % 9223372036854775807 AS BIGINT) AS checksum_sum,
+           CAST(bit_xor(h) AS BIGINT) AS checksum_xor,
+           CAST(min(h) AS BIGINT) AS h_min,
+           CAST(max(h) AS BIGINT) AS h_max
+    FROM rh
+    """,
+)
+def streaming_fingerprint_maintenance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """`table_fingerprint_checksum` as an INCREMENTALLY MAINTAINED
+    streaming digest — the third IVM idempotence discipline beside
+    scd2's algebraic no-op and the streak sink's additive fencing: the
+    digest fold is a COMMUTATIVE MONOID merge (mod-sum / xor / min /
+    max / count fold associatively), so incremental equals batch BY
+    CONSTRUCTION, and replay protection is the shared batch-id fence
+    (`streaming.sinks.digest_foreach_batch`).  Orders rows are staged
+    as five deliveries (keyed o_orderkey % 5), replayed one file per
+    trigger; the final 1-row store must hash-equal the single-pass
+    batch fingerprint — continuous replication verification, the
+    streaming form of the copy-integrity gate.
+
+    Scale: each trigger reduces its delivery to one row map-side and
+    merges against a 1-row store; state is O(1) regardless of history."""
+    import glob as _glob
+    import os
+    import shutil as _sh
+    import tempfile
+
+    from .streaming.sinks import digest_foreach_batch
+
+    od = load_table(spark, sf_dir, "orders")
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint")
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.lit("fp"),
+                    F.col("o_orderkey"),
+                    F.col("o_custkey"),
+                    F.col("o_orderstatus"),
+                    cents,
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    hashed = od.select(h.alias("h"), (F.col("o_orderkey") % 5).alias("shard"))
+    root = tempfile.mkdtemp(prefix="adts_fp_stream_")
+    try:
+        src = os.path.join(root, "rows")
+        os.makedirs(src)
+        base = 1_000_000_000
+        for i in range(5):
+            stage = os.path.join(root, f"_stage{i}")
+            hashed.filter(F.col("shard") == i).select("h").coalesce(
+                1
+            ).write.mode("overwrite").parquet(stage)
+            part = _glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+            dst = os.path.join(src, f"delivery-{i}.parquet")
+            _sh.move(part, dst)
+            os.utime(dst, (base + i, base + i))
+        stream = (
+            spark.readStream.schema("h bigint")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        store = os.path.join(root, "state")
+        digest_foreach_batch(
+            stream, store, checkpoint=os.path.join(root, "ckpt")
+        ).awaitTermination()
+        return (
+            spark.read.parquet(store)
+            .select("n_rows", "checksum_sum", "checksum_xor", "h_min", "h_max")
+            .localCheckpoint(eager=True)  # detach from the temp store
+        )
+    finally:
+        _sh.rmtree(root, ignore_errors=True)
+
+
 # Round 8 front window.  Round 7 went 50/50 with zero reds, so no
 # re-checks lead the window: it is exactly the 37-name _PENDING_ROUND8
 # backlog (6 round-6 rollovers + 31 round-7 additions — all preflighted
@@ -25120,6 +25216,7 @@ _PENDING_ROUND9: list[str] = [
     "borda_rank_aggregation",  # new in round 8 (consensus rank merging)
     "percentile_cont_exact_rationals",  # new in round 8 (CONT, float-free)
     "rolling_ols_slope",  # new in round 8 (windowed regression momentum)
+    "streaming_fingerprint_maintenance",  # new in round 8 (digest-merge IVM)
 ]
 
 # ROUND-9 BUILDER: build _ROUND9_FRONT = re-checks of any round-8 reds +

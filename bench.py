@@ -180,6 +180,7 @@ HEADLINE = [
     "borda_rank_aggregation",
     "percentile_cont_exact_rationals",
     "rolling_ols_slope",
+    "streaming_fingerprint_maintenance",
 ]
 
 

@@ -786,3 +786,48 @@ def test_streaks_sink_out_of_order_batch_raises(spark, tmp_path):
     q = streaks_foreach_batch(stream2, store, checkpoint=ck)
     with pytest.raises(Exception, match="ascending|out-of-order"):
         q.awaitTermination()
+
+
+def test_digest_sink_fold_and_replay_fence(spark, tmp_path):
+    """digest_foreach_batch: (1) the commutative fold over three
+    deliveries equals the one-shot digest of all rows; (2) replaying
+    the same files with a fresh checkpoint is fenced (the merge is NOT
+    idempotent — re-folding would double counts)."""
+    from anomaly_detection_in_time_series_data_spark.streaming.sinks import (
+        digest_foreach_batch,
+    )
+
+    deliveries = [[(11,), (25,)], [(7,)], [(300,), (2,), (2,)]]
+    schema = "h bigint"
+    src = str(tmp_path / "src")
+    _stage_deliveries(spark, src, deliveries, schema)
+    store = str(tmp_path / "state")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    digest_foreach_batch(
+        stream, store, checkpoint=str(tmp_path / "ck")
+    ).awaitTermination()
+    row = spark.read.parquet(store).collect()[0]
+    allv = [11, 25, 7, 300, 2, 2]
+    xor = 0
+    for v in allv:
+        xor ^= v
+    assert (row.n_rows, row.checksum_sum, row.checksum_xor,
+            row.h_min, row.h_max) == (
+        len(allv), sum(allv) % 9223372036854775807, xor, min(allv), max(allv)
+    )
+
+    # Fresh-checkpoint replay of the SAME files: fenced, digest unchanged.
+    stream2 = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    digest_foreach_batch(
+        stream2, store, checkpoint=str(tmp_path / "ck2")
+    ).awaitTermination()
+    row2 = spark.read.parquet(store).collect()[0]
+    assert (row2.n_rows, row2.checksum_sum) == (row.n_rows, row.checksum_sum)
