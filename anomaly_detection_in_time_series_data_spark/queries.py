@@ -25169,6 +25169,102 @@ def streaming_fingerprint_maintenance(
         _sh.rmtree(root, ignore_errors=True)
 
 
+@query(
+    "packing_loss_mask_spans",
+    oracle=f"""
+    WITH t AS ({_PACK_TOKENS_SQL}),
+    c AS (
+      SELECT doc_id, shard, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum
+      FROM t
+    ),
+    spans AS (
+      SELECT doc_id, shard, n_tokens,
+             (cum - n_tokens) AS off0, cum AS off1,
+             (cum - n_tokens) // 256 AS p0,
+             CASE WHEN n_tokens > 0 THEN (cum - 1) // 256
+                  ELSE (cum - n_tokens) // 256 END AS p1
+      FROM c
+    ),
+    e AS (
+      SELECT doc_id, shard, off0, off1,
+             unnest(generate_series(CAST(p0 AS BIGINT), CAST(p1 AS BIGINT)))
+               AS pack_id
+      FROM spans WHERE n_tokens > 0
+    ),
+    x AS (
+      SELECT doc_id, shard, CAST(pack_id AS BIGINT) AS pack_id,
+             CAST(greatest(off0, pack_id * 256) - pack_id * 256
+                  AS BIGINT) AS span_start,
+             CAST(least(off1, (pack_id + 1) * 256) - pack_id * 256
+                  AS BIGINT) AS span_end
+      FROM e
+    )
+    SELECT doc_id, shard, pack_id, span_start, span_end,
+           CAST(span_end - span_start AS BIGINT) AS span_len
+    FROM x
+    ORDER BY shard, doc_id, pack_id
+    """,
+)
+def packing_loss_mask_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAINING-READY packing spans — the loss-mask / attention-reset
+    artifact `sequence_pack_assignments` stops short of: under
+    concat-then-chunk packing, each document occupies, within every
+    256-token training sequence it touches, the half-open token span
+    [span_start, span_end) — exactly the per-sequence boundary list a
+    data loader needs to reset attention (or mask cross-document loss)
+    at document boundaries.  Spans come closed-form from the running
+    token offsets (one window cumsum, then a bounded sequence-explode of
+    each doc's pack range); empty docs emit no spans.
+
+    Scale: one shard-keyed window (the packing family's shuffle), one
+    explode bounded by ceil(doc_len/budget) rows per doc — output is
+    proportional to total tokens / budget, never quadratic; every span
+    column is pure integer arithmetic, identical on both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = packing.concat_chunk_assignments(docs)
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = base.select(
+        "doc_id", "shard", "n_tokens",
+        F.sum("n_tokens").over(w).alias("cum"),
+        "start_pack", "end_pack",
+    ).filter(F.col("n_tokens") > 0)
+    s = c.select(
+        "doc_id", "shard",
+        (F.col("cum") - F.col("n_tokens")).alias("off0"),
+        F.col("cum").alias("off1"),
+        F.col("start_pack").alias("p0"),
+        F.col("end_pack").alias("p1"),
+    )
+    x = s.select(
+        "doc_id", "shard", "off0", "off1",
+        F.explode(F.sequence(F.col("p0"), F.col("p1"))).alias("pack_id"),
+    )
+    lo = F.col("pack_id") * 256
+    return (
+        x.select(
+            "doc_id", "shard",
+            F.col("pack_id").cast("bigint").alias("pack_id"),
+            (F.greatest(F.col("off0"), lo) - lo)
+            .cast("bigint")
+            .alias("span_start"),
+            (F.least(F.col("off1"), lo + 256) - lo)
+            .cast("bigint")
+            .alias("span_end"),
+        )
+        .withColumn(
+            "span_len",
+            (F.col("span_end") - F.col("span_start")).cast("bigint"),
+        )
+        .orderBy("shard", "doc_id", "pack_id")
+    )
+
+
 # Round 8 front window.  Round 7 went 50/50 with zero reds, so no
 # re-checks lead the window: it is exactly the 37-name _PENDING_ROUND8
 # backlog (6 round-6 rollovers + 31 round-7 additions — all preflighted
@@ -25217,6 +25313,7 @@ _PENDING_ROUND9: list[str] = [
     "percentile_cont_exact_rationals",  # new in round 8 (CONT, float-free)
     "rolling_ols_slope",  # new in round 8 (windowed regression momentum)
     "streaming_fingerprint_maintenance",  # new in round 8 (digest-merge IVM)
+    "packing_loss_mask_spans",  # new in round 8 (training-ready span masks)
 ]
 
 # ROUND-9 BUILDER: build _ROUND9_FRONT = re-checks of any round-8 reds +

@@ -181,6 +181,7 @@ HEADLINE = [
     "percentile_cont_exact_rationals",
     "rolling_ols_slope",
     "streaming_fingerprint_maintenance",
+    "packing_loss_mask_spans",
 ]
 
 

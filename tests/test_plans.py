@@ -805,6 +805,7 @@ def test_round8_wave_plans_stay_jvm(spark, sf_dir):
         "borda_rank_aggregation",
         "percentile_cont_exact_rationals",
         "rolling_ols_slope",
+        "packing_loss_mask_spans",
     ]
     for name in wave:
         plan = plans.executed_plan(q.QUERIES[name](spark, sf_dir))
