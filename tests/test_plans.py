@@ -816,3 +816,17 @@ def test_round8_wave_plans_stay_jvm(spark, sf_dir):
     # the final 1-row combine.
     plan = plans.executed_plan(q.QUERIES["ams_f2_sketch_estimate"](spark, sf_dir))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_sampled_join_audit_has_no_sample_side_join(spark, sf_dir):
+    """VERDICT r7 item 2 regression pin: the universe-sampling audit must
+    apply the md5 key gate as a FILTER at the lineitem scan, not join a
+    broadcast sampled-key list.  The optimized plan therefore contains
+    exactly two joins — the exact twin's orders-lineitem join and the
+    1-row final combine — and the word Join never appears between the
+    sampled count and its scan."""
+    df = q.QUERIES["sampled_join_cardinality_audit"](spark, sf_dir)
+    optimized = df._jdf.queryExecution().optimizedPlan().toString()
+    n_joins = optimized.count("Join ")
+    assert n_joins == 2, f"expected 2 joins (exact twin + combine): {n_joins}"
+    assert "md5" in optimized  # the scan-stage gate survived optimization
