@@ -20,6 +20,23 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def _fs_parquet_bytes(spark, path: str) -> int:
+    """Total bytes of ``*.parquet`` files under ``path``, measured through
+    the Hadoop FileSystem API so the number is correct for ANY scheme the
+    write went to (hdfs://, s3a://, file:). A local ``glob`` here would
+    silently report 0 for remote paths — size audits would then claim a
+    100 TB table costs nothing."""
+    jvm_path = spark.sparkContext._jvm.org.apache.hadoop.fs.Path(path)
+    fs = jvm_path.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    total = 0
+    it = fs.listFiles(jvm_path, True)
+    while it.hasNext():
+        s = it.next()
+        if s.getPath().getName().endswith(".parquet"):
+            total += s.getLen()
+    return total
+
+
 def interleave_bits(cols: list[Column], bits: int) -> Column:
     """Morton-interleave ``bits`` low bits of each integer column
     (column j contributes bit i to output position i*len(cols)+j) —
@@ -259,7 +276,7 @@ def optimize_table(
         if lo is None or hi is None:
             raise ValueError(
                 f"optimize_table: zorder column {c!r} is empty or all-null "
-                "in {path!r}; cannot position probe ranges"
+                f"in {path!r}; cannot position probe ranges"
             )
         if not isinstance(lo, (int, float)) or isinstance(lo, bool):
             raise TypeError(
@@ -330,7 +347,13 @@ def optimize_table(
     return report
 
 
-def vacuum_residue(spark, path: str, *, dry_run: bool = False) -> dict:
+def vacuum_residue(
+    spark,
+    path: str,
+    *,
+    dry_run: bool = False,
+    min_stage_age_seconds: float = 600.0,
+) -> dict:
     """``VACUUM``-style cleanup of crash residue beside a table — the
     operational complement of ``optimize_table``'s and the streaming
     sinks' rename-aside swap discipline.  Both leave deterministic
@@ -346,6 +369,15 @@ def vacuum_residue(spark, path: str, *, dry_run: bool = False) -> dict:
     is not residue — it is the recovery artifact ``optimize_table`` /
     ``_recover_store`` would rename back — so vacuum REFUSES to run
     rather than deleting the only copy of the data.
+
+    Concurrency rule: a staging dir (``.stage-<n>`` or
+    ``__optimize_stage``) younger than ``min_stage_age_seconds``
+    (default 10 min) may belong to an IN-FLIGHT foreachBatch
+    ``_swap_in`` or OPTIMIZE rewrite — deleting it would fail that
+    commit — so recent stage dirs are skipped (reported under
+    ``"skipped_recent"``) and only stale ones are reclaimed.  Prefer not
+    running vacuum at all against a store with an active streaming
+    query; the age guard is the backstop, not the policy.
 
     Returns ``{"removed": [...], "bytes_reclaimed": n}`` (with
     ``dry_run=True`` nothing is deleted and the same report is returned).
@@ -369,10 +401,19 @@ def vacuum_residue(spark, path: str, *, dry_run: bool = False) -> dict:
         re.escape(name) + r"(__optimize_stage|\.stage-\d+)$"
     )
 
-    residue = []
+    import time as _time
+
+    now_ms = _time.time() * 1000.0
+    residue, skipped_recent = [], []
     for st in fs.listStatus(parent):
         n = st.getPath().getName()
-        if aside_pat.match(n) or stage_pat.match(n):
+        if stage_pat.match(n):
+            age_s = (now_ms - st.getModificationTime()) / 1000.0
+            if age_s < min_stage_age_seconds:
+                skipped_recent.append(n)
+                continue
+            residue.append((n, st.getPath()))
+        elif aside_pat.match(n):
             residue.append((n, st.getPath()))
 
     has_aside = any(aside_pat.match(n) for n, _ in residue)
@@ -391,7 +432,11 @@ def vacuum_residue(spark, path: str, *, dry_run: bool = False) -> dict:
         if not dry_run:
             fs.delete(p, True)
         removed.append(n)
-    return {"removed": removed, "bytes_reclaimed": reclaimed}
+    return {
+        "removed": removed,
+        "bytes_reclaimed": reclaimed,
+        "skipped_recent": sorted(skipped_recent),
+    }
 
 
 def write_with_bloom(
@@ -433,14 +478,9 @@ def write_with_bloom(
     tmp = tempfile.mkdtemp(prefix="adts_bloom_plain_")
     try:
         df.write.mode("overwrite").parquet(f"{tmp}/plain")
-        import glob as _glob
-        import os as _os
-
-        size = lambda p: sum(  # noqa: E731
-            _os.path.getsize(f)
-            for f in _glob.glob(f"{p}/**/*.parquet", recursive=True)
-        )
-        n, m = size(path), size(f"{tmp}/plain")
+        spark = df.sparkSession
+        n = _fs_parquet_bytes(spark, path)
+        m = _fs_parquet_bytes(spark, f"{tmp}/plain")
         return {"bytes": n, "bytes_plain": m, "bloom_overhead_bytes": n - m}
     finally:
         _sh.rmtree(tmp, ignore_errors=True)
@@ -460,19 +500,13 @@ def codec_size_audit(
     At scale this runs on a sampled partition, never the full table —
     compression ratios are stable under sampling while the write cost
     is not."""
-    import glob as _glob
-    import os as _os
-
     out = []
     base = None
     spark = df.sparkSession
     for codec in codecs:
         p = f"{base_path.rstrip('/')}_{codec}"
         df.write.mode("overwrite").option("compression", codec).parquet(p)
-        n = sum(
-            _os.path.getsize(f)
-            for f in _glob.glob(f"{p}/*.parquet")
-        )
+        n = _fs_parquet_bytes(spark, p)
         rows = spark.read.parquet(p).count()
         if base is None:
             base = n

@@ -1,0 +1,124 @@
+"""Distributed exact global ranking — the scale path for every global
+``row_number`` / ``ntile`` in the engine.
+
+A partition-less ``Window.orderBy(...)`` moves the WHOLE frame into one
+task (Spark's ``WindowExec`` warns exactly this), which is fine for a
+grouped 10-row result but a single-node sort of the fact table at 100 TB.
+This module is the house replacement, terasort-shaped:
+
+1. ``repartitionByRange`` on the sort key spreads the total order across
+   range partitions (a parallel range shuffle — the same shuffle ANY
+   engine pays for a global sort);
+2. ``sortWithinPartitions`` + an Arrow-batched ``mapInPandas`` assigns
+   per-partition LOCAL row numbers (no per-row Python — a ``range`` per
+   Arrow batch);
+3. per-partition counts (a partitions-count-sized frame, NOT data-sized)
+   fold through a tiny running-sum window into OFFSETS, broadcast back;
+   ``local + offset`` is the exact global rank.
+
+No stage ever sorts more than one range partition.  ``ntile_from_rank``
+then derives SQL-standard ntile bins from (rank, total) with pure bigint
+arithmetic — floor distribution, first ``n % k`` buckets one row larger —
+bit-identical to ``ntile(k) OVER (ORDER BY ...)`` on any engine.
+
+Proof of equivalence lives in the driver gate: the ``distributed_exact_rank``
+query hash-matches this pipeline against DuckDB's single-window
+``row_number``, and the ntile consumers (``woe_iv_binning``,
+``rfm_user_segments``, ``gini_split_gain_deciles``, ``vocab_growth_curve``)
+hash-match against DuckDB ``ntile``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def global_exact_rank(
+    df: DataFrame,
+    order_cols: "list[Column | str]",
+    *,
+    parts: int = 16,
+    rank_col: str = "rnk",
+    total_col: str = "n",
+) -> DataFrame:
+    """Return ``df`` with two added bigint columns: ``rank_col`` — the
+    exact 1-based global rank under ``order_cols`` — and ``total_col``
+    — the frame's total row count.
+
+    ``order_cols`` accepts strings or Column sort expressions
+    (``F.col("x").desc()``); together they must be a TOTAL order (add a
+    unique tie-break key — ties split across range partitions would
+    otherwise make ranks depend on partitioning).
+
+    The result is ``localCheckpoint``-ed: the rank assignment is a
+    phase boundary (counts and the offset join both reuse it), and the
+    checkpoint pins rank determinism for downstream self-joins.
+    """
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    rp = df.repartitionByRange(parts, *cols).sortWithinPartitions(*cols)
+    payload = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    )
+    names = [f.name for f in df.schema.fields]
+
+    def local_rank(batches):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        seen = 0
+        for b in batches:
+            k = len(b)
+            out = b[names].copy()
+            out.insert(0, "_ger_pid", pid)
+            out.insert(1, "_ger_local", range(seen + 1, seen + k + 1))
+            yield out
+            seen += k
+
+    ranked = rp.mapInPandas(
+        local_rank, schema=f"_ger_pid int, _ger_local bigint, {payload}"
+    ).localCheckpoint(eager=True)
+    counts = ranked.groupBy("_ger_pid").agg(F.count("*").alias("_ger_c"))
+    # Both windows below run over the PARTITION-COUNT frame (<= `parts`
+    # rows), never the data — the single-task shape is bounded and right.
+    woff = Window.orderBy("_ger_pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = counts.withColumn(
+        "_ger_off", F.coalesce(F.sum("_ger_c").over(woff), F.lit(0))
+    ).withColumn(
+        total_col, F.sum("_ger_c").over(Window.partitionBy()).cast("bigint")
+    )
+    out = ranked.join(
+        F.broadcast(offsets.select("_ger_pid", "_ger_off", total_col)),
+        "_ger_pid",
+    )
+    return (
+        out.withColumn(
+            rank_col,
+            (F.col("_ger_local") + F.col("_ger_off")).cast("bigint"),
+        )
+        .drop("_ger_pid", "_ger_local", "_ger_off")
+    )
+
+
+def ntile_from_rank(
+    k: int, *, rank_col: str = "rnk", total_col: str = "n"
+) -> Column:
+    """SQL-standard ``ntile(k)`` bin (1-based) from an exact global rank
+    and frame total — pure bigint arithmetic, no window: the first
+    ``n % k`` buckets hold ``n DIV k + 1`` rows, the rest ``n DIV k``
+    (floor distribution; both Spark and DuckDB implement exactly this).
+
+    The CASE's else-branch divides by ``n DIV k``; when that is 0
+    (n < k) the when-branch covers every row (``rem*(q+1) = n``), and
+    CASE evaluates lazily per row, so no divide-by-zero is reachable.
+    """
+    r, n = rank_col, total_col
+    q = f"({n} DIV {k})"
+    rem = f"({n} % {k})"
+    big = f"({rem} * ({q} + 1))"
+    return F.expr(
+        f"CASE WHEN {r} <= {big} THEN ({r} - 1) DIV ({q} + 1) + 1 "
+        f"ELSE {rem} + ({r} - {big} - 1) DIV {q} + 1 END"
+    ).cast("bigint")

@@ -33,6 +33,7 @@ from .operators import (
     graph,
     linkage,
     packing,
+    ranks,
     relational,
     robust,
     rollup,
@@ -16324,13 +16325,14 @@ def rfm_user_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     most recent / most frequent / highest spend; user_id tie-break makes
     every ntile deterministic — both engines use the SQL-standard
     floor-distribution rule), concatenated into the '111'..'555' segment
-    key.  One fact-table aggregate to the user grain, then three ntile
-    windows — which, being GLOBAL total orders, each run in a single
-    task over user-grain rows (10^2-10^3x smaller than facts; fine to
-    ~10^7 users).  Beyond that the documented swap is two-phase exact
-    ranking: range-partition on the metric, per-partition row_number,
-    add broadcast partition-offset prefix counts — same output, no
-    single-task sort."""
+    key.  One fact-table aggregate to the user grain, then three
+    two-phase exact global ranks (`operators.ranks.global_exact_rank`:
+    range-partition on the metric, per-partition row_number, broadcast
+    partition-offset prefix counts — same output as a global ntile
+    window, no single-task sort at ANY user count) folded through the
+    pure-arithmetic `ntile_from_rank`; the user frame is
+    localCheckpoint-ed once so the fact aggregate is not recomputed per
+    metric."""
     ev = load_table(spark, sf_dir, "events")
     day_idx = (
         F.unix_micros(F.date_trunc("day", "ts")) / F.lit(86400000000)
@@ -16342,21 +16344,29 @@ def rfm_user_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(milli).cast("bigint").alias("monetary_milli"),
     )
     today = u.agg(F.max("last_day").alias("today"))
-    u = u.crossJoin(F.broadcast(today)).select(
-        "user_id",
-        (F.col("today") - F.col("last_day")).cast("bigint").alias(
-            "recency_days"
-        ),
-        "frequency",
-        "monetary_milli",
+    u = (
+        u.crossJoin(F.broadcast(today))
+        .select(
+            "user_id",
+            (F.col("today") - F.col("last_day")).cast("bigint").alias(
+                "recency_days"
+            ),
+            "frequency",
+            "monetary_milli",
+        )
+        .localCheckpoint(eager=True)  # three rank passes reuse the frame
     )
-    wr = Window.orderBy("recency_days", "user_id")
-    wf = Window.orderBy(F.col("frequency").desc(), "user_id")
-    wm = Window.orderBy(F.col("monetary_milli").desc(), "user_id")
+
+    def score(metric: str, name: str, *, desc: bool = False) -> DataFrame:
+        order = F.col(metric).desc() if desc else F.col(metric)
+        return ranks.global_exact_rank(
+            u.select(metric, "user_id"), [order, "user_id"]
+        ).select("user_id", ranks.ntile_from_rank(5).alias(name))
+
     s = (
-        u.withColumn("r_score", F.ntile(5).over(wr).cast("bigint"))
-        .withColumn("f_score", F.ntile(5).over(wf).cast("bigint"))
-        .withColumn("m_score", F.ntile(5).over(wm).cast("bigint"))
+        u.join(score("recency_days", "r_score"), "user_id")
+        .join(score("frequency", "f_score", desc=True), "user_id")
+        .join(score("monetary_milli", "m_score", desc=True), "user_id")
     )
     return s.select(
         "user_id", "recency_days", "frequency", "monetary_milli",
@@ -16889,17 +16899,19 @@ def vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     frontier as `shingle_novelty_rate`: the cumulative distinct count at
     a boundary is just count(first_doc <= hi) — a 10-row broadcast theta
     join against the frontier, NOT ten distinct-count passes over
-    exploded shingles.  Decile boundaries come from ntile(10) over doc
-    ids (deterministic; the id is unique)."""
+    exploded shingles.  Decile boundaries come from the two-phase exact
+    global rank over doc ids (`operators.ranks.global_exact_rank` — a
+    parallel range shuffle, never a single-task ntile sort) folded
+    through the pure-arithmetic `ntile_from_rank` (deterministic; the
+    id is unique)."""
     docs = load_table(spark, sf_dir, "documents")
     ex = dedup._explode_shingles(docs, "doc_id", "text", 3)
     firstseen = ex.groupBy("_sh").agg(
         F.min("doc_id").cast("bigint").alias("first_doc")
     )
-    deciles = docs.select(
-        "doc_id",
-        F.ntile(10).over(Window.orderBy("doc_id")).alias("decile"),
-    )
+    deciles = ranks.global_exact_rank(
+        docs.select("doc_id"), ["doc_id"]
+    ).select("doc_id", ranks.ntile_from_rank(10).alias("decile"))
     bounds = deciles.groupBy("decile").agg(
         F.max("doc_id").cast("bigint").alias("hi"),
         F.count("*").cast("bigint").alias("n_docs"),
@@ -17905,51 +17917,18 @@ def distributed_exact_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     PROVES the two-phase rank identical to the naive one.  Emitted: one
     witness row per 1000 ranks plus the last (keeps the gate small; the
     ranking itself is full-table).  No stage ever sorts more than one
-    range partition; this is terasort's shape as a reusable operator."""
-    import pandas as pd
-
+    range partition; this is terasort's shape as a reusable operator —
+    `operators.ranks.global_exact_rank`, the same pipeline every global
+    ntile in the registry rides (woe_iv_binning, rfm_user_segments,
+    gini_split_gain_deciles, vocab_growth_curve)."""
     ev = load_table(spark, sf_dir, "events")
     v = ev.filter(F.col("value").isNotNull()).select(
         "event_id",
         F.floor(F.col("value") * 1000.0).cast("bigint").alias("vm"),
     )
-    parts = 16
-    rp = v.repartitionByRange(parts, "vm", "event_id").sortWithinPartitions(
-        "vm", "event_id"
-    )
-
-    def local_rank(batches):
-        from pyspark import TaskContext
-
-        pid = TaskContext.get().partitionId()
-        seen = 0
-        for b in batches:
-            k = len(b)
-            yield pd.DataFrame(
-                {
-                    "pid": pid,
-                    "local_rnk": range(seen + 1, seen + k + 1),
-                    "event_id": b["event_id"],
-                    "vm": b["vm"],
-                }
-            )
-            seen += k
-
-    ranked = rp.mapInPandas(
-        local_rank,
-        schema="pid int, local_rnk bigint, event_id bigint, vm bigint",
-    ).localCheckpoint(eager=True)  # phase boundary: counts + join reuse it
-    counts = ranked.groupBy("pid").agg(F.count("*").alias("c"))
-    woff = Window.orderBy("pid").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    offsets = counts.withColumn(
-        "off", F.coalesce(F.sum("c").over(woff), F.lit(0))
-    ).withColumn("n", F.sum("c").over(Window.partitionBy()).cast("bigint"))
-    out = ranked.join(F.broadcast(offsets.select("pid", "off", "n")), "pid")
-    rnk = (F.col("local_rnk") + F.col("off")).cast("bigint")
+    out = ranks.global_exact_rank(v, ["vm", "event_id"], parts=16)
     return (
-        out.select(rnk.alias("rnk"), "event_id", "vm", "n")
+        out.select("rnk", "event_id", "vm", "n")
         .filter((F.col("rnk") % 1000 == 1) | (F.col("rnk") == F.col("n")))
     )
 
@@ -19604,9 +19583,10 @@ def gini_split_gain_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     inner loop of a distributed tree learner (one candidate-grid pass,
     conditional aggregation, no per-candidate scan).  Scale: the
     threshold grid is 9 rows broadcast; the single data pass computes
-    all nine contingency tables at once; the global rank uses the
-    two-phase pattern when the fact table outgrows one range
-    partition."""
+    all nine contingency tables at once; the global rank is the
+    two-phase `operators.ranks.global_exact_rank` (range shuffle +
+    broadcast offsets — no single-task sort), and the nine threshold
+    rows are picked by a broadcast EQUI-join on the target rank."""
     ev = load_table(spark, sf_dir, "events")
     m = ev.filter(F.col("value").isNotNull()).select(
         F.floor(F.col("value") * 100.0).cast("bigint").alias("v"),
@@ -19617,17 +19597,16 @@ def gini_split_gain_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n"),
         F.sum("y").cast("bigint").alias("p"),
     )
-    rk = m.select(
-        "v", F.row_number().over(Window.orderBy("v", "event_id")).alias("rn")
-    )
+    rk = ranks.global_exact_rank(
+        m.select("v", "event_id"), ["v", "event_id"], rank_col="rn"
+    ).select("v", "rn")
     ks = spark.range(1, 10).select(F.col("id").cast("bigint").alias("k"))
-    thr = (
-        ks.crossJoin(F.broadcast(tot))
-        .join(
-            rk,
-            F.col("rn") == ((F.col("k") * F.col("n") + 9) / 10).cast("bigint"),
-        )
-        .select("k", F.col("v").alias("t_v"))
+    targets = ks.crossJoin(F.broadcast(tot)).select(
+        "k",
+        F.expr("(k * n + 9) DIV 10").cast("bigint").alias("rn"),
+    )
+    thr = rk.join(F.broadcast(targets), "rn").select(
+        "k", F.col("v").alias("t_v")
     )
     agg = (
         m.crossJoin(F.broadcast(thr))
@@ -23998,13 +23977,19 @@ def woe_iv_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
     (impurity view) and `score_calibration_bins` (probability view)
     with the evidence-ratio view on the same decile spine.
 
-    Scale: one global ntile (at 100 TB: precomputed KLL quantile
-    boundaries, same bins without the sort), one groupBy to 10 rows,
-    one 1-row total broadcast."""
+    Scale: deciles come from the two-phase exact global rank
+    (`operators.ranks.global_exact_rank` — range shuffle + broadcast
+    offsets, no single-task sort) folded through the pure-arithmetic
+    `ntile_from_rank`; then one groupBy to 10 rows and a 1-row total
+    broadcast.  Hash-equality against DuckDB's single-window ntile is
+    the equivalence proof."""
     ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
-    wb = Window.orderBy("value", "event_id")
-    b = ev.select(
-        F.ntile(10).over(wb).alias("bin"),
+    ranked = ranks.global_exact_rank(
+        ev.select("value", "event_id", "event_type"),
+        ["value", "event_id"],
+    )
+    b = ranked.select(
+        ranks.ntile_from_rank(10).alias("bin"),
         F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
     )
     agg = b.groupBy("bin").agg(
@@ -25316,11 +25301,56 @@ _PENDING_ROUND9: list[str] = [
     "packing_loss_mask_spans",  # new in round 8 (training-ready span masks)
 ]
 
-# ROUND-9 BUILDER: build _ROUND9_FRONT = re-checks of any round-8 reds +
-# _PENDING_ROUND9 (whatever round 8 added), padded to the 50-name window
+# Round 9 front window.  Round 8 went 50/50 with zero reds, so no
+# re-checks lead the window: it is exactly the 21-name _PENDING_ROUND9
+# backlog (all round-8 additions, preflighted at sf0.01 and swept at
+# sf0.1 in the committed round-8 logs), padded to the driver's 50-name
+# window with the 29 longest-unchecked greens — every query whose latest
+# driver row is still round 1, taken in their original r1 insertion
+# order — so their rows refresh after seven rounds of code motion.
+_ROUND9_PAD = [
+    "join_semi",
+    "join_anti",
+    "join_left_outer_counts",
+    "hash_bucket_counts",
+    "range_partition_label",
+    "nearest_center_label",
+    "topk_orders",
+    "window_rank_orders",
+    "window_running_sum",
+    "set_except",
+    "set_intersect",
+    "set_union_distinct",
+    "string_functions",
+    "date_parts_agg",
+    "json_props_extract",
+    "text_token_stats",
+    "text_term_frequency",
+    "text_fingerprint",
+    "dedup_exact_groups",
+    "lang_id",
+    "similarity_topk",
+    "subquery_small_orders",
+    "having_active_customers",
+    "pivot_priority_status",
+    "window_lag_delta",
+    "ntile_price_quartiles",
+    "regex_token_count",
+    "shipping_priority_top10",
+    "region_supplier_volume",
+]
+_ROUND9_FRONT = list(_PENDING_ROUND9) + _ROUND9_PAD
+
+# Oracle-bearing queries awaiting a driver correctness row AFTER the
+# round-9 window runs.  Every oracle-bearing query ADDED during round 9
+# must be appended here (tests/test_coverage_claims.py enforces it).
+_PENDING_ROUND10: list[str] = []
+
+# ROUND-10 BUILDER: build _ROUND10_FRONT = re-checks of any round-9 reds +
+# _PENDING_ROUND10 (whatever round 9 added), padded to the 50-name window
 # with the longest-unchecked greens if the backlog is short; overflow
-# seeds _PENDING_ROUND10.  Call _rotate_front(_ROUND9_FRONT) in place of
-# the round-8 call below and update tests/test_coverage_claims.py to the
+# seeds _PENDING_ROUND11.  Call _rotate_front(_ROUND10_FRONT) in place of
+# the round-9 call below and update tests/test_coverage_claims.py to the
 # new window/pending names.
 
-_rotate_front(_ROUND8_FRONT)
+_rotate_front(_ROUND9_FRONT)

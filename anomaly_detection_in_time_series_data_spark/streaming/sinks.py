@@ -451,7 +451,14 @@ def digest_foreach_batch(
 
     Scale: each trigger reduces its batch to one row map-side and merges
     against a 1-row store — the cheapest possible IVM; a billion-row
-    delivery costs its scan and nothing else."""
+    delivery costs its scan and nothing else.
+
+    Contract: a fresh checkpoint MUST pair with a fresh store path.  A
+    digest carries no novelty signal (unlike the streaks sink, which can
+    compare batch user-days against state), so if batch ids restart at 0
+    over a non-empty store the fence cannot tell replay from genuinely
+    new deliveries — silently skipping would drop data undetectably, so
+    that exact shape raises instead."""
     M = 9223372036854775807
 
     def merge(batch_df: DataFrame, batch_id: int) -> None:
@@ -463,7 +470,23 @@ def digest_foreach_batch(
             state = spark.read.parquet(str(out))
             applied = state.agg(F.max("_batch_id")).collect()[0][0]
             if applied is not None and applied >= batch_id:
+                if batch_id == 0:
+                    # Ids restarting at 0 over a non-empty store means a
+                    # fresh checkpoint was pointed at an old store.  A
+                    # digest has no novelty signal, so skipping here
+                    # could silently drop new deliveries — fail loudly.
+                    raise ValueError(
+                        f"digest store {path} already holds batch "
+                        f"{applied} but the checkpoint delivered batch 0 "
+                        "— fresh checkpoint over an existing store; pair "
+                        "a new checkpoint with a new store path"
+                    )
                 return  # replay: the merge is NOT idempotent, skip
+        if batch_df.isEmpty():
+            # A zero-row delivery contributes the monoid identity; folding
+            # it would turn sum/bit_xor/min/max into NULLs and permanently
+            # corrupt the digest, so it is a no-op by construction.
+            return
         b = batch_df.agg(
             F.count("*").cast("bigint").alias("n_rows"),
             (

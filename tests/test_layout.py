@@ -256,14 +256,20 @@ def test_vacuum_residue_cleans_crash_siblings(spark, tmp_path):
     # Unrelated sibling must survive.
     df.write.parquet(str(tmp_path / "t2"))
 
-    dry = vacuum_residue(spark, path, dry_run=True)
+    # Default age guard: the just-written staging dirs may belong to an
+    # in-flight _swap_in / OPTIMIZE rewrite, so they are skipped.
+    guarded = vacuum_residue(spark, path, dry_run=True)
+    assert guarded["skipped_recent"] == ["t.stage-3", "t__optimize_stage"]
+    assert "t.stage-3" not in guarded["removed"]
+
+    dry = vacuum_residue(spark, path, dry_run=True, min_stage_age_seconds=0.0)
     assert sorted(dry["removed"]) == [
         "t.old-7", "t.stage-3", "t__optimize_old", "t__optimize_stage",
     ]
     assert dry["bytes_reclaimed"] > 0
     assert os.path.exists(str(tmp_path / "t__optimize_old"))  # dry run
 
-    rep = vacuum_residue(spark, path)
+    rep = vacuum_residue(spark, path, min_stage_age_seconds=0.0)
     assert rep["removed"] == dry["removed"]
     for sib in rep["removed"]:
         assert not os.path.exists(str(tmp_path / sib))

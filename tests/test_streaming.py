@@ -820,14 +820,51 @@ def test_digest_sink_fold_and_replay_fence(spark, tmp_path):
         len(allv), sum(allv) % 9223372036854775807, xor, min(allv), max(allv)
     )
 
-    # Fresh-checkpoint replay of the SAME files: fenced, digest unchanged.
+    # Fresh checkpoint over the existing store: batch ids restart at 0,
+    # and a digest has no novelty signal to tell replay from genuinely
+    # new deliveries — the sink must FAIL LOUDLY, not silently skip
+    # (silent skip would undetectably drop new data), and the store must
+    # be left unchanged.
     stream2 = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(src)
     )
-    digest_foreach_batch(
-        stream2, store, checkpoint=str(tmp_path / "ck2")
-    ).awaitTermination()
+    import pyspark.errors
+
+    with pytest.raises(
+        pyspark.errors.StreamingQueryException,
+        match="fresh checkpoint over an existing store",
+    ):
+        digest_foreach_batch(
+            stream2, store, checkpoint=str(tmp_path / "ck2")
+        ).awaitTermination()
     row2 = spark.read.parquet(store).collect()[0]
     assert (row2.n_rows, row2.checksum_sum) == (row.n_rows, row.checksum_sum)
+
+
+def test_digest_sink_empty_delivery_is_identity(spark, tmp_path):
+    """A zero-row delivery (e.g. an empty file) must fold as the monoid
+    identity — before the guard, sum()/bit_xor()/min()/max() over zero
+    rows produced NULLs that the cross-join merge propagated into the
+    store permanently, silently breaking all later replication checks."""
+    from anomaly_detection_in_time_series_data_spark.streaming.sinks import (
+        digest_foreach_batch,
+    )
+
+    schema = "h bigint"
+    deliveries = [[(5,), (9,)], [], [(100,)]]
+    src = str(tmp_path / "src")
+    _stage_deliveries(spark, src, deliveries, schema)
+    store = str(tmp_path / "state")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    digest_foreach_batch(
+        stream, store, checkpoint=str(tmp_path / "ck")
+    ).awaitTermination()
+    row = spark.read.parquet(store).collect()[0]
+    assert (row.n_rows, row.checksum_sum, row.checksum_xor,
+            row.h_min, row.h_max) == (3, 114, 5 ^ 9 ^ 100, 5, 100)
