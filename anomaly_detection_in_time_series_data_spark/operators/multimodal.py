@@ -13,10 +13,15 @@ Codec handling: this environment has no image/audio libraries, so decode is
   (little-endian int16 mono), and ``rawv8`` video (concatenated raw8
   frames) are decoded for real with numpy — the full pipeline (decode ->
   resize -> features / frame-sample) is genuinely executable and tested.
-- compressed formats (jpeg/png/wav/mp4/...) raise ``NotImplementedError``
-  from the same seam a Pillow/ffmpeg-backed decoder would plug into. The
-  Spark-side plumbing — schema, batch iteration, partition behavior — is
-  identical either way.
+- ``png`` images are decoded for real by the pure-Python spec
+  implementation in ``functions.png`` (stdlib zlib; CRC-checked chunks,
+  all five scanline filters) — one genuinely COMPRESSED format runs
+  end-to-end; color inputs reduce to gray via the exact integer luma
+  (299 r + 587 g + 114 b) / 1000.
+- remaining compressed formats (jpeg/wav/mp4/...) raise
+  ``NotImplementedError`` from the same seam a Pillow/ffmpeg-backed
+  decoder would plug into. The Spark-side plumbing — schema, batch
+  iteration, partition behavior — is identical either way.
 """
 
 from __future__ import annotations
@@ -49,7 +54,7 @@ MEDIA = T.StructType(
     ]
 )
 
-_REAL_FORMATS = {"raw8", "pcm16", "rawv8"}
+_REAL_FORMATS = {"raw8", "pcm16", "rawv8", "png"}
 
 
 def _require_known_format(fmt: str) -> None:
@@ -61,8 +66,30 @@ def _require_known_format(fmt: str) -> None:
 
 
 def decode_image_pixels(payload: bytes, width: int, height: int, fmt: str) -> np.ndarray:
-    """uint8 gray pixel matrix from a raw8 payload (real decode)."""
+    """uint8 gray pixel matrix from a raw8 or png payload (real decode:
+    raw8 is a numpy view; png runs the full spec decoder in
+    ``functions.png`` — zlib inflate, CRC verification, scanline
+    unfiltering — then exact integer luma for color inputs)."""
     _require_known_format(fmt)
+    if fmt == "png":
+        from ..functions.png import decode_png
+
+        px = decode_png(bytes(payload))
+        if px.ndim == 3:
+            if px.shape[2] >= 3:  # RGB(A) -> integer luma
+                p32 = px.astype(np.int64)
+                px = (
+                    (299 * p32[:, :, 0] + 587 * p32[:, :, 1] + 114 * p32[:, :, 2])
+                    // 1000
+                ).astype(np.uint8)
+            else:  # gray+alpha -> gray channel
+                px = px[:, :, 0]
+        if px.shape != (height, width):
+            raise ValueError(
+                f"png dimensions {px.shape} disagree with metadata "
+                f"({height}, {width})"
+            )
+        return px
     arr = np.frombuffer(payload, dtype=np.uint8)
     return arr[: width * height].reshape(height, width)
 
@@ -83,9 +110,20 @@ def synthetic_media(spark: SparkSession, n: int = 20) -> DataFrame:
         rng = np.random.RandomState(42 + i)
         if kind == "image":
             w, h = 16 + (i % 3) * 8, 16
-            payload = rng.randint(0, 256, size=w * h, dtype=np.uint8).tobytes()
+            px = rng.randint(0, 256, size=w * h, dtype=np.uint8)
+            if i % 6 == 0:
+                # Every other image rides the REAL compressed path: the
+                # same pixels PNG-encoded (Paeth filter — exercises the
+                # decoder's hardest predictor), so the corpus always
+                # carries both a raw and a compressed format.
+                from ..functions.png import encode_png
+
+                payload = encode_png(px.reshape(h, w), filter_type=4)
+                fmt = "png"
+            else:
+                payload = px.tobytes()
+                fmt = "raw8"
             meta = (w, h, 1, None, None)
-            fmt = "raw8"
         elif kind == "audio":
             sr = 8000
             wave = (np.sin(np.arange(sr) * (220 + i) * 2 * np.pi / sr) * 20000).astype(
@@ -106,9 +144,14 @@ def synthetic_media(spark: SparkSession, n: int = 20) -> DataFrame:
 def image_features(df: DataFrame, *, resize_to: tuple[int, int] = (8, 8)) -> DataFrame:
     """Decode -> resize -> feature-extract for image rows.
 
-    One ``mapInPandas`` stage: per Arrow batch, decode raw pixels, resize,
-    emit (media_id, mean/std brightness, 8-bin histogram, thumbnail floats).
-    Narrow transformation — no shuffle; partition count preserved.
+    One ``mapInPandas`` stage: per Arrow batch, decode pixels (raw8 view
+    or full PNG inflate+unfilter), resize, emit (media_id, mean/std
+    brightness, 8-bin histogram, thumbnail floats) PLUS the exact integer
+    sufficient statistics (pixel count / sum / sum-of-squares and raw
+    histogram counts) — the bigint components every float feature derives
+    from, emitted so downstream correctness gates can hash them without
+    float risk.  Narrow transformation — no shuffle; partition count
+    preserved.
     """
     out_schema = T.StructType(
         [
@@ -117,6 +160,10 @@ def image_features(df: DataFrame, *, resize_to: tuple[int, int] = (8, 8)) -> Dat
             T.StructField("px_std", T.DoubleType()),
             T.StructField("histogram", T.ArrayType(T.DoubleType())),
             T.StructField("thumbnail", T.ArrayType(T.DoubleType())),
+            T.StructField("n_px", T.LongType()),
+            T.StructField("px_sum", T.LongType()),
+            T.StructField("px_sq_sum", T.LongType()),
+            T.StructField("hist_counts", T.ArrayType(T.LongType())),
         ]
     )
     ow, oh = resize_to
@@ -130,6 +177,7 @@ def image_features(df: DataFrame, *, resize_to: tuple[int, int] = (8, 8)) -> Dat
                 )
                 thumb = resize_nearest(px, ow, oh).astype(float) / 255.0
                 hist = np.histogram(px, bins=8, range=(0, 256))[0]
+                p64 = px.astype(np.int64)
                 recs.append(
                     {
                         "media_id": r["media_id"],
@@ -137,6 +185,10 @@ def image_features(df: DataFrame, *, resize_to: tuple[int, int] = (8, 8)) -> Dat
                         "px_std": float(px.std()),
                         "histogram": (hist / hist.sum()).tolist(),
                         "thumbnail": thumb.ravel().tolist(),
+                        "n_px": int(px.size),
+                        "px_sum": int(p64.sum()),
+                        "px_sq_sum": int((p64 * p64).sum()),
+                        "hist_counts": [int(c) for c in hist],
                     }
                 )
             yield pd.DataFrame(recs, columns=[f.name for f in out_schema.fields])
@@ -145,13 +197,21 @@ def image_features(df: DataFrame, *, resize_to: tuple[int, int] = (8, 8)) -> Dat
 
 
 def audio_features(df: DataFrame) -> DataFrame:
-    """PCM16 decode -> RMS energy, zero-crossing rate, duration."""
+    """PCM16 decode -> RMS energy, zero-crossing rate, duration — plus
+    the exact integer sufficient statistics (sample count, amplitude
+    sum-of-squares, crossing count, sample rate) the float features
+    derive from, so correctness gates can hash bigints instead of
+    doubles."""
     out_schema = T.StructType(
         [
             T.StructField("media_id", T.LongType()),
             T.StructField("rms", T.DoubleType()),
             T.StructField("zero_crossing_rate", T.DoubleType()),
             T.StructField("duration_s", T.DoubleType()),
+            T.StructField("n_samples", T.LongType()),
+            T.StructField("sq_sum", T.LongType()),
+            T.StructField("n_crossings", T.LongType()),
+            T.StructField("sample_rate", T.LongType()),
         ]
     )
 
@@ -160,15 +220,21 @@ def audio_features(df: DataFrame) -> DataFrame:
             recs = []
             for _, r in pdf.iterrows():
                 _require_known_format(r["format"])
-                wave = np.frombuffer(r["payload"], dtype="<i2").astype(float)
+                iw = np.frombuffer(r["payload"], dtype="<i2").astype(np.int64)
+                wave = iw.astype(float)
                 sr = r["meta"]["sample_rate"] or 1
-                zc = float(np.mean(np.abs(np.diff(np.signbit(wave)).astype(int))))
+                crossings = int(np.abs(np.diff(np.signbit(wave)).astype(int)).sum())
+                zc = crossings / max(len(wave) - 1, 1)
                 recs.append(
                     {
                         "media_id": r["media_id"],
                         "rms": float(np.sqrt(np.mean(wave**2))),
                         "zero_crossing_rate": zc,
                         "duration_s": len(wave) / sr,
+                        "n_samples": int(iw.size),
+                        "sq_sum": int((iw * iw).sum()),
+                        "n_crossings": crossings,
+                        "sample_rate": int(sr),
                     }
                 )
             yield pd.DataFrame(recs, columns=[f.name for f in out_schema.fields])

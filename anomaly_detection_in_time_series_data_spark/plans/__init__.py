@@ -14,6 +14,7 @@ from .inspect import (
     has_pushed_filter,
     has_take_ordered,
     read_columns,
+    unbounded_global_windows,
     whole_stage_codegen_spans,
 )
 
@@ -25,5 +26,6 @@ __all__ = [
     "has_pushed_filter",
     "has_take_ordered",
     "read_columns",
+    "unbounded_global_windows",
     "whole_stage_codegen_spans",
 ]

@@ -62,6 +62,49 @@ def has_take_ordered(df: DataFrame) -> bool:
     return "TakeOrderedAndProject" in executed_plan(df)
 
 
+def unbounded_global_windows(df: DataFrame) -> list[str]:
+    """House plan rule as code (SCALING.md round-4 notes): a
+    partition-less ``Window`` moves its WHOLE input frame into one task
+    (WindowExec warns exactly this), so it is only acceptable over a
+    frame some upstream operator has already collapsed.
+
+    Walks the OPTIMIZED LOGICAL plan and returns the ``simpleString`` of
+    every Window with an empty partitionSpec whose input subtree contains
+    no Aggregate and no Limit — i.e. a single-task sort of a
+    scale-proportional frame.  Known limits, documented not solved: a
+    grouped Aggregate below the window counts as collapsing even though
+    some grouping keys are themselves scale-proportional (the round-8
+    rfm shape) — reviewers still own cardinality reasoning; the gate
+    mechanically kills the window-directly-over-the-fact-scan class.
+    Subquery plans hanging off expressions are not traversed."""
+    plan = df._jdf.queryExecution().optimizedPlan()
+
+    def children(node):
+        cs = node.children()
+        return [cs.apply(i) for i in range(cs.size())]
+
+    bounding = {"Aggregate", "GlobalLimit", "LocalLimit"}
+    out: list[str] = []
+    stack = [plan]
+    while stack:
+        node = stack.pop()
+        cls = node.getClass().getSimpleName()
+        if cls == "Window" and node.partitionSpec().isEmpty():
+            sub = children(node)
+            bounded = False
+            st = list(sub)
+            while st:
+                n = st.pop()
+                if n.getClass().getSimpleName() in bounding:
+                    bounded = True
+                    break
+                st.extend(children(n))
+            if not bounded:
+                out.append(node.simpleString(80))
+        stack.extend(children(node))
+    return out
+
+
 def whole_stage_codegen_spans(df: DataFrame) -> int:
     """Number of WholeStageCodegen spans (fewer = wider fused pipelines).
     The executed-plan string marks codegen'd operators ``*(n)``."""

@@ -82,7 +82,58 @@ def test_multimodal_av_features_query(spark):
     assert kinds == {"audio", "video"}
     for r in rows:
         if r.kind == "audio":
-            assert r.feat_a > 1000 and r.feat_c == 1.0  # rms, duration
+            # 1s at 8kHz; sine amplitude 20000 -> sq_sum ~ 1.6e12
+            assert r.feat_count == 8000 and r.feat_sum > 10**12
         else:
-            # per-frame mean brightness of uniform-random bytes
-            assert 0 <= r.feat_b <= r.feat_a <= r.feat_c <= 255
+            # 3 sampled 8x8 frames of uniform-random bytes
+            assert r.feat_count == 3 and r.feat_aux == 192
+            assert 0 <= r.feat_sum <= 255 * 192
+
+
+def test_png_payloads_decode_identically_to_raw(spark, media):
+    """The fixture corpus alternates raw8 and PNG payloads over the SAME
+    seeded pixels per id; the feature stage must treat both identically —
+    and the exact integer statistics must match an independent numpy
+    decode of each payload."""
+    from anomaly_detection_in_time_series_data_spark.functions.png import (
+        decode_png,
+    )
+
+    rows = {r.media_id: r for r in media.collect()}
+    fmts = {r.media_id: r.format for r in media.collect() if r.kind == "image"}
+    assert "png" in fmts.values() and "raw8" in fmts.values()
+    feats = {r.media_id: r for r in mm.image_features(media).collect()}
+    for mid, fmt in fmts.items():
+        payload = bytes(rows[mid].payload)
+        if fmt == "png":
+            px = decode_png(payload)
+        else:
+            px = np.frombuffer(payload, dtype=np.uint8).reshape(16, 16)
+        f = feats[mid]
+        assert f.n_px == px.size
+        assert f.px_sum == int(px.astype(np.int64).sum())
+        assert f.px_sq_sum == int((px.astype(np.int64) ** 2).sum())
+
+
+def test_png_color_reduces_to_integer_luma(spark):
+    from anomaly_detection_in_time_series_data_spark.functions.png import (
+        encode_png,
+    )
+
+    rng = np.random.RandomState(3)
+    rgb = rng.randint(0, 256, size=(4, 4, 3), dtype=np.uint8)
+    data = encode_png(rgb, filter_type=2)
+    px = mm.decode_image_pixels(data, 4, 4, "png")
+    p = rgb.astype(np.int64)
+    luma = ((299 * p[:, :, 0] + 587 * p[:, :, 1] + 114 * p[:, :, 2]) // 1000)
+    assert np.array_equal(px, luma.astype(np.uint8))
+
+
+def test_png_metadata_disagreement_raises(spark):
+    from anomaly_detection_in_time_series_data_spark.functions.png import (
+        encode_png,
+    )
+
+    data = encode_png(np.zeros((4, 4), dtype=np.uint8))
+    with pytest.raises(ValueError, match="disagree"):
+        mm.decode_image_pixels(data, 8, 8, "png")

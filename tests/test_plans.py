@@ -830,3 +830,47 @@ def test_sampled_join_audit_has_no_sample_side_join(spark, sf_dir):
     n_joins = optimized.count("Join ")
     assert n_joins == 2, f"expected 2 joins (exact twin + combine): {n_joins}"
     assert "md5" in optimized  # the scan-stage gate survived optimization
+
+
+def test_window_gate_detects_uncollapsed_global_windows(spark):
+    """VERDICT r8 task 3: the detector behind check_oracle's plan gate.
+    A partition-less Window over a raw frame must be flagged; the same
+    window over an Aggregate- or Limit-collapsed frame, or a partitioned
+    window, must not."""
+    from pyspark.sql import Window
+
+    df = spark.range(1000).select((F.col("id") % 7).alias("v"), "id")
+    bad = df.withColumn("r", F.row_number().over(Window.orderBy("v", "id")))
+    viol = plans.unbounded_global_windows(bad)
+    assert len(viol) == 1 and "Window" in viol[0]
+    assert not plans.unbounded_global_windows(
+        df.groupBy("v").count().withColumn(
+            "r", F.row_number().over(Window.orderBy("v"))
+        )
+    )
+    assert not plans.unbounded_global_windows(
+        df.limit(10).withColumn("r", F.row_number().over(Window.orderBy("id")))
+    )
+    assert not plans.unbounded_global_windows(
+        df.withColumn(
+            "r", F.row_number().over(Window.partitionBy("v").orderBy("id"))
+        )
+    )
+
+
+def test_rewritten_ntile_queries_pass_window_gate(spark, sf_dir):
+    """The four round-8 weak sites (global ntile/rank over
+    scale-proportional frames) now ride operators.ranks.global_exact_rank
+    — their optimized plans must contain NO partition-less Window over an
+    uncollapsed frame, and no WindowExec over the fact scan survives in
+    the physical plan either."""
+    for name in (
+        "woe_iv_binning",
+        "gini_split_gain_deciles",
+        "rfm_user_segments",
+        "vocab_growth_curve",
+        "distributed_exact_rank",
+    ):
+        df = q.QUERIES[name](spark, sf_dir)
+        viol = plans.unbounded_global_windows(df)
+        assert not viol, f"{name}: {viol}"

@@ -27,6 +27,9 @@ import pandas as pd
 
 sys.path.insert(0, "/root/repo")
 
+from anomaly_detection_in_time_series_data_spark.plans.inspect import (
+    unbounded_global_windows,
+)
 from anomaly_detection_in_time_series_data_spark.session import get_spark
 from anomaly_detection_in_time_series_data_spark.tables import TABLE_NAMES
 
@@ -168,6 +171,18 @@ SLOW_ORACLES = {
     "holt_forecast_anomaly",
 }
 
+# Plan gate (VERDICT r8 task 3): a partition-less Window over a frame no
+# upstream Aggregate/Limit has collapsed is a single-task sort of a
+# scale-proportional input — the round-8 weak class, now mechanical.
+# Allowlisted exceptions must justify themselves here:
+#   storage_layout_scan_audit — explicitly SIMULATES a file layout with a
+#   global row_number over the fact frame; its own docstring documents
+#   that production reads parquet footers instead (VERDICT r8 acknowledged
+#   it as simulation, not plan debt).
+WINDOW_GATE_ALLOW = {
+    "storage_layout_scan_audit",
+}
+
 
 def main() -> int:
     args = [a for a in sys.argv[1:] if a != "--skip-slow"]
@@ -191,7 +206,17 @@ def main() -> int:
             continue
         t0 = time.time()
         try:
-            sdf = fn(spark, sf_dir).toPandas()
+            df = fn(spark, sf_dir)
+            if name not in WINDOW_GATE_ALLOW:
+                viol = unbounded_global_windows(df)
+                if viol:
+                    print(
+                        f"FAIL {name}: plan gate: partition-less Window "
+                        f"over an uncollapsed frame: {viol[0][:160]}"
+                    )
+                    n_fail += 1
+                    continue
+            sdf = df.toPandas()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: spark error: {type(e).__name__}: {str(e)[:300]}")
             n_fail += 1
