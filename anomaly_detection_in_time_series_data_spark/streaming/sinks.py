@@ -538,3 +538,59 @@ def digest_foreach_batch(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def hll_foreach_batch(
+    stream: DataFrame,
+    path: str,
+    *,
+    checkpoint: str,
+):
+    """Start a foreachBatch query that INCREMENTALLY maintains an HLL
+    register table at ``path`` — the fourth idempotence discipline in
+    this module, and the simplest: the register merge is MAX per bucket,
+    which is not just a commutative monoid (like the digest's sum/xor)
+    but IDEMPOTENT — max(a, a) = a — so replayed batches, duplicated
+    deliveries, and even a fresh checkpoint over an existing store are
+    all algebraic no-ops.  No batch-id fence is needed or kept beyond
+    observability; contrast with ``digest_foreach_batch``, whose
+    sum-fold MUST fence and raise.
+
+    Expects rows ``(reg bigint, rho bigint)`` — the register index and
+    the leading-zero rank the query computes from a portable content
+    hash.  State is at most one row per register (e.g. 256 rows for an
+    8-bit bucket split): kilobyte-scale regardless of stream volume —
+    the whole point of maintaining a cardinality SKETCH instead of a
+    distinct-key set, whose state would grow with the data.
+
+    Scale: each trigger reduces its batch to <=registers rows map-side
+    (partial max), merges against the register-sized store, and swaps
+    atomically (same ``_swap_in`` discipline as every sink here)."""
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        out = Path(path)
+        _recover_store(out)
+        if batch_df.isEmpty():
+            return  # max-identity: nothing to fold
+        b = batch_df.groupBy("reg").agg(
+            F.max("rho").cast("bigint").alias("rho")
+        )
+        if out.exists():
+            state = spark.read.parquet(str(out)).select("reg", "rho")
+            b = b.unionByName(state).groupBy("reg").agg(
+                F.max("rho").cast("bigint").alias("rho")
+            )
+        merged = b.withColumn(
+            "_batch_id", F.lit(batch_id).cast("bigint")
+        ).localCheckpoint(eager=True)
+        staging = Path(f"{path}.stage-{batch_id}")
+        merged.write.mode("overwrite").parquet(str(staging))
+        _swap_in(staging, out, batch_id)
+
+    return (
+        stream.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

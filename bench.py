@@ -182,6 +182,23 @@ HEADLINE = [
     "rolling_ols_slope",
     "streaming_fingerprint_maintenance",
     "packing_loss_mask_spans",
+    # round 9 additions
+    "chi_square_independence_components",
+    "anova_oneway_components",
+    "lorenz_gini_deciles",
+    "twap_event_value",
+    "roc_auc_exact",
+    "cumulative_gains_deciles",
+    "crossval_fold_audit",
+    "poisson_bootstrap_means",
+    "unpivot_stack_metrics",
+    "table_diff_audit",
+    "k_anonymity_class_histogram",
+    "range_frame_hourly_sum",
+    "autocorr_lag_profile",
+    "streaming_hll_maintenance",
+    "multimodal_image_features",
+    "multimodal_av_features",
 ]
 
 

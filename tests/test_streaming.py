@@ -868,3 +868,44 @@ def test_digest_sink_empty_delivery_is_identity(spark, tmp_path):
     row = spark.read.parquet(store).collect()[0]
     assert (row.n_rows, row.checksum_sum, row.checksum_xor,
             row.h_min, row.h_max) == (3, 114, 5 ^ 9 ^ 100, 5, 100)
+
+
+def test_hll_sink_idempotent_max_merge(spark, tmp_path):
+    """hll_foreach_batch: (1) the streamed per-register max over three
+    deliveries equals the one-shot max; (2) because max is IDEMPOTENT,
+    a fresh-checkpoint replay of the same files is an algebraic no-op —
+    no fence, no raise, store unchanged (contrast with the digest sink,
+    which must raise on that shape); (3) an empty delivery is the
+    identity."""
+    from anomaly_detection_in_time_series_data_spark.streaming.sinks import (
+        hll_foreach_batch,
+    )
+
+    schema = "reg bigint, rho bigint"
+    deliveries = [
+        [(0, 3), (1, 7), (0, 5)],
+        [],
+        [(0, 4), (2, 1)],
+        [(1, 2), (2, 9)],
+    ]
+    src = str(tmp_path / "src")
+    _stage_deliveries(spark, src, deliveries, schema)
+    store = str(tmp_path / "state")
+
+    def run(ck):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        hll_foreach_batch(
+            stream, store, checkpoint=str(tmp_path / ck)
+        ).awaitTermination()
+
+    run("ck1")
+    regs = {r.reg: r.rho for r in spark.read.parquet(store).collect()}
+    assert regs == {0: 5, 1: 7, 2: 9}
+
+    run("ck2")  # fresh checkpoint, same files: idempotent, unchanged
+    regs2 = {r.reg: r.rho for r in spark.read.parquet(store).collect()}
+    assert regs2 == regs

@@ -166,6 +166,10 @@ def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> tuple[bool, str]
 # recursive CTE joins the full seq table once per row index (~20k
 # iterations at sf0.1, >10 min measured), and the float op sequence
 # cannot be batched without changing the bit pattern under test.
+# They are NOT standing skips: tools/slow_oracle_tier.py hash-checks
+# both each round on a deterministic half-scale derivation of sf0.1
+# (events filtered to user_id % 2 == 0 — ~10k iterations, same
+# recurrence, 5x the sf0.01 rows), logged in tools/sweep_r*_tier.log.
 SLOW_ORACLES = {
     "ewma_anomaly_scores",
     "holt_forecast_anomaly",
