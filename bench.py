@@ -199,6 +199,12 @@ HEADLINE = [
     "streaming_hll_maintenance",
     "multimodal_image_features",
     "multimodal_av_features",
+    "seasonal_naive_backtest",
+    "zipf_rank_frequency",
+    "null_safe_join_counts",
+    "id_continuity_audit",
+    "rounding_drift_audit",
+    "l_diversity_audit",
 ]
 
 
