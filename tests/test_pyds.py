@@ -1,0 +1,85 @@
+"""Python DataSource (Spark 4 datasource API) tests: the filecorpus
+source must be row-for-row interchangeable with the JVM binaryFile-based
+`read_file_corpus`, parallelize one partition per file, honor the glob
+pattern, and round-trip through its paired writer."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from anomaly_detection_in_time_series_data_spark.sources.pyds import (
+    FileCorpusDataSource,
+    FileCorpusReader,
+)
+from anomaly_detection_in_time_series_data_spark.sources.readers import (
+    read_file_corpus,
+)
+
+
+@pytest.fixture()
+def corpus(tmp_path):
+    files = [
+        ("alice", "a.txt", b"hello"),
+        ("alice", "b.txt", b"world!"),
+        ("bob", "notes/c.txt", b"deep file"),
+        ("bob", "skip.log", b"not matched by *.txt"),
+    ]
+    for user, rel, body in files:
+        p = tmp_path / user / rel
+        p.parent.mkdir(parents=True, exist_ok=True)
+        p.write_bytes(body)
+    return str(tmp_path)
+
+
+def test_filecorpus_matches_binaryfile_reader(spark, corpus):
+    spark.dataSource.register(FileCorpusDataSource)
+    py = (
+        spark.read.format("filecorpus")
+        .option("path", corpus)
+        .load()
+        .select("id", "username", "content", "length")
+    )
+    jvm = read_file_corpus(spark, corpus).select(
+        "id", "username", "content", "length"
+    )
+    assert py.exceptAll(jvm).count() == 0
+    assert jvm.exceptAll(py).count() == 0
+    assert py.count() == 4
+
+
+def test_filecorpus_pattern_and_partitioning(spark, corpus):
+    spark.dataSource.register(FileCorpusDataSource)
+    df = (
+        spark.read.format("filecorpus")
+        .option("path", corpus)
+        .option("pattern", "*.txt")
+        .load()
+    )
+    ids = sorted(r.id for r in df.collect())
+    assert ids == ["alice/a.txt", "alice/b.txt", "bob/notes/c.txt"]
+    # one InputPartition per matched file -> executor-side parallel reads
+    parts = FileCorpusReader({"path": corpus, "pattern": "*.txt"}).partitions()
+    assert [p.rel.replace(os.sep, "/") for p in parts] == ids
+
+
+def test_filecorpus_writer_round_trips(spark, corpus, tmp_path):
+    spark.dataSource.register(FileCorpusDataSource)
+    src = spark.read.format("filecorpus").option("path", corpus).load()
+    out = str(tmp_path / "out")
+    src.write.format("filecorpus").option("path", out).mode("append").save()
+    back = (
+        spark.read.format("filecorpus")
+        .option("path", out)
+        .load()
+        .select("id", "username", "content", "length")
+    )
+    orig = src.select("id", "username", "content", "length")
+    assert back.exceptAll(orig).count() == 0
+    assert orig.exceptAll(back).count() == 0
+
+
+def test_filecorpus_requires_path(spark):
+    with pytest.raises(Exception, match="path"):
+        FileCorpusReader({})
