@@ -874,3 +874,42 @@ def test_rewritten_ntile_queries_pass_window_gate(spark, sf_dir):
         df = q.QUERIES[name](spark, sf_dir)
         viol = plans.unbounded_global_windows(df)
         assert not viol, f"{name}: {viol}"
+
+
+def test_round9_wave_plans_stay_jvm(spark, sf_dir):
+    """The round-9 wave: no Python eval in any plan (the only sanctioned
+    Python is inside global_exact_rank's checkpointed mapInPandas rank
+    pass, which the executed plan has already materialized), and no
+    Cartesian product anywhere."""
+    wave = [
+        "chi_square_independence_components",
+        "anova_oneway_components",
+        "lorenz_gini_deciles",
+        "twap_event_value",
+        "roc_auc_exact",
+        "cumulative_gains_deciles",
+        "crossval_fold_audit",
+        "poisson_bootstrap_means",
+        "unpivot_stack_metrics",
+        "table_diff_audit",
+        "k_anonymity_class_histogram",
+        "range_frame_hourly_sum",
+        "autocorr_lag_profile",
+        "seasonal_naive_backtest",
+        "zipf_rank_frequency",
+        "null_safe_join_counts",
+        "id_continuity_audit",
+        "rounding_drift_audit",
+        "l_diversity_audit",
+    ]
+    for name in wave:
+        df = q.QUERIES[name](spark, sf_dir)
+        plan = plans.executed_plan(df)
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+        assert "CartesianProduct" not in plan, name
+        assert not plans.unbounded_global_windows(df), name
+    # The version diff must be ONE join (the full-outer on the key).
+    diff_plan = plans.executed_plan(q.QUERIES["table_diff_audit"](spark, sf_dir))
+    assert diff_plan.count("SortMergeJoin") + diff_plan.count(
+        "BroadcastHashJoin"
+    ) >= 1

@@ -69,6 +69,11 @@ SHOWCASE = [
     ("point_in_polygon_counts", "winding-number geofence: 4-edge polygon broadcast, per-point integer predicates folded in one aggregate, nation-sized output"),
     ("event_sequence_pattern_match", "MATCH_RECOGNIZE-lite: one user shuffle, per-user collect+encode, JVM regexp scan — no joins, no Python eval"),
     ("lttb_downsample_lite", "LTTB-lite decimation: hour-grain pre-aggregate, 2-row-per-bucket centroid broadcast join, per-bucket top-1 window"),
+    ("cumulative_gains_deciles", "two-phase exact rank (range shuffle + broadcast offsets via operators/ranks.py) feeds arithmetic ntile deciles — no single-task window anywhere"),
+    ("roc_auc_exact", "tie-aware Mann-Whitney AUC on the score-grain contingency table: one map-side-combined groupBy, bounded cumulative window, 1-row fold"),
+    ("poisson_bootstrap_means", "one-pass deterministic bootstrap: 16-row replicate spine broadcast, hash-CDF weights, map-side-combined per-replicate sums"),
+    ("table_diff_audit", "keyed version diff: ONE full-outer sort-merge join on the table key; all classification counts fold map-side"),
+    ("streaming_hll_maintenance", "idempotent HLL register IVM: per-trigger map-side max to <=256 rows, register-sized store merge, no fence needed"),
 ]
 
 
