@@ -55,6 +55,16 @@ def global_exact_rank(
     phase boundary (counts and the offset join both reuse it), and the
     checkpoint pins rank determinism for downstream self-joins.
     """
+    clash = {rank_col, total_col, "_ger_pid", "_ger_local", "_ger_off"} & set(
+        df.columns
+    )
+    if clash:
+        raise ValueError(
+            f"global_exact_rank: output/internal column names {sorted(clash)} "
+            "already exist on the input frame; pass rank_col=/total_col= "
+            "overrides (an AMBIGUOUS_REFERENCE would surface only at "
+            "action time otherwise)"
+        )
     cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
     rp = df.repartitionByRange(parts, *cols).sortWithinPartitions(*cols)
     payload = ", ".join(

@@ -913,3 +913,18 @@ def test_round9_wave_plans_stay_jvm(spark, sf_dir):
     assert diff_plan.count("SortMergeJoin") + diff_plan.count(
         "BroadcastHashJoin"
     ) >= 1
+
+
+def test_global_exact_rank_rejects_column_clash(spark):
+    """The rank helper must fail fast (at plan time) when its output or
+    internal column names collide with the input frame — the silent
+    alternative is an AMBIGUOUS_REFERENCE only at action time."""
+    import pytest
+
+    from anomaly_detection_in_time_series_data_spark.operators import ranks
+
+    df = spark.range(10).selectExpr("id", "id % 3 AS n")
+    with pytest.raises(ValueError, match="already exist"):
+        ranks.global_exact_rank(df, ["id"])
+    out = ranks.global_exact_rank(df, ["id"], total_col="n_total")
+    assert out.columns == ["id", "n", "n_total", "rnk"]
