@@ -205,6 +205,12 @@ HEADLINE = [
     "id_continuity_audit",
     "rounding_drift_audit",
     "l_diversity_audit",
+    "last_touch_attribution",
+    "kaplan_meier_components",
+    "boxplot_components",
+    "referential_integrity_audit",
+    "session_duration_log2_histogram",
+    "median_imputation_audit",
 ]
 
 

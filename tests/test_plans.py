@@ -901,6 +901,12 @@ def test_round9_wave_plans_stay_jvm(spark, sf_dir):
         "id_continuity_audit",
         "rounding_drift_audit",
         "l_diversity_audit",
+        "last_touch_attribution",
+        "kaplan_meier_components",
+        "boxplot_components",
+        "referential_integrity_audit",
+        "session_duration_log2_histogram",
+        "median_imputation_audit",
     ]
     for name in wave:
         df = q.QUERIES[name](spark, sf_dir)
