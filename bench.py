@@ -204,11 +204,11 @@ HEADLINE = [
     "null_safe_join_counts",
     "id_continuity_audit",
     "rounding_drift_audit",
-    "l_diversity_audit",
+    "l_diversity_histogram",
     "last_touch_attribution",
     "kaplan_meier_components",
     "boxplot_components",
-    "referential_integrity_audit",
+    "declared_fk_orphan_audit",
     "session_duration_log2_histogram",
     "median_imputation_audit",
 ]

@@ -112,3 +112,33 @@ def test_bench_headliners_are_registered_queries():
     missing = [n for n in bench.HEADLINE if n not in QUERIES]
     assert not missing, f"bench headliners not in QUERIES: {missing}"
     assert len(set(bench.HEADLINE)) == len(bench.HEADLINE), "duplicate headliner"
+
+
+def test_no_shadowed_query_registrations():
+    """@query registration is latest-wins: a duplicated name silently
+    REPLACES the earlier query while its green CORRECTNESS history keeps
+    pointing at the name — round 9 caught four such collisions
+    (k_anonymity_audit, zipf_rank_frequency, l_diversity_audit,
+    referential_integrity_audit). Pin decorator count == registry size."""
+    import re
+    from collections import Counter
+
+    src = (
+        REPO
+        / "anomaly_detection_in_time_series_data_spark"
+        / "queries.py"
+    ).read_text()
+    names = [
+        a or b
+        for a, b in re.findall(
+            r'^@query\(\s*$\n\s+"([a-z0-9_]+)"|^@query\("([a-z0-9_]+)"',
+            src,
+            re.M,
+        )
+    ]
+    dups = sorted(n for n, c in Counter(names).items() if c > 1)
+    assert not dups, f"duplicate @query names (latest silently wins): {dups}"
+    assert len(names) == len(q.QUERIES), (
+        f"{len(names)} @query decorators but {len(q.QUERIES)} registered — "
+        "a name is being shadowed"
+    )

@@ -900,11 +900,11 @@ def test_round9_wave_plans_stay_jvm(spark, sf_dir):
         "null_safe_join_counts",
         "id_continuity_audit",
         "rounding_drift_audit",
-        "l_diversity_audit",
+        "l_diversity_histogram",
         "last_touch_attribution",
         "kaplan_meier_components",
         "boxplot_components",
-        "referential_integrity_audit",
+        "declared_fk_orphan_audit",
         "session_duration_log2_histogram",
         "median_imputation_audit",
     ]
