@@ -401,9 +401,32 @@ def vacuum_residue(
         re.escape(name) + r"(__optimize_stage|\.stage-\d+)$"
     )
 
+    # "Now" must come from the FILESYSTEM's clock domain, not the
+    # driver's: on a remote FS (hdfs://, s3a://) with clock skew greater
+    # than min_stage_age_seconds, a driver-clock compare can classify a
+    # just-created staging dir as stale and delete it mid-commit — the
+    # exact failure this guard exists to prevent.  Write-and-stat a probe
+    # file beside the table so age is mtime-vs-mtime on the same clock;
+    # fall back to the driver clock (documented skew assumption) only if
+    # the probe cannot be written (e.g. read-only mount + dry_run).
     import time as _time
 
-    now_ms = _time.time() * 1000.0
+    now_ms = None
+    probe = jvm.org.apache.hadoop.fs.Path(
+        parent, f"._vacuum_probe_{int(_time.time() * 1e6)}"
+    )
+    try:
+        fs.create(probe, True).close()
+        now_ms = float(fs.getFileStatus(probe).getModificationTime())
+    except Exception:
+        pass
+    finally:
+        try:
+            fs.delete(probe, False)
+        except Exception:
+            pass
+    if now_ms is None:
+        now_ms = _time.time() * 1000.0
     residue, skipped_recent = [], []
     for st in fs.listStatus(parent):
         n = st.getPath().getName()

@@ -81,30 +81,89 @@ class FileCorpusReader(DataSourceReader):
 
 
 class FileCorpusCommit(WriterCommitMessage):
-    def __init__(self, n_files: int):
-        self.n_files = n_files
+    def __init__(self, rels: list[str]):
+        self.rels = rels
 
 
 class FileCorpusWriter(DataSourceWriter):
     """One output file per input row: ``{path}/{id}`` gets ``content``.
-    Each task writes its own rows and reports a commit message; global
-    success is Spark's job-level commit."""
 
-    def __init__(self, options: dict):
+    Tasks never touch final destination paths: each task writes its rows
+    under a job-unique staging directory (``{root}/_stage_<token>``) and
+    reports the relative paths in its commit message; only ``commit()`` —
+    which Spark calls once, after every task succeeded — moves staged
+    files into place, and ``abort()`` removes the staging tree, so a
+    failed or speculative task can never leave partial output visible.
+    (Atomicity assumption: staging and destination share a filesystem, so
+    ``os.replace`` is an atomic rename; on an object store this seam is
+    where a manifest-commit would slot in.)
+
+    Row ids are validated to stay under the target root — an id whose
+    normalized path is absolute or escapes via ``..`` fails the task.
+
+    ``overwrite`` semantics are explicit: ``mode("overwrite")`` replaces
+    the target's existing file tree at commit time (staging excluded);
+    append mode refuses to clobber an existing destination file.
+    """
+
+    def __init__(self, options: dict, overwrite: bool):
+        import uuid
+
         self.root = options.get("path", "").rstrip("/")
         if not self.root:
             raise ValueError("filecorpus: option 'path' is required")
+        self.overwrite = overwrite
+        # Job-unique staging token, minted ONCE on the driver; the pickled
+        # writer carries it to every task, so all tasks stage under the
+        # same tree and commit()/abort() can find it.
+        self.stage = os.path.join(self.root, f"_stage_{uuid.uuid4().hex}")
+
+    def _safe_rel(self, rel: str) -> str:
+        norm = os.path.normpath(rel)
+        if os.path.isabs(norm) or norm.startswith("..") or norm in (".", ""):
+            raise ValueError(
+                f"filecorpus: row id {rel!r} escapes the target root"
+            )
+        return norm
 
     def write(self, rows):
-        n = 0
+        rels = []
         for row in rows:
-            rel = row.id
-            dst = os.path.join(self.root, rel)
+            rel = self._safe_rel(row.id)
+            dst = os.path.join(self.stage, rel)
             os.makedirs(os.path.dirname(dst), exist_ok=True)
             with open(dst, "wb") as f:
                 f.write(bytes(row.content))
-            n += 1
-        return FileCorpusCommit(n)
+            rels.append(rel)
+        return FileCorpusCommit(rels)
+
+    def commit(self, messages):
+        import shutil
+
+        rels = [r for m in messages for r in m.rels]
+        if self.overwrite:
+            stage_name = os.path.basename(self.stage)
+            for entry in os.listdir(self.root) if os.path.isdir(self.root) else []:
+                if entry == stage_name:
+                    continue
+                full = os.path.join(self.root, entry)
+                shutil.rmtree(full) if os.path.isdir(full) else os.remove(full)
+        for rel in rels:
+            src = os.path.join(self.stage, rel)
+            dst = os.path.join(self.root, rel)
+            if not self.overwrite and os.path.exists(dst):
+                raise FileExistsError(
+                    f"filecorpus: {dst} already exists (append mode does "
+                    "not clobber; use mode('overwrite'))"
+                )
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            os.replace(src, dst)
+        shutil.rmtree(self.stage, ignore_errors=True)
+
+    def abort(self, messages):
+        import shutil
+
+        shutil.rmtree(self.stage, ignore_errors=True)
 
 
 class FileCorpusDataSource(DataSource):
@@ -122,4 +181,4 @@ class FileCorpusDataSource(DataSource):
         return FileCorpusReader(self.options)
 
     def writer(self, schema, overwrite: bool):
-        return FileCorpusWriter(self.options)
+        return FileCorpusWriter(self.options, overwrite)

@@ -470,16 +470,24 @@ def digest_foreach_batch(
             state = spark.read.parquet(str(out))
             applied = state.agg(F.max("_batch_id")).collect()[0][0]
             if applied is not None and applied >= batch_id:
-                if batch_id == 0:
-                    # Ids restarting at 0 over a non-empty store means a
+                if applied > batch_id:
+                    # Ids restarting BELOW already-applied state means a
                     # fresh checkpoint was pointed at an old store.  A
                     # digest has no novelty signal, so skipping here
                     # could silently drop new deliveries — fail loudly.
+                    # applied == batch_id is NOT this case: it is the
+                    # same-checkpoint replay after a crash between
+                    # _swap_in and the checkpoint commit (including
+                    # batch 0, where applied == batch_id == 0 — the very
+                    # first delivery replayed), and must skip, or the
+                    # stream fails permanently on every restart in that
+                    # window.
                     raise ValueError(
                         f"digest store {path} already holds batch "
-                        f"{applied} but the checkpoint delivered batch 0 "
-                        "— fresh checkpoint over an existing store; pair "
-                        "a new checkpoint with a new store path"
+                        f"{applied} but the checkpoint delivered batch "
+                        f"{batch_id} — fresh checkpoint over an existing "
+                        "store; pair a new checkpoint with a new store "
+                        "path"
                     )
                 return  # replay: the merge is NOT idempotent, skip
         if batch_df.isEmpty():

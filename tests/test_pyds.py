@@ -83,3 +83,47 @@ def test_filecorpus_writer_round_trips(spark, corpus, tmp_path):
 def test_filecorpus_requires_path(spark):
     with pytest.raises(Exception, match="path"):
         FileCorpusReader({})
+
+
+def test_filecorpus_writer_commit_protocol(spark, corpus, tmp_path):
+    """Results become visible only through commit(): after save() no
+    staging residue remains; overwrite mode replaces the target tree;
+    append mode refuses to clobber an existing destination file."""
+    spark.dataSource.register(FileCorpusDataSource)
+    src = spark.read.format("filecorpus").option("path", corpus).load()
+    out = str(tmp_path / "out")
+    src.write.format("filecorpus").option("path", out).mode("append").save()
+    assert not [d for d in os.listdir(out) if d.startswith("_stage_")]
+
+    # stale file that overwrite must clear
+    with open(os.path.join(out, "stale.txt"), "wb") as f:
+        f.write(b"old")
+    src.write.format("filecorpus").option("path", out).mode(
+        "overwrite"
+    ).save()
+    assert not os.path.exists(os.path.join(out, "stale.txt"))
+    assert not [d for d in os.listdir(out) if d.startswith("_stage_")]
+    back = spark.read.format("filecorpus").option("path", out).load()
+    assert back.count() == src.count()
+
+    # append over existing destinations must fail loudly, not clobber
+    with pytest.raises(Exception, match="already exists"):
+        src.write.format("filecorpus").option("path", out).mode(
+            "append"
+        ).save()
+
+
+def test_filecorpus_writer_rejects_path_escape(spark, tmp_path):
+    """A row id that normalizes outside the target root fails the task
+    instead of writing outside the tree."""
+    spark.dataSource.register(FileCorpusDataSource)
+    out = str(tmp_path / "out")
+    evil = spark.createDataFrame(
+        [("p", "../escape.txt", "u", bytearray(b"x"), 1)],
+        "path string, id string, username string, content binary, length bigint",
+    )
+    with pytest.raises(Exception, match="escapes the target root"):
+        evil.write.format("filecorpus").option("path", out).mode(
+            "append"
+        ).save()
+    assert not os.path.exists(str(tmp_path / "escape.txt"))

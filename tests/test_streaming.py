@@ -843,6 +843,51 @@ def test_digest_sink_fold_and_replay_fence(spark, tmp_path):
     assert (row2.n_rows, row2.checksum_sum) == (row.n_rows, row.checksum_sum)
 
 
+def test_digest_sink_batch0_crash_replay_skips(spark, tmp_path):
+    """applied == batch_id == 0 is the SAME-CHECKPOINT replay after a
+    crash between _swap_in and the checkpoint commit on the very first
+    batch — it must SKIP like any other replay, not raise.  (The fence
+    raises only when applied > batch_id: ids genuinely restarting over
+    NEWER state.)  Before this guard ordering, the stream failed
+    permanently on every restart in that window, requiring manual
+    store/checkpoint surgery."""
+    from anomaly_detection_in_time_series_data_spark.streaming.sinks import (
+        digest_foreach_batch,
+    )
+
+    schema = "h bigint"
+    deliveries = [[(5,), (9,)]]  # exactly one delivery -> applied == 0
+    src = str(tmp_path / "src")
+    _stage_deliveries(spark, src, deliveries, schema)
+    store = str(tmp_path / "state")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    digest_foreach_batch(
+        stream, store, checkpoint=str(tmp_path / "ck")
+    ).awaitTermination()
+    row = spark.read.parquet(store).collect()[0]
+    assert (row.n_rows, row.checksum_sum) == (2, 14)
+
+    # Crash-window shape: the checkpoint offset commit was lost, so the
+    # restarted stream re-delivers batch 0 over a store that already
+    # applied batch 0.  Must skip (store unchanged), not raise.
+    stream2 = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    digest_foreach_batch(
+        stream2, store, checkpoint=str(tmp_path / "ck2")
+    ).awaitTermination()
+    row2 = spark.read.parquet(store).collect()[0]
+    assert (row2.n_rows, row2.checksum_sum, row2.checksum_xor) == (
+        row.n_rows, row.checksum_sum, row.checksum_xor
+    )
+
+
 def test_digest_sink_empty_delivery_is_identity(spark, tmp_path):
     """A zero-row delivery (e.g. an empty file) must fold as the monoid
     identity — before the guard, sum()/bit_xor()/min()/max() over zero
