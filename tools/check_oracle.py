@@ -187,6 +187,22 @@ WINDOW_GATE_ALLOW = {
     "storage_layout_scan_audit",
 }
 
+# Vacuous-pass gate (VERDICT r9): a PASS with 0 rows proves only that both
+# engines agree on empty — at sf0.1 `heavy_hitter_bigrams` passed for a
+# round while checking nothing because its support floor didn't scale
+# with the corpus.  A 0-row result now FAILS unless the query is
+# annotated here, and annotation is reserved for queries whose EMPTINESS
+# IS THE ASSERTION (a data property both engines must derive), never for
+# floor/threshold artifacts (fix the floor to scale instead):
+#   join_anti   — asserts every customer has an order in the fixture: the
+#                 empty anti-join is the referential-integrity check.
+#   set_except  — asserts customer nationkeys are a subset of supplier
+#                 nationkeys: the empty EXCEPT is the subset proof.
+EMPTY_OK = {
+    "join_anti",
+    "set_except",
+}
+
 
 def main() -> int:
     args = [a for a in sys.argv[1:] if a != "--skip-slow"]
@@ -236,7 +252,16 @@ def main() -> int:
             n_fail += 1
             continue
         ok, msg = compare(name, sdf, odf)
+        if ok and len(sdf) == 0 and name not in EMPTY_OK:
+            ok, msg = False, (
+                "vacuous: 0 rows at this tier (both engines agree on "
+                "empty, so the values check proves nothing) — scale the "
+                "query's floor with the corpus or annotate EMPTY_OK with "
+                "a why-emptiness-is-the-assertion justification"
+            )
         status = "PASS" if ok else "FAIL"
+        if ok and len(sdf) == 0:
+            status = "PASS-EMPTY"
         if ok:
             n_pass += 1
         else:
