@@ -18,7 +18,11 @@ Codec handling: this environment has no image/audio libraries, so decode is
   all five scanline filters) — one genuinely COMPRESSED format runs
   end-to-end; color inputs reduce to gray via the exact integer luma
   (299 r + 587 g + 114 b) / 1000.
-- remaining compressed formats (jpeg/wav/mp4/...) raise
+- ``wav`` audio is decoded for real via the stdlib ``wave`` module
+  (round 10): the RIFF/PCM container is parsed — channel count, sample
+  width, frame rate come from the container itself, not the metadata
+  struct — so the audio leg reads a genuine container format end-to-end.
+- remaining compressed formats (jpeg/mp4/...) raise
   ``NotImplementedError`` from the same seam a Pillow/ffmpeg-backed
   decoder would plug into. The Spark-side plumbing — schema, batch
   iteration, partition behavior — is identical either way.
@@ -54,7 +58,32 @@ MEDIA = T.StructType(
     ]
 )
 
-_REAL_FORMATS = {"raw8", "pcm16", "rawv8", "png"}
+_REAL_FORMATS = {"raw8", "pcm16", "rawv8", "png", "wav"}
+
+
+def decode_wav_samples(payload: bytes) -> tuple[np.ndarray, int]:
+    """Parse a RIFF/WAVE container with the stdlib ``wave`` module and
+    return (int16 mono samples as int64, sample_rate) — the container's
+    OWN header is the metadata source.  Multi-channel input downmixes by
+    exact integer mean (sum // n_channels, matching the house
+    integer-luma discipline on the image side)."""
+    import io
+    import wave as _wave
+
+    with _wave.open(io.BytesIO(bytes(payload)), "rb") as wf:
+        if wf.getsampwidth() != 2:
+            raise NotImplementedError(
+                f"wav: only 16-bit PCM is supported, got sampwidth="
+                f"{wf.getsampwidth()}"
+            )
+        n_ch = wf.getnchannels()
+        sr = wf.getframerate()
+        raw = wf.readframes(wf.getnframes())
+    samples = np.frombuffer(raw, dtype="<i2").astype(np.int64)
+    if n_ch > 1:
+        samples = samples[: (len(samples) // n_ch) * n_ch]
+        samples = samples.reshape(-1, n_ch).sum(axis=1) // n_ch
+    return samples, int(sr)
 
 
 def _require_known_format(fmt: str) -> None:
@@ -129,9 +158,27 @@ def synthetic_media(spark: SparkSession, n: int = 20) -> DataFrame:
             wave = (np.sin(np.arange(sr) * (220 + i) * 2 * np.pi / sr) * 20000).astype(
                 "<i2"
             )
-            payload = wave.tobytes()
+            if i % 6 == 1:
+                # Every other audio row rides the REAL container path: the
+                # same samples wrapped in a RIFF/WAVE container (stdlib
+                # wave module), so the corpus always carries both a raw
+                # and a container audio format — the audio twin of the
+                # raw8/png image split.
+                import io
+                import wave as _wave
+
+                buf = io.BytesIO()
+                with _wave.open(buf, "wb") as wf:
+                    wf.setnchannels(1)
+                    wf.setsampwidth(2)
+                    wf.setframerate(sr)
+                    wf.writeframes(wave.tobytes())
+                payload = buf.getvalue()
+                fmt = "wav"
+            else:
+                payload = wave.tobytes()
+                fmt = "pcm16"
             meta = (None, None, 1, sr, None)
-            fmt = "pcm16"
         else:
             w, h, nf = 8, 8, 6
             payload = rng.randint(0, 256, size=w * h * nf, dtype=np.uint8).tobytes()
@@ -197,7 +244,9 @@ def image_features(df: DataFrame, *, resize_to: tuple[int, int] = (8, 8)) -> Dat
 
 
 def audio_features(df: DataFrame) -> DataFrame:
-    """PCM16 decode -> RMS energy, zero-crossing rate, duration — plus
+    """Audio decode (raw pcm16 buffers, or RIFF/WAVE containers parsed by
+    the stdlib ``wave`` module with the container header as the metadata
+    source) -> RMS energy, zero-crossing rate, duration — plus
     the exact integer sufficient statistics (sample count, amplitude
     sum-of-squares, crossing count, sample rate) the float features
     derive from, so correctness gates can hash bigints instead of
@@ -220,9 +269,12 @@ def audio_features(df: DataFrame) -> DataFrame:
             recs = []
             for _, r in pdf.iterrows():
                 _require_known_format(r["format"])
-                iw = np.frombuffer(r["payload"], dtype="<i2").astype(np.int64)
+                if r["format"] == "wav":
+                    iw, sr = decode_wav_samples(r["payload"])
+                else:
+                    iw = np.frombuffer(r["payload"], dtype="<i2").astype(np.int64)
+                    sr = r["meta"]["sample_rate"] or 1
                 wave = iw.astype(float)
-                sr = r["meta"]["sample_rate"] or 1
                 crossings = int(np.abs(np.diff(np.signbit(wave)).astype(int)).sum())
                 zc = crossings / max(len(wave) - 1, 1)
                 recs.append(

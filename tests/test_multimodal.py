@@ -40,6 +40,67 @@ def test_audio_features(media):
         assert 0 < r.zero_crossing_rate < 1
 
 
+def test_wav_payloads_decode_identically_to_pcm16(spark, media):
+    """Round 10 un-gated WAV: the fixture corpus alternates raw pcm16 and
+    RIFF/WAVE container payloads over the SAME seeded sine samples per
+    id; the feature stage must treat both identically, the container's
+    own header must drive the sample rate, and the exact integer
+    statistics must match an independent stdlib-wave decode."""
+    import io
+    import wave as _wave
+
+    rows = {r.media_id: r for r in media.collect()}
+    fmts = {r.media_id: r.format for r in media.collect() if r.kind == "audio"}
+    assert "wav" in fmts.values() and "pcm16" in fmts.values()
+    feats = {r.media_id: r for r in mm.audio_features(media).collect()}
+    for mid, fmt in fmts.items():
+        payload = bytes(rows[mid].payload)
+        if fmt == "wav":
+            with _wave.open(io.BytesIO(payload), "rb") as wf:
+                assert wf.getframerate() == 8000
+                assert wf.getnchannels() == 1
+                raw = wf.readframes(wf.getnframes())
+        else:
+            raw = payload
+        iw = np.frombuffer(raw, dtype="<i2").astype(np.int64)
+        f = feats[mid]
+        assert f.n_samples == iw.size == 8000
+        assert f.sq_sum == int((iw * iw).sum())
+        assert f.sample_rate == 8000
+        assert f.duration_s == 1.0
+
+
+def test_wav_multichannel_downmix_and_width_guard():
+    """decode_wav_samples: stereo downmixes by exact integer mean; a
+    non-16-bit width hits the gate, not a silent misread."""
+    import io
+    import wave as _wave
+
+    left = np.array([100, -100, 32000], dtype="<i2")
+    right = np.array([300, -50, -32000], dtype="<i2")
+    inter = np.empty(6, dtype="<i2")
+    inter[0::2], inter[1::2] = left, right
+    buf = io.BytesIO()
+    with _wave.open(buf, "wb") as wf:
+        wf.setnchannels(2)
+        wf.setsampwidth(2)
+        wf.setframerate(16000)
+        wf.writeframes(inter.tobytes())
+    samples, sr = mm.decode_wav_samples(buf.getvalue())
+    assert sr == 16000
+    expected = (left.astype(np.int64) + right.astype(np.int64)) // 2
+    assert samples.tolist() == expected.tolist()
+
+    buf8 = io.BytesIO()
+    with _wave.open(buf8, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(1)
+        wf.setframerate(8000)
+        wf.writeframes(b"\x01\x02")
+    with pytest.raises(NotImplementedError, match="16-bit"):
+        mm.decode_wav_samples(buf8.getvalue())
+
+
 def test_frame_sampling(media):
     out = mm.sample_frames(media, every_k=2).collect()
     by_id = {}
