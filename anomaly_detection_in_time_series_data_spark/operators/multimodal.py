@@ -22,10 +22,17 @@ Codec handling: this environment has no image/audio libraries, so decode is
   (round 10): the RIFF/PCM container is parsed — channel count, sample
   width, frame rate come from the container itself, not the metadata
   struct — so the audio leg reads a genuine container format end-to-end.
-- remaining compressed formats (jpeg/mp4/...) raise
-  ``NotImplementedError`` from the same seam a Pillow/ffmpeg-backed
-  decoder would plug into. The Spark-side plumbing — schema, batch
-  iteration, partition behavior — is identical either way.
+- ``jpeg`` images are decoded for real by the pure-Python/numpy
+  baseline-sequential spec implementation in ``functions.jpeg``
+  (round 10): canonical Huffman entropy decode, dequantize, batched
+  float64 IDCT, chroma upsampling, YCbCr->RGB — the reference's actual
+  committed image artifact (`samoyed_puppy_dog_pictures.jpg`,
+  `Week#6_assignment.ipynb:445-520`) decodes end-to-end and is pinned
+  by golden pixel-stat constants.
+- remaining compressed formats (mp4/...) raise ``NotImplementedError``
+  from the same seam an ffmpeg-backed decoder would plug into. The
+  Spark-side plumbing — schema, batch iteration, partition behavior —
+  is identical either way.
 """
 
 from __future__ import annotations
@@ -58,7 +65,7 @@ MEDIA = T.StructType(
     ]
 )
 
-_REAL_FORMATS = {"raw8", "pcm16", "rawv8", "png", "wav"}
+_REAL_FORMATS = {"raw8", "pcm16", "rawv8", "png", "wav", "jpeg"}
 
 
 def decode_wav_samples(payload: bytes) -> tuple[np.ndarray, int]:
@@ -94,28 +101,42 @@ def _require_known_format(fmt: str) -> None:
         )
 
 
-def decode_image_pixels(payload: bytes, width: int, height: int, fmt: str) -> np.ndarray:
-    """uint8 gray pixel matrix from a raw8 or png payload (real decode:
-    raw8 is a numpy view; png runs the full spec decoder in
-    ``functions.png`` — zlib inflate, CRC verification, scanline
-    unfiltering — then exact integer luma for color inputs)."""
-    _require_known_format(fmt)
-    if fmt == "png":
-        from ..functions.png import decode_png
+def _to_gray(px: np.ndarray) -> np.ndarray:
+    """Exact integer luma reduction (299 r + 587 g + 114 b) // 1000 for
+    color planes; gray+alpha keeps the gray channel."""
+    if px.ndim == 3:
+        if px.shape[2] >= 3:
+            p32 = px.astype(np.int64)
+            px = (
+                (299 * p32[:, :, 0] + 587 * p32[:, :, 1] + 114 * p32[:, :, 2])
+                // 1000
+            ).astype(np.uint8)
+        else:
+            px = px[:, :, 0]
+    return px
 
-        px = decode_png(bytes(payload))
-        if px.ndim == 3:
-            if px.shape[2] >= 3:  # RGB(A) -> integer luma
-                p32 = px.astype(np.int64)
-                px = (
-                    (299 * p32[:, :, 0] + 587 * p32[:, :, 1] + 114 * p32[:, :, 2])
-                    // 1000
-                ).astype(np.uint8)
-            else:  # gray+alpha -> gray channel
-                px = px[:, :, 0]
+
+def decode_image_pixels(payload: bytes, width: int, height: int, fmt: str) -> np.ndarray:
+    """uint8 gray pixel matrix from a raw8, png, or jpeg payload (real
+    decode: raw8 is a numpy view; png runs the full spec decoder in
+    ``functions.png`` — zlib inflate, CRC verification, scanline
+    unfiltering; jpeg runs the baseline-sequential spec decoder in
+    ``functions.jpeg`` — canonical Huffman, dequantize, batched float64
+    IDCT, YCbCr->RGB — then exact integer luma for color inputs)."""
+    _require_known_format(fmt)
+    if fmt in ("png", "jpeg"):
+        if fmt == "png":
+            from ..functions.png import decode_png
+
+            px = decode_png(bytes(payload))
+        else:
+            from ..functions.jpeg import decode_jpeg
+
+            px = decode_jpeg(bytes(payload))
+        px = _to_gray(px)
         if px.shape != (height, width):
             raise ValueError(
-                f"png dimensions {px.shape} disagree with metadata "
+                f"{fmt} dimensions {px.shape} disagree with metadata "
                 f"({height}, {width})"
             )
         return px

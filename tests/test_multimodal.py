@@ -113,12 +113,13 @@ def test_frame_sampling(media):
 
 
 def test_compressed_format_hits_stub_seam(spark):
+    # mp4 is the remaining codec gate (jpeg un-gated r10, png r9, wav r10)
     df = spark.createDataFrame(
-        [(0, "image", "jpeg", bytearray(b"\xff\xd8\xff"), (4, 4, 1, None, None))],
+        [(0, "video", "mp4", bytearray(b"\x00\x00\x00\x18ftyp"), (4, 4, 1, None, 1))],
         mm.MEDIA,
     )
     with pytest.raises(Exception) as exc:
-        mm.image_features(df).collect()
+        mm.sample_frames(df).collect()
     assert "NotImplementedError" in str(exc.value) or isinstance(
         exc.value, NotImplementedError
     )
