@@ -9,6 +9,7 @@ and to fail tests when a code change regresses them.
 from .inspect import (
     executed_plan,
     formatted_plan,
+    grouped_global_windows,
     has_broadcast_join,
     has_partition_filter,
     has_pushed_filter,
@@ -21,6 +22,7 @@ from .inspect import (
 __all__ = [
     "executed_plan",
     "formatted_plan",
+    "grouped_global_windows",
     "has_broadcast_join",
     "has_partition_filter",
     "has_pushed_filter",

@@ -105,6 +105,67 @@ def unbounded_global_windows(df: DataFrame) -> list[str]:
     return out
 
 
+def grouped_global_windows(df: DataFrame) -> list[tuple[str, list[str]]]:
+    """AUDIT MODE for the documented blind spot of
+    ``unbounded_global_windows`` (round-10, VERDICT r9 item 6): a
+    partition-less Window whose subtree IS bounded by a grouped Aggregate
+    passes the hard gate, yet the window's input cardinality is the
+    Aggregate's GROUP COUNT — which is scale-proportional whenever a
+    grouping key is an id-like grain (user_id, doc_id, l_orderkey, ...).
+
+    This predicate does not judge; it SURFACES.  Returns one entry per
+    partition-less Window bounded by a grouped (non-global) Aggregate:
+    ``(window simpleString, [grouping expression strings])``.
+    ``tools/plan_report.py`` sweeps the registry with it and emits a
+    reviewed table in PLANS.md where every entry must carry a one-line
+    cardinality justification — mechanizing the review the hard gate
+    cannot do (cardinality reasoning needs the data model, not the plan).
+
+    Windows bounded by a Limit or by a global (no-key) Aggregate are not
+    reported: their input is constant-bounded by construction."""
+    plan = df._jdf.queryExecution().optimizedPlan()
+
+    def children(node):
+        cs = node.children()
+        return [cs.apply(i) for i in range(cs.size())]
+
+    out: list[tuple[str, list[str]]] = []
+    stack = [plan]
+    while stack:
+        node = stack.pop()
+        cls = node.getClass().getSimpleName()
+        if cls == "Window" and node.partitionSpec().isEmpty():
+            # breadth-first: the NEAREST bounding operator decides
+            frontier = children(node)
+            grouping: list[str] | None = None
+            while frontier:
+                nxt = []
+                hit = None
+                for n in frontier:
+                    c = n.getClass().getSimpleName()
+                    if c in ("GlobalLimit", "LocalLimit"):
+                        hit = ("limit", None)
+                        break
+                    if c == "Aggregate":
+                        ges = n.groupingExpressions()
+                        keys = [
+                            ges.apply(i).sql() for i in range(ges.size())
+                        ]
+                        hit = ("agg", keys)
+                        break
+                    nxt.extend(children(n))
+                if hit:
+                    kind, keys = hit
+                    if kind == "agg" and keys:
+                        grouping = keys
+                    break
+                frontier = nxt
+            if grouping:
+                out.append((node.simpleString(120), grouping))
+        stack.extend(children(node))
+    return out
+
+
 def whole_stage_codegen_spans(df: DataFrame) -> int:
     """Number of WholeStageCodegen spans (fewer = wider fused pipelines).
     The executed-plan string marks codegen'd operators ``*(n)``."""

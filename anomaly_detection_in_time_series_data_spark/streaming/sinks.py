@@ -602,3 +602,81 @@ def hll_foreach_batch(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def cms_foreach_batch(
+    stream: DataFrame,
+    path: str,
+    *,
+    checkpoint: str,
+):
+    """Start a foreachBatch query that INCREMENTALLY maintains a
+    count-min-sketch table at ``path`` — the fifth IVM discipline in this
+    module, and the first KEYED commutative-monoid fold: per batch the
+    delivery collapses map-side to at most depth*width (hash-row, bucket)
+    partial counts, which merge into the store by (i, b) ADDITION.
+
+    Addition is a commutative monoid but NOT idempotent (contrast the HLL
+    sink's max), so this sink shares the digest sink's batch-id fence:
+    replays with applied == batch_id skip (including the batch-0
+    crash-window replay), and applied > batch_id — ids genuinely
+    restarting over newer state — raises, because a sketch carries no
+    novelty signal to tell replay from new deliveries.
+
+    Expects rows ``(i bigint, b bigint)`` (hash row + bucket, one per
+    contributing input row) or pre-combined ``(i, b, n bigint)``.  State
+    is at most depth*width + sketch metadata rows — kilobytes regardless
+    of stream volume, the same reason the batch `operators/sketches.py`
+    CMS shuffles O(partitions * depth * width).
+
+    Scale: per trigger the batch reduces map-side to sketch-sized
+    partials, merges against a sketch-sized store, and swaps atomically
+    (`_swap_in`); a billion-row delivery costs its scan and nothing else,
+    and day-level sketch stores roll up by the same addition downstream.
+    """
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        out = Path(path)
+        _recover_store(out)
+        state = None
+        if out.exists():
+            state = spark.read.parquet(str(out))
+            applied = state.agg(F.max("_batch_id")).collect()[0][0]
+            if applied is not None and applied >= batch_id:
+                if applied > batch_id:
+                    raise ValueError(
+                        f"cms store {path} already holds batch {applied} "
+                        f"but the checkpoint delivered batch {batch_id} — "
+                        "fresh checkpoint over an existing store; pair a "
+                        "new checkpoint with a new store path"
+                    )
+                return  # same-checkpoint replay: addition must not re-fold
+        if batch_df.isEmpty():
+            return  # zero-row delivery is the addition identity
+        cols = set(batch_df.columns)
+        n = F.col("n") if "n" in cols else F.lit(1)
+        b = batch_df.groupBy("i", "b").agg(
+            F.sum(n).cast("bigint").alias("n")
+        )
+        if state is not None:
+            b = (
+                b.unionByName(
+                    state.select("i", "b", "n"), allowMissingColumns=False
+                )
+                .groupBy("i", "b")
+                .agg(F.sum("n").cast("bigint").alias("n"))
+            )
+        merged = b.withColumn(
+            "_batch_id", F.lit(batch_id).cast("bigint")
+        ).localCheckpoint(eager=True)
+        staging = Path(f"{path}.stage-{batch_id}")
+        merged.write.mode("overwrite").parquet(str(staging))
+        _swap_in(staging, out, batch_id)
+
+    return (
+        stream.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -211,6 +211,18 @@ HEADLINE = [
     "declared_fk_orphan_audit",
     "session_duration_log2_histogram",
     "median_imputation_audit",
+    "record_breaking_events",
+    "seasonal_difference_variance",
+    "quadratic_trend_components",
+    "pinball_loss_quantile_eval",
+    "rfm_segmentation_counts",
+    "goodman_kruskal_gamma_ordinal",
+    "mcnemar_detector_pairs",
+    "retrieval_precision_at_k",
+    "class_weight_allocation",
+    "epoch_shuffle_balance_audit",
+    "tokenizer_fertility_stats",
+    "streaming_cms_maintenance",
 ]
 
 

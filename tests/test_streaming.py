@@ -915,6 +915,70 @@ def test_digest_sink_empty_delivery_is_identity(spark, tmp_path):
             row.h_min, row.h_max) == (3, 114, 5 ^ 9 ^ 100, 5, 100)
 
 
+def test_cms_sink_keyed_fold_fence_and_identity(spark, tmp_path):
+    """cms_foreach_batch: (1) the keyed addition over three deliveries
+    equals the one-shot (i, b) counts of all rows; (2) an empty delivery
+    is the addition identity; (3) a fresh checkpoint restarting ids over
+    NEWER state raises (addition is not idempotent); (4) the
+    applied == batch_id == 0 crash-window replay skips, store unchanged."""
+    from anomaly_detection_in_time_series_data_spark.streaming.sinks import (
+        cms_foreach_batch,
+    )
+
+    schema = "i bigint, b bigint"
+    deliveries = [[(0, 3), (0, 3), (1, 5)], [], [(0, 3), (2, 5), (1, 5)]]
+    src = str(tmp_path / "src")
+    _stage_deliveries(spark, src, deliveries, schema)
+    store = str(tmp_path / "state")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    cms_foreach_batch(
+        stream, store, checkpoint=str(tmp_path / "ck")
+    ).awaitTermination()
+    got = {
+        (r.i, r.b): r.n for r in spark.read.parquet(store).collect()
+    }
+    assert got == {(0, 3): 3, (1, 5): 2, (2, 5): 1}
+
+    # fresh checkpoint over newer state: ids restart at 0 < applied -> raise
+    stream2 = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    import pyspark.errors
+
+    with pytest.raises(
+        pyspark.errors.StreamingQueryException,
+        match="fresh checkpoint over an existing store",
+    ):
+        cms_foreach_batch(
+            stream2, store, checkpoint=str(tmp_path / "ck2")
+        ).awaitTermination()
+    got2 = {(r.i, r.b): r.n for r in spark.read.parquet(store).collect()}
+    assert got2 == got
+
+    # crash-window shape: single delivery -> applied == 0; a fresh
+    # checkpoint re-delivering batch 0 must SKIP, not raise or re-fold.
+    src1 = str(tmp_path / "src1")
+    _stage_deliveries(spark, src1, [deliveries[0]], schema)
+    store1 = str(tmp_path / "state1")
+    for ck in ("cka", "ckb"):
+        s = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src1)
+        )
+        cms_foreach_batch(
+            s, store1, checkpoint=str(tmp_path / ck)
+        ).awaitTermination()
+    got3 = {(r.i, r.b): r.n for r in spark.read.parquet(store1).collect()}
+    assert got3 == {(0, 3): 2, (1, 5): 1}
+
+
 def test_hll_sink_idempotent_max_merge(spark, tmp_path):
     """hll_foreach_batch: (1) the streamed per-register max over three
     deliveries equals the one-shot max; (2) because max is IDEMPOTENT,

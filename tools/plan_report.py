@@ -77,6 +77,45 @@ SHOWCASE = [
 ]
 
 
+# Round-10 audit mode (VERDICT r9 item 6): one-line cardinality
+# justifications for every partition-less Window that is bounded by a
+# GROUPED Aggregate — the hard gate's documented blind spot
+# (plans/inspect.py:unbounded_global_windows treats any Aggregate as
+# collapsing, even when its grouping keys scale with the data).  The
+# audit sweep below (grouped_global_windows over the full registry)
+# surfaces every such site; a site with no entry here is printed as
+# UNREVIEWED, which the round sweep treats as a to-do.  Keys are query
+# names; values must state why the bounding Aggregate's GROUP COUNT is
+# scale-bounded (grain arithmetic, not vibes).
+WINDOW_AUDIT_JUSTIFICATIONS: dict[str, str] = {}
+
+
+def audit_grouped_windows(spark) -> list[tuple[str, str, list[str], str]]:
+    """Sweep the full registry (batch queries; streaming_* skipped — their
+    returned frame comes from a bounded memory-sink table) and return
+    (query, window, grouping keys, justification|UNREVIEWED) rows."""
+    rows = []
+    for name, fn in q.QUERIES.items():
+        if name.startswith("streaming_"):
+            continue
+        try:
+            df = fn(spark, SF_DIR)
+            sites = plans.grouped_global_windows(df)
+        except Exception as e:  # noqa: BLE001
+            rows.append((name, f"PLAN ERROR: {type(e).__name__}: {e}", [], ""))
+            continue
+        for win, keys in sites:
+            rows.append(
+                (
+                    name,
+                    win,
+                    keys,
+                    WINDOW_AUDIT_JUSTIFICATIONS.get(name, "UNREVIEWED"),
+                )
+            )
+    return rows
+
+
 def main() -> None:
     spark = get_spark("adts-plan-report")
     print("# PLANS — physical plans of representative queries")
@@ -87,6 +126,25 @@ def main() -> None:
         "scale property the plan is asserted to have (see\n"
         "`tests/test_plans.py` for the CI-pinned versions).\n"
     )
+    print("## Grouped-global-window audit (round 10)")
+    print()
+    print(
+        "Partition-less Windows bounded by a GROUPED Aggregate — the hard\n"
+        "gate's blind spot (`plans/inspect.py:grouped_global_windows`).\n"
+        "Each site carries a reviewed one-line justification of why the\n"
+        "bounding Aggregate's group count is scale-bounded; UNREVIEWED\n"
+        "entries are round to-dos. Swept over the full batch registry.\n"
+    )
+    audit = audit_grouped_windows(spark)
+    if not audit:
+        print("_No grouped-global-window sites in the registry._")
+        print()
+    else:
+        print("| query | grouping keys | justification |")
+        print("|---|---|---|")
+        for name, _win, keys, just in audit:
+            print(f"| `{name}` | `{', '.join(keys) or '-'}` | {just} |")
+        print()
     for name, prop in SHOWCASE:
         df = q.QUERIES[name](spark, SF_DIR)
         print(f"## {name}")
