@@ -112,6 +112,83 @@ def global_exact_rank(
     )
 
 
+def global_prefix_sum(
+    df: DataFrame,
+    order_cols: "list[Column | str]",
+    value_col: str,
+    *,
+    parts: int = 16,
+    cum_col: str = "cum",
+    total_col: str = "total",
+) -> DataFrame:
+    """Return ``df`` with two added bigint columns: ``cum_col`` — the
+    exact INCLUSIVE global running sum of ``value_col`` under
+    ``order_cols`` — and ``total_col`` — the grand total.  The
+    prefix-sum sibling of ``global_exact_rank`` (round-10, from the
+    grouped-window audit): a partition-less
+    ``sum(v) OVER (ORDER BY ...)`` single-tasks its whole input frame,
+    which is wrong whenever that frame scales (cumulative revenue over a
+    PART dimension that grows with SF — the `abc_inventory_classification`
+    shape); this runs the identical three-phase plan — range shuffle,
+    per-partition local cumulative sums (Arrow-batched, no per-row
+    Python), a partitions-sized offset window broadcast back.
+
+    ``order_cols`` must be a TOTAL order (unique tie-break), for the
+    same rank-determinism reason as ``global_exact_rank``."""
+    clash = {cum_col, total_col, "_gps_pid", "_gps_local", "_gps_off"} & set(
+        df.columns
+    )
+    if clash:
+        raise ValueError(
+            f"global_prefix_sum: output/internal column names {sorted(clash)} "
+            "already exist on the input frame; pass cum_col=/total_col= "
+            "overrides"
+        )
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    rp = df.repartitionByRange(parts, *cols).sortWithinPartitions(*cols)
+    payload = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    )
+    names = [f.name for f in df.schema.fields]
+
+    def local_cumsum(batches):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        seen = 0
+        for b in batches:
+            out = b[names].copy()
+            cs = b[value_col].cumsum() + seen
+            out.insert(0, "_gps_pid", pid)
+            out.insert(1, "_gps_local", cs.astype("int64"))
+            yield out
+            seen = int(cs.iloc[-1]) if len(cs) else seen
+
+    cumd = rp.mapInPandas(
+        local_cumsum, schema=f"_gps_pid int, _gps_local bigint, {payload}"
+    ).localCheckpoint(eager=True)
+    totals = cumd.groupBy("_gps_pid").agg(
+        F.sum(value_col).cast("bigint").alias("_gps_c")
+    )
+    # Offset windows run over the PARTITION-COUNT frame (<= `parts` rows).
+    woff = Window.orderBy("_gps_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.withColumn(
+        "_gps_off", F.coalesce(F.sum("_gps_c").over(woff), F.lit(0))
+    ).withColumn(
+        total_col, F.sum("_gps_c").over(Window.partitionBy()).cast("bigint")
+    )
+    out = cumd.join(
+        F.broadcast(offsets.select("_gps_pid", "_gps_off", total_col)),
+        "_gps_pid",
+    )
+    return (
+        out.withColumn(
+            cum_col, (F.col("_gps_local") + F.col("_gps_off")).cast("bigint")
+        )
+        .drop("_gps_pid", "_gps_local", "_gps_off")
+    )
+
+
 def ntile_from_rank(
     k: int, *, rank_col: str = "rnk", total_col: str = "n"
 ) -> Column:

@@ -160,10 +160,22 @@ def grouped_global_windows(df: DataFrame) -> list[tuple[str, list[str]]]:
                         grouping = keys
                     break
                 frontier = nxt
-            if grouping:
+            if grouping and not _is_rank_operator_internal(grouping):
                 out.append((node.simpleString(120), grouping))
         stack.extend(children(node))
     return out
+
+
+def _is_rank_operator_internal(grouping: list[str]) -> bool:
+    """The two-phase rank/prefix-sum operators (`operators/ranks.py`)
+    contain, BY DESIGN, a partition-less offset window over an Aggregate
+    grouped by their partition-id column — a frame bounded by the
+    operator's ``parts`` constant (<=16 rows), never by data.  Those
+    sites are provably bounded, so the audit excludes them mechanically
+    instead of asking for a per-consumer justification."""
+    return all(
+        g.strip("`").startswith(("_ger_pid", "_gps_pid")) for g in grouping
+    )
 
 
 def whole_stage_codegen_spans(df: DataFrame) -> int:

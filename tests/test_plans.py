@@ -6,6 +6,7 @@ These pin the plans so a refactor that silently regresses them fails CI.
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from anomaly_detection_in_time_series_data_spark import plans
@@ -934,3 +935,92 @@ def test_global_exact_rank_rejects_column_clash(spark):
         ranks.global_exact_rank(df, ["id"])
     out = ranks.global_exact_rank(df, ["id"], total_col="n_total")
     assert out.columns == ["id", "n", "n_total", "rnk"]
+
+
+def test_global_prefix_sum_matches_window(spark):
+    """global_prefix_sum must equal the single-window cumulative sum
+    bit-for-bit (bigint domain), including across range-partition
+    boundaries and under a descending order with tie-break."""
+    import pytest
+
+    from anomaly_detection_in_time_series_data_spark.operators import ranks
+
+    df = spark.range(500).selectExpr(
+        "id", "CAST((id * 37) % 101 AS BIGINT) AS v"
+    )
+    got = {
+        r.id: (r.cum, r.total)
+        for r in ranks.global_prefix_sum(
+            df, [F.col("v").desc(), "id"], "v", parts=7
+        ).collect()
+    }
+    w = Window.orderBy(F.col("v").desc(), "id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    want = {
+        r.id: (r.cum, r.total)
+        for r in df.select(
+            "id",
+            F.sum("v").over(w).cast("bigint").alias("cum"),
+            F.sum("v").over(
+                Window.orderBy(F.lit(1)).rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            ).cast("bigint").alias("total"),
+        ).collect()
+    }
+    assert got == want
+    with pytest.raises(ValueError, match="already exist"):
+        ranks.global_prefix_sum(df.withColumnRenamed("v", "cum"), ["id"], "id")
+
+
+def test_grouped_window_audit_surfaces_blind_spot(spark):
+    """grouped_global_windows (round-10 audit mode) must surface a
+    partition-less window bounded by a GROUPED aggregate — the hard
+    gate's documented blind spot — while (a) the hard gate stays silent,
+    (b) rank-operator internals (_ger_pid/_gps_pid) are excluded, and
+    (c) limit-bounded and global-agg-bounded windows are not reported."""
+    from anomaly_detection_in_time_series_data_spark.operators import ranks
+
+    df = spark.range(1000).selectExpr("id", "id % 97 AS k", "id % 7 AS v")
+    agg = df.groupBy("k").agg(F.sum("v").alias("s"))
+    blind = agg.withColumn("r", F.row_number().over(Window.orderBy("s", "k")))
+    assert not plans.unbounded_global_windows(blind)  # hard gate: silent
+    sites = plans.grouped_global_windows(blind)
+    assert len(sites) == 1 and "k" in sites[0][1][0]
+
+    # rank-operator internals are excluded
+    ranked = ranks.global_exact_rank(agg, ["s", "k"])
+    assert not plans.grouped_global_windows(ranked.groupBy("rnk").count())
+
+    # limit-bounded: not reported
+    lim = df.limit(10).withColumn(
+        "r", F.row_number().over(Window.orderBy("id"))
+    )
+    assert not plans.grouped_global_windows(lim)
+
+    # global (no-key) aggregate: not reported
+    glob = df.agg(F.sum("v").alias("s")).withColumn(
+        "r", F.row_number().over(Window.orderBy("s"))
+    )
+    assert not plans.grouped_global_windows(glob)
+
+
+def test_round10_rank_rewrites_have_no_grouped_global_windows(spark, sf_dir):
+    """The three round-10 audit catches (user-grain spearman ranks,
+    part-grain abc cumulative share, user-grain qini ntile) must no
+    longer contain ANY partition-less window over a scale-proportional
+    grouped frame — their audit listing should be empty or
+    fixed-cardinality only."""
+    for name in (
+        "spearman_click_purchase",
+        "abc_inventory_classification",
+        "qini_uplift_deciles",
+    ):
+        df = q.QUERIES[name](spark, sf_dir)
+        assert not plans.unbounded_global_windows(df), name
+        sites = plans.grouped_global_windows(df)
+        for _win, keys in sites:
+            assert all(
+                k.strip("`") in ("decile", "bin") for k in keys
+            ), (name, sites)
