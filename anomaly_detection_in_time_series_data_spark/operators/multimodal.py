@@ -29,10 +29,14 @@ Codec handling: this environment has no image/audio libraries, so decode is
   committed image artifact (`samoyed_puppy_dog_pictures.jpg`,
   `Week#6_assignment.ipynb:445-520`) decodes end-to-end and is pinned
   by golden pixel-stat constants.
-- remaining compressed formats (mp4/...) raise ``NotImplementedError``
-  from the same seam an ffmpeg-backed decoder would plug into. The
-  Spark-side plumbing — schema, batch iteration, partition behavior —
-  is identical either way.
+- ``mp4`` video reads a real ISO BMFF container (round 10,
+  ``functions.mp4``): box walking, stsd/stsz/stsc/stco sample tables,
+  mdat payload extraction — uncompressed ``raw8`` sample entries decode
+  to frames end-to-end.  What remains gated is the compressed video
+  CODEC inside the container (an ``avc1`` sample entry raises
+  ``NotImplementedError`` from the same seam an ffmpeg-backed decoder
+  would plug into).  The Spark-side plumbing — schema, batch iteration,
+  partition behavior — is identical either way.
 """
 
 from __future__ import annotations
@@ -65,7 +69,7 @@ MEDIA = T.StructType(
     ]
 )
 
-_REAL_FORMATS = {"raw8", "pcm16", "rawv8", "png", "wav", "jpeg"}
+_REAL_FORMATS = {"raw8", "pcm16", "rawv8", "png", "wav", "jpeg", "mp4"}
 
 
 def decode_wav_samples(payload: bytes) -> tuple[np.ndarray, int]:
@@ -202,9 +206,24 @@ def synthetic_media(spark: SparkSession, n: int = 20) -> DataFrame:
             meta = (None, None, 1, sr, None)
         else:
             w, h, nf = 8, 8, 6
-            payload = rng.randint(0, 256, size=w * h * nf, dtype=np.uint8).tobytes()
+            raw = rng.randint(0, 256, size=w * h * nf, dtype=np.uint8).tobytes()
+            if i % 6 == 5:
+                # Every other video row rides the REAL container path: the
+                # same frames muxed into an ISO BMFF (MP4) file with raw8
+                # sample entries — the video twin of the raw8/png and
+                # pcm16/wav splits; the sample-table walk is genuinely
+                # exercised per row.
+                from ..functions.mp4 import encode_mp4_raw8
+
+                frames_list = [
+                    raw[k * w * h : (k + 1) * w * h] for k in range(nf)
+                ]
+                payload = encode_mp4_raw8(frames_list, w, h)
+                fmt = "mp4"
+            else:
+                payload = raw
+                fmt = "rawv8"
             meta = (w, h, 1, None, nf)
-            fmt = "rawv8"
         rows.append((i, kind, fmt, bytearray(payload), meta))
     return spark.createDataFrame(rows, MEDIA)
 
@@ -332,13 +351,22 @@ def sample_frames(df: DataFrame, every_k: int = 2) -> DataFrame:
             for _, r in pdf.iterrows():
                 _require_known_format(r["format"])
                 m = r["meta"]
-                fsize = m["width"] * m["height"]
-                for fi in range(0, m["n_frames"], every_k):
+                if r["format"] == "mp4":
+                    from ..functions.mp4 import decode_mp4_frames
+
+                    frames_all, _w, _h = decode_mp4_frames(bytes(r["payload"]))
+                else:
+                    fsize = m["width"] * m["height"]
+                    frames_all = [
+                        r["payload"][fi * fsize : (fi + 1) * fsize]
+                        for fi in range(m["n_frames"])
+                    ]
+                for fi in range(0, len(frames_all), every_k):
                     recs.append(
                         {
                             "media_id": r["media_id"],
                             "frame_index": fi,
-                            "frame": r["payload"][fi * fsize : (fi + 1) * fsize],
+                            "frame": frames_all[fi],
                         }
                     )
             yield pd.DataFrame(recs, columns=[f.name for f in out_schema.fields])

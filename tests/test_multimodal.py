@@ -113,9 +113,19 @@ def test_frame_sampling(media):
 
 
 def test_compressed_format_hits_stub_seam(spark):
-    # mp4 is the remaining codec gate (jpeg un-gated r10, png r9, wav r10)
+    """The remaining codec gate is the compressed video CODEC inside the
+    mp4 container (container parsing itself is real since r10): an avc1
+    sample entry must raise from the codec seam, and an unknown format
+    string still hits the format gate."""
+    from anomaly_detection_in_time_series_data_spark.functions.mp4 import (
+        encode_mp4_raw8,
+    )
+
+    payload = bytearray(encode_mp4_raw8([b"\x00" * 16], 4, 4))
+    i = payload.find(b"raw8", 100)  # the stsd sample-entry fourcc
+    payload[i : i + 4] = b"avc1"
     df = spark.createDataFrame(
-        [(0, "video", "mp4", bytearray(b"\x00\x00\x00\x18ftyp"), (4, 4, 1, None, 1))],
+        [(0, "video", "mp4", payload, (4, 4, 1, None, 1))],
         mm.MEDIA,
     )
     with pytest.raises(Exception) as exc:
@@ -123,6 +133,42 @@ def test_compressed_format_hits_stub_seam(spark):
     assert "NotImplementedError" in str(exc.value) or isinstance(
         exc.value, NotImplementedError
     )
+    assert "avc1" in str(exc.value)
+
+    df2 = spark.createDataFrame(
+        [(0, "video", "h264es", bytearray(b"\x00\x00\x01"), (4, 4, 1, None, 1))],
+        mm.MEDIA,
+    )
+    with pytest.raises(Exception) as exc2:
+        mm.sample_frames(df2).collect()
+    assert "NotImplementedError" in str(exc2.value) or isinstance(
+        exc2.value, NotImplementedError
+    )
+
+
+def test_mp4_payloads_decode_identically_to_rawv8(spark, media):
+    """The fixture corpus alternates rawv8 and ISO-BMFF mp4 payloads over
+    the SAME seeded frames per id; the frame-sampling stage must treat
+    both identically, with the mp4 side walking real sample tables."""
+    from anomaly_detection_in_time_series_data_spark.functions.mp4 import (
+        decode_mp4_frames,
+    )
+
+    rows = {r.media_id: r for r in media.collect()}
+    fmts = {r.media_id: r.format for r in media.collect() if r.kind == "video"}
+    assert "mp4" in fmts.values() and "rawv8" in fmts.values()
+    out = mm.sample_frames(media, every_k=2).collect()
+    by_id = {}
+    for r in out:
+        by_id.setdefault(r.media_id, {})[r.frame_index] = bytes(r.frame)
+    for mid, fmt in fmts.items():
+        payload = bytes(rows[mid].payload)
+        if fmt == "mp4":
+            frames, w, h = decode_mp4_frames(payload)
+            assert (w, h) == (8, 8)
+        else:
+            frames = [payload[k * 64 : (k + 1) * 64] for k in range(6)]
+        assert by_id[mid] == {0: frames[0], 2: frames[2], 4: frames[4]}
 
 
 def test_metadata_scan_prunes_payload(spark, media, tmp_path):

@@ -74,6 +74,10 @@ SHOWCASE = [
     ("poisson_bootstrap_means", "one-pass deterministic bootstrap: 16-row replicate spine broadcast, hash-CDF weights, map-side-combined per-replicate sums"),
     ("table_diff_audit", "keyed version diff: ONE full-outer sort-merge join on the table key; all classification counts fold map-side"),
     ("streaming_hll_maintenance", "idempotent HLL register IVM: per-trigger map-side max to <=256 rows, register-sized store merge, no fence needed"),
+    ("rfm_segmentation_counts", "three global quintiles over the customer grain, every one a two-phase exact rank — zero single-task windows; final cell count is <=125 rows"),
+    ("abc_inventory_classification", "cumulative revenue share over the SF-scaling part dimension rides global_prefix_sum: range shuffle + Arrow local cumsums + partitions-sized offset window (round-10 audit rewrite)"),
+    ("goodman_kruskal_gamma_ordinal", "ordinal association folded on the 5x10 contingency grid — the pair 'join' is grid x grid, never row x row"),
+    ("retrieval_precision_at_k", "per-source top-10 by exact term frequency with total-order tie-break; relevance totals fold on the same scan's grain"),
 ]
 
 
