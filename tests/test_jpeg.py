@@ -244,3 +244,62 @@ def test_samoyed_through_spark_multimodal_pipeline(spark):
     assert f.px_sum == GOLDEN_LUMA_SUM
     assert f.hist_counts == GOLDEN_LUMA_HIST8
     assert len(f.thumbnail) == 64 and all(0.0 <= t <= 1.0 for t in f.thumbnail)
+
+
+def test_16bit_quant_table_decode():
+    """DQT with Pq=1 (16-bit entries) must dequantize correctly — built
+    by hand (the encoder only emits 8-bit tables), DC-only analytic
+    expectation with q0 = 300 > 255."""
+    import struct
+
+    from anomaly_detection_in_time_series_data_spark.functions.jpeg import (
+        _AC_LUMA_BITS,
+        _AC_LUMA_VALS,
+        _BitWriter,
+        _DC_LUMA_BITS,
+        _DC_LUMA_VALS,
+        _huff_codes,
+    )
+
+    q0 = 300
+    out = bytearray(b"\xff\xd8")
+
+    def seg(marker, payload):
+        out.extend(b"\xff" + bytes([marker]) + struct.pack(">H", len(payload) + 2))
+        out.extend(payload)
+
+    qtbl = struct.pack(">64H", *([q0] + [1] * 63))
+    seg(0xDB, bytes([0x10]) + qtbl)  # Pq=1, Tq=0
+    seg(0xC0, bytes([8]) + struct.pack(">HH", 8, 8) + bytes([1, 1, 0x11, 0]))
+    seg(0xC4, bytes([0x00]) + bytes(_DC_LUMA_BITS) + _DC_LUMA_VALS)
+    seg(0xC4, bytes([0x10]) + bytes(_AC_LUMA_BITS) + _AC_LUMA_VALS)
+    seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    dc_codes = _huff_codes(_DC_LUMA_BITS, _DC_LUMA_VALS)
+    ac_codes = _huff_codes(_AC_LUMA_BITS, _AC_LUMA_VALS)
+    bw = _BitWriter()
+    dc = 2  # DC diff +2 -> pixel = round(2*300/8) + 128 = 203
+    code, ln = dc_codes[2]
+    bw.write(code, ln)
+    bw.write(dc, 2)
+    code, ln = ac_codes[0x00]
+    bw.write(code, ln)
+    bw.flush()
+    out.extend(bw.out)
+    out.extend(b"\xff\xd9")
+    dec = decode_jpeg(bytes(out))
+    assert (dec == 203).all(), np.unique(dec)
+
+
+def test_vertical_subsampling_and_restart_combo():
+    """(1,2) vertical-only chroma subsampling, and restart intervals
+    combined with (2,2) subsampling — the decoder paths the simple tests
+    don't cross."""
+    x = np.linspace(0, 3 * np.pi, 48)
+    base = ((np.sin(x)[:, None] * np.cos(x)[None, :]) * 80 + 128).astype(np.uint8)
+    rgb = np.stack([base, base[::-1], base[::-1, ::-1]], axis=-1)
+    dec = decode_jpeg(encode_jpeg(rgb, sampling=(1, 2), quality_scale=8))
+    assert _psnr(dec, rgb) > 28
+    dec2 = decode_jpeg(
+        encode_jpeg(rgb, sampling=(2, 2), restart_interval=2, quality_scale=8)
+    )
+    assert _psnr(dec2, rgb) > 28
