@@ -189,6 +189,94 @@ def global_prefix_sum(
     )
 
 
+def keyed_record_scan(
+    df: DataFrame,
+    key_cols: "list[str]",
+    order_cols: "list[Column | str]",
+    value_col: str,
+    *,
+    parts: int = 16,
+    record_col: str = "is_record",
+) -> DataFrame:
+    """Mark, per key, every row whose ``value_col`` STRICTLY exceeds all
+    prior values under ``order_cols`` (the extreme-value 'record
+    process') — without ever single-tasking a key's full history.
+
+    The naive form is ``v > max(v) OVER (PARTITION BY key ORDER BY ...
+    ROWS ... 1 PRECEDING)``: one task per key sorts that key's entire
+    timeline, which at 100 TB with few keys is the round-8 weak class in
+    per-key clothing.  This is the two-phase decomposition instead
+    (the ``global_prefix_sum`` idiom, with max as the monoid):
+
+    1. range-shuffle on (key, order) and scan each range ONCE in Arrow
+       batches, keeping per-(range, key) state: the local running max,
+       each row's local-record flag, and the range's final max;
+    2. the per-(range, key) maxima (a partitions x keys frame, never
+       data-sized) fold through a tiny prefix-max window into incoming
+       OFFSET maxima, broadcast back;
+    3. a global record = a LOCAL record whose value strictly exceeds its
+       range's incoming offset (a row beaten locally is beaten globally
+       — its local predecessor is earlier in the total order).
+
+    ``order_cols`` must start with the key columns and be a TOTAL order.
+    Returns ``df`` plus the boolean ``record_col``."""
+    clash = {record_col, "_krs_pid", "_krs_loc", "_krs_off"} & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"keyed_record_scan: output/internal column names {sorted(clash)} "
+            "already exist on the input frame; pass record_col= override"
+        )
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    rp = df.repartitionByRange(parts, *cols).sortWithinPartitions(*cols)
+    payload = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    )
+    names = [f.name for f in df.schema.fields]
+
+    def local_scan(batches):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        run: dict = {}  # key tuple -> running max
+        for b in batches:
+            out = b[names].copy()
+            vals = b[value_col].tolist()
+            keys = list(zip(*(b[k] for k in key_cols)))
+            loc = []
+            for k, v in zip(keys, vals):
+                prev = run.get(k)
+                is_rec = prev is None or v > prev
+                loc.append(is_rec)
+                if is_rec:
+                    run[k] = v
+            out.insert(0, "_krs_pid", pid)
+            out.insert(1, "_krs_loc", loc)
+            yield out
+
+    scanned = rp.mapInPandas(
+        local_scan, schema=f"_krs_pid int, _krs_loc boolean, {payload}"
+    ).localCheckpoint(eager=True)
+    # per-(range, key) maxima -> incoming offset = prefix max of EARLIER
+    # ranges for the same key (partitions x keys rows — metadata-sized)
+    gmax = scanned.groupBy("_krs_pid", *key_cols).agg(
+        F.max(value_col).alias("_krs_m")
+    )
+    woff = (
+        Window.partitionBy(*key_cols)
+        .orderBy("_krs_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = gmax.withColumn("_krs_off", F.max("_krs_m").over(woff)).select(
+        "_krs_pid", *key_cols, "_krs_off"
+    )
+    out = scanned.join(F.broadcast(offsets), ["_krs_pid", *key_cols])
+    return out.withColumn(
+        record_col,
+        F.col("_krs_loc")
+        & (F.col("_krs_off").isNull() | (F.col(value_col) > F.col("_krs_off"))),
+    ).drop("_krs_pid", "_krs_loc", "_krs_off")
+
+
 def ntile_from_rank(
     k: int, *, rank_col: str = "rnk", total_col: str = "n"
 ) -> Column:

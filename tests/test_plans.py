@@ -1024,3 +1024,40 @@ def test_round10_rank_rewrites_have_no_grouped_global_windows(spark, sf_dir):
             assert all(
                 k.strip("`") in ("decile", "bin") for k in keys
             ), (name, sites)
+
+
+def test_keyed_record_scan_matches_window(spark):
+    """keyed_record_scan must mark exactly the rows the naive per-key
+    running-max window marks (strict records, first row included),
+    across range-partition boundaries and interleaved keys."""
+    import pytest
+
+    from anomaly_detection_in_time_series_data_spark.operators import ranks
+
+    df = spark.range(600).selectExpr(
+        "id",
+        "CAST(id % 3 AS STRING) AS k",
+        "CAST((id * 131) % 997 AS BIGINT) AS v",
+    )
+    got = {
+        r.id
+        for r in ranks.keyed_record_scan(
+            df, ["k"], ["k", "id"], "v", parts=7
+        ).collect()
+        if r.is_record
+    }
+    w = (
+        Window.partitionBy("k")
+        .orderBy("id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    want = {
+        r.id
+        for r in df.withColumn("pm", F.max("v").over(w)).collect()
+        if r.pm is None or r.v > r.pm
+    }
+    assert got == want and len(got) > 3
+    with pytest.raises(ValueError, match="already exist"):
+        ranks.keyed_record_scan(
+            df.withColumnRenamed("v", "is_record"), ["k"], ["k", "id"], "id"
+        )
