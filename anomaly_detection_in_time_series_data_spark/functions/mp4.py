@@ -8,12 +8,14 @@ walking (moov/trak/mdia/minf/stbl), the sample tables that locate media
 bytes (stsd sample-entry dims, stsz sizes, stsc sample-to-chunk runs,
 stco/co64 chunk offsets), and the mdat payload.
 
-What remains gated is the COMPRESSED VIDEO CODEC inside the container
-(h264/h265 entropy decode — a different class of work from container
-parsing), exactly as the JPEG move left mp4: uncompressed 'raw8' sample
-entries (one gray frame per sample) decode end-to-end; an 'avc1' sample
+Round 11 makes COMPRESSED video decode real with zero new entropy code:
+Motion-JPEG tracks ('jpeg'/'mjpa' sample entries — each sample a complete
+baseline JPEG) decode through the round-10 spec codec in functions.jpeg.
+What remains gated is inter-frame codec entropy decode (h264/h265 — a
+different class of work from container parsing): an 'avc1'/'hvc1' sample
 entry raises NotImplementedError from the same seam an ffmpeg-backed
-decoder would plug into.
+decoder would plug into.  Uncompressed 'raw8' sample entries (one gray
+frame per sample) decode end-to-end as before.
 
 The paired encoder exists to prove the parser (the PNG/JPEG discipline):
 it writes spec-clean ftyp/mdat/moov files with a full stbl, multi-chunk
@@ -74,12 +76,11 @@ def _find(data: bytes, path: list[bytes], start: int = 0, end: int | None = None
 CONTAINER_BOXES = {b"moov", b"trak", b"mdia", b"minf", b"stbl"}
 
 
-def decode_mp4_frames(data: bytes) -> tuple[list[bytes], int, int]:
-    """Parse an ISO BMFF file and return (frames, width, height) for a
-    single-track video whose sample entry is the uncompressed ``raw8``
-    format (one row-major gray frame per sample).  Compressed codecs
-    (``avc1``/``hvc1``/...) raise NotImplementedError — the container
-    parse is complete; the codec seam stays explicit."""
+def read_samples(data: bytes) -> tuple[list[bytes], str, int, int]:
+    """Container-only walk of an ISO BMFF file: return (samples, fourcc,
+    width, height) for a single-track video — the raw sample BYTES in
+    media order plus the stsd sample-entry identity, no codec work.
+    ``decode_mp4_frames`` layers codec dispatch on top of this."""
     stbl_s, stbl_e = _find(
         data, [b"moov", b"trak", b"mdia", b"minf", b"stbl"]
     )
@@ -91,12 +92,6 @@ def decode_mp4_frames(data: bytes) -> tuple[list[bytes], int, int]:
         raise ValueError("mp4: exactly one sample entry supported")
     entry_s = s + 8
     fourcc = data[entry_s + 4 : entry_s + 8]
-    if fourcc != b"raw8":
-        raise NotImplementedError(
-            f"mp4: compressed video codec {fourcc.decode('latin1')!r} needs "
-            "a codec library not present in this environment; the container "
-            "parse is complete — plug a real decoder into this seam"
-        )
     # VisualSampleEntry: 6 reserved + 2 data_ref + 16 predefined/reserved
     # then width/height (16-bit each) at offset 24 from entry body start
     w, h = struct.unpack(">HH", data[entry_s + 8 + 24 : entry_s + 8 + 28])
@@ -141,7 +136,52 @@ def decode_mp4_frames(data: bytes) -> tuple[list[bytes], int, int]:
             si += 1
     if si != len(sizes):
         raise ValueError(f"mp4: sample walk consumed {si} of {len(sizes)}")
-    return frames, w, h
+    return frames, fourcc.decode("latin1"), w, h
+
+
+def decode_mp4_frames(data: bytes) -> tuple[list[bytes], int, int]:
+    """Parse an ISO BMFF file and return (gray frames, width, height)
+    for a single-track video, dispatching on the stsd sample entry:
+
+    - ``raw8``: each sample IS a row-major gray frame (pass-through);
+    - ``jpeg``/``mjpa`` (Motion JPEG): each sample is a complete
+      baseline-sequential JPEG image, decoded by the round-10 spec codec
+      in ``functions.jpeg`` (canonical Huffman + dequant + ISO IDCT),
+      then reduced to exact integer luma for color samples — real
+      compressed video, zero new entropy code (round 11);
+    - anything else (``avc1``/``hvc1``/...) raises NotImplementedError —
+      h264/h265 entropy decode needs a codec library not present here;
+      the container parse is complete and this is the plug-in seam.
+    """
+    samples, fourcc, w, h = read_samples(data)
+    if fourcc == "raw8":
+        return samples, w, h
+    if fourcc in ("jpeg", "mjpa"):
+        import numpy as np
+
+        from .jpeg import decode_jpeg
+
+        frames = []
+        for si, sample in enumerate(samples):
+            px = decode_jpeg(bytes(sample))
+            if px.ndim == 3:  # exact integer luma, same rule as images
+                p32 = px.astype(np.int64)
+                px = (
+                    (299 * p32[:, :, 0] + 587 * p32[:, :, 1] + 114 * p32[:, :, 2])
+                    // 1000
+                ).astype(np.uint8)
+            if px.shape != (h, w):
+                raise ValueError(
+                    f"mp4: sample {si} decodes to {px.shape}, stsd says "
+                    f"({h}, {w})"
+                )
+            frames.append(px.tobytes())
+        return frames, w, h
+    raise NotImplementedError(
+        f"mp4: compressed video codec {fourcc!r} needs a codec library "
+        "not present in this environment; the container parse is complete "
+        "— plug a real decoder into this seam"
+    )
 
 
 def encode_mp4_raw8(
@@ -150,6 +190,35 @@ def encode_mp4_raw8(
     """Write a spec-clean single-track ISO BMFF file whose samples are
     raw gray frames (fourcc ``raw8``), split into multi-sample chunks so
     the decoder's stsc/stco walk is genuinely exercised."""
+    return _encode_mp4(
+        frames, b"raw8", width, height, samples_per_chunk=samples_per_chunk
+    )
+
+
+def encode_mp4_mjpeg(
+    frames_px: list, width: int, height: int, *, samples_per_chunk: int = 2
+) -> bytes:
+    """Motion-JPEG mux: each (h, w) uint8 gray frame is baseline-JPEG
+    encoded by ``functions.jpeg.encode_jpeg`` and written as one sample
+    of a ``jpeg`` sample-entry track — variable sample sizes, so the
+    decoder's per-sample stsz path is exercised (raw8 tracks take the
+    fixed-size shortcut)."""
+    from .jpeg import encode_jpeg
+
+    samples = [encode_jpeg(px) for px in frames_px]
+    return _encode_mp4(
+        samples, b"jpeg", width, height, samples_per_chunk=samples_per_chunk
+    )
+
+
+def _encode_mp4(
+    frames: list[bytes],
+    fourcc: bytes,
+    width: int,
+    height: int,
+    *,
+    samples_per_chunk: int = 2,
+) -> bytes:
     ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 0x200) + b"isomiso2")
     # mdat laid out in chunks
     chunks = [
@@ -168,7 +237,7 @@ def encode_mp4_raw8(
     # stbl
     entry = (
         struct.pack(">I", 86)  # VisualSampleEntry size (no extensions)
-        + b"raw8"
+        + fourcc
         + b"\x00" * 6
         + struct.pack(">H", 1)  # data_reference_index
         + b"\x00" * 16

@@ -32,8 +32,12 @@ Codec handling: this environment has no image/audio libraries, so decode is
 - ``mp4`` video reads a real ISO BMFF container (round 10,
   ``functions.mp4``): box walking, stsd/stsz/stsc/stco sample tables,
   mdat payload extraction — uncompressed ``raw8`` sample entries decode
-  to frames end-to-end.  What remains gated is the compressed video
-  CODEC inside the container (an ``avc1`` sample entry raises
+  to frames end-to-end, and since round 11 so does COMPRESSED video:
+  Motion-JPEG tracks (``jpeg``/``mjpa`` sample entries) decode every
+  sample through the ``functions.jpeg`` baseline spec codec, so the
+  video leg runs decode-for-real on a genuinely compressed format with
+  zero new entropy code.  What remains gated is inter-frame codec
+  entropy decode (an ``avc1``/``hvc1`` sample entry raises
   ``NotImplementedError`` from the same seam an ffmpeg-backed decoder
   would plug into).  The Spark-side plumbing — schema, batch iteration,
   partition behavior — is identical either way.
@@ -207,18 +211,35 @@ def synthetic_media(spark: SparkSession, n: int = 20) -> DataFrame:
         else:
             w, h, nf = 8, 8, 6
             raw = rng.randint(0, 256, size=w * h * nf, dtype=np.uint8).tobytes()
-            if i % 6 == 5:
-                # Every other video row rides the REAL container path: the
-                # same frames muxed into an ISO BMFF (MP4) file with raw8
-                # sample entries — the video twin of the raw8/png and
-                # pcm16/wav splits; the sample-table walk is genuinely
-                # exercised per row.
+            # Video ids are i = 2 mod 3, so i % 9 cycles 2 -> 5 -> 8:
+            # a three-way split over the SAME seeded frames per id.
+            if i % 9 == 5:
+                # Container path: frames muxed into an ISO BMFF (MP4)
+                # file with raw8 sample entries — the video twin of the
+                # raw8/png and pcm16/wav splits; the sample-table walk
+                # is genuinely exercised per row.
                 from ..functions.mp4 import encode_mp4_raw8
 
                 frames_list = [
                     raw[k * w * h : (k + 1) * w * h] for k in range(nf)
                 ]
                 payload = encode_mp4_raw8(frames_list, w, h)
+                fmt = "mp4"
+            elif i % 9 == 2:
+                # COMPRESSED path (round 11): the same frames
+                # baseline-JPEG encoded per sample and muxed as a
+                # Motion-JPEG track — real compressed video through the
+                # real container, decoded by the spec codecs
+                # (functions.jpeg inside functions.mp4), no codec gate.
+                from ..functions.mp4 import encode_mp4_mjpeg
+
+                px_list = [
+                    np.frombuffer(
+                        raw[k * w * h : (k + 1) * w * h], dtype=np.uint8
+                    ).reshape(h, w)
+                    for k in range(nf)
+                ]
+                payload = encode_mp4_mjpeg(px_list, w, h)
                 fmt = "mp4"
             else:
                 payload = raw

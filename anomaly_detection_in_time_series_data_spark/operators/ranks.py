@@ -234,23 +234,42 @@ def keyed_record_scan(
     names = [f.name for f in df.schema.fields]
 
     def local_scan(batches):
+        import pandas as pd
         from pyspark import TaskContext
 
         pid = TaskContext.get().partitionId()
-        run: dict = {}  # key tuple -> running max
+        run: dict = {}  # key tuple/scalar -> running max across batches
         for b in batches:
             out = b[names].copy()
-            vals = b[value_col].tolist()
-            keys = list(zip(*(b[k] for k in key_cols)))
-            loc = []
-            for k, v in zip(keys, vals):
-                prev = run.get(k)
-                is_rec = prev is None or v > prev
-                loc.append(is_rec)
-                if is_rec:
-                    run[k] = v
+            # Vectorized batch body (ADVICE r10: the per-row Python loop
+            # rode billion-row fact scans): a row is a local record iff
+            # its value strictly exceeds BOTH the max of earlier rows in
+            # this batch for its key (grouped cummax shifted by one) AND
+            # the carry from earlier batches of this partition (dict
+            # map).  Integer values ride the nullable Int64 dtype so the
+            # missing-value slots never force a float64 upcast — cents
+            # near 2^63 must compare exactly, not at float53 precision.
+            if len(key_cols) == 1:
+                kser = b[key_cols[0]]
+            else:
+                kser = pd.Series(
+                    list(zip(*(b[k] for k in key_cols))), index=b.index
+                )
+            integer = pd.api.types.is_integer_dtype(b[value_col])
+            vals = b[value_col].astype("Int64" if integer else "float64")
+            cmax = vals.groupby(kser, sort=False).cummax()
+            prior = cmax.groupby(kser, sort=False).shift(1)
+            carry = kser.map(run).astype("Int64" if integer else "float64")
+            loc = (prior.isna() | (vals > prior)) & (
+                carry.isna() | (vals > carry)
+            )
             out.insert(0, "_krs_pid", pid)
-            out.insert(1, "_krs_loc", loc)
+            out.insert(1, "_krs_loc", loc.astype(bool).to_numpy())
+            # cross-batch carry: fold this batch's per-key max into run
+            for k, m in vals.groupby(kser, sort=False).max().items():
+                prev = run.get(k)
+                if prev is None or m > prev:
+                    run[k] = m
             yield out
 
     scanned = rp.mapInPandas(

@@ -81,19 +81,27 @@ class FileCorpusReader(DataSourceReader):
 
 
 class FileCorpusCommit(WriterCommitMessage):
-    def __init__(self, rels: list[str]):
+    def __init__(self, attempt: str, rels: list[str]):
+        self.attempt = attempt  # task-attempt-unique staging subdir
         self.rels = rels
 
 
 class FileCorpusWriter(DataSourceWriter):
     """One output file per input row: ``{path}/{id}`` gets ``content``.
 
-    Tasks never touch final destination paths: each task writes its rows
-    under a job-unique staging directory (``{root}/_stage_<token>``) and
-    reports the relative paths in its commit message; only ``commit()`` —
-    which Spark calls once, after every task succeeded — moves staged
-    files into place, and ``abort()`` removes the staging tree, so a
-    failed or speculative task can never leave partial output visible.
+    Tasks never touch final destination paths: each task ATTEMPT writes
+    its rows under an attempt-unique subdirectory of the job staging tree
+    (``{root}/_stage_<token>/<attempt>``, where ``<attempt>`` comes from
+    ``TaskContext.taskAttemptId()``) and reports that subdirectory plus
+    its relative paths in its commit message; only ``commit()`` — which
+    Spark calls once, after every task succeeded, with exactly one
+    winning commit message per task — moves staged files into place, and
+    ``abort()`` removes the whole staging tree.  Because no two attempts
+    ever share a staged path (speculative or retried attempts of the SAME
+    task get distinct ``taskAttemptId``s), a failed, killed, or losing
+    speculative attempt can never leave partial output visible, and a
+    half-written file from a killed attempt can never be promoted —
+    ``commit()`` only touches paths named by winning attempts.
     (Atomicity assumption: staging and destination share a filesystem, so
     ``os.replace`` is an atomic rename; on an object store this seam is
     where a manifest-commit would slot in.)
@@ -127,20 +135,32 @@ class FileCorpusWriter(DataSourceWriter):
         return norm
 
     def write(self, rows):
+        import uuid
+
+        from pyspark import TaskContext
+
+        tc = TaskContext.get()
+        # taskAttemptId is unique per attempt within the application, so
+        # a retried or speculative attempt of the same task stages into a
+        # DIFFERENT directory than the attempt it races with.
+        attempt = (
+            f"attempt-{tc.taskAttemptId()}"
+            if tc is not None
+            else f"local-{uuid.uuid4().hex}"
+        )
         rels = []
         for row in rows:
             rel = self._safe_rel(row.id)
-            dst = os.path.join(self.stage, rel)
+            dst = os.path.join(self.stage, attempt, rel)
             os.makedirs(os.path.dirname(dst), exist_ok=True)
             with open(dst, "wb") as f:
                 f.write(bytes(row.content))
             rels.append(rel)
-        return FileCorpusCommit(rels)
+        return FileCorpusCommit(attempt, rels)
 
     def commit(self, messages):
         import shutil
 
-        rels = [r for m in messages for r in m.rels]
         if self.overwrite:
             stage_name = os.path.basename(self.stage)
             for entry in os.listdir(self.root) if os.path.isdir(self.root) else []:
@@ -148,16 +168,19 @@ class FileCorpusWriter(DataSourceWriter):
                     continue
                 full = os.path.join(self.root, entry)
                 shutil.rmtree(full) if os.path.isdir(full) else os.remove(full)
-        for rel in rels:
-            src = os.path.join(self.stage, rel)
-            dst = os.path.join(self.root, rel)
-            if not self.overwrite and os.path.exists(dst):
-                raise FileExistsError(
-                    f"filecorpus: {dst} already exists (append mode does "
-                    "not clobber; use mode('overwrite'))"
-                )
-            os.makedirs(os.path.dirname(dst), exist_ok=True)
-            os.replace(src, dst)
+        # Promote ONLY paths named by the winning attempts' messages —
+        # staged files from losing/killed attempts are never looked at.
+        for m in messages:
+            for rel in m.rels:
+                src = os.path.join(self.stage, m.attempt, rel)
+                dst = os.path.join(self.root, rel)
+                if not self.overwrite and os.path.exists(dst):
+                    raise FileExistsError(
+                        f"filecorpus: {dst} already exists (append mode "
+                        "does not clobber; use mode('overwrite'))"
+                    )
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
+                os.replace(src, dst)
         shutil.rmtree(self.stage, ignore_errors=True)
 
     def abort(self, messages):

@@ -429,6 +429,20 @@ def streaks_foreach_batch(
     )
 
 
+def _ckpt_token(checkpoint: str) -> str:
+    """Normalized identity of a checkpoint location, stored alongside
+    ``_batch_id`` in the non-idempotent sinks' state so that
+    ``applied == batch_id`` can be CLASSIFIED instead of guessed:
+    same token = the same checkpoint re-delivering after a crash between
+    ``_swap_in`` and the offset commit (skip); different token = a fresh
+    checkpoint pointed at a reused store, where skipping would silently
+    drop the first genuinely-new delivery (raise).  Residual hazard,
+    documented at each sink: deleting and re-creating the checkpoint at
+    the SAME path is indistinguishable from crash replay — pair a new
+    checkpoint with a new store path (or a new checkpoint path)."""
+    return str(Path(checkpoint).resolve())
+
+
 def digest_foreach_batch(
     stream: DataFrame,
     path: str,
@@ -455,11 +469,18 @@ def digest_foreach_batch(
 
     Contract: a fresh checkpoint MUST pair with a fresh store path.  A
     digest carries no novelty signal (unlike the streaks sink, which can
-    compare batch user-days against state), so if batch ids restart at 0
-    over a non-empty store the fence cannot tell replay from genuinely
-    new deliveries — silently skipping would drop data undetectably, so
-    that exact shape raises instead."""
+    compare batch user-days against state), so the store records WHICH
+    checkpoint wrote it (``_ckpt``): batch ids restarting at or below
+    applied state from a DIFFERENT checkpoint raise (silent skip would
+    drop data undetectably); ``applied == batch_id`` from the SAME
+    checkpoint is the crash-window replay (a crash between ``_swap_in``
+    and the offset commit, including batch 0 on the very first delivery)
+    and skips, or the stream would fail permanently on every restart in
+    that window.  Residual hazard: deleting and re-creating the
+    checkpoint at the SAME path defeats the token — don't do that over a
+    live store."""
     M = 9223372036854775807
+    ckpt_token = _ckpt_token(checkpoint)
 
     def merge(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -468,28 +489,33 @@ def digest_foreach_batch(
         state = None
         if out.exists():
             state = spark.read.parquet(str(out))
-            applied = state.agg(F.max("_batch_id")).collect()[0][0]
+            has_tok = "_ckpt" in state.columns
+            aggs = [F.max("_batch_id").alias("applied")]
+            if has_tok:
+                aggs.append(F.max("_ckpt").alias("tok"))
+            srow = state.agg(*aggs).collect()[0]
+            applied = srow["applied"]
+            # Legacy stores (pre-token) carry no _ckpt column; treat as
+            # same-checkpoint to preserve their old skip-on-equal
+            # behavior rather than bricking existing stores.
+            stored_tok = srow["tok"] if has_tok else ckpt_token
             if applied is not None and applied >= batch_id:
-                if applied > batch_id:
-                    # Ids restarting BELOW already-applied state means a
-                    # fresh checkpoint was pointed at an old store.  A
-                    # digest has no novelty signal, so skipping here
-                    # could silently drop new deliveries — fail loudly.
-                    # applied == batch_id is NOT this case: it is the
-                    # same-checkpoint replay after a crash between
-                    # _swap_in and the checkpoint commit (including
-                    # batch 0, where applied == batch_id == 0 — the very
-                    # first delivery replayed), and must skip, or the
-                    # stream fails permanently on every restart in that
-                    # window.
+                if applied > batch_id or stored_tok != ckpt_token:
+                    # Either ids restarted BELOW applied state, or the
+                    # same id arrived from a DIFFERENT checkpoint — both
+                    # mean a fresh checkpoint was pointed at a reused
+                    # store.  A digest has no novelty signal, so skipping
+                    # would silently drop new deliveries — fail loudly.
                     raise ValueError(
                         f"digest store {path} already holds batch "
-                        f"{applied} but the checkpoint delivered batch "
-                        f"{batch_id} — fresh checkpoint over an existing "
-                        "store; pair a new checkpoint with a new store "
-                        "path"
+                        f"{applied} (written by checkpoint "
+                        f"{stored_tok}) but checkpoint {ckpt_token} "
+                        f"delivered batch {batch_id} — fresh checkpoint "
+                        "over an existing store; pair a new checkpoint "
+                        "with a new store path"
                     )
-                return  # replay: the merge is NOT idempotent, skip
+                return  # same-checkpoint crash replay: skip, never re-fold
+            state = state.drop("_ckpt") if has_tok else state
         if batch_df.isEmpty():
             # A zero-row delivery contributes the monoid identity; folding
             # it would turn sum/bit_xor/min/max into NULLs and permanently
@@ -533,9 +559,11 @@ def digest_foreach_batch(
                 F.least("h_min", "s_min").cast("bigint").alias("h_min"),
                 F.greatest("h_max", "s_max").cast("bigint").alias("h_max"),
             )
-        merged = b.withColumn(
-            "_batch_id", F.lit(batch_id).cast("bigint")
-        ).localCheckpoint(eager=True)
+        merged = (
+            b.withColumn("_batch_id", F.lit(batch_id).cast("bigint"))
+            .withColumn("_ckpt", F.lit(ckpt_token))
+            .localCheckpoint(eager=True)
+        )
         staging = Path(f"{path}.stage-{batch_id}")
         merged.write.mode("overwrite").parquet(str(staging))
         _swap_in(staging, out, batch_id)
@@ -617,11 +645,13 @@ def cms_foreach_batch(
     partial counts, which merge into the store by (i, b) ADDITION.
 
     Addition is a commutative monoid but NOT idempotent (contrast the HLL
-    sink's max), so this sink shares the digest sink's batch-id fence:
-    replays with applied == batch_id skip (including the batch-0
-    crash-window replay), and applied > batch_id — ids genuinely
-    restarting over newer state — raises, because a sketch carries no
-    novelty signal to tell replay from new deliveries.
+    sink's max), so this sink shares the digest sink's tokened batch-id
+    fence: the store records which checkpoint wrote it (``_ckpt``);
+    applied == batch_id from the SAME checkpoint is the crash-window
+    replay (including batch 0) and skips, while applied > batch_id or
+    the same id from a DIFFERENT checkpoint — a fresh checkpoint over a
+    reused store — raises, because a sketch carries no novelty signal to
+    tell replay from new deliveries and silent skip would drop data.
 
     Expects rows ``(i bigint, b bigint)`` (hash row + bucket, one per
     contributing input row) or pre-combined ``(i, b, n bigint)``.  State
@@ -634,6 +664,7 @@ def cms_foreach_batch(
     (`_swap_in`); a billion-row delivery costs its scan and nothing else,
     and day-level sketch stores roll up by the same addition downstream.
     """
+    ckpt_token = _ckpt_token(checkpoint)
 
     def merge(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -642,16 +673,24 @@ def cms_foreach_batch(
         state = None
         if out.exists():
             state = spark.read.parquet(str(out))
-            applied = state.agg(F.max("_batch_id")).collect()[0][0]
+            has_tok = "_ckpt" in state.columns
+            aggs = [F.max("_batch_id").alias("applied")]
+            if has_tok:
+                aggs.append(F.max("_ckpt").alias("tok"))
+            srow = state.agg(*aggs).collect()[0]
+            applied = srow["applied"]
+            stored_tok = srow["tok"] if has_tok else ckpt_token  # legacy
             if applied is not None and applied >= batch_id:
-                if applied > batch_id:
+                if applied > batch_id or stored_tok != ckpt_token:
                     raise ValueError(
                         f"cms store {path} already holds batch {applied} "
-                        f"but the checkpoint delivered batch {batch_id} — "
-                        "fresh checkpoint over an existing store; pair a "
-                        "new checkpoint with a new store path"
+                        f"(written by checkpoint {stored_tok}) but "
+                        f"checkpoint {ckpt_token} delivered batch "
+                        f"{batch_id} — fresh checkpoint over an existing "
+                        "store; pair a new checkpoint with a new store "
+                        "path"
                     )
-                return  # same-checkpoint replay: addition must not re-fold
+                return  # same-checkpoint crash replay: never re-fold
         if batch_df.isEmpty():
             return  # zero-row delivery is the addition identity
         cols = set(batch_df.columns)
@@ -667,9 +706,11 @@ def cms_foreach_batch(
                 .groupBy("i", "b")
                 .agg(F.sum("n").cast("bigint").alias("n"))
             )
-        merged = b.withColumn(
-            "_batch_id", F.lit(batch_id).cast("bigint")
-        ).localCheckpoint(eager=True)
+        merged = (
+            b.withColumn("_batch_id", F.lit(batch_id).cast("bigint"))
+            .withColumn("_ckpt", F.lit(ckpt_token))
+            .localCheckpoint(eager=True)
+        )
         staging = Path(f"{path}.stage-{batch_id}")
         merged.write.mode("overwrite").parquet(str(staging))
         _swap_in(staging, out, batch_id)

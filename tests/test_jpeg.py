@@ -303,3 +303,42 @@ def test_vertical_subsampling_and_restart_combo():
         encode_jpeg(rgb, sampling=(2, 2), restart_interval=2, quality_scale=8)
     )
     assert _psnr(dec2, rgb) > 28
+
+
+def test_mjpeg_mp4_roundtrip_and_variable_stsz():
+    """MJPEG mux/demux (round 11): encode_mp4_mjpeg writes one baseline
+    JPEG per sample (variable sizes -> the per-sample stsz branch);
+    decode_mp4_frames must return exactly the per-sample decode_jpeg
+    output, and a non-MJPEG compressed fourcc must still raise at the
+    codec seam with the container walk intact."""
+    import numpy as np
+    import pytest
+
+    from anomaly_detection_in_time_series_data_spark.functions.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+    from anomaly_detection_in_time_series_data_spark.functions.mp4 import (
+        _encode_mp4,
+        decode_mp4_frames,
+        encode_mp4_mjpeg,
+        read_samples,
+    )
+
+    rng = np.random.RandomState(3)
+    frames = [
+        rng.randint(0, 256, size=(16, 24), dtype=np.uint8) for _ in range(5)
+    ]
+    blob = encode_mp4_mjpeg(frames, 24, 16, samples_per_chunk=2)
+    samples, fourcc, w, h = read_samples(blob)
+    assert fourcc == "jpeg" and (w, h) == (24, 16)
+    assert len({len(s) for s in samples}) > 1  # variable-size stsz path
+    dec, w2, h2 = decode_mp4_frames(blob)
+    assert (w2, h2) == (24, 16) and len(dec) == 5
+    for d, f in zip(dec, frames):
+        assert bytes(d) == decode_jpeg(encode_jpeg(f)).tobytes()
+
+    with pytest.raises(NotImplementedError, match="avc1"):
+        decode_mp4_frames(
+            _encode_mp4([b"\x00" * 8], b"avc1", 4, 2, samples_per_chunk=1)
+        )

@@ -1061,3 +1061,51 @@ def test_keyed_record_scan_matches_window(spark):
         ranks.keyed_record_scan(
             df.withColumnRenamed("v", "is_record"), ["k"], ["k", "id"], "id"
         )
+
+
+def test_keyed_record_scan_vectorized_paths(spark):
+    """Round-11 vectorization coverage: (1) multi-key (tuple grouping)
+    multi-batch scans still match the naive window; (2) integer values
+    near 2^63 compare EXACTLY — a float64 upcast in the batch body would
+    collapse adjacent huge cents and miss/invent records."""
+    from anomaly_detection_in_time_series_data_spark.operators import ranks
+
+    df = spark.range(400).selectExpr(
+        "id",
+        "CAST(id % 2 AS STRING) AS k1",
+        "CAST(id % 3 AS BIGINT) AS k2",
+        "CAST((id * 37) % 211 AS BIGINT) AS v",
+    )
+    got = {
+        r.id
+        for r in ranks.keyed_record_scan(
+            df, ["k1", "k2"], ["k1", "k2", "id"], "v", parts=5
+        ).collect()
+        if r.is_record
+    }
+    w = (
+        Window.partitionBy("k1", "k2")
+        .orderBy("id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    want = {
+        r.id
+        for r in df.withColumn("pm", F.max("v").over(w)).collect()
+        if r.pm is None or r.v > r.pm
+    }
+    assert got == want and len(got) > 5
+
+    # exactness at the int64 edge: 2^62+1 then 2^62 (not a record: the
+    # two are equal in float64) then 2^62+2 (a record, +1 ulp in float64)
+    big = 1 << 62
+    edge = spark.createDataFrame(
+        [("a", 0, big + 1), ("a", 1, big), ("a", 2, big + 2)],
+        "k string, seq int, v long",
+    )
+    marked = {
+        r.seq: r.is_record
+        for r in ranks.keyed_record_scan(
+            edge, ["k"], ["k", "seq"], "v", parts=2
+        ).collect()
+    }
+    assert marked == {0: True, 1: False, 2: True}

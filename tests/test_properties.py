@@ -5,6 +5,7 @@ where a subtle bit-level bug could silently corrupt data at scale."""
 from __future__ import annotations
 
 import io
+from fractions import Fraction
 
 from hypothesis import given, settings
 from hypothesis import strategies as st
@@ -354,3 +355,44 @@ def test_winding_number_matches_even_odd_for_simple_polygon(px, py):
 
     assume(not _on_edge(px, py, _DART))
     assert (_winding(px, py, _DART) != 0) == _even_odd(px, py, _DART)
+
+
+# ---------------------------------------------------------------------------
+# seasonal_difference_variance verdict algebra (fixed round 11)
+# ---------------------------------------------------------------------------
+#
+# The emitted predicate must be the exact cross-multiplication of
+#   s_dd/n_d - (s_d/n_d)^2  <  s_yy/n - (s_y/n)^2
+# i.e.  (s_dd*n_d - s_d^2) * n^2  <  (s_yy*n - s_y^2) * n_d^2.
+# The pre-round-11 form dropped a factor and flipped whenever the diff
+# series had non-zero mean; pin the algebra against Fraction arithmetic,
+# including the advisor's counterexample.
+
+
+def _sdv_verdict(n_days, s_y, s_yy, n_diffs, s_d, s_dd):
+    return (s_dd * n_diffs - s_d * s_d) * n_days * n_days < (
+        s_yy * n_days - s_y * s_y
+    ) * n_diffs * n_diffs
+
+
+def test_sdv_counterexample_from_round10_advice():
+    # n=9, s_y=9, s_yy=11, m=2, s_d=10, s_dd=50:
+    # var_d = 50/2 - 25 = 0 < var_raw = 11/9 - 1 = 2/9 -> True;
+    # the old predicate returned False here.
+    assert _sdv_verdict(9, 9, 11, 2, 10, 50) is True
+    old = (50 * 9 * 9 - 10 * 10 * 9) < (11 * 2 * 9 - 9 * 9 * 2)
+    assert old is False  # documents the bug being pinned against
+
+
+@given(
+    st.lists(st.integers(0, 50), min_size=9, max_size=40),
+)
+@settings(max_examples=300, deadline=None)
+def test_sdv_verdict_matches_fraction_variances(series):
+    diffs = [series[i] - series[i - 7] for i in range(7, len(series))]
+    n, m = len(series), len(diffs)
+    s_y, s_yy = sum(series), sum(v * v for v in series)
+    s_d, s_dd = sum(diffs), sum(v * v for v in diffs)
+    var_raw = Fraction(s_yy, n) - Fraction(s_y, n) ** 2
+    var_d = Fraction(s_dd, m) - Fraction(s_d, m) ** 2
+    assert _sdv_verdict(n, s_y, s_yy, m, s_d, s_dd) == (var_d < var_raw)

@@ -127,3 +127,34 @@ def test_filecorpus_writer_rejects_path_escape(spark, tmp_path):
             "append"
         ).save()
     assert not os.path.exists(str(tmp_path / "escape.txt"))
+
+
+def test_filecorpus_writer_attempt_isolated_staging(tmp_path):
+    """Speculative/retried attempts of the SAME task must never share a
+    staged path: two write() calls for the same logical rows stage into
+    distinct attempt directories, and commit() promotes only the file
+    bytes named by the winning attempt's message — a killed attempt's
+    truncated twin is never promoted."""
+    from anomaly_detection_in_time_series_data_spark.sources.pyds import (
+        FileCorpusWriter,
+    )
+
+    class Row:
+        def __init__(self, id, content):
+            self.id, self.content = id, content
+
+    out = str(tmp_path / "out")
+    w = FileCorpusWriter({"path": out}, overwrite=False)
+    # attempt 1: the loser — killed mid-write, left truncated bytes
+    m_lost = w.write([Row("doc.txt", b"TRUNC")])
+    # attempt 2 of the same task: the winner
+    m_won = w.write([Row("doc.txt", b"full contents")])
+    assert m_lost.attempt != m_won.attempt  # attempt-unique staging
+    lost_path = os.path.join(w.stage, m_lost.attempt, "doc.txt")
+    won_path = os.path.join(w.stage, m_won.attempt, "doc.txt")
+    assert os.path.exists(lost_path) and os.path.exists(won_path)
+    # Spark passes exactly one winning message per task to commit()
+    w.commit([m_won])
+    with open(os.path.join(out, "doc.txt"), "rb") as f:
+        assert f.read() == b"full contents"
+    assert not os.path.exists(w.stage)  # staging tree fully cleaned

@@ -844,13 +844,18 @@ def test_digest_sink_fold_and_replay_fence(spark, tmp_path):
 
 
 def test_digest_sink_batch0_crash_replay_skips(spark, tmp_path):
-    """applied == batch_id == 0 is the SAME-CHECKPOINT replay after a
-    crash between _swap_in and the checkpoint commit on the very first
-    batch — it must SKIP like any other replay, not raise.  (The fence
-    raises only when applied > batch_id: ids genuinely restarting over
-    NEWER state.)  Before this guard ordering, the stream failed
-    permanently on every restart in that window, requiring manual
-    store/checkpoint surgery."""
+    """applied == batch_id == 0 from the SAME checkpoint is the replay
+    after a crash between _swap_in and the checkpoint commit on the very
+    first batch — it must SKIP, not raise or re-fold.  Simulated the way
+    it actually happens: delete ``commits/0`` from the checkpoint (the
+    offset log survives, the commit record is lost) and restart the same
+    (checkpoint, store) pair.  Since round 11 the store carries a
+    ``_ckpt`` token, so the SAME shape from a DIFFERENT checkpoint —
+    a fresh checkpoint pointed at a reused batch-0 store, where skipping
+    would silently drop the first new delivery — now raises instead
+    (ADVICE r10)."""
+    import os
+
     from anomaly_detection_in_time_series_data_spark.streaming.sinks import (
         digest_foreach_batch,
     )
@@ -860,32 +865,50 @@ def test_digest_sink_batch0_crash_replay_skips(spark, tmp_path):
     src = str(tmp_path / "src")
     _stage_deliveries(spark, src, deliveries, schema)
     store = str(tmp_path / "state")
-    stream = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(src)
-    )
-    digest_foreach_batch(
-        stream, store, checkpoint=str(tmp_path / "ck")
-    ).awaitTermination()
+    ck = str(tmp_path / "ck")
+
+    def run(checkpoint):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = digest_foreach_batch(stream, store, checkpoint=checkpoint)
+        try:
+            q.awaitTermination()
+        finally:
+            q.stop()  # release the checkpoint registration for re-runs
+
+    run(ck)
     row = spark.read.parquet(store).collect()[0]
     assert (row.n_rows, row.checksum_sum) == (2, 14)
 
-    # Crash-window shape: the checkpoint offset commit was lost, so the
-    # restarted stream re-delivers batch 0 over a store that already
-    # applied batch 0.  Must skip (store unchanged), not raise.
-    stream2 = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(src)
-    )
-    digest_foreach_batch(
-        stream2, store, checkpoint=str(tmp_path / "ck2")
-    ).awaitTermination()
+    # Crash-window shape: the batch-0 commit record is lost but the
+    # offset log survives; the restarted stream re-delivers batch 0 from
+    # the SAME checkpoint over a store that already applied batch 0.
+    # Must skip (store unchanged), not raise.
+    os.remove(os.path.join(ck, "commits", "0"))
+    # the local ChecksumFileSystem keeps a .crc sibling; a stale one makes
+    # the replayed commit-log rename fail as a phantom concurrent writer
+    os.remove(os.path.join(ck, "commits", ".0.crc"))
+    run(ck)
     row2 = spark.read.parquet(store).collect()[0]
     assert (row2.n_rows, row2.checksum_sum, row2.checksum_xor) == (
         row.n_rows, row.checksum_sum, row.checksum_xor
     )
+
+    # A DIFFERENT checkpoint delivering batch 0 over the batch-0 store is
+    # store reuse, not crash replay — the token fence must fail loudly
+    # (pre-r11 this silently skipped, dropping the delivery).
+    import pyspark.errors
+
+    with pytest.raises(
+        pyspark.errors.StreamingQueryException,
+        match="fresh checkpoint over an existing store",
+    ):
+        run(str(tmp_path / "ck2"))
+    row3 = spark.read.parquet(store).collect()[0]
+    assert (row3.n_rows, row3.checksum_sum) == (row.n_rows, row.checksum_sum)
 
 
 def test_digest_sink_empty_delivery_is_identity(spark, tmp_path):
@@ -961,22 +984,42 @@ def test_cms_sink_keyed_fold_fence_and_identity(spark, tmp_path):
     got2 = {(r.i, r.b): r.n for r in spark.read.parquet(store).collect()}
     assert got2 == got
 
-    # crash-window shape: single delivery -> applied == 0; a fresh
-    # checkpoint re-delivering batch 0 must SKIP, not raise or re-fold.
+    # crash-window shape: single delivery -> applied == 0; the SAME
+    # checkpoint re-delivering batch 0 (commit record lost, offset log
+    # intact) must SKIP, not raise or re-fold — while batch 0 from a
+    # DIFFERENT checkpoint is store reuse and must raise (r11 token).
+    import os
+
     src1 = str(tmp_path / "src1")
     _stage_deliveries(spark, src1, [deliveries[0]], schema)
     store1 = str(tmp_path / "state1")
-    for ck in ("cka", "ckb"):
+    cka = str(tmp_path / "cka")
+
+    def run1(checkpoint):
         s = (
             spark.readStream.schema(schema)
             .option("maxFilesPerTrigger", 1)
             .parquet(src1)
         )
-        cms_foreach_batch(
-            s, store1, checkpoint=str(tmp_path / ck)
-        ).awaitTermination()
+        q = cms_foreach_batch(s, store1, checkpoint=checkpoint)
+        try:
+            q.awaitTermination()
+        finally:
+            q.stop()  # release the checkpoint registration for re-runs
+
+    run1(cka)
+    os.remove(os.path.join(cka, "commits", "0"))
+    os.remove(os.path.join(cka, "commits", ".0.crc"))  # stale crc sibling
+    run1(cka)  # same-checkpoint crash replay: skip
     got3 = {(r.i, r.b): r.n for r in spark.read.parquet(store1).collect()}
     assert got3 == {(0, 3): 2, (1, 5): 1}
+    with pytest.raises(
+        pyspark.errors.StreamingQueryException,
+        match="fresh checkpoint over an existing store",
+    ):
+        run1(str(tmp_path / "ckb"))
+    got4 = {(r.i, r.b): r.n for r in spark.read.parquet(store1).collect()}
+    assert got4 == got3
 
 
 def test_hll_sink_idempotent_max_merge(spark, tmp_path):
