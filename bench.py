@@ -223,6 +223,13 @@ HEADLINE = [
     "epoch_shuffle_balance_audit",
     "tokenizer_fertility_stats",
     "streaming_cms_maintenance",
+    "cross_modal_brightness_text",
+    "kruskal_wallis_value_ranks",
+    "friedman_type_rank_blocks",
+    "cochran_q_detectors",
+    "somers_d_priority_band",
+    "brown_forsythe_components",
+    "jonckheere_ordered_trend",
 ]
 
 

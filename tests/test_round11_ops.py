@@ -121,3 +121,38 @@ def test_cross_modal_join_totals(spark):
     image_ids = {i for i in range(48) if i % 3 == 0}
     expect_docs = int((docs["doc_id"] % 48).isin(image_ids).sum())
     assert sum(r.n_docs for r in rows) == expect_docs
+
+
+def test_brown_forsythe_numpy_replica(spark):
+    rows = {
+        r.event_type: r
+        for r in q.QUERIES["brown_forsythe_components"](spark, SF).collect()
+    }
+    df = _events_cents()
+    for et, r in rows.items():
+        v = np.sort(df[df["event_type"] == et]["cents"].to_numpy())
+        n = len(v)
+        med2 = int(v[(n - 1) // 2]) + int(v[n // 2])  # doubled avg median
+        dev2 = np.abs(2 * v - med2)
+        assert r.n_i == n and r.med2 == med2, et
+        assert r.dev2_sum == int(dev2.sum())
+        assert r.dev2_sq_sum == int((dev2 * dev2).sum())
+
+
+def test_jonckheere_numpy_bruteforce(spark):
+    rows = q.QUERIES["jonckheere_ordered_trend"](spark, SF).collect()
+    t = pq.read_table(
+        f"{SF}/orders.parquet", columns=["o_orderpriority", "o_totalprice"]
+    ).to_pandas()
+    t["grp"] = t["o_orderpriority"].str[0].astype("int64")
+    t["c"] = t["o_totalprice"].map(
+        lambda v: int(round(float(v) * 100))
+    ).astype("int64")
+    groups = {g: s["c"].to_numpy() for g, s in t.groupby("grp")}
+    assert len(rows) == len(groups) * (len(groups) - 1) // 2
+    for r in rows:
+        lo, hi = groups[r.grp_low], groups[r.grp_high]
+        assert (r.n_low, r.n_high) == (len(lo), len(hi))
+        below = (lo[:, None] < hi[None, :]).sum()
+        ties = (lo[:, None] == hi[None, :]).sum()
+        assert r.u2 == 2 * int(below) + int(ties), (r.grp_low, r.grp_high)
