@@ -230,6 +230,7 @@ HEADLINE = [
     "somers_d_priority_band",
     "brown_forsythe_components",
     "jonckheere_ordered_trend",
+    "wilcoxon_signed_rank_pairs",
 ]
 
 

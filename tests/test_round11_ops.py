@@ -156,3 +156,39 @@ def test_jonckheere_numpy_bruteforce(spark):
         below = (lo[:, None] < hi[None, :]).sum()
         ties = (lo[:, None] == hi[None, :]).sum()
         assert r.u2 == 2 * int(below) + int(ties), (r.grp_low, r.grp_high)
+
+
+def test_wilcoxon_signed_rank_identity_and_replica(spark):
+    rows = q.QUERIES["wilcoxon_signed_rank_pairs"](spark, SF).collect()
+    assert len(rows) == 10  # C(5,2) ordered type pairs
+    t = pq.read_table(f"{SF}/events.parquet", columns=["event_type", "ts"])
+    df = t.to_pandas()
+    df["d"] = (
+        df["ts"].astype("datetime64[us]").astype("int64") // 86_400_000_000
+    )
+    daily = df.groupby(["event_type", "d"]).size()
+    for r in rows:
+        # identity: doubled signed ranks partition n(n+1)
+        n = r.n_nonzero
+        assert r.w2_plus + r.w2_minus == n * (n + 1), (r.type_a, r.type_b)
+        # numpy replica of W+ with tie-averaged ranks
+        a = daily[r.type_a]
+        b = daily[r.type_b]
+        common = a.index.intersection(b.index)
+        diff = (a[common] - b[common]).to_numpy()
+        diff = diff[diff != 0]
+        assert len(diff) == n
+        ad = np.abs(diff)
+        order = np.argsort(ad, kind="stable")
+        r2 = np.empty(len(ad), dtype="int64")
+        sv = ad[order]
+        i, pos = 0, 1
+        while i < len(sv):
+            j = i
+            while j < len(sv) and sv[j] == sv[i]:
+                j += 1
+            r2[order[i:j]] = 2 * pos + (j - i) - 1  # 2*avg of pos..pos+t-1
+            pos += j - i
+            i = j
+        assert r.w2_plus == int(r2[diff > 0].sum())
+        assert r.w2_minus == int(r2[diff < 0].sum())
