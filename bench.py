@@ -231,6 +231,7 @@ HEADLINE = [
     "brown_forsythe_components",
     "jonckheere_ordered_trend",
     "wilcoxon_signed_rank_pairs",
+    "unseen_bigram_mass_estimates",
 ]
 
 

@@ -192,3 +192,35 @@ def test_wilcoxon_signed_rank_identity_and_replica(spark):
             i = j
         assert r.w2_plus == int(r2[diff > 0].sum())
         assert r.w2_minus == int(r2[diff < 0].sum())
+
+
+def test_unseen_bigram_mass_numpy_replica(spark):
+    from collections import Counter
+
+    rows = {
+        r.source: r
+        for r in q.QUERIES["unseen_bigram_mass_estimates"](spark, SF).collect()
+    }
+    docs = pq.read_table(
+        f"{SF}/documents.parquet", columns=["source", "text"]
+    ).to_pandas()
+    by_src: dict = {}
+    for src, text in zip(docs["source"], docs["text"]):
+        t = (text or "").strip()
+        if not t:
+            continue
+        toks = t.split(" ")
+        c = by_src.setdefault(src, Counter())
+        for a, b in zip(toks, toks[1:]):
+            c[a + " " + b] += 1
+    assert set(rows) == set(by_src)
+    for src, c in by_src.items():
+        r = rows[src]
+        f1 = sum(1 for v in c.values() if v == 1)
+        f2 = sum(1 for v in c.values() if v == 2)
+        assert (r.n_bigrams, r.distinct_bigrams) == (sum(c.values()), len(c))
+        assert (r.f1, r.f2) == (f1, f2), src
+        assert r.chao1_num == 2 * (f2 + 1) * len(c) + f1 * (f1 - 1)
+        assert r.chao1_den == 2 * (f2 + 1)
+        # richness floor never below observed distinct
+        assert r.chao1_num >= r.chao1_den * r.distinct_bigrams
