@@ -224,3 +224,26 @@ def test_unseen_bigram_mass_numpy_replica(spark):
         assert r.chao1_den == 2 * (f2 + 1)
         # richness floor never below observed distinct
         assert r.chao1_num >= r.chao1_den * r.distinct_bigrams
+
+
+def test_gamma_grid_fold_matches_bruteforce(spark):
+    """goodman_kruskal_gamma_ordinal's grid x grid fold (and therefore
+    Somers' D's shared counts) against a direct O(n^2) pair count over
+    the raw orders — the replica the round-10 query never had."""
+    gm = q.QUERIES["goodman_kruskal_gamma_ordinal"](spark, SF).collect()[0]
+    t = pq.read_table(
+        f"{SF}/orders.parquet", columns=["o_orderpriority", "o_totalprice"]
+    ).to_pandas()
+    pri = t["o_orderpriority"].str[0].astype("int64").to_numpy()
+    band = (
+        t["o_totalprice"]
+        .map(lambda v: int(round(float(v) * 100)) // 5_000_000)
+        .astype("int64")
+        .to_numpy()
+    )
+    dp = np.sign(pri[:, None] - pri[None, :])
+    db = np.sign(band[:, None] - band[None, :])
+    conc = int(((dp * db) > 0).sum()) // 2  # unordered pairs
+    disc = int(((dp * db) < 0).sum()) // 2
+    assert (gm.concordant, gm.discordant) == (conc, disc)
+    assert gm.gamma_num == conc - disc and gm.gamma_den == conc + disc
