@@ -721,3 +721,103 @@ def cms_foreach_batch(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def mg_foreach_batch(
+    stream: DataFrame,
+    path: str,
+    *,
+    capacity: int,
+    checkpoint: str,
+):
+    """Start a foreachBatch query that INCREMENTALLY maintains a
+    Misra-Gries heavy-hitters summary at ``path`` — the SIXTH IVM
+    discipline in this module, and the first BOUNDED-STATE LOSSY fold:
+    the store never holds more than ``capacity`` (key, count) rows, and
+    the merge step is the mergeable-summaries rule (Agarwal et al.,
+    PODS'12): sum counts per key across (state union batch), find d =
+    the (capacity+1)-th largest merged count (0 when at most
+    ``capacity`` keys survive the sum), subtract d from every count and
+    keep the strictly positive ones.  The result carries the classic MG
+    guarantee — every surviving count undercounts its true frequency by
+    at most the total decremented mass, and any key with true frequency
+    above n/(capacity+1) is present.
+
+    The fold is DETERMINISTIC given the delivery sequence (d is a
+    multiset function of the merged counts; survivors are exactly the
+    counts above d), but — unlike the CMS sink's pure addition — it is
+    order-DEPENDENT across deliveries, so the paired oracle must replay
+    the same per-delivery fold (an unrolled CTE per trigger), not a
+    one-shot aggregate.  Replay discipline: trimming is not idempotent
+    and not an algebraic no-op, so this sink shares the digest/cms
+    TOKENED batch-id fence: applied == batch_id from the same
+    checkpoint skips (crash-window replay), anything else over applied
+    state raises.
+
+    Expects rows ``(k bigint)`` or pre-combined ``(k, n bigint)``.
+
+    Scale: per trigger the delivery reduces map-side to per-key counts
+    (bounded by the key domain, and the summary itself bounds state at
+    ``capacity`` rows — bytes, forever); the trim threshold is computed
+    from a <= capacity+1-row ordered slice, never a data-sized sort."""
+    ckpt_token = _ckpt_token(checkpoint)
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        out = Path(path)
+        _recover_store(out)
+        state = None
+        if out.exists():
+            state = spark.read.parquet(str(out))
+            has_tok = "_ckpt" in state.columns
+            aggs = [F.max("_batch_id").alias("applied")]
+            if has_tok:
+                aggs.append(F.max("_ckpt").alias("tok"))
+            srow = state.agg(*aggs).collect()[0]
+            applied = srow["applied"]
+            stored_tok = srow["tok"] if has_tok else ckpt_token  # legacy
+            if applied is not None and applied >= batch_id:
+                if applied > batch_id or stored_tok != ckpt_token:
+                    raise ValueError(
+                        f"mg store {path} already holds batch {applied} "
+                        f"(written by checkpoint {stored_tok}) but "
+                        f"checkpoint {ckpt_token} delivered batch "
+                        f"{batch_id} — fresh checkpoint over an existing "
+                        "store; pair a new checkpoint with a new store "
+                        "path"
+                    )
+                return  # same-checkpoint crash replay: never re-trim
+        if batch_df.isEmpty():
+            return  # zero-row delivery is the identity
+        cols = set(batch_df.columns)
+        n = F.col("n") if "n" in cols else F.lit(1)
+        b = batch_df.groupBy("k").agg(F.sum(n).cast("bigint").alias("n"))
+        if state is not None:
+            b = (
+                b.unionByName(state.select("k", "n"))
+                .groupBy("k")
+                .agg(F.sum("n").cast("bigint").alias("n"))
+            )
+        b = b.localCheckpoint(eager=True)
+        # trim threshold: the (capacity+1)-th largest merged count, read
+        # from a bounded ordered slice (<= capacity+1 rows collected)
+        top = b.orderBy(F.desc("n"), F.asc("k")).limit(capacity + 1).collect()
+        d = top[-1]["n"] if len(top) > capacity else 0
+        trimmed = b.select("k", (F.col("n") - F.lit(d)).alias("n")).filter(
+            F.col("n") > 0
+        )
+        merged = (
+            trimmed.withColumn("_batch_id", F.lit(batch_id).cast("bigint"))
+            .withColumn("_ckpt", F.lit(ckpt_token))
+            .localCheckpoint(eager=True)
+        )
+        staging = Path(f"{path}.stage-{batch_id}")
+        merged.write.mode("overwrite").parquet(str(staging))
+        _swap_in(staging, out, batch_id)
+
+    return (
+        stream.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -232,6 +232,7 @@ HEADLINE = [
     "jonckheere_ordered_trend",
     "wilcoxon_signed_rank_pairs",
     "unseen_bigram_mass_estimates",
+    "streaming_mg_topk_maintenance",
 ]
 
 

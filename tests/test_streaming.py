@@ -1061,3 +1061,90 @@ def test_hll_sink_idempotent_max_merge(spark, tmp_path):
     run("ck2")  # fresh checkpoint, same files: idempotent, unchanged
     regs2 = {r.reg: r.rho for r in spark.read.parquet(store).collect()}
     assert regs2 == regs
+
+
+def test_mg_sink_guarantee_fold_and_fence(spark, tmp_path):
+    """mg_foreach_batch (the sixth IVM discipline — bounded-state lossy
+    fold): (1) the streamed five-delivery fold equals a Python replica
+    of the mergeable-summaries rule step-for-step; (2) the classic MG
+    guarantee holds vs exact counts — every surviving count undercounts
+    by at most the total decremented mass, and every key with true
+    frequency > N/(capacity+1) is present; (3) state never exceeds
+    capacity rows; (4) the tokened fence: same-checkpoint batch-0 crash
+    replay skips, a fresh checkpoint over the store raises."""
+    import os
+    from collections import Counter
+
+    from anomaly_detection_in_time_series_data_spark.streaming.sinks import (
+        mg_foreach_batch,
+    )
+
+    cap = 4
+    deliveries = [
+        [(k,) for k in [1, 1, 1, 2, 2, 3, 4, 5, 6, 1]],
+        [(k,) for k in [1, 1, 7, 7, 8, 2, 2, 2]],
+        [(k,) for k in [9, 9, 9, 9, 1, 2]],
+    ]
+    schema = "k bigint"
+    src = str(tmp_path / "src")
+    _stage_deliveries(spark, src, deliveries, schema)
+    store = str(tmp_path / "state")
+    ck = str(tmp_path / "ck")
+
+    def run(checkpoint, source=src):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(source)
+        )
+        q = mg_foreach_batch(stream, store, capacity=cap, checkpoint=checkpoint)
+        try:
+            q.awaitTermination()
+        finally:
+            q.stop()
+
+    run(ck)
+    got = {r.k: r.n for r in spark.read.parquet(store).collect()}
+
+    # Python replica of the fold + decrement accounting
+    state: Counter = Counter()
+    dec_total = 0
+    for rows in deliveries:
+        for (k,) in rows:
+            state[k] += 1
+        if len(state) > cap:
+            d = sorted(state.values(), reverse=True)[cap]
+            dec_total += d
+            state = Counter(
+                {k: v - d for k, v in state.items() if v - d > 0}
+            )
+    assert got == dict(state)
+    assert len(got) <= cap  # bounded state
+
+    exact = Counter(k for rows in deliveries for (k,) in rows)
+    n_total = sum(exact.values())
+    for k, n in got.items():
+        assert n <= exact[k] <= n + dec_total  # undercount bound
+    for k, c in exact.items():
+        if c > n_total / (cap + 1):
+            assert k in got, f"heavy hitter {k} missing"
+
+    # fence: crash-window replay from the SAME checkpoint skips...
+    last = len(deliveries) - 1
+    os.remove(os.path.join(ck, "commits", str(last)))
+    crc = os.path.join(ck, "commits", f".{last}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    run(ck)
+    got2 = {r.k: r.n for r in spark.read.parquet(store).collect()}
+    assert got2 == got
+    # ...and a fresh checkpoint over the store raises
+    import pyspark.errors
+
+    with pytest.raises(
+        pyspark.errors.StreamingQueryException,
+        match="fresh checkpoint over an existing store",
+    ):
+        run(str(tmp_path / "ck2"))
+    got3 = {r.k: r.n for r in spark.read.parquet(store).collect()}
+    assert got3 == got
