@@ -265,10 +265,16 @@ def keyed_record_scan(
             )
             out.insert(0, "_krs_pid", pid)
             out.insert(1, "_krs_loc", loc.astype(bool).to_numpy())
-            # cross-batch carry: fold this batch's per-key max into run
-            for k, m in vals.groupby(kser, sort=False).max().items():
+            # cross-batch carry: fold this batch's per-key max into run.
+            # NaN never enters the carry (ADVICE r11): an all-NaN key
+            # batch would store NaN, making carry.isna() true for later
+            # batches and flagging non-records; dropna keeps the fold's
+            # "no prior finite value" semantics identical to the window
+            # form, where max() ignores NULL/NaN.
+            finite = vals.dropna()
+            for k, m in finite.groupby(kser[finite.index], sort=False).max().items():
                 prev = run.get(k)
-                if prev is None or m > prev:
+                if prev is None or pd.isna(prev) or m > prev:
                     run[k] = m
             yield out
 

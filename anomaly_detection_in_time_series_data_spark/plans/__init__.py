@@ -14,6 +14,7 @@ from .inspect import (
     has_partition_filter,
     has_pushed_filter,
     has_take_ordered,
+    partitioned_subgrain_windows,
     read_columns,
     unbounded_global_windows,
     whole_stage_codegen_spans,
@@ -27,6 +28,7 @@ __all__ = [
     "has_partition_filter",
     "has_pushed_filter",
     "has_take_ordered",
+    "partitioned_subgrain_windows",
     "read_columns",
     "unbounded_global_windows",
     "whole_stage_codegen_spans",

@@ -166,6 +166,88 @@ def grouped_global_windows(df: DataFrame) -> list[tuple[str, list[str]]]:
     return out
 
 
+def partitioned_subgrain_windows(
+    df: DataFrame,
+) -> list[tuple[str, list[str], list[str]]]:
+    """AUDIT MODE for the SECOND blind spot (VERDICT r11): a PARTITIONED
+    Window escapes both the hard gate (it has a partitionSpec) and the
+    grouped-window audit (which only reports partition-less windows) —
+    yet when its partition keys are a PROPER SUBSET of the grouping keys
+    of the Aggregate bounding it, each partition's frame is the RESIDUAL
+    grain (all grouping keys not in the partition spec).  If the
+    partition key is a provably-tiny domain (5 groups) while the
+    residual grain is wide (a value grid), a handful of tasks each sort
+    a wide frame — the `jonckheere_ordered_trend` shape
+    (``Window.partitionBy(grp).orderBy(c)`` over an Aggregate grouped by
+    ``(grp, c)``).
+
+    This predicate does not judge; it SURFACES.  Returns one entry per
+    such site: ``(window simpleString, [partition keys], [residual
+    grouping keys])``.  ``tools/plan_report.py`` sweeps the registry and
+    requires a one-line cardinality justification per site (why the
+    residual grain is scale-bounded, or why the partition-key domain is
+    wide enough to parallelize).
+
+    Windows whose partition keys equal the WHOLE bounding grain are not
+    reported (each partition holds O(1) rows); windows over
+    un-aggregated scale-proportional frames with high-cardinality keys
+    are the normal Spark idiom and are likewise out of scope (they are
+    the shapes the house already accepts per key-cardinality reasoning
+    at the query site)."""
+    plan = df._jdf.queryExecution().optimizedPlan()
+
+    def children(node):
+        cs = node.children()
+        return [cs.apply(i) for i in range(cs.size())]
+
+    def norm(s: str) -> str:
+        return s.replace("`", "").strip()
+
+    def bounding_grain(node) -> list[str] | None:
+        """The grain (list of grouping-key names) of the frame ``node``
+        produces, or None when some leaf path reaches a raw scan —
+        i.e. the frame is data-sized, not grain-sized.  A Join of
+        bounded branches has the CONCATENATED grain (the frame is at
+        most the product of branch grains — the dense-grid build);
+        a Limit or global Aggregate is the constant grain []."""
+        cls = node.getClass().getSimpleName()
+        if cls == "Aggregate":
+            ges = node.groupingExpressions()
+            return [norm(ges.apply(i).sql()) for i in range(ges.size())]
+        if cls in ("GlobalLimit", "LocalLimit"):
+            return []
+        ch = children(node)
+        if not ch:
+            return None  # raw relation / LogicalRDD leaf
+        grains = [bounding_grain(c) for c in ch]
+        if any(g is None for g in grains):
+            return None
+        merged: list[str] = []
+        for g in grains:
+            for k in g:  # type: ignore[union-attr]
+                if k not in merged:
+                    merged.append(k)
+        return merged
+
+    out: list[tuple[str, list[str], list[str]]] = []
+    stack = [plan]
+    while stack:
+        node = stack.pop()
+        cls = node.getClass().getSimpleName()
+        if cls == "Window" and not node.partitionSpec().isEmpty():
+            ps = node.partitionSpec()
+            part_keys = [norm(ps.apply(i).sql()) for i in range(ps.size())]
+            grain = None
+            for c in children(node):
+                grain = bounding_grain(c)
+            if grain is not None:
+                residual = [g for g in grain if g not in set(part_keys)]
+                if residual and not _is_rank_operator_internal(part_keys):
+                    out.append((node.simpleString(120), part_keys, residual))
+        stack.extend(children(node))
+    return out
+
+
 def _is_rank_operator_internal(grouping: list[str]) -> bool:
     """The two-phase rank/prefix-sum operators (`operators/ranks.py`)
     contain, BY DESIGN, a partition-less offset window over an Aggregate

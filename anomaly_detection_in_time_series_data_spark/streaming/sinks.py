@@ -430,17 +430,46 @@ def streaks_foreach_batch(
 
 
 def _ckpt_token(checkpoint: str) -> str:
-    """Normalized identity of a checkpoint location, stored alongside
-    ``_batch_id`` in the non-idempotent sinks' state so that
-    ``applied == batch_id`` can be CLASSIFIED instead of guessed:
-    same token = the same checkpoint re-delivering after a crash between
-    ``_swap_in`` and the offset commit (skip); different token = a fresh
-    checkpoint pointed at a reused store, where skipping would silently
-    drop the first genuinely-new delivery (raise).  Residual hazard,
-    documented at each sink: deleting and re-creating the checkpoint at
-    the SAME path is indistinguishable from crash replay — pair a new
-    checkpoint with a new store path (or a new checkpoint path)."""
-    return str(Path(checkpoint).resolve())
+    """Identity of a checkpoint location, stored alongside ``_batch_id``
+    in the non-idempotent sinks' state so that ``applied == batch_id``
+    can be CLASSIFIED instead of guessed: same token = the same
+    checkpoint re-delivering after a crash between ``_swap_in`` and the
+    offset commit (skip); different token = a fresh checkpoint pointed
+    at a reused store, where skipping would silently drop the first
+    genuinely-new delivery (raise).
+
+    The token is a random id minted ONCE into ``<checkpoint>/
+    _sink_identity`` (ADVICE r11): keying identity on the resolved
+    filesystem PATH made a legitimate relocation of a (store,
+    checkpoint) pair — backup/restore, a different mount point or
+    container path — raise on the crash-window replay, turning a
+    recoverable restart into manual surgery.  The identity file travels
+    WITH the checkpoint, so a moved pair still classifies as
+    same-checkpoint.  Residual hazard, documented at each sink: deleting
+    and re-creating the checkpoint at the SAME path mints a new identity
+    and raises on a reused store — pair a new checkpoint with a new
+    store path."""
+    import uuid
+
+    tok_file = Path(checkpoint) / "_sink_identity"
+    if tok_file.exists():
+        return tok_file.read_text().strip()
+    tok_file.parent.mkdir(parents=True, exist_ok=True)
+    token = uuid.uuid4().hex
+    tmp = tok_file.with_name(tok_file.name + ".tmp")
+    tmp.write_text(token)
+    tmp.rename(tok_file)  # single rename: no torn reads from listeners
+    return token
+
+
+def _same_ckpt(stored_tok: str, ckpt_token: str, checkpoint: str) -> bool:
+    """True when a store's recorded ``_ckpt`` was written by THIS
+    checkpoint.  Accepts the legacy pre-r12 token (the resolved
+    checkpoint path) so stores written before the identity-file scheme
+    keep classifying crash replays correctly instead of bricking."""
+    return stored_tok == ckpt_token or stored_tok == str(
+        Path(checkpoint).resolve()
+    )
 
 
 def digest_foreach_batch(
@@ -500,7 +529,9 @@ def digest_foreach_batch(
             # behavior rather than bricking existing stores.
             stored_tok = srow["tok"] if has_tok else ckpt_token
             if applied is not None and applied >= batch_id:
-                if applied > batch_id or stored_tok != ckpt_token:
+                if applied > batch_id or not _same_ckpt(
+                    stored_tok, ckpt_token, checkpoint
+                ):
                     # Either ids restarted BELOW applied state, or the
                     # same id arrived from a DIFFERENT checkpoint — both
                     # mean a fresh checkpoint was pointed at a reused
@@ -681,7 +712,9 @@ def cms_foreach_batch(
             applied = srow["applied"]
             stored_tok = srow["tok"] if has_tok else ckpt_token  # legacy
             if applied is not None and applied >= batch_id:
-                if applied > batch_id or stored_tok != ckpt_token:
+                if applied > batch_id or not _same_ckpt(
+                    stored_tok, ckpt_token, checkpoint
+                ):
                     raise ValueError(
                         f"cms store {path} already holds batch {applied} "
                         f"(written by checkpoint {stored_tok}) but "
@@ -777,7 +810,9 @@ def mg_foreach_batch(
             applied = srow["applied"]
             stored_tok = srow["tok"] if has_tok else ckpt_token  # legacy
             if applied is not None and applied >= batch_id:
-                if applied > batch_id or stored_tok != ckpt_token:
+                if applied > batch_id or not _same_ckpt(
+                    stored_tok, ckpt_token, checkpoint
+                ):
                     raise ValueError(
                         f"mg store {path} already holds batch {applied} "
                         f"(written by checkpoint {stored_tok}) but "

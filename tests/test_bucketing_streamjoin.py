@@ -183,3 +183,99 @@ def test_stream_stream_join_state_eviction_bounded(spark, tmp_path):
     # and the final trigger holds only the newest sliver
     assert max(state_rows) < total_delivered
     assert state_rows[-1] <= 4
+
+
+def test_stream_stream_left_outer_state_eviction_and_null_padding(
+    spark, tmp_path
+):
+    """LEFT OUTER twin of the eviction audit (VERDICT r11 item 6b): the
+    r11 test pins inner-join state only, but the outer join adds the
+    semantics that only the streaming runtime has — an unmatched left
+    row may emit its null-padded form ONLY once the watermark proves no
+    match can arrive.  Deliveries alternate matched / unmatched left
+    rows, spaced far past the join bound, so the audit pins three
+    things: (1) every matched pair emits with its value, (2) every
+    unmatched left row whose horizon closed emits exactly once with
+    NULL right columns (the final file's row stays held back — its
+    horizon is still open at end of input), and (3) the join state
+    store stays bounded, never approaching everything-ever-delivered."""
+    import datetime as dt
+    import time
+
+    base = dt.datetime(2024, 1, 1)
+    n_files = 8
+
+    def write(dirname, rows):
+        spark.createDataFrame(rows, ROW).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(tmp_path / dirname))
+
+    # files 10 minutes apart (>> 5s bound + 20s watermark); even files
+    # have a matching right row, odd files do not
+    for i in range(n_files):
+        ts = base + dt.timedelta(minutes=10 * i)
+        write(f"lhs/b{i}", [("r1", ts, float(i))])
+        if i % 2 == 0:
+            write(f"rhs/b{i}", [("r1", ts + dt.timedelta(seconds=2), 100.0 + i)])
+        else:  # keep file cadence so both sides' watermarks advance together
+            write(f"rhs/b{i}", [("zzz-no-match", ts + dt.timedelta(seconds=2), -1.0)])
+
+    lhs = (
+        spark.readStream.schema(ROW)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path / "lhs/*"))
+        .withWatermark("event_ts", "20 seconds")
+        .select("ride_id", F.col("event_ts").alias("l_ts"), F.col("v").alias("lv"))
+    )
+    rhs = (
+        spark.readStream.schema(ROW)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path / "rhs/*"))
+        .withWatermark("event_ts", "20 seconds")
+        .select(
+            F.col("ride_id").alias("r_ride_id"),
+            F.col("event_ts").alias("r_ts"),
+            F.col("v").alias("rv"),
+        )
+    )
+    joined = lhs.join(
+        rhs,
+        F.expr(
+            "ride_id = r_ride_id AND "
+            "r_ts BETWEEN l_ts AND l_ts + INTERVAL 5 seconds"
+        ),
+        "leftOuter",
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssj_loj_evict")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_loj"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        time.sleep(1)
+        progress = list(q.recentProgress)
+    finally:
+        q.stop()
+    rows = spark.sql("select * from ssj_loj_evict").collect()
+    matched = {r.lv: r.rv for r in rows if r.rv is not None}
+    nulls = sorted(r.lv for r in rows if r.rv is None)
+    # (1) every even file's pair emitted with its right value
+    assert matched == {float(i): 100.0 + i for i in range(n_files) if i % 2 == 0}
+    # (2) null-padded rows: exactly the odd files whose horizon closed.
+    # The last odd file (n_files-1) has no later delivery to advance the
+    # watermark past its horizon, so it is held back in state.
+    assert nulls == [float(i) for i in range(n_files) if i % 2 == 1][:-1]
+    for r in rows:
+        if r.rv is None:
+            assert r.r_ride_id is None and r.r_ts is None  # true null padding
+    # (3) bounded state: never everything-ever-delivered
+    state_rows = [
+        p["stateOperators"][0]["numRowsTotal"]
+        for p in progress
+        if p.get("stateOperators")
+    ]
+    assert state_rows, "no state-operator metrics captured"
+    assert max(state_rows) < 2 * n_files

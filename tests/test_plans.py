@@ -1109,3 +1109,32 @@ def test_keyed_record_scan_vectorized_paths(spark):
         ).collect()
     }
     assert marked == {0: True, 1: False, 2: True}
+
+
+def test_keyed_record_scan_nan_never_enters_carry(spark):
+    """ADVICE r11: a NaN stored as a key's cross-batch running max made
+    carry.isna() true, so later batches flagged beaten rows as records.
+    An all-NaN leading batch must behave like 'no prior finite value' —
+    the first finite row is a record, a later smaller row is not, and
+    the dict carry never holds NaN."""
+    from anomaly_detection_in_time_series_data_spark.operators import ranks
+
+    rows = [("a", 0, float("nan")), ("a", 1, 9.0), ("a", 2, 5.0), ("a", 3, 11.0)]
+    df = spark.createDataFrame(rows, "k string, seq int, v double")
+    # one row per Arrow batch so the NaN row is a WHOLE earlier batch and
+    # its per-key max must cross through the carry dict, not the cummax
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, "1")
+    try:
+        marked = {
+            r.seq: r.is_record
+            for r in ranks.keyed_record_scan(
+                df, ["k"], ["k", "seq"], "v", parts=1
+            ).collect()
+        }
+    finally:
+        spark.conf.set(key, prev) if prev is not None else spark.conf.unset(key)
+    # seq=2 (5.0 after 9.0) must NOT be a record even though the key's
+    # first-ever value was NaN; seq=3 (11.0) must be.
+    assert marked[1] is True and marked[2] is False and marked[3] is True

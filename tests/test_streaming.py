@@ -890,7 +890,10 @@ def test_digest_sink_batch0_crash_replay_skips(spark, tmp_path):
     os.remove(os.path.join(ck, "commits", "0"))
     # the local ChecksumFileSystem keeps a .crc sibling; a stale one makes
     # the replayed commit-log rename fail as a phantom concurrent writer
-    os.remove(os.path.join(ck, "commits", ".0.crc"))
+    # (guarded: a no-CRC Hadoop local-FS config writes no sibling)
+    crc = os.path.join(ck, "commits", ".0.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
     run(ck)
     row2 = spark.read.parquet(store).collect()[0]
     assert (row2.n_rows, row2.checksum_sum, row2.checksum_xor) == (
@@ -909,6 +912,70 @@ def test_digest_sink_batch0_crash_replay_skips(spark, tmp_path):
         run(str(tmp_path / "ck2"))
     row3 = spark.read.parquet(store).collect()[0]
     assert (row3.n_rows, row3.checksum_sum) == (row.n_rows, row.checksum_sum)
+
+
+def test_digest_sink_relocated_pair_replays_cleanly(spark, tmp_path):
+    """ADVICE r11: checkpoint identity is a random token minted into
+    ``<checkpoint>/_sink_identity``, not the checkpoint's resolved
+    filesystem path — so relocating a (store, checkpoint) pair TOGETHER
+    (backup/restore, a different mount point or container path) keeps a
+    crash-window replay classified as same-checkpoint (skip), instead of
+    raising 'fresh checkpoint over an existing store' and turning a
+    recoverable restart into manual surgery."""
+    import os
+    import shutil
+
+    import pyspark.errors
+
+    from anomaly_detection_in_time_series_data_spark.streaming.sinks import (
+        digest_foreach_batch,
+    )
+
+    schema = "h bigint"
+    src = str(tmp_path / "src")
+    _stage_deliveries(spark, src, [[(5,), (9,)]], schema)
+
+    def run(store, checkpoint):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = digest_foreach_batch(stream, store, checkpoint=checkpoint)
+        try:
+            q.awaitTermination()
+        finally:
+            q.stop()
+
+    store1, ck1 = str(tmp_path / "stateA" / "s"), str(tmp_path / "ckA" / "c")
+    run(store1, ck1)
+    row = spark.read.parquet(store1).collect()[0]
+    assert (row.n_rows, row.checksum_sum) == (2, 14)
+
+    # relocate the WHOLE pair, then lose the batch-0 commit record (the
+    # crash-window shape) — the identity file travels with the checkpoint
+    store2, ck2 = str(tmp_path / "stateB" / "s"), str(tmp_path / "ckB" / "c")
+    shutil.copytree(store1, store2)
+    shutil.copytree(ck1, ck2)
+    shutil.rmtree(str(tmp_path / "stateA"))
+    shutil.rmtree(str(tmp_path / "ckA"))
+    os.remove(os.path.join(ck2, "commits", "0"))
+    crc = os.path.join(ck2, "commits", ".0.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    run(store2, ck2)  # same-checkpoint crash replay at the NEW path: skip
+    row2 = spark.read.parquet(store2).collect()[0]
+    assert (row2.n_rows, row2.checksum_sum, row2.checksum_xor) == (
+        row.n_rows, row.checksum_sum, row.checksum_xor
+    )
+
+    # a genuinely fresh checkpoint (its own minted identity) over the
+    # relocated store must still fail loudly
+    with pytest.raises(
+        pyspark.errors.StreamingQueryException,
+        match="fresh checkpoint over an existing store",
+    ):
+        run(store2, str(tmp_path / "ckC" / "c"))
 
 
 def test_digest_sink_empty_delivery_is_identity(spark, tmp_path):
@@ -1009,7 +1076,9 @@ def test_cms_sink_keyed_fold_fence_and_identity(spark, tmp_path):
 
     run1(cka)
     os.remove(os.path.join(cka, "commits", "0"))
-    os.remove(os.path.join(cka, "commits", ".0.crc"))  # stale crc sibling
+    crc = os.path.join(cka, "commits", ".0.crc")  # stale crc sibling
+    if os.path.exists(crc):
+        os.remove(crc)
     run1(cka)  # same-checkpoint crash replay: skip
     got3 = {(r.i, r.b): r.n for r in spark.read.parquet(store1).collect()}
     assert got3 == {(0, 3): 2, (1, 5): 1}
