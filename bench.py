@@ -233,6 +233,7 @@ HEADLINE = [
     "wilcoxon_signed_rank_pairs",
     "unseen_bigram_mass_estimates",
     "streaming_mg_topk_maintenance",
+    "multimodal_motion_energy",
 ]
 
 

@@ -279,3 +279,53 @@ def test_mjpeg_mp4_compressed_video_end_to_end(spark, media):
             assert out[mid][fi] == direct  # Spark leg == direct decode
             src = raw[fi * 64 : (fi + 1) * 64].tobytes()
             assert out[mid][fi] != src  # lossy: really compressed
+
+
+def test_motion_energy_matches_numpy_replica(spark):
+    """Round 12: the multi-frame motion statistics must equal a
+    Spark-independent numpy replica that re-derives every video's
+    frames from the seeded corpus definition — exact raw frames for the
+    rawv8 / raw8-in-MP4 rows, and the spec JPEG codec ROUNDTRIP for the
+    Motion-JPEG rows (motion is computed over what actually decodes,
+    not the pre-compression source).  This regenerates the committed
+    golden oracle of `multimodal_motion_energy` per run."""
+    import numpy as np
+
+    from anomaly_detection_in_time_series_data_spark.functions.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    corpus = mm.synthetic_media(spark, 48)  # the oracle query's corpus
+    got = {
+        r.media_id: (r.n_frames, r.motion_abs, r.motion_sq, r.peak_pair_abs)
+        for r in mm.motion_energy(corpus).collect()
+    }
+    w = h = 8
+    nf = 6
+    want = {}
+    for i in range(48):
+        if i % 3 != 2:
+            continue
+        rng = np.random.RandomState(42 + i)
+        raw = rng.randint(0, 256, size=w * h * nf, dtype=np.uint8)
+        frames = [raw[k * w * h : (k + 1) * w * h].reshape(h, w) for k in range(nf)]
+        if i % 9 == 2:  # Motion-JPEG rows: lossy roundtrip per frame
+            fs = []
+            for f in frames:
+                d = decode_jpeg(encode_jpeg(f))
+                fs.append((d[:, :, 0] if d.ndim == 3 else d).astype(np.int64))
+        else:
+            fs = [f.astype(np.int64) for f in frames]
+        abs_sum = sq_sum = peak = 0
+        for a, b in zip(fs, fs[1:]):
+            d = b - a
+            pa = int(np.abs(d).sum())
+            abs_sum += pa
+            sq_sum += int((d * d).sum())
+            peak = max(peak, pa)
+        want[i] = (nf, abs_sum, sq_sum, peak)
+    assert got == want
+    # motion must be real: every video moved, and the mjpeg rows' motion
+    # differs from their raw-source motion (the roundtrip is lossy)
+    assert all(v[1] > 0 for v in got.values())
