@@ -242,21 +242,32 @@ def partitioned_subgrain_windows(
                 grain = bounding_grain(c)
             if grain is not None:
                 residual = [g for g in grain if g not in set(part_keys)]
-                if residual and not _is_rank_operator_internal(part_keys):
+                # The two-phase rank operators' keyed offset windows are
+                # partitioned by the CONSUMER's key with a residual of
+                # the internal partition-id column — a frame bounded by
+                # the operator's `parts` constant, excluded mechanically
+                # like the partition-less twin in grouped_global_windows.
+                if (
+                    residual
+                    and not _is_rank_operator_internal(part_keys)
+                    and not _is_rank_operator_internal(residual)
+                ):
                     out.append((node.simpleString(120), part_keys, residual))
         stack.extend(children(node))
     return out
 
 
 def _is_rank_operator_internal(grouping: list[str]) -> bool:
-    """The two-phase rank/prefix-sum operators (`operators/ranks.py`)
-    contain, BY DESIGN, a partition-less offset window over an Aggregate
-    grouped by their partition-id column — a frame bounded by the
-    operator's ``parts`` constant (<=16 rows), never by data.  Those
-    sites are provably bounded, so the audit excludes them mechanically
-    instead of asking for a per-consumer justification."""
+    """The two-phase rank/prefix-sum/record operators
+    (`operators/ranks.py`) contain, BY DESIGN, offset windows over an
+    Aggregate grouped by their internal partition-id column — a frame
+    bounded by the operator's ``parts`` constant (<=16 rows per key),
+    never by data.  Those sites are provably bounded, so the audits
+    exclude them mechanically instead of asking for a per-consumer
+    justification."""
     return all(
-        g.strip("`").startswith(("_ger_pid", "_gps_pid")) for g in grouping
+        g.strip("`").startswith(("_ger_pid", "_gps_pid", "_ker_pid", "_krs_pid"))
+        for g in grouping
     )
 
 

@@ -234,6 +234,7 @@ HEADLINE = [
     "unseen_bigram_mass_estimates",
     "streaming_mg_topk_maintenance",
     "multimodal_motion_energy",
+    "distributed_keyed_rank",
 ]
 
 

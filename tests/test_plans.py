@@ -1138,3 +1138,108 @@ def test_keyed_record_scan_nan_never_enters_carry(spark):
     # seq=2 (5.0 after 9.0) must NOT be a record even though the key's
     # first-ever value was NaN; seq=3 (11.0) must be.
     assert marked[1] is True and marked[2] is False and marked[3] is True
+
+
+def test_keyed_exact_rank_matches_window(spark):
+    """keyed_exact_rank (round 12, from the partitioned-subgrain-window
+    audit) must reproduce row_number()/count() OVER (PARTITION BY key
+    ORDER BY ...) exactly — across range-partition boundaries,
+    interleaved keys, multi-column keys, and desc ordering."""
+    from anomaly_detection_in_time_series_data_spark.operators import ranks
+
+    df = spark.range(600).selectExpr(
+        "id",
+        "CAST(id % 5 AS STRING) AS k",
+        "CAST((id * 131) % 997 AS BIGINT) AS v",
+    )
+    got = {
+        r.id: (r.rnk, r.n)
+        for r in ranks.keyed_exact_rank(
+            df, ["k"], ["k", F.col("v").desc(), "id"], parts=7
+        ).collect()
+    }
+    w = Window.partitionBy("k").orderBy(F.col("v").desc(), "id")
+    want = {
+        r.id: (r.rn, r.cnt)
+        for r in df.withColumn("rn", F.row_number().over(w))
+        .withColumn("cnt", F.count("*").over(Window.partitionBy("k")))
+        .collect()
+    }
+    assert got == want
+
+    # multi-key
+    df2 = spark.range(300).selectExpr(
+        "id",
+        "CAST(id % 2 AS STRING) AS k1",
+        "CAST(id % 3 AS BIGINT) AS k2",
+        "CAST((id * 37) % 211 AS BIGINT) AS v",
+    )
+    got2 = {
+        r.id: (r.rnk, r.n)
+        for r in ranks.keyed_exact_rank(
+            df2, ["k1", "k2"], ["k1", "k2", "v", "id"], parts=5
+        ).collect()
+    }
+    w2 = Window.partitionBy("k1", "k2").orderBy("v", "id")
+    want2 = {
+        r.id: (r.rn, r.cnt)
+        for r in df2.withColumn("rn", F.row_number().over(w2))
+        .withColumn("cnt", F.count("*").over(Window.partitionBy("k1", "k2")))
+        .collect()
+    }
+    assert got2 == want2
+    import pytest
+
+    with pytest.raises(ValueError, match="already exist"):
+        ranks.keyed_exact_rank(
+            df.withColumnRenamed("v", "rnk"), ["k"], ["k", "id"]
+        )
+
+
+def test_windowgrouplimit_prunes_topk_windows(spark, sf_dir):
+    """The top-k-per-group rank filters must ride Spark's
+    WindowGroupLimit rewrite (map-side partial top-k per key) — the
+    justification the round-12 subgrain-window audit records for this
+    class.  If a refactor drops the rank filter's pushable shape, the
+    per-key frame materializes in full and this fails."""
+    for name in [
+        "gaussian_nll_anomalies",
+        "topk_membership_churn",
+        "tfidf_top_terms",
+        "lsh_ann_topk",
+        "modal_priority_by_status",
+    ]:
+        df = q.QUERIES[name](spark, sf_dir)
+        assert "WindowGroupLimit" in plans.executed_plan(df), name
+
+
+def test_subgrain_window_rewrites(spark, sf_dir):
+    """Round-12 partitioned-subgrain-window audit outcomes, pinned:
+    jonckheere keeps its justified tiny-key window over the domain-
+    bounded cents grid; borda_rank_aggregation and gmm_anomaly_scores
+    ride keyed_exact_rank (their only remaining keyed offset windows are
+    rank-operator internals, excluded mechanically); user_activity_gini
+    keeps only the count-GRID window, never a user-frame one.  Swept
+    with localCheckpoint transparent — the audit must see through
+    checkpointed frames."""
+    import pyspark.sql.classic.dataframe as cd
+
+    orig = cd.DataFrame.localCheckpoint
+    cd.DataFrame.localCheckpoint = lambda self, eager=True: self
+    try:
+        jon = plans.partitioned_subgrain_windows(
+            q.QUERIES["jonckheere_ordered_trend"](spark, sf_dir)
+        )
+        assert jon and jon[0][1] == ["grp"] and jon[0][2] == ["c"]
+        for name in ["borda_rank_aggregation", "gmm_anomaly_scores"]:
+            sites = plans.partitioned_subgrain_windows(
+                q.QUERIES[name](spark, sf_dir)
+            )
+            assert sites == [], (name, sites)
+        gini = plans.partitioned_subgrain_windows(
+            q.QUERIES["user_activity_gini"](spark, sf_dir)
+        )
+        for _win, _pk, residual in gini:
+            assert "user_id" not in residual, gini
+    finally:
+        cd.DataFrame.localCheckpoint = orig

@@ -128,7 +128,68 @@ WINDOW_AUDIT_JUSTIFICATIONS: dict[str, str] = {
 # key parallelizes adequately.  The sweep sees THROUGH localCheckpoint
 # (lineage is transparently kept during audit), so sites hidden behind
 # checkpointed frames are surfaced too.
-SUBGRAIN_WINDOW_AUDIT_JUSTIFICATIONS: dict[str, str] = {}
+#
+# The round-12 sweep surfaced 49 sites; three genuinely-weak shapes were
+# REWRITTEN instead of justified (user_activity_gini -> count-grid
+# closed form; borda_rank_aggregation + gmm_anomaly_scores ->
+# operators/ranks.py:keyed_exact_rank, the keyed two-phase rank this
+# audit motivated).
+SUBGRAIN_WINDOW_AUDIT_JUSTIFICATIONS: dict[str, str] = {
+    # Calendar residual (frame grows with timespan, not data volume):
+    "best_burst_window": "event_type grain (5) x day residual — calendar-bounded frame",
+    "delivery_completeness_audit": "(event_type, missing-flag) x day residual — calendar-bounded",
+    "detector_pr_vs_ensemble": "event_type (5) x day residual — calendar-bounded",
+    "detector_threshold_sweep": "event_type (5) x day residual — calendar-bounded",
+    "event_rate_changepoint": "event_type (5) x hour residual — calendar-bounded",
+    "haar_wavelet_energy": "event_type (5) x day residual — calendar-bounded (ladder halves it further)",
+    "linear_interp_gap_fill": "event_type (5) x hour residual — calendar-bounded",
+    "mase_forecast_eval": "event_type (5) x hour residual — calendar-bounded",
+    "newsvendor_quantile_order": "event_type (5) x day residual — calendar-bounded",
+    "ols_leverage_influence": "event_type (5) x hour residual — calendar-bounded",
+    "record_breaking_days": "event_type (5) x day residual — calendar-bounded",
+    "resample_gap_fill": "event_type (5) x time-bucket residual — calendar-bounded",
+    "rolling_ols_slope": "event_type (5) x hour residual — calendar-bounded",
+    "runs_test_randomness": "event_type (5) x day residual — calendar-bounded",
+    "seasonal_dow_profile": "event_type (5) x day residual — calendar-bounded",
+    "stl_lite_decomposition": "event_type (5) x day residual — calendar-bounded",
+    "spc_control_chart_rules": "event_type (x side/run flags) x day residual — calendar-bounded",
+    "lttb_downsample_lite": "time-bucket partition (calendar-bounded) x hour sub-grain residual",
+    "ltv_cohort_curve": "cohort_week x age_week — both calendar grains",
+    "rolling_wau_bitmap": "fixed user-hash bucket partition x day residual — days-sized frame per bucket",
+    # Domain-bounded value-grid residual (cents/count quantization):
+    "boxplot_components": "event_type (5) x cents grid — domain-bounded by value quantization",
+    "brown_forsythe_components": "event_type (5) x doubled-median cents grid — domain-bounded",
+    "median_imputation_audit": "event_type (5) x cents grid — domain-bounded",
+    "ks_value_drift": "event_type (5) x value grid — domain-bounded",
+    "mann_whitney_drift": "event_type (5) x value grid — domain-bounded",
+    "wasserstein_value_drift": "event_type (5) x cent grid — domain-bounded (PLANS showcase documents the bound)",
+    "jonckheere_ordered_trend": "5 ordered priority groups x domain-bounded cents grid (the roc_auc_exact class; VERDICT r11 watch item closed)",
+    "user_activity_gini": "event_type (5) x per-user activity-count grid — r12 count-grid rewrite; grid bounded by the count domain, not user count",
+    # Enum residual (k x k constant grids):
+    "lang_confusion_matrix": "label/pred partitions over the 5x5 language confusion grid — constant frame",
+    "lead_lag_correlation": "type-pair partitions (25) x bounded lag grid",
+    "markov_backtest_accuracy": "event_type x next-type enum — k x k frame",
+    "next_event_entropy": "event_type x next-type enum — k x k frame",
+    "modal_priority_by_status": "order status (3) x priority (5) constant grid; top-1 filter also rides WindowGroupLimit",
+    # Top-k rank filters (WindowGroupLimit prunes map-side to k rows per
+    # key before the sort — pinned in test_plans.py):
+    "gaussian_nll_anomalies": "top-N-per-label rank filter rides WindowGroupLimit — map-side partial top-k, per-label frame never materializes",
+    "topk_membership_churn": "weekly top-10 filter rides WindowGroupLimit — 10-row state per week per mapper",
+}
+
+# Partition keys that are id-grain / arbitrary-cardinality: the window
+# parallelizes across keys natively, so a subgrain residual is the
+# NORMAL per-entity frame (terms per doc, days per user), not a
+# concentration hazard.  Sites whose every partition key is in this set
+# are auto-annotated.
+WIDE_PARTITION_KEYS = {
+    "doc_id",
+    "user_id",
+    "probe_id",
+    "canon",
+    "node",
+    "l_orderkey",
+}
 
 
 @contextmanager
@@ -195,16 +256,17 @@ def audit_subgrain_windows(
                 )
                 continue
             for win, pkeys, residual in sites:
-                rows.append(
-                    (
-                        name,
-                        win,
-                        pkeys,
-                        residual,
-                        SUBGRAIN_WINDOW_AUDIT_JUSTIFICATIONS.get(
-                            name, "UNREVIEWED"
-                        ),
+                just = SUBGRAIN_WINDOW_AUDIT_JUSTIFICATIONS.get(name)
+                if just is None and pkeys and all(
+                    k in WIDE_PARTITION_KEYS for k in pkeys
+                ):
+                    just = (
+                        "partition key parallelizes (id-grain: "
+                        + ", ".join(pkeys)
+                        + ") — residual is the normal per-entity frame"
                     )
+                rows.append(
+                    (name, win, pkeys, residual, just or "UNREVIEWED")
                 )
     return rows
 
