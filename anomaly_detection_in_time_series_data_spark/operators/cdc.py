@@ -56,33 +56,43 @@ def scd2_merge(
     has_open = F.col(start_col).isNotNull()
     has_upd = F.col("_u_ts").isNotNull()
 
-    # 1. untouched open rows (no update for the key)
-    untouched = joined.filter(has_open & ~has_upd).select(*current.columns)
-    # 2. unchanged (update delivered but values equal): keep original row
-    unchanged = joined.filter(has_open & has_upd & ~diff).select(*current.columns)
-    # 3. closed-out versions of changed rows
-    closed_out = (
-        joined.filter(has_open & has_upd & diff)
-        .select(
-            *keys,
-            *tracked,
-            F.col(start_col),
-            F.col("_u_ts").alias(end_col),
-        )
+    # ONE pass over the joined frame instead of four filtered union
+    # branches (optimization r12, guide §2.4): each joined row projects
+    # to an array of its 1-2 output versions — untouched/unchanged open
+    # rows keep their version, a changed key yields [closed-out version,
+    # new open version], a brand-new key yields [new open version] — and
+    # one explode emits them.  The old shape evaluated the full-outer
+    # join once per branch (4 subtrees under the union); this evaluates
+    # it once.  Row-for-row identical output.
+    end_t = current.schema[end_col].dataType
+    out_cols = tracked + [start_col, end_col]
+    keep = F.struct(
+        *[F.col(c).alias(c) for c in tracked],
+        F.col(start_col).alias(start_col),
+        F.lit(None).cast(end_t).alias(end_col),
     )
-    # 4. new open versions (changed keys + brand-new keys)
-    new_open = (
-        joined.filter(has_upd & (~has_open | diff))
-        .select(
-            *keys,
-            *[F.col(f"_u_{c}").alias(c) for c in tracked],
-            F.col("_u_ts").alias(start_col),
-            F.lit(None).cast(current.schema[end_col].dataType).alias(end_col),
-        )
+    closed_v = F.struct(
+        *[F.col(c).alias(c) for c in tracked],
+        F.col(start_col).alias(start_col),
+        F.col("_u_ts").cast(end_t).alias(end_col),
     )
-    return (
-        closed_rows.unionByName(untouched)
-        .unionByName(unchanged)
-        .unionByName(closed_out.select(*current.columns))
-        .unionByName(new_open.select(*current.columns))
+    new_v = F.struct(
+        *[F.col(f"_u_{c}").alias(c) for c in tracked],
+        F.col("_u_ts").alias(start_col),
+        F.lit(None).cast(end_t).alias(end_col),
     )
+    versions = (
+        F.when(has_open & ~has_upd, F.array(keep))
+        .when(has_open & has_upd & ~diff, F.array(keep))
+        .when(has_open & has_upd & diff, F.array(closed_v, new_v))
+        .otherwise(F.array(new_v))  # brand-new key
+    )
+    merged = (
+        # explode_outer, not explode: the arrays are never empty, and
+        # explode would pick up an inferred size(<case expr>) pre-filter
+        # re-evaluating the whole projection per row (the
+        # dedup._explode_shingles hazard).
+        joined.select(*keys, F.explode_outer(versions).alias("_v"))
+        .select(*keys, *[F.col(f"_v.{c}").alias(c) for c in out_cols])
+    )
+    return closed_rows.unionByName(merged.select(*current.columns))

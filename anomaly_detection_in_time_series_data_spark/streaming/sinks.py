@@ -194,9 +194,10 @@ def scd2_foreach_batch(
             current = scd2_merge(
                 current, upd, keys=keys, tracked=tracked, ts_col=ts_col
             )
-            # scd2_merge fans current into 4 branches; materialize per fold
-            # so a multi-delivery trigger stays one-merge-deep (the
-            # scd2_event_type_history plan-depth lesson).
+            # materialize per fold so a multi-delivery trigger stays
+            # one-merge-deep (the scd2_event_type_history plan-depth
+            # lesson; scd2_merge is single-pass since r12 but folds still
+            # compound join-over-join).
             current = current.localCheckpoint(eager=True)
         staging = Path(f"{path}.stage-{batch_id}")
         current.write.mode("overwrite").parquet(str(staging))
@@ -327,27 +328,6 @@ def streaks_foreach_batch(
             F.max(F.when(F.col("rk") > 1, F.col("len"))).alias("max_rest_len"),
             F.sum("len").cast("bigint").alias("batch_days"),
         )
-        if state is not None:
-            # Ascending-order contract, enforced in-fold: a batch whose
-            # first day for some user is <= that user's stored last_day
-            # is out-of-order (or a partial overlap) and would corrupt
-            # the additive streak counts.  Join is bounded by the
-            # batch's user set.
-            ooo = (
-                agg.select("user_id", "first_start")
-                .join(state.select("user_id", "last_day"), "user_id")
-                .filter(F.col("first_start") <= F.col("last_day"))
-                .limit(1)
-                .count()
-            )
-            if ooo:
-                raise ValueError(
-                    f"streaks_foreach_batch: batch {batch_id} violates the "
-                    "ascending-day contract (some user's batch activity "
-                    "starts at or before their stored last_day). The "
-                    "incremental fold cannot apply out-of-order history — "
-                    "recompute the view from full history instead."
-                )
         if state is None:
             state = spark.createDataFrame(
                 [],
@@ -366,6 +346,31 @@ def streaks_foreach_batch(
         st = state.drop("_batch_id").alias("st")
         ba = agg.alias("ba")
         z = F.lit(0).cast("bigint")
+        # Ascending-order contract, enforced in-fold: a batch whose first
+        # day for some user is <= that user's stored last_day is
+        # out-of-order (or a partial overlap) and would corrupt the
+        # additive streak counts.  The guard rides the merge projection
+        # itself (raise_error inside the staging write) instead of a
+        # separate join+count Spark job per trigger (optimization r12,
+        # guide §2.4): a violating row fails the staging write BEFORE
+        # ``_swap_in``, so the store is untouched and the streaming query
+        # fails loudly with the same ascending-day message.
+        ooo = F.col("st.last_day").isNotNull() & (
+            F.col("ba.first_start") <= F.col("st.last_day")
+        )
+        ooo_guard = F.when(
+            ooo,
+            F.raise_error(
+                F.lit(
+                    f"streaks_foreach_batch: batch {batch_id} violates "
+                    "the ascending-day contract (some user's batch "
+                    "activity starts at or before their stored last_day). "
+                    "The incremental fold cannot apply out-of-order "
+                    "history — recompute the view from full history "
+                    "instead."
+                )
+            ).cast("bigint"),
+        ).otherwise(z)
         ext = F.col("st.last_day").isNotNull() & (
             F.col("ba.first_start") == F.col("st.last_day") + 1
         )
@@ -382,7 +387,8 @@ def streaks_foreach_batch(
             F.when(
                 has_batch,
                 F.coalesce(F.col("st.n_active_days"), z)
-                + F.col("ba.batch_days"),
+                + F.col("ba.batch_days")
+                + ooo_guard,
             )
             .otherwise(F.col("st.n_active_days"))
             .alias("n_active_days"),

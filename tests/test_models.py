@@ -18,8 +18,21 @@ def planted(spark):
     rows = []
     for i in range(99):
         center = -2.0 if i % 2 == 0 else 2.0
+        # Per-dim frequency (d + 1) * 0.77 makes the jitter FULL-RANK
+        # across the 8 dims.  The previous sin(i * 13.7 + d) jitter was a
+        # linear combination of (sin, cos) of one phase — rank 2 — so each
+        # cluster's covariance was singular and MLlib GMM's eigensolve
+        # (f2j dsyev) span for the better part of an hour in dlascl's
+        # denormal-scaling loop depending on float merge order (observed
+        # twice in round 12; pre-existing flake, not a product change).
         rows.append(
-            (i, [center + 0.3 * math.sin(i * 13.7 + d) for d in range(8)])
+            (
+                i,
+                [
+                    center + 0.3 * math.sin(i * (d + 1) * 0.77 + d)
+                    for d in range(8)
+                ],
+            )
         )
     # Moderate outlier: far enough to flag, near enough that giving it its
     # own k-means cluster / GMM component is not loss-optimal.
