@@ -85,7 +85,13 @@ def scd2_merge(
         F.when(has_open & ~has_upd, F.array(keep))
         .when(has_open & has_upd & ~diff, F.array(keep))
         .when(has_open & has_upd & diff, F.array(closed_v, new_v))
-        .otherwise(F.array(new_v))  # brand-new key
+        # Brand-new key PINNED to ~has_open & has_upd (ADVICE r12): a
+        # degenerate full-outer row with NEITHER side (null ts_col in
+        # updates, or an open row with null valid_from) must emit nothing
+        # — the pre-r12 4-branch union dropped such rows, and a bare
+        # otherwise() would emit an all-null version row for them.
+        .when(~has_open & has_upd, F.array(new_v))
+        .otherwise(F.slice(F.array(new_v), 1, 0))  # empty, same type
     )
     merged = (
         # explode_outer, not explode: the arrays are never empty, and
@@ -93,6 +99,10 @@ def scd2_merge(
         # re-evaluating the whole projection per row (the
         # dedup._explode_shingles hazard).
         joined.select(*keys, F.explode_outer(versions).alias("_v"))
+        # explode_outer turns the (degenerate-row-only) EMPTY array into
+        # one null marker row — drop it.  Well-formed rows always carry a
+        # non-null version struct, so nothing else matches this filter.
+        .filter(F.col("_v").isNotNull())
         .select(*keys, *[F.col(f"_v.{c}").alias(c) for c in out_cols])
     )
     return closed_rows.unionByName(merged.select(*current.columns))

@@ -583,6 +583,21 @@ def connected_components(
         .distinct()
         .withColumn("component", F.col("node"))
     )
+
+    # Convergence check as a MONOTONE CHECKSUM instead of a per-superstep
+    # join+count job (optimization r13, guide §2.4): min-label propagation
+    # only ever DECREASES a node's label, so sum(component) over the fixed
+    # node set strictly decreases iff any label changed — one 1-row
+    # aggregate over the just-checkpointed frame replaces the
+    # labels⋈labels comparison join every superstep.  decimal(38,0) keeps
+    # the sum exact for any realistic id domain (no int64 wrap collisions).
+    def _chk(frame) -> object:
+        return frame.agg(
+            F.sum(F.col("component").cast("decimal(38,0)"))
+        ).collect()[0][0]
+
+    prev_chk: object = None  # first superstep always runs (and on any
+    # edgeful graph always changes at least one label)
     for _ in range(max_iter):
         msgs = und.join(labels, und.a == labels.node).select(
             F.col("b").alias("node"), "component"
@@ -593,15 +608,11 @@ def connected_components(
             .agg(F.min("component").alias("component"))
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
+        new_chk = _chk(new_labels)
         labels = new_labels
-        if changed == 0:
+        if prev_chk is not None and new_chk == prev_chk:
             break
+        prev_chk = new_chk
     return labels
 
 

@@ -424,7 +424,15 @@ def streaks_foreach_batch(
             F.lit(batch_id).cast("bigint").alias("_batch_id"),
         )
         staging = Path(f"{path}.stage-{batch_id}")
-        merged.write.mode("overwrite").parquet(str(staging))
+        # The in-fold ascending-day guard (ooo_guard above) fires MID
+        # staging write — remove the partial stage dir before re-raising
+        # so a violation leaves only the untouched live store behind
+        # (ADVICE r12).
+        try:
+            merged.write.mode("overwrite").parquet(str(staging))
+        except Exception:
+            shutil.rmtree(staging, ignore_errors=True)
+            raise
         _swap_in(staging, out, batch_id)
 
     return (

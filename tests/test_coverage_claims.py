@@ -49,52 +49,52 @@ def test_every_claimed_oracle_is_verified_or_scheduled():
     claimed = _claimed_oracles() & set(q.QUERIES)
     green = _recorded_green()
     window = set(list(q.QUERIES)[:50])
-    pending = set(q._PENDING_ROUND13)
+    pending = set(q._PENDING_ROUND14)
     orphaned = sorted(
         n for n in claimed if n not in green and n not in window and n not in pending
     )
     assert not orphaned, (
         "oracle claims with no driver row, not in the current correctness "
-        f"window, and not scheduled in _PENDING_ROUND13: {orphaned}"
+        f"window, and not scheduled in _PENDING_ROUND14: {orphaned}"
     )
 
 
 def test_pending_rotation_list_is_consistent():
-    """_PENDING_ROUND13 names must exist, carry oracles, and actually need a
+    """_PENDING_ROUND14 names must exist, carry oracles, and actually need a
     rotation (drop them from the list once a green row is recorded AND
     they have left the front window)."""
-    pending = list(q._PENDING_ROUND13)
-    assert len(pending) == len(set(pending)), "duplicates in _PENDING_ROUND13"
+    pending = list(q._PENDING_ROUND14)
+    assert len(pending) == len(set(pending)), "duplicates in _PENDING_ROUND14"
     unknown = sorted(set(pending) - set(q.QUERIES))
-    assert not unknown, f"unknown queries in _PENDING_ROUND13: {unknown}"
+    assert not unknown, f"unknown queries in _PENDING_ROUND14: {unknown}"
     no_sql = sorted(n for n in pending if n not in q.ORACLE)
-    assert not no_sql, f"_PENDING_ROUND13 entries without oracle SQL: {no_sql}"
+    assert not no_sql, f"_PENDING_ROUND14 entries without oracle SQL: {no_sql}"
 
 
-def test_round12_front_window_is_exact():
+def test_round13_front_window_is_exact():
     """The rotation IS the round-to-round correctness mechanism: the front
     must be exactly the driver's 50-name window, every name must carry an
     oracle, and the registry must actually start with it (a typo or a
     re-registration after _rotate_front would silently shrink coverage)."""
-    front = list(q._ROUND12_FRONT)
+    front = list(q._ROUND13_FRONT)
     assert len(front) == 50, f"front window must be exactly 50, got {len(front)}"
-    assert len(set(front)) == 50, "duplicates in _ROUND12_FRONT"
-    assert front[: len(q._PENDING_ROUND12)] == list(q._PENDING_ROUND12), (
-        "round 11 had no reds, so the window must lead with the full "
-        "12-name _PENDING_ROUND12 backlog in order"
+    assert len(set(front)) == 50, "duplicates in _ROUND13_FRONT"
+    assert front[: len(q._PENDING_ROUND13)] == list(q._PENDING_ROUND13), (
+        "round 12 had no reds, so the window must lead with the full "
+        "7-name _PENDING_ROUND13 backlog in order"
     )
     no_sql = sorted(n for n in front if n not in q.ORACLE)
-    assert not no_sql, f"_ROUND12_FRONT entries without oracle SQL: {no_sql}"
-    assert set(q._PENDING_ROUND12) <= set(front) | set(q._PENDING_ROUND13), (
-        "every round-11 backlog name must be in the round-12 window or "
-        "explicitly deferred to _PENDING_ROUND13"
+    assert not no_sql, f"_ROUND13_FRONT entries without oracle SQL: {no_sql}"
+    assert set(q._PENDING_ROUND13) <= set(front) | set(q._PENDING_ROUND14), (
+        "every round-12 backlog name must be in the round-13 window or "
+        "explicitly deferred to _PENDING_ROUND14"
     )
-    assert "streaming_mg_topk_maintenance" in front, (
-        "the round-11 sixth-sink-discipline query must get a driver row "
-        "in the round after it landed"
+    assert set(q._R13_IMPL_CHANGED) <= set(front) | set(q._PENDING_ROUND14), (
+        "every query impl-touched in round 13 must be re-proven in the "
+        "round-13 window or explicitly deferred to _PENDING_ROUND14"
     )
     assert list(q.QUERIES)[:50] == front, (
-        "QUERIES does not start with _ROUND12_FRONT — was something "
+        "QUERIES does not start with _ROUND13_FRONT — was something "
         "registered after _rotate_front()?"
     )
 

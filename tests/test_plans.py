@@ -1152,10 +1152,14 @@ def test_keyed_exact_rank_matches_window(spark):
         "CAST(id % 5 AS STRING) AS k",
         "CAST((id * 131) % 997 AS BIGINT) AS v",
     )
+    # small_bytes=-1 forces the TWO-PHASE path (the r13 size gate would
+    # otherwise — correctly — route a 600-row frame to the native window,
+    # and this parity check would compare the window against itself).
     got = {
         r.id: (r.rnk, r.n)
         for r in ranks.keyed_exact_rank(
-            df, ["k"], ["k", F.col("v").desc(), "id"], parts=7
+            df, ["k"], ["k", F.col("v").desc(), "id"], parts=7,
+            small_bytes=-1,
         ).collect()
     }
     w = Window.partitionBy("k").orderBy(F.col("v").desc(), "id")
@@ -1167,6 +1171,15 @@ def test_keyed_exact_rank_matches_window(spark):
     }
     assert got == want
 
+    # the r13 SIZE-GATED small path must produce the identical mapping
+    # (same column order/types) without the two-phase machinery
+    small = ranks.keyed_exact_rank(
+        df, ["k"], ["k", F.col("v").desc(), "id"], parts=7
+    )
+    assert "MapInPandas" not in plans.executed_plan(small)
+    got_small = {r.id: (r.rnk, r.n) for r in small.collect()}
+    assert got_small == want
+
     # multi-key
     df2 = spark.range(300).selectExpr(
         "id",
@@ -1177,7 +1190,8 @@ def test_keyed_exact_rank_matches_window(spark):
     got2 = {
         r.id: (r.rnk, r.n)
         for r in ranks.keyed_exact_rank(
-            df2, ["k1", "k2"], ["k1", "k2", "v", "id"], parts=5
+            df2, ["k1", "k2"], ["k1", "k2", "v", "id"], parts=5,
+            small_bytes=-1,
         ).collect()
     }
     w2 = Window.partitionBy("k1", "k2").orderBy("v", "id")
@@ -1231,11 +1245,34 @@ def test_subgrain_window_rewrites(spark, sf_dir):
             q.QUERIES["jonckheere_ordered_trend"](spark, sf_dir)
         )
         assert jon and jon[0][1] == ["grp"] and jon[0][2] == ["c"]
+        from anomaly_detection_in_time_series_data_spark.operators import (
+            ranks as _ranks_mod,
+        )
+
         for name in ["borda_rank_aggregation", "gmm_anomaly_scores"]:
-            sites = plans.partitioned_subgrain_windows(
+            # r13 size gate: above the gate (forced here via the module
+            # threshold) the two-phase rewrite must leave NO subgrain
+            # windows — the round-12 audit invariant, now conditional on
+            # scale as the gate intends.
+            _old_gate = _ranks_mod.KEYED_RANK_SMALL_BYTES
+            _ranks_mod.KEYED_RANK_SMALL_BYTES = -1
+            try:
+                sites = plans.partitioned_subgrain_windows(
+                    q.QUERIES[name](spark, sf_dir)
+                )
+                assert sites == [], (name, sites)
+            finally:
+                _ranks_mod.KEYED_RANK_SMALL_BYTES = _old_gate
+            # ... and AT fixture scale the gate must route to the native
+            # per-key window (VERDICT r12 item 3: small frames should not
+            # pay the two-phase fixed costs).
+            small_sites = plans.partitioned_subgrain_windows(
                 q.QUERIES[name](spark, sf_dir)
             )
-            assert sites == [], (name, sites)
+            assert small_sites, (
+                f"{name}: size gate failed to pick the native window at "
+                "fixture scale"
+            )
         gini = plans.partitioned_subgrain_windows(
             q.QUERIES["user_activity_gini"](spark, sf_dir)
         )
