@@ -39,6 +39,27 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir):
         spark.sql("DROP TABLE IF EXISTS lineitem_b")
 
 
+import contextlib
+
+
+@contextlib.contextmanager
+def _one_state_partition(spark):
+    """Scope the stream's shuffle/state-store partition count to 1 for
+    the duration of a test stream (conf is frozen into the query at
+    start()).  These eviction audits deliver ONE key across ~16 triggers;
+    at the session default every trigger opens/commits 4 state stores x
+    N partitions of empty state — pure wall-time (the r13 _stream_parts
+    lesson applied to the suite; semantics are per-key, partition-count
+    independent)."""
+    key = "spark.sql.shuffle.partitions"
+    old = spark.conf.get(key)
+    spark.conf.set(key, "1")
+    try:
+        yield
+    finally:
+        spark.conf.set(key, old)
+
+
 ROW = T.StructType(
     [
         T.StructField("ride_id", T.StringType()),
@@ -87,13 +108,14 @@ def test_stream_stream_join_on_event_time(spark, tmp_path):
             """
         ),
     )
-    q = (
-        joined.writeStream.format("memory")
-        .queryName("ssj")
-        .outputMode("append")
-        .option("checkpointLocation", str(tmp_path / "ck"))
-        .start()
-    )
+    with _one_state_partition(spark):
+        q = (
+            joined.writeStream.format("memory")
+            .queryName("ssj")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .start()
+        )
     try:
         q.processAllAvailable()
     finally:
@@ -156,13 +178,14 @@ def test_stream_stream_join_state_eviction_bounded(spark, tmp_path):
             "r_ts BETWEEN l_ts AND l_ts + INTERVAL 5 seconds"
         ),
     )
-    q = (
-        joined.writeStream.format("memory")
-        .queryName("ssj_evict")
-        .outputMode("append")
-        .option("checkpointLocation", str(tmp_path / "ck2"))
-        .start()
-    )
+    with _one_state_partition(spark):
+        q = (
+            joined.writeStream.format("memory")
+            .queryName("ssj_evict")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ck2"))
+            .start()
+        )
     try:
         q.processAllAvailable()
         time.sleep(1)  # let the last progress event land
@@ -246,13 +269,14 @@ def test_stream_stream_left_outer_state_eviction_and_null_padding(
         ),
         "leftOuter",
     )
-    q = (
-        joined.writeStream.format("memory")
-        .queryName("ssj_loj_evict")
-        .outputMode("append")
-        .option("checkpointLocation", str(tmp_path / "ck_loj"))
-        .start()
-    )
+    with _one_state_partition(spark):
+        q = (
+            joined.writeStream.format("memory")
+            .queryName("ssj_loj_evict")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ck_loj"))
+            .start()
+        )
     try:
         q.processAllAvailable()
         time.sleep(1)
