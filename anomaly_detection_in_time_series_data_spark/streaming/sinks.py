@@ -190,15 +190,21 @@ def scd2_foreach_batch(
             ]
         else:
             subs = [batch_df]
-        for upd in subs:
+        for i, upd in enumerate(subs):
             current = scd2_merge(
                 current, upd, keys=keys, tracked=tracked, ts_col=ts_col
             )
-            # materialize per fold so a multi-delivery trigger stays
+            # materialize BETWEEN folds so a multi-delivery trigger stays
             # one-merge-deep (the scd2_event_type_history plan-depth
             # lesson; scd2_merge is single-pass since r12 but folds still
-            # compound join-over-join).
-            current = current.localCheckpoint(eager=True)
+            # compound join-over-join).  The LAST fold writes directly:
+            # the staging write below is its materialization, and an
+            # eager checkpoint here would compute the merged dimension
+            # twice per trigger (optimization r13, guide §2.4 — the
+            # upsert/streaks sinks already follow this write-direct
+            # pattern).
+            if i < len(subs) - 1:
+                current = current.localCheckpoint(eager=True)
         staging = Path(f"{path}.stage-{batch_id}")
         current.write.mode("overwrite").parquet(str(staging))
         _swap_in(staging, out, batch_id)
@@ -604,11 +610,11 @@ def digest_foreach_batch(
                 F.least("h_min", "s_min").cast("bigint").alias("h_min"),
                 F.greatest("h_max", "s_max").cast("bigint").alias("h_max"),
             )
-        merged = (
-            b.withColumn("_batch_id", F.lit(batch_id).cast("bigint"))
-            .withColumn("_ckpt", F.lit(ckpt_token))
-            .localCheckpoint(eager=True)
-        )
+        # write-direct: the staging write materializes the 1-row digest;
+        # an eager checkpoint here doubled the pass per trigger (r13).
+        merged = b.withColumn(
+            "_batch_id", F.lit(batch_id).cast("bigint")
+        ).withColumn("_ckpt", F.lit(ckpt_token))
         staging = Path(f"{path}.stage-{batch_id}")
         merged.write.mode("overwrite").parquet(str(staging))
         _swap_in(staging, out, batch_id)
@@ -662,9 +668,8 @@ def hll_foreach_batch(
             b = b.unionByName(state).groupBy("reg").agg(
                 F.max("rho").cast("bigint").alias("rho")
             )
-        merged = b.withColumn(
-            "_batch_id", F.lit(batch_id).cast("bigint")
-        ).localCheckpoint(eager=True)
+        # write-direct (r13): staging write is the materialization
+        merged = b.withColumn("_batch_id", F.lit(batch_id).cast("bigint"))
         staging = Path(f"{path}.stage-{batch_id}")
         merged.write.mode("overwrite").parquet(str(staging))
         _swap_in(staging, out, batch_id)
@@ -753,11 +758,10 @@ def cms_foreach_batch(
                 .groupBy("i", "b")
                 .agg(F.sum("n").cast("bigint").alias("n"))
             )
-        merged = (
-            b.withColumn("_batch_id", F.lit(batch_id).cast("bigint"))
-            .withColumn("_ckpt", F.lit(ckpt_token))
-            .localCheckpoint(eager=True)
-        )
+        # write-direct (r13): staging write is the materialization
+        merged = b.withColumn(
+            "_batch_id", F.lit(batch_id).cast("bigint")
+        ).withColumn("_ckpt", F.lit(ckpt_token))
         staging = Path(f"{path}.stage-{batch_id}")
         merged.write.mode("overwrite").parquet(str(staging))
         _swap_in(staging, out, batch_id)
@@ -855,11 +859,11 @@ def mg_foreach_batch(
         trimmed = b.select("k", (F.col("n") - F.lit(d)).alias("n")).filter(
             F.col("n") > 0
         )
-        merged = (
-            trimmed.withColumn("_batch_id", F.lit(batch_id).cast("bigint"))
-            .withColumn("_ckpt", F.lit(ckpt_token))
-            .localCheckpoint(eager=True)
-        )
+        # write-direct (r13): trimmed reads the checkpointed b, and the
+        # staging write is merged's only consumer
+        merged = trimmed.withColumn(
+            "_batch_id", F.lit(batch_id).cast("bigint")
+        ).withColumn("_ckpt", F.lit(ckpt_token))
         staging = Path(f"{path}.stage-{batch_id}")
         merged.write.mode("overwrite").parquet(str(staging))
         _swap_in(staging, out, batch_id)
